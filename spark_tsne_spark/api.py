@@ -1,0 +1,183 @@
+"""Public t-SNE drivers: exact (SimpleTSNE) and Barnes-Hut (BHTSNE).
+
+API twins of the reference entry points
+(``SimpleTSNE.scala:15-21``, ``BHTSNE.scala:16-25``): take a points
+table, run X2P affinity calibration, then the gradient-descent loop
+with per-iteration callback. Differences by design (SURVEY.md §4, §7):
+
+- input is a DataFrame with explicit ids (quirk Q1), not an unindexed
+  RowMatrix;
+- one Spark job per iteration (fused kernels, ``gradient.py``) instead
+  of two/three;
+- early exaggeration is applied at use-time as a multiplier gated on
+  the iteration (the safe SimpleTSNE scheme), never by mutating the
+  cached P (quirk Q4 — the reference's BH path mutates its cached RDD
+  in place at iter 100, which silently un-reverts if a partition is
+  recomputed from lineage);
+- seeded determinism is within-engine; cross-engine checks are
+  statistical (quirk Q8).
+
+Scale note: like the reference, optimizer state Y/iY/gains is
+driver-held and broadcast per iteration — O(n·d) doubles on the
+driver. That is the algorithm's global synchronization point and holds
+to ~10⁷ points; the distributed work (X2P kNN, per-iteration force
+pass) is the part that scales with cluster size.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, Row, functions as F, types as T
+
+from spark_tsne_spark.gradient import assemble, bh_gradient_pass, exact_gradient_pass
+from spark_tsne_spark.operators.affinities import compute_p
+from spark_tsne_spark.operators.x2p import x2p
+from spark_tsne_spark.params import TSNEParam
+from spark_tsne_spark.sptree import SPTree
+from spark_tsne_spark.update import update
+
+logger = logging.getLogger(__name__)
+
+Callback = Callable[[int, np.ndarray, "float | None"], None]
+
+
+@dataclass
+class TSNEResult:
+    ids: np.ndarray
+    Y: np.ndarray
+    losses: list  # [(iteration, loss)]
+
+    def to_df(self, spark) -> DataFrame:
+        """Embedding as ``(id long, y array<double>)``."""
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("y", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        rows = [
+            Row(id=int(i), y=[float(v) for v in y]) for i, y in zip(self.ids, self.Y)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+
+def _prepare(df, perplexity, id_col, features, method):
+    """X2P + symmetrize + adjacency, cached for the loop."""
+    from spark_tsne_spark.shipping import ship_package
+
+    ship_package(df.sparkSession)
+    if df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
+        logger.warning("Input is not persisted and performance could be bad")
+    n = df.count()
+    p_ji = x2p(df, tol=1e-5, perplexity=perplexity, id_col=id_col, features=features, method=method)
+    adjacency = compute_p(p_ji, n).cache()
+    ids = np.array(sorted(r["i"] for r in adjacency.select("i").collect()), dtype=np.int64)
+    pos = {int(v): k for k, v in enumerate(ids)}
+    return adjacency, ids, pos, len(ids)
+
+
+def _loop(
+    adjacency,
+    ids,
+    pos,
+    n,
+    no_dims,
+    max_iterations,
+    param,
+    mode,
+    theta,
+    report_loss,
+    callback,
+    seed,
+    y_scale,
+):
+    sc = adjacency.sparkSession.sparkContext
+    rng = np.random.default_rng(seed)
+    Y = rng.standard_normal((n, no_dims)) * y_scale
+    iY = np.zeros((n, no_dims))
+    gains = np.ones((n, no_dims))
+    bc_pos = sc.broadcast(pos)
+    losses = []
+    for iteration in range(1, max_iterations + 1):
+        exaggeration = (
+            param.exaggeration_factor if iteration <= param.early_exaggeration else 1.0
+        )
+        bc_Y = sc.broadcast(Y)
+        if mode == "exact":
+            pass_df = exact_gradient_pass(adjacency, bc_Y, bc_pos, exaggeration)
+        else:
+            bc_tree = sc.broadcast(SPTree.from_matrix(Y))
+            pass_df = bh_gradient_pass(adjacency, bc_Y, bc_pos, bc_tree, theta, exaggeration)
+        rows = pass_df.collect()
+        dY, Z, loss = assemble(rows, pos, n, no_dims, mode)
+        update(Y, dY, iY, gains, iteration, param)
+        bc_Y.destroy()
+        if mode != "exact":
+            bc_tree.destroy()
+        want_loss = report_loss(iteration) if callable(report_loss) else True
+        if want_loss:
+            losses.append((iteration, loss))
+        if callback is not None:
+            callback(iteration, Y.copy(), loss if want_loss else None)
+    bc_pos.destroy()
+    return TSNEResult(ids=ids, Y=Y, losses=losses)
+
+
+def simple_tsne(
+    df: DataFrame,
+    no_dims: int = 2,
+    max_iterations: int = 1000,
+    perplexity: float = 30.0,
+    callback: Callback | None = None,
+    seed: int | None = None,
+    param: TSNEParam = TSNEParam(),
+    id_col: str = "id",
+    features: str = "features",
+    knn_method: str = "block",
+) -> TSNEResult:
+    """Exact-gradient t-SNE (reference ``SimpleTSNE.tsne``).
+
+    Y ~ N(0,1) seeded init (``SimpleTSNE.scala:26,32``); loss reported
+    every iteration.
+    """
+    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method)
+    return _loop(
+        adjacency, ids, pos, n, no_dims, max_iterations, param,
+        mode="exact", theta=0.0, report_loss=lambda i: True,
+        callback=callback, seed=seed, y_scale=1.0,
+    )
+
+
+def bh_tsne(
+    df: DataFrame,
+    no_dims: int = 2,
+    max_iterations: int = 1000,
+    perplexity: float = 30.0,
+    theta: float = 0.5,
+    report_loss: Callable[[int], bool] = lambda i: i % 10 == 0,
+    callback: Callback | None = None,
+    seed: int | None = None,
+    param: TSNEParam = TSNEParam(),
+    id_col: str = "id",
+    features: str = "features",
+    knn_method: str = "block",
+) -> TSNEResult:
+    """Barnes-Hut t-SNE (reference ``BHTSNE.tsne``).
+
+    Init Y ~ N(0,1)/1e4 (``BHTSNE.scala:36``); θ-criterion tree walk for
+    negative forces; loss cadence every 10 iterations by default
+    (``BHTSNE.scala:22``). Unlike the reference the loss costs nothing
+    extra (it rides the gradient pass), but the cadence contract is
+    kept.
+    """
+    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method)
+    return _loop(
+        adjacency, ids, pos, n, no_dims, max_iterations, param,
+        mode="bh", theta=theta, report_loss=report_loss,
+        callback=callback, seed=seed, y_scale=1e-4,
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+All pure ``pyspark.sql.functions`` (JVM-side, codegen-friendly) and
+deliberately written with DuckDB-portable semantics so every operator
+has an exact SQL oracle: whitespace tokenization via regex split,
+character shingles via sequence+substring, md5 as the portable hash
+(lowercase hex in both engines → lexicographic min == numeric min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny deterministic English stopword list shared with the SQL oracle.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "from", "that", "this", "are",
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of a trimmed string."""
+    return F.split(F.trim(_col(text)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """All character k-grams (1-based positions, DuckDB-portable)."""
+    t = _col(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(0), F.length(t) - (k - 1))),
+        lambda i: F.substring(t, i, k),
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """Word n-grams joined by a single space."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - (n - 1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are (English) stopwords — the n-gram
+    language-ID heuristic's core signal."""
+    toks = tokens(text)
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    return n_stop.cast("double") / F.greatest(F.lit(1), F.size(toks))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    t = _col(text)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:()-]", ""))
+    return n_punct.cast("double") / F.greatest(F.lit(1), F.length(t))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Token count under a BPE-ish regex: runs of letters, runs of
+    digits, or single non-alnum-non-space characters."""
+    return F.size(
+        F.regexp_extract_all(_col(text), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document quality in [0, 1]: rewards mid-length docs,
+    low punctuation density, and a natural stopword rate."""
+    t = _col(text)
+    length_term = F.least(F.lit(1.0), F.length(t).cast("double") / 200.0)
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 5.0)
+    stop_term = F.least(F.lit(1.0), stopword_ratio(t) * 4.0)
+    return (length_term + punct_term + stop_term) / 3.0
+
+
+def lang_id(text: Column | str, threshold: float = 0.08) -> Column:
+    """Heuristic language ID: 'en' when the stopword ratio clears the
+    threshold, else 'other'. (Image of a real n-gram LID model; the
+    Spark plumbing — per-doc scoring in one narrow pass — is the
+    point at scale.)"""
+    return F.when(stopword_ratio(text) > threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(_col(text)), r"\s+", " ")))
+
+
+def minhash_values(text: Column | str, num_hashes: int = 16, shingle_k: int = 5) -> Column:
+    """MinHash signature as an array of ``num_hashes`` hex-string minima.
+
+    Portable construction: hash h_i(s) = md5(i || ':' || s); the
+    signature element i is the minimum over the doc's character
+    shingles. Lowercase fixed-width hex ⇒ string min == numeric min in
+    both Spark and DuckDB.
+    """
+    sh = char_shingles(text, shingle_k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            for i in range(num_hashes)
+        ]
+    )

@@ -1,0 +1,269 @@
+"""Deduplication operators over the ``documents`` table.
+
+The scale-out shapes a 100 TB corpus pipeline needs, each expressed
+as declarative DataFrame plans (one or two key-shuffles, map-side
+partial aggregation, no driver loops):
+
+- exact dedup: hash-groupBy on a canonical fingerprint
+- MinHash + LSH banding: shingle → minhash → band → bucket self-join
+- SimHash: per-bit majority over token hashes, hamming buckets
+- n-gram Jaccard: shared-shingle join → |A∩B| / (|A|+|B|−|A∩B|)
+- embedding-cosine near-dup: normalized dot over candidate pairs
+
+Scale notes: every self-join here is bucket-limited (joins happen on
+band/bucket keys, never all-pairs); the Jaccard join's fan-out is
+bounded by shingle frequency — at production scale, cap hot shingles
+(drop shingles with document-frequency above a threshold) before the
+join, which is a single additional groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spark_tsne_spark.functions.text import (
+    char_shingles,
+    fingerprint,
+    minhash_values,
+    tokens,
+    word_ngrams,
+)
+from spark_tsne_spark.functions.vector import cosine_sim, l2_norm
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by canonical text fingerprint; keep the smallest id.
+
+    Returns ``(fp, keep_id, n_copies)`` — one row per distinct
+    document. One shuffle on the fingerprint; partial agg map-side.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding.
+
+    Documents whose signatures agree on all rows of ≥1 band collide in
+    a bucket; the self-join is per-bucket (skew-safe under AQE), never
+    all-pairs. Returns distinct ``(i, j)`` with i < j.
+    """
+    n_bands = num_hashes // band_size
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_values(text_col, num_hashes, shingle_k).alias("mh"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "", F.slice("mh", b * band_size + 1, band_size)
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash signatures: per-bit majority vote over token md5 bits.
+
+    Each token contributes ±1 per bit position (bit b = top bit of the
+    b-th hex digit of md5(token)); the signature sets bit b where the
+    sum is positive. Expressed as explode → groupBy(doc) with
+    conditional sums — one shuffle, no UDF. Returns
+    ``(doc_id, simhash long)``.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.conv(F.substring("h", b + 1, 1), 16, 10).cast("int") >= 8, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** (bits - 1 - b))).otherwise(0)
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Pairs whose simhash differs in ≤ ``max_hamming`` bits.
+
+    Candidate generation by bucket: identical-signature join (the
+    scalable production shape splits the signature into
+    ``max_hamming+1`` chunks and buckets on each — pigeonhole — which
+    is the same banding join as MinHash). Here: join on signature
+    chunks, verify hamming distance with ``bit_count(xor)``.
+    """
+    sig = simhash(docs, id_col, text_col, bits).cache()
+    half = bits // 2
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("c"), F.shiftright("simhash", half).alias("v")),
+                F.struct(
+                    F.lit(1).alias("c"),
+                    (F.col("simhash") % F.lit(2**half)).alias("v"),
+                ),
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """n-gram Jaccard similarity via a shared-shingle join.
+
+    |A∩B| comes from a groupBy over the (shingle → doc) inverted
+    index joined with itself; |A∪B| = |A| + |B| − |A∩B|. Two shuffles
+    (index build, pair count) — never materializes all pairs.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("i"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("j"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    method: str = "exact",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    'exact': all i<j pairs (small n / verification); 'lsh': random
+    hyperplane bucketing first (scale path) — candidates only from
+    matching sign-buckets, then exact cosine verify.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", l2_norm("v"))
+    if method == "lsh":
+        # 8 random-hyperplane signs via md5-seeded pseudo-projections is
+        # overkill here; reuse minhash-style banding on sign pattern of
+        # the first 8 dimensions as a cheap, deterministic bucket.
+        base = base.withColumn(
+            "bucket",
+            F.concat_ws(
+                "",
+                *[(F.element_at("v", i + 1) > 0).cast("int").cast("string") for i in range(8)],
+            ),
+        )
+        a = base.alias("a")
+        b = base.alias("b")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        a = base.repartition(par).alias("a")
+        b = base.coalesce(1).alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

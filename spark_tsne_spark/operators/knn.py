@@ -1,0 +1,192 @@
+"""k-nearest-neighbor operators over an embedding table.
+
+The reference computes all-pairs distances with an RDD ``cartesian``
+and keeps the μ smallest per row with a bounded priority queue
+(reference ``X2P.scala:24-32``). Three Spark-native strategies here:
+
+- ``knn_exact_sql``: declarative crossJoin + `i<j` filter + window
+  top-k — Catalyst-planned, duckdb-oracle-checkable, O(n²) shuffle.
+  Right for correctness checks and small n.
+- ``knn_exact_block``: broadcast the full matrix, compute block
+  distances with numpy inside ``mapInPandas`` (Arrow batches ≈ the
+  reference's ``.glom()`` blocks), top-μ via ``argpartition``. Same
+  O(n²) flops but vectorized, no pair-explosion shuffle — the fast
+  exact path.
+- ``knn_lsh``: ``BucketedRandomProjectionLSH.approxSimilarityJoin``
+  + window top-k — the 100 TB scale path (approximate; flagged in
+  results via the ``exact=False`` contract).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from spark_tsne_spark.functions.vector import sq_dist_from_norms, l2_norm
+
+KNN_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.LongType()),
+        T.StructField("js", T.ArrayType(T.LongType())),
+        T.StructField("ds", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def with_norms(df: DataFrame, features: str = "features") -> DataFrame:
+    """Attach the per-row L2 norm once (reference ``X2P.scala:20-21``)."""
+    return df.withColumn("norm", l2_norm(features))
+
+
+def knn_exact_sql(
+    df: DataFrame, k: int, id_col: str = "id", features: str = "features"
+) -> DataFrame:
+    """Top-k nearest neighbors per row, fully declarative.
+
+    crossJoin + ``i < j`` dedup + symmetric emit + window rank — the
+    DataFrame translation of reference ``X2P.scala:24-32`` (X3-X6).
+    Ties broken deterministically by neighbor id. Returns
+    ``(i, j, dist)`` with ``rank <= k``.
+    """
+    # Cartesian output partitions = left × right partitions. Keep the
+    # left side at cluster parallelism and collapse the right side to
+    # one partition so the pair count is P×1, not P×P — tiny tasks are
+    # pure overhead. (This path is the small-n/oracle path; block/LSH
+    # are the scale paths.)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = with_norms(df, features).select(
+        F.col(id_col).alias("i"), F.col(features).alias("fa"), F.col("norm").alias("na")
+    ).repartition(par)
+    b = with_norms(df, features).select(
+        F.col(id_col).alias("j"), F.col(features).alias("fb"), F.col("norm").alias("nb")
+    ).coalesce(1)
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            sq_dist_from_norms("fa", "fb", "na", "nb").alias("dist"),
+        )
+    )
+    sym = pairs.select("i", "j", "dist").unionAll(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "dist")
+    )
+    w = Window.partitionBy("i").orderBy(F.col("dist").asc(), F.col("j").asc())
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("i", "j", "dist", "rank")
+    )
+
+
+def knn_exact_block(
+    df: DataFrame, k: int, id_col: str = "id", features: str = "features"
+) -> DataFrame:
+    """Exact kNN via broadcast matrix + numpy block distances.
+
+    Each Arrow batch computes ``‖x_b‖² + ‖X‖² − 2·X_b·Xᵀ`` against the
+    broadcast full matrix and keeps the k smallest per row with
+    ``argpartition`` (heap-like semantics of the reference's
+    ``topByKey``, ``X2P.scala:32``). One narrow pass, no pair shuffle.
+
+    Scale note: broadcast is n×d doubles — fine to ~10M×64; beyond
+    that use ``knn_lsh``.
+    """
+    from spark_tsne_spark.shipping import ship_package
+
+    ship_package(df.sparkSession)
+    rows = df.select(F.col(id_col).alias("id"), F.col(features).cast("array<double>").alias("f")).collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    X = np.array([r["f"] for r in rows], dtype=np.float64)
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_X = sc.broadcast(X)
+    b_sq = sc.broadcast((X * X).sum(axis=1))
+
+    kk = k
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        X_all = b_X.value
+        ids_all = b_ids.value
+        sq_all = b_sq.value
+        pos = {v: p for p, v in enumerate(ids_all)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Xb = np.array(pdf["f"].tolist(), dtype=np.float64)
+            my = pdf["id"].to_numpy()
+            d = sq_all[None, :] + (Xb * Xb).sum(axis=1)[:, None] - 2.0 * (Xb @ X_all.T)
+            np.maximum(d, 0.0, out=d)
+            for r, rid in enumerate(my):
+                d[r, pos[rid]] = np.inf  # exclude self
+            kkk = min(kk, d.shape[1] - 1)
+            idx = np.argpartition(d, kkk - 1, axis=1)[:, :kkk]
+            out_js, out_ds = [], []
+            for r in range(len(my)):
+                row_idx = idx[r]
+                order = np.argsort(d[r, row_idx], kind="stable")
+                sel = row_idx[order]
+                out_js.append(ids_all[sel].tolist())
+                out_ds.append(d[r, sel].tolist())
+            yield pd.DataFrame({"i": my, "js": out_js, "ds": out_ds})
+
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(features).cast("array<double>").alias("f"))
+        .mapInPandas(compute, KNN_SCHEMA)
+    )
+
+
+def knn_lsh(
+    df: DataFrame,
+    k: int,
+    id_col: str = "id",
+    features: str = "features",
+    bucket_length: float | None = None,
+    num_hash_tables: int = 3,
+    dist_threshold: float = float("inf"),
+) -> DataFrame:
+    """Approximate kNN via bucketed random-projection LSH.
+
+    The 100 TB path: replaces the O(n²) cartesian with a bucket-join
+    (SURVEY.md §7 Phase 5). Returns ``(i, j, dist)`` where ``dist`` is
+    the *squared* euclidean distance for interface parity with the
+    exact paths.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vec = df.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(features).cast("array<double>")).alias("v"),
+    )
+    if bucket_length is None:
+        # heuristic: ~pow(n, -1/d) scaled data; 2.0 works for unit-ish vectors
+        bucket_length = 2.0
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(vec)
+    joined = (
+        model.approxSimilarityJoin(vec, vec, float(dist_threshold), distCol="eucl")
+        .where(F.col("datasetA.id") != F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("i"),
+            F.col("datasetB.id").alias("j"),
+            (F.col("eucl") * F.col("eucl")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("dist").asc(), F.col("j").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("i", "j", "dist", "rank")
+    )

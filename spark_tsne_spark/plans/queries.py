@@ -1,0 +1,897 @@
+"""Query catalog: every SURVEY.md §2 operator + training-data-pipeline
+operator as a (Spark DataFrame plan, DuckDB oracle SQL) pair.
+
+Contract (driver verify): each entry's Spark callable ``(spark,
+sf_dir) -> DataFrame`` and its oracle SQL must produce identical
+row-count + schema + order-insensitive value-hash. Rules applied
+throughout to make float results hash-stable across engines:
+
+- every computed double is ``round()``-ed in BOTH engines (sum-order
+  differences live at ~1e-12 relative; rounding at 2-8 decimals
+  absorbs them);
+- every ranking/limit orders by the *rounded* measure with an integer
+  tie-break column, so near-equal doubles can't flip ranks between
+  engines;
+- identical column names via explicit aliases on both sides.
+
+Entries without SQL (``sql=None``) are the genuinely non-relational
+ops (perplexity bisection, t-SNE itself) — the driver records a
+rows-only check for those, per the contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spark_tsne_spark.functions.text import (
+    EN_STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from spark_tsne_spark.functions.vector import (
+    cosine_sim,
+    l2_norm,
+    sq_dist_from_norms,
+)
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None → rows-only check
+
+
+_REGISTRY: dict[str, CatalogQuery] = {}
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn):
+        _REGISTRY[name] = CatalogQuery(name, fn, sql)
+        return fn
+
+    return deco
+
+
+def catalog() -> dict[str, CatalogQuery]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from spark_tsne_spark.sources.tables import load_table
+
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# §2.3 X2P relational stages (X1-X6) over `embeddings`
+# --------------------------------------------------------------------------
+
+_EMB_D = "CAST(embedding AS DOUBLE[])"
+_NORM_SQL = f"sqrt(list_sum(list_transform({_EMB_D}, x -> x*x)))"
+
+
+@register(
+    "x1_row_norms",
+    f"""
+    SELECT vec_id, round({_NORM_SQL}, 6) AS norm
+    FROM embeddings
+    """,
+)
+def x1_row_norms(spark, sf_dir):
+    """X1: per-row L2 norm, computed once (reference X2P.scala:20-21)."""
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.round(l2_norm("embedding"), 6).alias("norm")
+    )
+
+
+_PAIR_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      FROM embeddings WHERE vec_id < 100
+    )
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(greatest(0.0, a.nrm*a.nrm + b.nrm*b.nrm
+                 - 2*list_dot_product(a.v, b.v)), 6) AS dist
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+"""
+
+
+@register("x3_x5_pairwise_sqdist", _PAIR_SQL)
+def x3_x5_pairwise_sqdist(spark, sf_dir):
+    """X3-X5: cross join, i<j dedup, squared distance via the norm
+    expansion (reference X2P.scala:24-30, X2PHelper.scala:13-15)."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", l2_norm("v"))
+    )
+    par = spark.sparkContext.defaultParallelism
+    a = e.select(
+        F.col("vec_id").alias("i"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    ).repartition(par)
+    b = e.select(
+        F.col("vec_id").alias("j"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    ).coalesce(1)
+    return (
+        a.crossJoin(b)
+        .where(F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(sq_dist_from_norms("va", "vb", "na", "nb"), 6).alias("dist"),
+        )
+    )
+
+
+_KNN_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      FROM embeddings WHERE vec_id < 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             round(greatest(0.0, a.nrm*a.nrm + b.nrm*b.nrm
+                   - 2*list_dot_product(a.v, b.v)), 6) AS dist
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT i, j, dist, rank FROM (
+      SELECT i, j, dist,
+             row_number() OVER (PARTITION BY i ORDER BY dist, j) AS rank
+      FROM pairs
+    ) WHERE rank <= 10
+"""
+
+
+@register("x6_knn_topk", _KNN_SQL)
+def x6_knn_topk(spark, sf_dir):
+    """X6: top-k-per-key (kNN) via window rank over rounded distance
+    (reference topByKey, X2P.scala:32). Ranking on the rounded value +
+    id tie-break keeps ranks engine-stable."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", l2_norm("v"))
+    )
+    par = spark.sparkContext.defaultParallelism
+    a = e.select(
+        F.col("vec_id").alias("i"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    ).repartition(par)
+    b = e.select(
+        F.col("vec_id").alias("j"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    ).coalesce(1)
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(sq_dist_from_norms("va", "vb", "na", "nb"), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("dist").asc(), F.col("j").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("i", "j", "dist", "rank")
+    )
+
+
+_SYM_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      FROM embeddings WHERE vec_id < 100
+    ),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             round(greatest(0.0, a.nrm*a.nrm + b.nrm*b.nrm
+                   - 2*list_dot_product(a.v, b.v)), 6) AS dist
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT i, j, dist FROM (
+        SELECT i, j, dist,
+               row_number() OVER (PARTITION BY i ORDER BY dist, j) AS rank
+        FROM pairs
+      ) WHERE rank <= 10
+    ),
+    sym AS (
+      SELECT i, j, dist AS p FROM knn
+      UNION ALL
+      SELECT j AS i, i AS j, dist AS p FROM knn
+    )
+    SELECT i, j, round(greatest(1e-12, sum(p) / (2*100)), 10) AS p
+    FROM sym GROUP BY i, j
+"""
+
+
+@register("y1_symmetrize", _SYM_SQL)
+def y1_symmetrize(spark, sf_dir):
+    """Y1: symmetrize + scale + clamp over the kNN graph (reference
+    TSNEHelper.computeP, TSNEHelper.scala:10-19) — union of both
+    orientations, partial+final sum, 1/(2n) scale, 1e-12 floor.
+
+    Rounded at 10 decimals: the summands are on a 1e-6 grid, so p is
+    on a 5e-9 grid — multiples of the 1e-10 rounding quantum, never on
+    its half-points (rounding at 8 hit exact halves, where Spark's
+    HALF_UP and DuckDB's binary-double rounding disagree)."""
+    knn = x6_knn_topk(spark, sf_dir).select("i", "j", F.col("dist").alias("p"))
+    both = knn.unionAll(
+        knn.select(F.col("j").alias("i"), F.col("i").alias("j"), "p")
+    )
+    return (
+        both.groupBy("i", "j")
+        .agg(F.sum("p").alias("psum"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.greatest(F.lit(1e-12), F.col("psum") / F.lit(2.0 * 100)), 10
+            ).alias("p"),
+        )
+    )
+
+
+@register(
+    "p1_global_stats",
+    f"""
+    SELECT round(avg(x), 6) AS mean_val,
+           round(stddev_pop(x), 6) AS std_val,
+           count(*) AS n_vals
+    FROM (SELECT unnest({_EMB_D}) AS x FROM embeddings)
+    """,
+)
+def p1_global_stats(spark, sf_dir):
+    """P1: global scalar mean/stddev over all vector components
+    (reference MNIST.scala:40-42; RDD stdev = population stddev)."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.explode(F.col("embedding").cast("array<double>")).alias("x"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_val"),
+            F.round(F.stddev_pop("x"), 6).alias("std_val"),
+            F.count("*").alias("n_vals"),
+        )
+    )
+
+
+@register(
+    "s2_s3_limit_sort",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 1000
+    """,
+)
+def s2_s3_limit_sort(spark, sf_dir):
+    """S2-S3: deterministic order-by + row limit (reference
+    zipWithIndex/filter + sortBy, MNIST.scala:26-28)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational breadth (Catalyst-free wins; also the bench workhorses)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped scan+agg: partial aggregation map-side, filter
+    pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    """TPC-H-Q3-shaped join + agg + deterministic top-N (rounded
+    measure + key tie-break). Customer dim is broadcast."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region, nation, supplier, lineitem
+    WHERE r_name = 'ASIA'
+      AND n_regionkey = r_regionkey
+      AND s_nationkey = n_nationkey
+      AND l_suppkey = s_suppkey
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H-Q5-shaped multi-way join: dim→dim→dim chain broadcast
+    into the fact scan; one shuffle (the final groupBy)."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q6_revenue_delta",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H-Q6-shaped selective scan: all predicates push to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """Hierarchical rollup aggregation (grouping-sets family)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "window_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def window_top_orders_per_customer(spark, sf_dir):
+    """Per-key top-N window (raw parquet doubles — no arithmetic, so
+    ordering is engine-stable without rounding)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: time-windowed aggregation + sessionization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_agg",
+    """
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_agg(spark, sf_dir):
+    """Tumbling 1-hour window aggregation — the batch twin of the
+    Structured Streaming windowed agg in streaming/windows.py."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch twin of a streaming session window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: dedup family over `documents`
+# --------------------------------------------------------------------------
+
+_FP_SQL = r"md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {_FP_SQL} AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: canonical-text fingerprint groupBy."""
+    from spark_tsne_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= 5
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+                                           i -> substr(text, i, 5))) AS s
+      FROM docs
+    ),
+    hx AS (
+      SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mh
+      FROM sh CROSS JOIN range(8) t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             string_agg(mh, '' ORDER BY k) AS sig
+      FROM hx GROUP BY doc_id, CAST(k // 2 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: char-5-shingles → 8 portable
+    md5 minhashes → 4 bands of 2 → bucket self-join."""
+    from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 200) & (F.length("text") >= 5))
+    )
+    return minhash_lsh_candidates(
+        docs, num_hashes=8, band_size=2, shingle_k=5
+    )
+
+
+_SIMHASH_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents WHERE doc_id < 200
+    ),
+    h AS (SELECT doc_id, md5(t) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN ('0x' || substr(h, b + 1, 1))::INT >= 8
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN range(16) t2(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << (15 - b)) ELSE 0 END)::BIGINT
+             AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    """SimHash signatures: 16-bit per-token-majority fingerprint,
+    pure groupBy arithmetic (no UDF)."""
+    from spark_tsne_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 200))
+
+
+_JACCARD_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS g
+      FROM d
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i, j,
+           round(n_shared / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = i
+    JOIN sizes sb ON sb.doc_id = j
+    WHERE n_shared / (sa.n_grams + sb.n_grams - n_shared) >= 0.2
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-bigram Jaccard near-dups via shared-shingle inverted-index
+    join — never materializes all pairs."""
+    from spark_tsne_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = ngram_jaccard_pairs(docs, n=2, min_jaccard=0.2)
+    return out.select("i", "j", F.round("jaccard", 6).alias("jaccard"))
+
+
+_COS_NEARDUP_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+"""
+
+
+@register("dedup_embedding_cosine", _COS_NEARDUP_SQL)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact verify path)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    from spark_tsne_spark.operators.dedup import embedding_near_dups
+
+    out = embedding_near_dups(emb, min_cosine=0.3, method="exact")
+    return out.select("i", "j", F.round("cosine", 6).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_ANN_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS i, c.vec_id AS j,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT i, j, cosine, rank FROM (
+      SELECT i, j, cosine,
+             row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+"""
+
+
+@register("ann_topk_cosine", _ANN_SQL)
+def ann_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN correctness baseline); ranks
+    on the rounded similarity + id tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").cast("array<double>").alias("vi"),
+    ).withColumn("ni", l2_norm("vi"))
+    corpus = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").cast("array<double>").alias("vj"),
+    ).withColumn("nj", l2_norm("vj"))
+    pairs = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.aggregate(
+                    F.zip_with("vi", "vj", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (F.col("ni") * F.col("nj")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("i", "j", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis over `documents`
+# --------------------------------------------------------------------------
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+_STOP_RATIO_SQL = (
+    f"len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPS_SQL}, lower(t))))::DOUBLE"
+    f" / greatest(1, len({_TOKS_SQL}))"
+)
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           round({_STOP_RATIO_SQL}, 6) AS stop_ratio,
+           CASE WHEN {_STOP_RATIO_SQL} > 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-ratio language ID heuristic (one narrow pass)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+_PUNCT_SQL = (
+    r"(length(text) - length(regexp_replace(text, '[.,!?;:()-]', '', 'g')))::DOUBLE"
+    r" / greatest(1, length(text))"
+)
+_QUALITY_SQL = (
+    f"(least(1.0, length(text)::DOUBLE / 200.0)"
+    f" + greatest(0.0, 1.0 - ({_PUNCT_SQL}) * 5.0)"
+    f" + least(1.0, ({_STOP_RATIO_SQL}) * 4.0)) / 3.0"
+)
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKS_SQL}) AS n_tokens,
+           round({_PUNCT_SQL}, 6) AS punct_ratio,
+           round({_QUALITY_SQL}, 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality scoring: length/punctuation/stopword terms."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+@register(
+    "text_token_counts",
+    rf"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Deterministic normalized-text md5 fingerprint."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible ops: rows-only checks (perplexity bisection,
+# t-SNE gradient descent)
+# --------------------------------------------------------------------------
+
+
+@register("x2p_affinities", None)
+def x2p_affinities(spark, sf_dir):
+    """X7-X9: full X2P (kNN + per-row β bisection + COO emit). The
+    bisection is iterative numerical search — not SQL-expressible;
+    invariants (Σ_j p = 1, entropy = log perplexity) are unit-tested."""
+    from spark_tsne_spark.operators.x2p import x2p
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    out = x2p(emb, perplexity=10.0, id_col="vec_id", features="embedding")
+    return out.select("i", "j", F.round("p", 6).alias("p"))
+
+
+@register("tsne_embedding", None)
+def tsne_embedding(spark, sf_dir):
+    """Flagship: Barnes-Hut t-SNE end-to-end (50 iterations, seeded).
+    Iterative optimization — rows-only check; statistical oracles live
+    in tests/test_tsne_e2e.py."""
+    from spark_tsne_spark.api import bh_tsne
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    res = bh_tsne(
+        emb, max_iterations=50, perplexity=15.0, seed=42,
+        id_col="vec_id", features="embedding",
+    )
+    return res.to_df(spark).select(
+        F.col("id").alias("vec_id"),
+        F.col("y")[0].alias("y0"),
+        F.col("y")[1].alias("y1"),
+    )

@@ -1,0 +1,182 @@
+"""SPTree — 2^d-ary space-partitioning tree for Barnes-Hut t-SNE.
+
+Behavioral re-implementation of the reference's tree
+(``SPTree.scala:9-79``), driver-built each iteration and broadcast
+to executors. Semantics pinned by the reference's own test suite
+(``SPTreeSpec.scala``) and replicated here:
+
+- lazy 2^d children; child ``i``'s corner = corner + bits(i)∘(width/2)
+  with dimension 0 as the most significant bit (``SPTree.scala:19-26``)
+- cell routing per dim: ``min(max(ceil((v−corner)/childWidth)−1, 0), 1)``
+  folded as binary digits (``SPTree.scala:53-56``)
+- a leaf holds ≤1 *distinct* point; duplicates stay counted in one
+  leaf; on the 2nd distinct point the held point is re-inserted
+  count−1 times and the node subdivides (``SPTree.scala:28-44``)
+- ``radius_sq = Σ width²`` — the (nonstandard, quirk Q5) quantity used
+  by the Barnes-Hut acceptance test ``radius_sq/dist_sq < θ``
+  (``SPTree.scala:13``, ``TSNEGradient.scala:128``)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class SPTree:
+    """One node of the space-partitioning tree."""
+
+    __slots__ = (
+        "dimension",
+        "corner",
+        "width",
+        "child_width",
+        "radius_sq",
+        "total_mass",
+        "count",
+        "leaf",
+        "center",
+        "_children",
+    )
+
+    def __init__(self, dimension: int, corner: np.ndarray, width: np.ndarray):
+        self.dimension = dimension
+        self.corner = np.asarray(corner, dtype=np.float64)
+        self.width = np.asarray(width, dtype=np.float64)
+        self.child_width = self.width / 2.0
+        self.radius_sq = float((self.width**2).sum())
+        self.total_mass = np.zeros(dimension)
+        self.count = 0
+        self.leaf = True
+        self.center = np.zeros(dimension)
+        self._children: list[SPTree] | None = None
+
+    # -- structure ---------------------------------------------------------
+
+    @property
+    def children(self) -> list["SPTree"]:
+        """Lazily materialized 2^d children, corner order as pinned by
+        the reference's spec (dim 0 = most significant bit)."""
+        if self._children is None:
+            kids = []
+            for i in range(2**self.dimension):
+                bits = np.array(
+                    [(i >> (self.dimension - 1 - k)) & 1 for k in range(self.dimension)],
+                    dtype=np.float64,
+                )
+                kids.append(
+                    SPTree(self.dimension, self.corner + bits * self.child_width, self.child_width)
+                )
+            self._children = kids
+        return self._children
+
+    def get_cell(self, v: np.ndarray) -> "SPTree":
+        """Route a point to the child cell that contains it."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = (v - self.corner) / self.child_width
+        idx = 0
+        for k in range(self.dimension):
+            digit = min(max(math.ceil(ratio[k]) - 1, 0), 1)
+            idx = idx * 2 + digit
+        return self.children[idx]
+
+    def is_leaf(self) -> bool:
+        return self.leaf
+
+    def get_count(self) -> int:
+        return self.count
+
+    # -- build -------------------------------------------------------------
+
+    def insert(self, v: np.ndarray) -> "SPTree":
+        """Insert one point (mass/count accumulate at every level)."""
+        node = self
+        while True:
+            node.total_mass += v
+            node.count += 1
+            if node.leaf:
+                if node.count == 1:
+                    node.center = v.copy()
+                    return node
+                if not np.array_equal(v, node.center):
+                    held, held_n = node.center, node.count - 1
+                    for _ in range(held_n):
+                        node.get_cell(held).insert(held)
+                    node.leaf = False
+            if node.leaf:
+                return node
+            node = node.get_cell(v)
+            # loop continues: descend into the child
+
+    def compute_center(self, recursive: bool = True) -> None:
+        """Finalize centers of mass after a bulk insert
+        (``SPTree.scala:46-51``)."""
+        if self.count > 0:
+            self.center = self.total_mass / self.count
+            if recursive and self._children is not None:
+                for c in self._children:
+                    c.compute_center()
+
+    @classmethod
+    def from_matrix(cls, Y: np.ndarray) -> "SPTree":
+        """Bounding-box + bulk-insert + one center pass
+        (``SPTree.apply``, ``SPTree.scala:64-78``)."""
+        Y = np.asarray(Y, dtype=np.float64)
+        mins = Y.min(axis=0)
+        maxs = Y.max(axis=0)
+        tree = cls(Y.shape[1], mins, maxs - mins)
+        for i in range(Y.shape[0]):
+            tree.insert(Y[i])
+        tree.compute_center()
+        return tree
+
+
+def non_edge_forces(
+    tree: SPTree, Yb: np.ndarray, theta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Barnes-Hut negative forces + sumQ for a block of points.
+
+    Point-at-a-time recursion in the reference
+    (``TSNEGradient.computeNonEdgeForce``, ``TSNEGradient.scala:99-137``)
+    becomes a node-at-a-time subset walk: at each node, all still-active
+    points are tested against the acceptance criterion at once with
+    numpy; the non-accepted subset descends. Same accept rule
+    (leaf, or radius_sq/dist_sq < θ), same self-exclusion
+    (leaf whose center equals the point contributes 0), same sumQ
+    accumulation (count·qZ per accepted cell).
+
+    Returns ``(negF [k×d], sumQ [k])``.
+    """
+    k, d = Yb.shape
+    negF = np.zeros((k, d))
+    sumQ = np.zeros(k)
+    stack: list[tuple[SPTree, np.ndarray]] = [(tree, np.arange(k))]
+    while stack:
+        node, idx = stack.pop()
+        if node.count == 0 or idx.size == 0:
+            continue
+        diff = Yb[idx] - node.center
+        dist_sq = (diff * diff).sum(axis=1)
+        if node.leaf:
+            m = dist_sq > 0.0  # exclude the point itself (exact-equality leaf)
+            sel, d2 = idx[m], dist_sq[m]
+            qZ = 1.0 / (1.0 + d2)
+            nqZ = node.count * qZ
+            sumQ[sel] += nqZ
+            negF[sel] += (nqZ * qZ)[:, None] * diff[m]
+        else:
+            with np.errstate(divide="ignore"):
+                accept = node.radius_sq / dist_sq < theta
+            accept &= dist_sq > 0.0
+            sel, d2 = idx[accept], dist_sq[accept]
+            if sel.size:
+                qZ = 1.0 / (1.0 + d2)
+                nqZ = node.count * qZ
+                sumQ[sel] += nqZ
+                negF[sel] += (nqZ * qZ)[:, None] * diff[accept]
+            rest = idx[~accept]
+            if rest.size and node._children is not None:
+                for child in node._children:
+                    stack.append((child, rest))
+    return negF, sumQ

@@ -1,0 +1,58 @@
+"""Local twin of the driver's correctness gate: run every catalog
+query in Spark AND its DuckDB oracle on the same parquet tables,
+compare row count, column names, and (column-name-sorted,
+row-sorted) values exactly."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from spark_tsne_spark.plans.queries import catalog
+
+SQL_QUERIES = [(n, q) for n, q in sorted(catalog().items()) if q.sql is not None]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return pdf
+
+
+def values_equal(a, b) -> bool:
+    if a is b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+@pytest.mark.parametrize("name,q", SQL_QUERIES, ids=[n for n, _ in SQL_QUERIES])
+def test_query_matches_oracle(spark, sf_dir, duck, name, q):
+    got = normalize(q.fn(spark, sf_dir).toPandas())
+    want = normalize(duck.execute(q.sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"columns: spark={list(got.columns)} duckdb={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"rows: spark={len(got)} duckdb={len(want)}"
+    for col in got.columns:
+        ga, wa = got[col].tolist(), want[col].tolist()
+        mismatches = [
+            (i, x, y) for i, (x, y) in enumerate(zip(ga, wa)) if not values_equal(x, y)
+        ]
+        assert not mismatches, f"{name}.{col}: first mismatches {mismatches[:5]}"

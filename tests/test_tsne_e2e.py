@@ -1,0 +1,84 @@
+"""End-to-end t-SNE on embeddings.parquet (FIXTURES.md F6).
+
+Statistical oracles (quirk Q8 — no cross-engine RNG parity): KL loss
+decreases over the run, final Y is centered, output schema is stable,
+and the 2-D embedding preserves the 64-D neighborhoods far better
+than chance. (The synthetic ``label`` column is uncorrelated with the
+embedding geometry — X-space kNN label agreement ≈ chance — so label
+agreement is NOT a valid oracle here; neighborhood preservation is.)
+"""
+
+import numpy as np
+import pytest
+
+from spark_tsne_spark.api import bh_tsne, simple_tsne
+
+
+def topk_neighbors(M, k=10):
+    d2 = ((M[:, None, :] - M[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    return np.argsort(d2, axis=1)[:, :k]
+
+
+@pytest.fixture(scope="module")
+def features_by_id(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    return {r["vec_id"]: r["embedding"] for r in rows}
+
+
+def run_checks(res, features_by_id, n, k=10):
+    assert res.Y.shape == (n, 2)
+    assert len(res.ids) == n
+    # recentered each iteration (TSNEHelper.scala:54-56)
+    assert np.abs(res.Y.mean(axis=0)).max() < 1e-6
+    # KL decreases: last loss < first loss
+    ls = [l for _, l in res.losses]
+    assert ls[-1] < ls[0]
+    assert all(np.isfinite(l) for l in ls)
+    X = np.array([features_by_id[int(i)] for i in res.ids], dtype=np.float64)
+    nx, ny = topk_neighbors(X, k), topk_neighbors(res.Y, k)
+    overlap = np.mean([len(set(a) & set(b)) / k for a, b in zip(nx, ny)])
+    chance = k / (n - 1)
+    assert overlap > 4 * chance, f"preservation {overlap} vs chance {chance}"
+
+
+def test_simple_tsne_e2e(spark, embeddings, features_by_id):
+    n = embeddings.count()
+    res = simple_tsne(
+        embeddings,
+        max_iterations=120,
+        perplexity=15.0,
+        seed=42,
+        id_col="vec_id",
+        features="embedding",
+    )
+    run_checks(res, features_by_id, n)
+    df = res.to_df(spark)
+    assert df.columns == ["id", "y"]
+    assert df.count() == n
+
+
+def test_bh_tsne_e2e(spark, embeddings, features_by_id):
+    n = embeddings.count()
+    res = bh_tsne(
+        embeddings,
+        max_iterations=120,
+        perplexity=15.0,
+        theta=0.5,
+        seed=42,
+        id_col="vec_id",
+        features="embedding",
+    )
+    run_checks(res, features_by_id, n)
+
+
+def test_determinism(spark, embeddings):
+    a = simple_tsne(
+        embeddings, max_iterations=5, perplexity=10.0, seed=7,
+        id_col="vec_id", features="embedding",
+    )
+    b = simple_tsne(
+        embeddings, max_iterations=5, perplexity=10.0, seed=7,
+        id_col="vec_id", features="embedding",
+    )
+    assert np.array_equal(a.Y, b.Y)
