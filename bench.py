@@ -1,0 +1,146 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+Mix: the relational workhorses over the 600k-row lineitem, the
+training-data-pipeline ops over documents/embeddings at full width
+(no subset filters — the catalog's oracle variants subset for the
+correctness gate; the bench variants don't), and the iterative
+t-SNE stages (X2P + 20 Barnes-Hut iterations).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import functions as F
+
+
+def bench_queries():
+    """name -> callable(spark, sf_dir) returning a DataFrame to exhaust."""
+    from spark_tsne_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash,
+    )
+    from spark_tsne_spark.operators.knn import knn_exact_block
+    from spark_tsne_spark.operators.similarity import cosine_topk_block, ivf_topk
+    from spark_tsne_spark.plans import queries as Q
+    from spark_tsne_spark.sources.tables import load_table
+
+    def docs(spark, sf_dir):
+        return load_table(spark, "documents", sf_dir)
+
+    def emb(spark, sf_dir):
+        return load_table(spark, "embeddings", sf_dir)
+
+    def b_minhash_full(spark, sf_dir):
+        return minhash_lsh_candidates(
+            docs(spark, sf_dir).where(F.length("text") >= 5),
+            num_hashes=16, band_size=4,
+        )
+
+    def b_simhash_full(spark, sf_dir):
+        return simhash(docs(spark, sf_dir))
+
+    def b_jaccard_full(spark, sf_dir):
+        return ngram_jaccard_pairs(docs(spark, sf_dir), n=2, min_jaccard=0.2)
+
+    def b_exact_dedup(spark, sf_dir):
+        return exact_dedup(docs(spark, sf_dir))
+
+    def b_knn_block(spark, sf_dir):
+        return knn_exact_block(emb(spark, sf_dir), k=45, id_col="vec_id", features="embedding")
+
+    def b_ann_topk(spark, sf_dir):
+        e = emb(spark, sf_dir)
+        qs = e.where(F.col("vec_id") < 100)
+        return cosine_topk_block(e, qs, k=10, id_col="vec_id", vec_col="embedding")
+
+    def b_ivf_topk(spark, sf_dir):
+        e = emb(spark, sf_dir)
+        qs = e.where(F.col("vec_id") < 100)
+        return ivf_topk(e, qs, k=10, id_col="vec_id", vec_col="embedding")
+
+    def b_tsne_bh20(spark, sf_dir):
+        from spark_tsne_spark.api import bh_tsne
+
+        e = emb(spark, sf_dir).cache()
+        res = bh_tsne(
+            e, max_iterations=20, perplexity=30.0, seed=42,
+            id_col="vec_id", features="embedding",
+        )
+        return res.to_df(spark)
+
+    return {
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q3_top_orders": Q.q3_top_orders,
+        "q5_nation_revenue": Q.q5_nation_revenue,
+        "q6_revenue_delta": Q.q6_revenue_delta,
+        "rollup_revenue": Q.rollup_revenue,
+        "window_top_orders": Q.window_top_orders_per_customer,
+        "events_tumbling_agg": Q.events_tumbling_agg,
+        "events_sessionize": Q.events_sessionize,
+        "dedup_exact": b_exact_dedup,
+        "dedup_minhash_lsh": b_minhash_full,
+        "dedup_simhash": b_simhash_full,
+        "dedup_ngram_jaccard": b_jaccard_full,
+        "text_quality_score": Q.text_quality_score,
+        "knn_exact_block": b_knn_block,
+        "ann_topk_cosine": b_ann_topk,
+        "ann_ivf_topk": b_ivf_topk,
+        "tsne_bh_20iter": b_tsne_bh20,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from spark_tsne_spark.session import get_spark
+    from spark_tsne_spark.shipping import ship_package
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    # Warm the Python worker pool (one-time ~20s interpreter+imports
+    # cost per worker) so query timings measure the queries.
+    ship_package(spark)
+    import pandas as _pd
+
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # exhaust the plan
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

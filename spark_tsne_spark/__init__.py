@@ -21,7 +21,7 @@ from spark_tsne_spark.params import TSNEParam
 from spark_tsne_spark.sptree import SPTree
 from spark_tsne_spark.operators.x2p import x2p
 from spark_tsne_spark.operators.affinities import compute_p
-from spark_tsne_spark.api import simple_tsne, bh_tsne
+from spark_tsne_spark.api import simple_tsne, bh_tsne, lbfgs_tsne
 
 __all__ = [
     "TSNEParam",
@@ -30,6 +30,7 @@ __all__ = [
     "compute_p",
     "simple_tsne",
     "bh_tsne",
+    "lbfgs_tsne",
 ]
 
 __version__ = "0.1.0"

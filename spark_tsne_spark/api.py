@@ -66,16 +66,28 @@ class TSNEResult:
         return spark.createDataFrame(rows, schema)
 
 
-def _prepare(df, perplexity, id_col, features, method):
-    """X2P + symmetrize + adjacency, cached for the loop."""
+def _prepare(df, perplexity, id_col, features, method, mode):
+    """X2P + symmetrize + adjacency, cached for the loop.
+
+    Partition sizing: per-iteration task overhead dominates when
+    blocks are tiny, and the exact kernel materializes a k×n double
+    block per task, so blocks are sized for ~64 MB of numerator in
+    exact mode and ~2000 rows in BH mode, capped at 2× parallelism.
+    """
     from spark_tsne_spark.shipping import ship_package
 
     ship_package(df.sparkSession)
     if df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
         logger.warning("Input is not persisted and performance could be bad")
     n = df.count()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if mode == "exact":
+        rows_per_block = max(1, (64 * 2**20) // (8 * max(1, n)))
+    else:
+        rows_per_block = 2000
+    parts = max(1, min(2 * par, -(-n // rows_per_block)))
     p_ji = x2p(df, tol=1e-5, perplexity=perplexity, id_col=id_col, features=features, method=method)
-    adjacency = compute_p(p_ji, n).cache()
+    adjacency = compute_p(p_ji, n).repartition(parts).cache()
     ids = np.array(sorted(r["i"] for r in adjacency.select("i").collect()), dtype=np.int64)
     pos = {int(v): k for k, v in enumerate(ids)}
     return adjacency, ids, pos, len(ids)
@@ -145,12 +157,82 @@ def simple_tsne(
     Y ~ N(0,1) seeded init (``SimpleTSNE.scala:26,32``); loss reported
     every iteration.
     """
-    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method)
+    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method, "exact")
     return _loop(
         adjacency, ids, pos, n, no_dims, max_iterations, param,
         mode="exact", theta=0.0, report_loss=lambda i: True,
         callback=callback, seed=seed, y_scale=1.0,
     )
+
+
+def lbfgs_tsne(
+    df: DataFrame,
+    no_dims: int = 2,
+    max_num_iterations: int = 1000,
+    num_corrections: int = 10,
+    convergence_tol: float = 1e-4,
+    perplexity: float = 30.0,
+    seed: int | None = None,
+    param: TSNEParam = TSNEParam(),
+    id_col: str = "id",
+    features: str = "features",
+    knn_method: str = "block",
+) -> TSNEResult:
+    """L-BFGS t-SNE (reference ``LBFGSTSNE.tsne``, ``LBFGSTSNE.scala:20``).
+
+    The reference flags its version "doesn't work at all"
+    (``LBFGSTSNE.scala:15``); this one runs the same two-phase scheme
+    (exaggerated P, then plain P) over the distributed KL
+    objective/gradient, optimized by a pure-numpy L-BFGS
+    (``optim.lbfgs_minimize``; breeze's LBFGS in the reference).
+    Y flattens column-major (order='F'), matching the reference's
+    reshape convention (``LBFGSTSNE.scala:97-99``). Experimental, as
+    in the reference: momentum gradient descent (simple/bh) remains
+    the production path.
+    """
+    from spark_tsne_spark.optim import lbfgs_minimize
+
+    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method, "exact")
+    sc = adjacency.sparkSession.sparkContext
+    rng = np.random.default_rng(seed)
+    Y0 = rng.standard_normal((n, no_dims)) * 1e-4
+    bc_pos = sc.broadcast(pos)
+    losses: list = []
+
+    def make_fg(exaggeration: float):
+        def fg(x: np.ndarray):
+            Y = x.reshape(n, no_dims, order="F")
+            bc_Y = sc.broadcast(np.ascontiguousarray(Y))
+            rows = exact_gradient_pass(adjacency, bc_Y, bc_pos, exaggeration).collect()
+            dY, _Z, loss = assemble(rows, pos, n, no_dims, "exact")
+            bc_Y.destroy()
+            return loss, dY.flatten(order="F")
+
+        return fg
+
+    # phase 1: exaggerated P; phase 2: plain P (LBFGSTSNE.scala:58-95).
+    # Phase 1 gets at most half the budget: at the near-zero init the
+    # exaggerated objective is nearly flat and L-BFGS converges (or
+    # stalls) in a handful of steps.
+    phase1 = min(param.early_exaggeration, max_num_iterations // 2)
+    x = Y0.flatten(order="F")
+    if phase1 > 0:
+        x, f = lbfgs_minimize(
+            make_fg(param.exaggeration_factor), x,
+            max_iter=phase1, m=num_corrections, tol=convergence_tol,
+            callback=lambda i, _x, fv: losses.append((i, fv)),
+        )
+    if max_num_iterations > phase1:
+        off = len(losses)
+        x, f = lbfgs_minimize(
+            make_fg(1.0), x,
+            max_iter=max_num_iterations - phase1, m=num_corrections,
+            tol=convergence_tol,
+            callback=lambda i, _x, fv: losses.append((off + i, fv)),
+        )
+    bc_pos.destroy()
+    Y = x.reshape(n, no_dims, order="F")
+    return TSNEResult(ids=ids, Y=Y, losses=losses)
 
 
 def bh_tsne(
@@ -175,7 +257,7 @@ def bh_tsne(
     extra (it rides the gradient pass), but the cadence contract is
     kept.
     """
-    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method)
+    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method, "bh")
     return _loop(
         adjacency, ids, pos, n, no_dims, max_iterations, param,
         mode="bh", theta=theta, report_loss=report_loss,

@@ -1,0 +1,62 @@
+"""Preprocessing operators (reference example pipeline, SURVEY.md §2.2).
+
+P1 global mean/stdev, P2 standardize, P3 PCA — the reference's MNIST
+preprocessing (``MNIST.scala:40-47``) re-expressed declaratively:
+
+- P1: one global scalar mean + *population* stddev over every vector
+  component (the reference flattens all pixels; RDD ``stdev()`` is
+  population stddev) — explode + agg, Catalyst partial aggregation.
+- P2: ``(v − mean) / std`` with the single global pair (NOT
+  per-column — reference quirk preserved) via ``F.transform``.
+- P3: ``pyspark.ml.feature.PCA`` (Gramian distributed agg, driver
+  eigendecomposition, distributed projection — same split as
+  RowMatrix.computePrincipalComponents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def global_stats(df: DataFrame, features: str = "features") -> tuple[float, float]:
+    """P1: one (mean, population-stddev) pair over all components."""
+    row = (
+        df.select(F.explode(F.col(features).cast("array<double>")).alias("x"))
+        .agg(
+            F.avg("x").alias("mean"),
+            F.stddev_pop("x").alias("std"),
+        )
+        .first()
+    )
+    return float(row["mean"]), float(row["std"])
+
+
+def standardize(
+    df: DataFrame, mean: float, std: float, features: str = "features"
+) -> DataFrame:
+    """P2: elementwise (v − mean)/std with one global mean/std."""
+    return df.withColumn(
+        features,
+        F.transform(
+            F.col(features).cast("array<double>"),
+            lambda v: (v - F.lit(mean)) / F.lit(std),
+        ),
+    )
+
+
+def pca_project(
+    df: DataFrame, k: int, features: str = "features", out_col: str | None = None
+) -> DataFrame:
+    """P3: PCA to k dims; returns the frame with ``out_col`` as
+    array<double> (defaults to replacing ``features``)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    out_col = out_col or features
+    vec = df.withColumn("_v", array_to_vector(F.col(features).cast("array<double>")))
+    model = PCA(k=k, inputCol="_v", outputCol="_pca").fit(vec)
+    return (
+        model.transform(vec)
+        .withColumn(out_col, vector_to_array("_pca").cast("array<double>"))
+        .drop("_v", "_pca")
+    )

@@ -1,0 +1,109 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming layer (SURVEY.md §1); its closest
+artifact is the per-iteration callback "event stream". This module is
+the engine's native stream surface: the same windowed/sessionized
+aggregations as the batch catalog queries, expressed as Structured
+Streaming plans with watermarked event-time state.
+
+Scale notes: tumbling-window aggregation is the canonical streaming
+shuffle (state keyed by (window, type)); the watermark bounds state.
+``session_window`` is Spark's built-in gap-session operator — state
+per (user, open session), closed by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an events directory.
+
+    ``max_files_per_trigger`` throttles micro-batch size for live
+    tailing. Leave it None when draining a bounded directory whose
+    files are NOT time-ordered: each micro-batch advances the
+    watermark to max(ts)−delay, so events in later files that are
+    older than that are dropped as late — correct streaming semantics,
+    but surprising when replaying an unordered backfill.
+    """
+    reader = spark.readStream.format(fmt).schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts + value sums per event type.
+
+    Streaming twin of the batch catalog query ``events_tumbling_agg``;
+    the watermark lets Spark drop state for closed windows (late data
+    beyond it is discarded, the standard contract).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (streaming twin of the
+    batch ``events_sessionize``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain a (bounded) file-source stream into a memory sink —
+    test/debug helper using availableNow (process everything, stop)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

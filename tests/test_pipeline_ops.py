@@ -1,0 +1,125 @@
+"""Dedup / similarity / preprocessing / multimodal operator tests
+beyond the duckdb-oracle catalog coverage."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tsne_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from spark_tsne_spark.operators.preprocess import global_stats, pca_project, standardize
+from spark_tsne_spark.operators.similarity import cosine_topk, cosine_topk_block, ivf_topk
+from spark_tsne_spark.sources.multimodal import extract_features, sample_frames
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through the field "
+        "while the sun sets slowly behind the distant hills of the old country"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "speedy")),  # near dup
+        (3, "completely different text about spark dataframes and shuffle partitions"),
+        (4, "another unrelated document mentioning minhash banding and lsh buckets"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_duplicates(near_dup_docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(near_dup_docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 5
+
+
+def test_minhash_catches_near_dups(near_dup_docs):
+    pairs = {
+        (r["i"], r["j"])
+        for r in minhash_lsh_candidates(near_dup_docs, num_hashes=16, band_size=2).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup collides on some band
+    assert (0, 3) not in pairs  # unrelated docs don't
+
+
+def test_jaccard_scores_order(near_dup_docs):
+    pairs = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(near_dup_docs, min_jaccard=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dups(near_dup_docs):
+    pairs = {
+        (r["i"], r["j"]) for r in simhash_near_dups(near_dup_docs, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_block_equals_sql(spark, embeddings):
+    qs = embeddings.where(F.col("vec_id") < 5)
+    a = cosine_topk(embeddings, qs, k=5, id_col="vec_id", vec_col="embedding").collect()
+    b = cosine_topk_block(embeddings, qs, k=5, id_col="vec_id", vec_col="embedding").collect()
+    ka = {(r["i"], r["rank"]): r["j"] for r in a}
+    kb = {(r["i"], r["rank"]): r["j"] for r in b}
+    assert ka == kb
+
+
+def test_ivf_recall_vs_exact(spark, embeddings):
+    qs = embeddings.where(F.col("vec_id") < 20)
+    exact = cosine_topk(embeddings, qs, k=10, id_col="vec_id", vec_col="embedding").collect()
+    approx = ivf_topk(
+        embeddings, qs, k=10, n_cells=8, n_probe=4, id_col="vec_id", vec_col="embedding"
+    ).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["i"], set()).add(r["j"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["i"], set()).add(r["j"])
+    recalls = [len(ex[i] & ap.get(i, set())) / len(ex[i]) for i in ex]
+    assert np.mean(recalls) > 0.5  # probing half the cells → decent recall
+
+
+def test_standardize_and_pca(spark, embeddings):
+    df = embeddings.select("vec_id", F.col("embedding").alias("features"))
+    mean, std = global_stats(df)
+    z = standardize(df, mean, std)
+    m2, s2 = global_stats(z)
+    assert abs(m2) < 1e-9
+    assert abs(s2 - 1.0) < 1e-9
+    proj = pca_project(z, k=8)
+    row = proj.first()
+    assert len(row["features"]) == 8
+    assert proj.count() == df.count()
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (i, bytes([i] * 64), ("image/fake", 8, 8, 12)) for i in range(10)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,n_frames:int>",
+    )
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 10
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic: same payload → same features
+    again = extract_features(media, dim=16).collect()
+    assert {r["media_id"]: tuple(r["features"]) for r in feats} == {
+        r["media_id"]: tuple(r["features"]) for r in again
+    }
+    frames = sample_frames(media, every_n=5).collect()
+    assert len(frames) == 10 * 3  # n_frames=12, every 5th → idx 0,5,10
+    assert all(isinstance(bytes(r["frame"]), bytes) for r in frames)

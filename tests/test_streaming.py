@@ -1,0 +1,78 @@
+"""Structured Streaming: file-source windowed aggs must equal their
+batch twins; the t-SNE progress sink must be stream-readable."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tsne_spark.sources.tables import load_table
+from spark_tsne_spark.streaming.progress import IterationSink, read_progress_stream
+from spark_tsne_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Re-land events as µs-timestamped parquet files (the raw fixture
+    may be TIMESTAMP(NANOS), which file streaming reads like batch)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, "events", sf_dir).repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    stream = windowed_counts(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "win_counts")
+    got = {
+        (r["hour_ts"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    )
+    want = {(r["hour_ts"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == want
+
+
+def test_session_counts_total(spark, sf_dir, events_dir):
+    stream = session_counts(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "sess_counts")
+    rows = spark.table("sess_counts").collect()
+    total_events = sum(r["n_events"] for r in rows)
+    assert total_events == load_table(spark, "events", sf_dir).count()
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+
+
+def test_progress_sink_stream_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "progress")
+    ids = np.arange(5)
+    sink = IterationSink(out, ids)
+    rng = np.random.default_rng(0)
+    for it in range(1, 4):
+        sink(it, rng.standard_normal((5, 2)), loss=float(it))
+    # cost file has one line per reported loss
+    with open(os.path.join(out, "cost.txt")) as f:
+        assert len(f.readlines()) == 3
+    stream = read_progress_stream(spark, out)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("progress")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("progress").collect()
+    assert len(rows) == 15  # 3 iterations × 5 points
+    assert {r["iteration"] for r in rows} == {1, 2, 3}
