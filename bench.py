@@ -43,14 +43,17 @@ def bench_queries():
     def b_minhash_full(spark, sf_dir):
         return minhash_lsh_candidates(
             docs(spark, sf_dir).where(F.length("text") >= 5),
-            num_hashes=16, band_size=4,
+            num_hashes=16, band_size=4, hash_fn="xxhash64",
         )
 
     def b_simhash_full(spark, sf_dir):
         return simhash(docs(spark, sf_dir))
 
     def b_jaccard_full(spark, sf_dir):
-        return ngram_jaccard_pairs(docs(spark, sf_dir), n=2, min_jaccard=0.2)
+        # max_df caps hot-shingle join fan-out (see operator docstring)
+        return ngram_jaccard_pairs(
+            docs(spark, sf_dir), n=2, min_jaccard=0.2, max_df=500
+        )
 
     def b_exact_dedup(spark, sf_dir):
         return exact_dedup(docs(spark, sf_dir))
@@ -111,13 +114,24 @@ def main():
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
 
     # Warm the Python worker pool (one-time ~20s interpreter+imports
-    # cost per worker) so query timings measure the queries.
+    # cost per worker) and the JVM's shuffle/codegen machinery (first
+    # shuffle in a fresh JVM pays ~5s of JIT + infra init) so query
+    # timings measure the queries, not process cold-start.
     ship_package(spark)
     import pandas as _pd
+    from pyspark.sql import Window as _W
 
     spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
+    warm = spark.range(100000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    warm.groupBy("k").agg(F.sum("v")).count()
+    warm.join(F.broadcast(warm.limit(100)), "k").count()
+    warm.withColumn(
+        "r", F.row_number().over(_W.partitionBy("k").orderBy("v"))
+    ).where(F.col("r") <= 2).count()
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():

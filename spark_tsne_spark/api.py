@@ -83,20 +83,20 @@ def _prepare(df, perplexity, id_col, features, method, mode):
     par = df.sparkSession.sparkContext.defaultParallelism
     if mode == "exact":
         rows_per_block = max(1, (64 * 2**20) // (8 * max(1, n)))
+        parts = max(1, min(2 * par, -(-n // rows_per_block)))
     else:
-        rows_per_block = 2000
-    parts = max(1, min(2 * par, -(-n // rows_per_block)))
+        # BH: cheap per-row work — spread across the cluster but keep
+        # blocks ≥256 rows so the per-task tree-walk overhead amortizes.
+        parts = max(1, min(2 * par, -(-n // 256)))
     p_ji = x2p(df, tol=1e-5, perplexity=perplexity, id_col=id_col, features=features, method=method)
     adjacency = compute_p(p_ji, n).repartition(parts).cache()
-    ids = np.array(sorted(r["i"] for r in adjacency.select("i").collect()), dtype=np.int64)
-    pos = {int(v): k for k, v in enumerate(ids)}
-    return adjacency, ids, pos, len(ids)
+    ids = np.sort(adjacency.select("i").toPandas()["i"].to_numpy(dtype=np.int64))
+    return adjacency, ids, len(ids)
 
 
 def _loop(
     adjacency,
     ids,
-    pos,
     n,
     no_dims,
     max_iterations,
@@ -113,7 +113,7 @@ def _loop(
     Y = rng.standard_normal((n, no_dims)) * y_scale
     iY = np.zeros((n, no_dims))
     gains = np.ones((n, no_dims))
-    bc_pos = sc.broadcast(pos)
+    bc_ids = sc.broadcast(ids)
     losses = []
     for iteration in range(1, max_iterations + 1):
         exaggeration = (
@@ -121,12 +121,11 @@ def _loop(
         )
         bc_Y = sc.broadcast(Y)
         if mode == "exact":
-            pass_df = exact_gradient_pass(adjacency, bc_Y, bc_pos, exaggeration)
+            pass_df = exact_gradient_pass(adjacency, bc_Y, bc_ids, exaggeration)
         else:
             bc_tree = sc.broadcast(SPTree.from_matrix(Y))
-            pass_df = bh_gradient_pass(adjacency, bc_Y, bc_pos, bc_tree, theta, exaggeration)
-        rows = pass_df.collect()
-        dY, Z, loss = assemble(rows, pos, n, no_dims, mode)
+            pass_df = bh_gradient_pass(adjacency, bc_Y, bc_ids, bc_tree, theta, exaggeration)
+        dY, Z, loss = assemble(pass_df.toPandas(), ids, n, no_dims, mode)
         update(Y, dY, iY, gains, iteration, param)
         bc_Y.destroy()
         if mode != "exact":
@@ -136,7 +135,7 @@ def _loop(
             losses.append((iteration, loss))
         if callback is not None:
             callback(iteration, Y.copy(), loss if want_loss else None)
-    bc_pos.destroy()
+    bc_ids.destroy()
     return TSNEResult(ids=ids, Y=Y, losses=losses)
 
 
@@ -157,9 +156,9 @@ def simple_tsne(
     Y ~ N(0,1) seeded init (``SimpleTSNE.scala:26,32``); loss reported
     every iteration.
     """
-    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method, "exact")
+    adjacency, ids, n = _prepare(df, perplexity, id_col, features, knn_method, "exact")
     return _loop(
-        adjacency, ids, pos, n, no_dims, max_iterations, param,
+        adjacency, ids, n, no_dims, max_iterations, param,
         mode="exact", theta=0.0, report_loss=lambda i: True,
         callback=callback, seed=seed, y_scale=1.0,
     )
@@ -192,19 +191,19 @@ def lbfgs_tsne(
     """
     from spark_tsne_spark.optim import lbfgs_minimize
 
-    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method, "exact")
+    adjacency, ids, n = _prepare(df, perplexity, id_col, features, knn_method, "exact")
     sc = adjacency.sparkSession.sparkContext
     rng = np.random.default_rng(seed)
     Y0 = rng.standard_normal((n, no_dims)) * 1e-4
-    bc_pos = sc.broadcast(pos)
+    bc_ids = sc.broadcast(ids)
     losses: list = []
 
     def make_fg(exaggeration: float):
         def fg(x: np.ndarray):
             Y = x.reshape(n, no_dims, order="F")
             bc_Y = sc.broadcast(np.ascontiguousarray(Y))
-            rows = exact_gradient_pass(adjacency, bc_Y, bc_pos, exaggeration).collect()
-            dY, _Z, loss = assemble(rows, pos, n, no_dims, "exact")
+            pdf = exact_gradient_pass(adjacency, bc_Y, bc_ids, exaggeration).toPandas()
+            dY, _Z, loss = assemble(pdf, ids, n, no_dims, "exact")
             bc_Y.destroy()
             return loss, dY.flatten(order="F")
 
@@ -230,7 +229,7 @@ def lbfgs_tsne(
             tol=convergence_tol,
             callback=lambda i, _x, fv: losses.append((off + i, fv)),
         )
-    bc_pos.destroy()
+    bc_ids.destroy()
     Y = x.reshape(n, no_dims, order="F")
     return TSNEResult(ids=ids, Y=Y, losses=losses)
 
@@ -257,9 +256,9 @@ def bh_tsne(
     extra (it rides the gradient pass), but the cadence contract is
     kept.
     """
-    adjacency, ids, pos, n = _prepare(df, perplexity, id_col, features, knn_method, "bh")
+    adjacency, ids, n = _prepare(df, perplexity, id_col, features, knn_method, "bh")
     return _loop(
-        adjacency, ids, pos, n, no_dims, max_iterations, param,
+        adjacency, ids, n, no_dims, max_iterations, param,
         mode="bh", theta=theta, report_loss=report_loss,
         callback=callback, seed=seed, y_scale=1e-4,
     )

@@ -99,15 +99,31 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(_col(text)), r"\s+", " ")))
 
 
-def minhash_values(text: Column | str, num_hashes: int = 16, shingle_k: int = 5) -> Column:
-    """MinHash signature as an array of ``num_hashes`` hex-string minima.
+def minhash_values(
+    text: Column | str,
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+    hash_fn: str = "md5",
+) -> Column:
+    """MinHash signature as an array of ``num_hashes`` minima.
 
-    Portable construction: hash h_i(s) = md5(i || ':' || s); the
-    signature element i is the minimum over the doc's character
-    shingles. Lowercase fixed-width hex ⇒ string min == numeric min in
-    both Spark and DuckDB.
+    ``hash_fn='md5'``: portable construction — h_i(s) = md5(i || ':' || s),
+    lowercase fixed-width hex ⇒ string min == numeric min in both Spark
+    and DuckDB (the oracle path).
+    ``hash_fn='xxhash64'``: production path — h_i(s) = xxhash64(s, seed=i),
+    one 64-bit hash per shingle per row of the signature (~10× cheaper
+    than md5; same banding semantics, not DuckDB-portable).
     """
     sh = char_shingles(text, shingle_k)
+    if hash_fn == "xxhash64":
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                ).cast("string")
+                for i in range(num_hashes)
+            ]
+        )
     return F.array(
         *[
             F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))

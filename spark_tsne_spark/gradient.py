@@ -21,7 +21,11 @@ are numerically negligible; the BH path (which the reference treats as
 the production path) never clamps forces at all.
 
 Row identity: embeddings carry explicit ids (quirk Q1); kernels map
-ids → positions in the broadcast Y via a broadcast lookup.
+global ids → positions in the broadcast Y with ``np.searchsorted``
+against the broadcast *sorted* id vector — no Python dict in the hot
+path. Per-neighbor work (edge forces, KL partials) is flattened to
+(edge,)-shaped arrays and reduced with ``np.bincount`` — no per-row
+Python loop.
 """
 
 from __future__ import annotations
@@ -47,10 +51,42 @@ GRAD_SCHEMA = T.StructType(
 )
 
 
+def _flatten_edges(pdf: pd.DataFrame, ids_sorted: np.ndarray, exaggeration: float):
+    """Explode the per-row neighbor lists to flat edge arrays.
+
+    Returns (row_of [E], jpos [E], p [E]): edge e belongs to block row
+    ``row_of[e]``, points at embedding position ``jpos[e]``, with
+    (exaggerated) probability ``p[e]``.
+    """
+    lens = np.fromiter((len(x) for x in pdf["js"]), dtype=np.int64, count=len(pdf))
+    js_all = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["js"]])
+    p_all = (
+        np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["ps"]])
+        * exaggeration
+    )
+    row_of = np.repeat(np.arange(len(pdf)), lens)
+    jpos = np.searchsorted(ids_sorted, js_all)
+    return row_of, jpos, p_all
+
+
+def _rowsum(row_of: np.ndarray, values: np.ndarray, k: int) -> np.ndarray:
+    return np.bincount(row_of, weights=values, minlength=k)
+
+
+def _kl_partials(
+    row_of: np.ndarray, p: np.ndarray, qnum: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row Σ p·log(p/qnum) (NaN/inf→0, reference semantics) and Σ p."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lrow = p * np.log(p / qnum)
+    lrow = np.nan_to_num(lrow, nan=0.0, posinf=0.0, neginf=0.0)
+    return _rowsum(row_of, lrow, k), _rowsum(row_of, p, k)
+
+
 def exact_gradient_pass(
     adjacency: DataFrame,
     bc_Y,
-    bc_pos,
+    bc_ids,
     exaggeration: float,
 ) -> DataFrame:
     """Exact-gradient map pass over the cached adjacency table.
@@ -65,36 +101,35 @@ def exact_gradient_pass(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
         Y = bc_Y.value
-        pos = bc_pos.value
+        ids_sorted = bc_ids.value
         sumY = (Y * Y).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            k = len(pdf)
             ids = pdf["i"].to_numpy()
-            bi = np.array([pos[v] for v in ids])
+            bi = np.searchsorted(ids_sorted, ids)
             Yb = Y[bi]
             # Student-t numerator block (diagonal zeroed)
             num = 1.0 / (
                 1.0 + (sumY[None, :] + (Yb * Yb).sum(axis=1)[:, None] - 2.0 * (Yb @ Y.T))
             )
-            num[np.arange(len(bi)), bi] = 0.0
+            num[np.arange(k), bi] = 0.0
             znum = num.sum(axis=1)
             # dense negative term: Σ_j num²·(y_i − y_j)
             num2 = num * num
             negF = num2.sum(axis=1)[:, None] * Yb - num2 @ Y
-            posF = np.empty_like(negF)
-            ploss = np.empty(len(bi))
-            psum = np.empty(len(bi))
-            for r in range(len(bi)):
-                js = np.array([pos[v] for v in pdf["js"].iloc[r]])
-                p = np.asarray(pdf["ps"].iloc[r], dtype=np.float64) * exaggeration
-                pn = p * num[r, js]
-                posF[r] = pn.sum() * Yb[r] - pn @ Y[js]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    lrow = p * np.log(p / num[r, js])
-                ploss[r] = np.nan_to_num(lrow, nan=0.0, posinf=0.0).sum()
-                psum[r] = p.sum()
+            # sparse positive term over the P-neighbors, fully flattened
+            row_of, jpos, p = _flatten_edges(pdf, ids_sorted, exaggeration)
+            pn = p * num[row_of, jpos]
+            posF = _rowsum(row_of, pn, k)[:, None] * Yb
+            for c in range(Y.shape[1]):
+                posF[:, c] -= _rowsum(row_of, pn * Y[jpos, c], k)
+            ploss, psum = _kl_partials(row_of, p, num[row_of, jpos], k)
             yield pd.DataFrame(
                 {
                     "i": ids,
@@ -112,7 +147,7 @@ def exact_gradient_pass(
 def bh_gradient_pass(
     adjacency: DataFrame,
     bc_Y,
-    bc_pos,
+    bc_ids,
     bc_tree,
     theta: float,
     exaggeration: float,
@@ -130,29 +165,29 @@ def bh_gradient_pass(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
         Y = bc_Y.value
-        pos = bc_pos.value
+        ids_sorted = bc_ids.value
         tree = bc_tree.value
+        d = Y.shape[1]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            k = len(pdf)
             ids = pdf["i"].to_numpy()
-            bi = np.array([pos[v] for v in ids])
+            bi = np.searchsorted(ids_sorted, ids)
             Yb = Y[bi]
             negF, sumQ = non_edge_forces(tree, Yb, theta)
-            posF = np.zeros_like(Yb)
-            ploss = np.empty(len(bi))
-            psum = np.empty(len(bi))
-            for r in range(len(bi)):
-                js = np.array([pos[v] for v in pdf["js"].iloc[r]])
-                p = np.asarray(pdf["ps"].iloc[r], dtype=np.float64) * exaggeration
-                diff = Yb[r] - Y[js]
-                qnum = 1.0 / (1.0 + (diff * diff).sum(axis=1))
-                posF[r] = (p * qnum) @ diff
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    lrow = p * np.log(p / qnum)
-                ploss[r] = np.nan_to_num(lrow, nan=0.0, posinf=0.0).sum()
-                psum[r] = p.sum()
+            row_of, jpos, p = _flatten_edges(pdf, ids_sorted, exaggeration)
+            diff = Yb[row_of] - Y[jpos]
+            qnum = 1.0 / (1.0 + (diff * diff).sum(axis=1))
+            w = p * qnum
+            posF = np.empty_like(Yb)
+            for c in range(d):
+                posF[:, c] = _rowsum(row_of, w * diff[:, c], k)
+            ploss, psum = _kl_partials(row_of, p, qnum, k)
             yield pd.DataFrame(
                 {
                     "i": ids,
@@ -168,29 +203,25 @@ def bh_gradient_pass(
 
 
 def assemble(
-    rows: list,
-    pos: dict,
+    pdf: pd.DataFrame,
+    ids_sorted: np.ndarray,
     n: int,
     d: int,
     mode: str,
 ) -> tuple[np.ndarray, float, float]:
-    """Driver-side assembly of the collected per-row force rows.
+    """Driver-side assembly of the per-row force rows (one Arrow pull).
 
     Exact: dY = 4·(posF − negF/Z); BH: dY = posF − negF/sumQ
     (``BHTSNE.scala:66``). Loss = Σ ploss + log(Z)·Σp.
     """
+    bi = np.searchsorted(ids_sorted, pdf["i"].to_numpy())
     posF = np.zeros((n, d))
     negF = np.zeros((n, d))
-    Z = 0.0
-    ploss = 0.0
-    psum = 0.0
-    for r in rows:
-        p = pos[r["i"]]
-        posF[p] = r["posF"]
-        negF[p] = r["negF"]
-        Z += r["znum"]
-        ploss += r["ploss"]
-        psum += r["psum"]
+    posF[bi] = np.array(pdf["posF"].tolist(), dtype=np.float64)
+    negF[bi] = np.array(pdf["negF"].tolist(), dtype=np.float64)
+    Z = float(pdf["znum"].sum())
+    ploss = float(pdf["ploss"].sum())
+    psum = float(pdf["psum"].sum())
     if mode == "exact":
         dY = 4.0 * (posF - negF / Z)
     else:

@@ -56,17 +56,20 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     band_size: int = 4,
     shingle_k: int = 5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding.
 
     Documents whose signatures agree on all rows of ≥1 band collide in
     a bucket; the self-join is per-bucket (skew-safe under AQE), never
     all-pairs. Returns distinct ``(i, j)`` with i < j.
+    ``hash_fn='xxhash64'`` is the fast production hash; 'md5' is the
+    DuckDB-portable oracle hash (see ``minhash_values``).
     """
     n_bands = num_hashes // band_size
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
-        minhash_values(text_col, num_hashes, shingle_k).alias("mh"),
+        minhash_values(text_col, num_hashes, shingle_k, hash_fn).alias("mh"),
     )
     bands = sig.select(
         "doc_id",
@@ -187,18 +190,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     min_jaccard: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity via a shared-shingle join.
 
     |A∩B| comes from a groupBy over the (shingle → doc) inverted
     index joined with itself; |A∪B| = |A| + |B| − |A∩B|. Two shuffles
     (index build, pair count) — never materializes all pairs.
+
+    ``max_df`` caps the join fan-out at scale: shingles appearing in
+    more than ``max_df`` documents are dropped from the *intersection*
+    join (each contributes O(df²) candidate pairs while carrying no
+    discriminative signal). ``|A|``/``|B|`` still count every shingle,
+    so Jaccard is slightly *under*-estimated for pairs that share hot
+    shingles — the standard production trade for bounded skew. None =
+    exact (the oracle path).
     """
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    if max_df is not None:
+        keep = (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(keep), "g")
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -100,9 +100,11 @@ def knn_exact_block(
     from spark_tsne_spark.shipping import ship_package
 
     ship_package(df.sparkSession)
-    rows = df.select(F.col(id_col).alias("id"), F.col(features).cast("array<double>").alias("f")).collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    X = np.array([r["f"] for r in rows], dtype=np.float64)
+    pdf_all = df.select(
+        F.col(id_col).alias("id"), F.col(features).cast("array<double>").alias("f")
+    ).toPandas()
+    ids = pdf_all["id"].to_numpy(dtype=np.int64)
+    X = np.array(pdf_all["f"].tolist(), dtype=np.float64)
     sc = df.sparkSession.sparkContext
     b_ids = sc.broadcast(ids)
     b_X = sc.broadcast(X)
@@ -111,6 +113,9 @@ def knn_exact_block(
     kk = k
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
         X_all = b_X.value
         ids_all = b_ids.value
         sq_all = b_sq.value
@@ -135,8 +140,13 @@ def knn_exact_block(
                 out_ds.append(d[r, sel].tolist())
             yield pd.DataFrame({"i": my, "js": out_js, "ds": out_ds})
 
+    # The fixture parquet often lands as ONE partition; spread the block
+    # pass across the cluster (each task still sees a full broadcast X).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(par, -(-len(ids) // 256)))
     return (
         df.select(F.col(id_col).alias("id"), F.col(features).cast("array<double>").alias("f"))
+        .repartition(parts)
         .mapInPandas(compute, KNN_SCHEMA)
     )
 

@@ -101,6 +101,9 @@ def cosine_topk_block(
     b_Q = sc.broadcast(Qn)
 
     def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
         Qn_ = b_Q.value
         qids_ = b_qids.value
         for pdf in batches:
@@ -123,9 +126,15 @@ def cosine_topk_block(
                 {"i": out_i, "j": out_j, "cosine": out_c, "rank": 0}
             )
 
-    partial = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).mapInPandas(part_topk, TOPK_SCHEMA)
+    # Spread the scan: fixture parquet often lands as one partition.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    partial = (
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .repartition(par)
+        .mapInPandas(part_topk, TOPK_SCHEMA)
+    )
     w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
     return (
         partial.withColumn("rank", F.row_number().over(w))
@@ -159,10 +168,20 @@ def ivf_topk(
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents = [
-        (int(r["id"]), np.array(r["v"]))
-        for r in base.orderBy(F.xxhash64(F.col("id") + F.lit(seed))).limit(n_cells).collect()
-    ]
+    # Deterministic centroid sample without a full global sort: hash-
+    # filter to ~4·n_cells candidates, sort only those. (Stand-in for
+    # k-means centroids — the routing/probe structure is the point.)
+    h = F.xxhash64(F.col("id") + F.lit(seed))
+    cand = base.withColumn("_h", h)
+    cents_rows = (
+        cand.where(F.pmod(F.col("_h"), F.lit(997)) < F.lit(64))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    if len(cents_rows) < n_cells:  # tiny input fallback: take first by hash
+        cents_rows = cand.orderBy("_h").limit(n_cells).collect()
+    cents = [(int(r["id"]), np.array(r["v"])) for r in cents_rows]
     C = np.stack([c[1] for c in cents])
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
     sc = emb.sparkSession.sparkContext
@@ -177,6 +196,9 @@ def ivf_topk(
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
         C_ = b_C.value
         for pdf in batches:
             if len(pdf) == 0:
@@ -195,6 +217,9 @@ def ivf_topk(
     )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
         C_ = b_C.value
         for pdf in batches:
             if len(pdf) == 0:
@@ -210,7 +235,8 @@ def ivf_topk(
                     rows["cell"].append(int(c))
             yield pd.DataFrame(rows)
 
-    corpus_cells = base.mapInPandas(assign, assign_schema)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    corpus_cells = base.repartition(par).mapInPandas(assign, assign_schema)
     query_cells = (
         queries.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -219,11 +245,14 @@ def ivf_topk(
     joined = corpus_cells.alias("c").join(
         F.broadcast(query_cells.alias("q")), on="cell"
     ).where(F.col("q.id") != F.col("c.id"))
+    # Each corpus row lives in exactly ONE cell (argmax assignment), so
+    # (i, j) pairs are already unique across probed cells — no dedup
+    # shuffle needed.
     pairs = joined.select(
         F.col("q.id").alias("i"),
         F.col("c.id").alias("j"),
         cosine_sim(F.col("q.v"), F.col("c.v")).alias("cosine"),
-    ).dropDuplicates(["i", "j"])
+    )
     w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))

@@ -95,6 +95,9 @@ def calibrate(
     log_u = math.log(perplexity)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -268,6 +268,53 @@ def p1_global_stats(spark, sf_dir):
     )
 
 
+_P2_SQL = """
+    WITH stats AS (
+      SELECT avg(x) AS m, stddev_pop(x) AS s
+      FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+    )
+    SELECT vec_id,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                         v -> (v - m) / s)), 4) AS std_sum
+    FROM embeddings, stats
+"""
+
+
+@register("p2_standardize", _P2_SQL)
+def p2_standardize(spark, sf_dir):
+    """P2: elementwise (v − mean)/std with ONE global mean/std pair
+    (reference quirk preserved — not per-column; MNIST.scala:43).
+    Compared via the per-row sum of standardized components."""
+    from spark_tsne_spark.operators.preprocess import global_stats, standardize
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+    mean, std = global_stats(emb)
+    out = standardize(emb, mean, std)
+    return out.select(
+        "vec_id",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 4
+        ).alias("std_sum"),
+    )
+
+
+@register("p3_pca_project", None)
+def p3_pca_project(spark, sf_dir):
+    """P3: PCA to 8 dims (reference MNIST.scala:47 — Gramian via
+    distributed agg, driver eigendecomposition, distributed
+    projection). Rows-only: eigenvector sign/rotation is not
+    cross-engine deterministic; invariants are unit-tested."""
+    from spark_tsne_spark.operators.preprocess import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+    out = pca_project(emb, k=8)
+    return out.select("vec_id", F.size("features").alias("k"))
+
+
 @register(
     "s2_s3_limit_sort",
     """
@@ -767,6 +814,136 @@ def ann_topk_cosine(spark, sf_dir):
     )
 
 
+@register("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k (the scale path for ANN: route
+    corpus+queries to coarse cells, search within probed cells only).
+    Approximate by construction — rows-only; recall vs the exact
+    baseline is pinned in tests/test_pipeline_ops.py."""
+    from spark_tsne_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    out = ivf_topk(emb, qs, k=5, id_col="vec_id", vec_col="embedding")
+    return out.select("i", "j", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register("knn_lsh_approx", None)
+def knn_lsh_approx(spark, sf_dir):
+    """Approximate kNN via BucketedRandomProjectionLSH bucket-join —
+    the 100 TB replacement for the O(n²) cartesian (SURVEY.md §7
+    Phase 5). Approximate — rows-only."""
+    from spark_tsne_spark.operators.knn import knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    out = knn_lsh(emb, k=10, id_col="vec_id", features="embedding")
+    return out.select("i", "j", F.round("dist", 6).alias("dist"), "rank")
+
+
+_SIMHASH_NEAR_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents WHERE doc_id < 200
+    ),
+    h AS (SELECT doc_id, md5(t) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN ('0x' || substr(h, b + 1, 1))::INT >= 8
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN range(16) t2(b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << (15 - b)) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, 0 AS c, simhash // 256 AS v FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS c, simhash % 256 AS v FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+@register("dedup_simhash_near", _SIMHASH_NEAR_SQL)
+def dedup_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole chunk-bucket join + hamming
+    verify (bit_count over xor) — never all-pairs."""
+    from spark_tsne_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = simhash_near_dups(docs, max_hamming=2)
+    return out.select("i", "j", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents re-landed as opaque binary
+    payloads + typed metadata, pushed through the Arrow-batched
+    feature-extraction pass (decode kernel stubbed — deterministic
+    sha256-seeded features; the schema/batching/partitioning is the
+    production shape). Rows-only."""
+    from spark_tsne_spark.sources.multimodal import extract_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+    out = extract_features(media, dim=16)
+    return out.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6).alias(
+            "feat_sum"
+        ),
+    )
+
+
+_S1_SQL = """
+    SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+    FROM lineitem WHERE l_orderkey < 1000
+"""
+
+
+@register("s1_csv_source", _S1_SQL)
+def s1_csv_source(spark, sf_dir):
+    """S1/S4: gzipped-CSV source round-trip (reference MNIST.scala:25,
+    30-31 reads csv.gz via textFile + manual split; here a typed,
+    codec-aware declarative read). Lands a lineitem slice as csv.gz,
+    reads it back typed, and must match the parquet original."""
+    import re as _re
+
+    from spark_tsne_spark.sources.tables import read_csv_gz
+
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    path = f"/tmp/spark_graft_csv_{tag}"
+    slice_df = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    )
+    (
+        slice_df.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("header", "true")
+        .csv(path)
+    )
+    return read_csv_gz(spark, path, schema=slice_df.schema, header=True)
+
+
 # --------------------------------------------------------------------------
 # Text analysis over `documents`
 # --------------------------------------------------------------------------
@@ -857,6 +1034,39 @@ def text_fingerprint(spark, sf_dir):
     """Deterministic normalized-text md5 fingerprint."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming end-to-end: land events as µs parquet,
+    drain a watermarked tumbling-window agg with availableNow into a
+    memory sink, and return the sink table. Must equal the batch
+    (DuckDB) twin — the streaming plan IS the oracle target."""
+    import re as _re
+
+    from spark_tsne_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    path = f"/tmp/spark_graft_events_{tag}"
+    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    spark.catalog.dropTempView("sgq_win_counts")
+    stream = windowed_counts(read_events_stream(spark, path))
+    run_to_memory(stream, "sgq_win_counts")
+    return spark.table("sgq_win_counts").select(
+        "hour_ts", "event_type", "n_events", "sum_value"
     )
 
 

@@ -40,6 +40,9 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    from spark_tsne_spark.runtime import tune_malloc
+
+    tune_malloc()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -23,6 +23,9 @@ _SHIPPED_ATTR = "_spark_tsne_spark_shipped"
 
 def ship_package(spark: SparkSession) -> None:
     """Idempotently add a zip of spark_tsne_spark to the context."""
+    from spark_tsne_spark.runtime import tune_malloc
+
+    tune_malloc()
     sc = spark.sparkContext
     if getattr(sc, _SHIPPED_ATTR, False):
         return

@@ -77,6 +77,9 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     ship_package(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -98,6 +101,9 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     ship_package(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -68,15 +68,15 @@ def test_fused_pass_matches_dense(spark, exaggeration):
         rows, "i long, js array<long>, ps array<double>"
     ).coalesce(2)
     sc = spark.sparkContext
-    pos = {i: i for i in range(n)}
-    bc_Y, bc_pos = sc.broadcast(Y), sc.broadcast(pos)
-    out = exact_gradient_pass(adjacency, bc_Y, bc_pos, exaggeration).collect()
-    dY, Z, loss = assemble(out, pos, n, 2, "exact")
+    ids = np.arange(n, dtype=np.int64)
+    bc_Y, bc_ids = sc.broadcast(Y), sc.broadcast(ids)
+    out = exact_gradient_pass(adjacency, bc_Y, bc_ids, exaggeration).toPandas()
+    dY, Z, loss = assemble(out, ids, n, 2, "exact")
     dY_ref, Z_ref, loss_ref = dense_reference_gradient(Y, P, exaggeration)
     assert abs(Z - Z_ref) / Z_ref < 1e-9
     assert np.abs(dY - dY_ref).max() < 1e-9
     assert abs(loss - loss_ref) < 1e-8
-    bc_Y.destroy(); bc_pos.destroy()
+    bc_Y.destroy(); bc_ids.destroy()
 
 
 def test_update_semantics():
