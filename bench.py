@@ -58,6 +58,15 @@ def bench_queries():
     def b_exact_dedup(spark, sf_dir):
         return exact_dedup(docs(spark, sf_dir))
 
+    def b_dedup_clusters(spark, sf_dir):
+        from spark_tsne_spark.operators.dedup import duplicate_clusters
+
+        d = docs(spark, sf_dir).where(F.length("text") >= 5)
+        pairs = minhash_lsh_candidates(
+            d, num_hashes=16, band_size=4, hash_fn="xxhash64"
+        )
+        return duplicate_clusters(pairs, d)
+
     def b_knn_block(spark, sf_dir):
         return knn_exact_block(emb(spark, sf_dir), k=45, id_col="vec_id", features="embedding")
 
@@ -91,6 +100,7 @@ def bench_queries():
         "events_tumbling_agg": Q.events_tumbling_agg,
         "events_sessionize": Q.events_sessionize,
         "dedup_exact": b_exact_dedup,
+        "dedup_clusters": b_dedup_clusters,
         "dedup_minhash_lsh": b_minhash_full,
         "dedup_simhash": b_simhash_full,
         "dedup_ngram_jaccard": b_jaccard_full,

@@ -38,7 +38,7 @@ from spark_tsne_spark.gradient import assemble, bh_gradient_pass, exact_gradient
 from spark_tsne_spark.operators.affinities import compute_p
 from spark_tsne_spark.operators.x2p import x2p
 from spark_tsne_spark.params import TSNEParam
-from spark_tsne_spark.sptree import SPTree
+from spark_tsne_spark.sptree import FlatTree, SPTree
 from spark_tsne_spark.update import update
 
 logger = logging.getLogger(__name__)
@@ -119,17 +119,15 @@ def _loop(
         exaggeration = (
             param.exaggeration_factor if iteration <= param.early_exaggeration else 1.0
         )
-        bc_Y = sc.broadcast(Y)
         if mode == "exact":
-            pass_df = exact_gradient_pass(adjacency, bc_Y, bc_ids, exaggeration)
+            bc_state = sc.broadcast((Y, None))
+            pass_df = exact_gradient_pass(adjacency, bc_state, bc_ids, exaggeration)
         else:
-            bc_tree = sc.broadcast(SPTree.from_matrix(Y))
-            pass_df = bh_gradient_pass(adjacency, bc_Y, bc_ids, bc_tree, theta, exaggeration)
+            bc_state = sc.broadcast((Y, FlatTree.from_matrix(Y)))
+            pass_df = bh_gradient_pass(adjacency, bc_state, bc_ids, theta, exaggeration)
         dY, Z, loss = assemble(pass_df.toPandas(), ids, n, no_dims, mode)
         update(Y, dY, iY, gains, iteration, param)
-        bc_Y.destroy()
-        if mode != "exact":
-            bc_tree.destroy()
+        bc_state.destroy()
         want_loss = report_loss(iteration) if callable(report_loss) else True
         if want_loss:
             losses.append((iteration, loss))
@@ -201,10 +199,10 @@ def lbfgs_tsne(
     def make_fg(exaggeration: float):
         def fg(x: np.ndarray):
             Y = x.reshape(n, no_dims, order="F")
-            bc_Y = sc.broadcast(np.ascontiguousarray(Y))
-            pdf = exact_gradient_pass(adjacency, bc_Y, bc_ids, exaggeration).toPandas()
+            bc_state = sc.broadcast((np.ascontiguousarray(Y), None))
+            pdf = exact_gradient_pass(adjacency, bc_state, bc_ids, exaggeration).toPandas()
             dY, _Z, loss = assemble(pdf, ids, n, no_dims, "exact")
-            bc_Y.destroy()
+            bc_state.destroy()
             return loss, dY.flatten(order="F")
 
         return fg

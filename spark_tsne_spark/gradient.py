@@ -11,6 +11,9 @@ possible because the gradient decomposes:
          = 4·( Σ_j p·num·(y_i−y_j)  −  (1/Z)·Σ_j num²·(y_i−y_j) )
          = 4·( posF_i − negF_i / Z )
 
+Per-iteration state (Y and, for BH, the flattened tree) travels as
+ONE broadcast tuple — a single torrent round per iteration.
+
 so each partition emits per-row (posF, negF) plus partial scalars
 (Z, Σ p·log(p/num), Σ p) and the driver finishes with
 ``loss = Σ ploss + log(Z)·Σp``. Deviation from the reference: the
@@ -85,7 +88,7 @@ def _kl_partials(
 
 def exact_gradient_pass(
     adjacency: DataFrame,
-    bc_Y,
+    bc_state,
     bc_ids,
     exaggeration: float,
 ) -> DataFrame:
@@ -104,7 +107,7 @@ def exact_gradient_pass(
         from spark_tsne_spark.runtime import tune_malloc
 
         tune_malloc()
-        Y = bc_Y.value
+        Y, _ = bc_state.value
         ids_sorted = bc_ids.value
         sumY = (Y * Y).sum(axis=1)
         for pdf in batches:
@@ -146,9 +149,8 @@ def exact_gradient_pass(
 
 def bh_gradient_pass(
     adjacency: DataFrame,
-    bc_Y,
+    bc_state,
     bc_ids,
-    bc_tree,
     theta: float,
     exaggeration: float,
 ) -> DataFrame:
@@ -168,9 +170,8 @@ def bh_gradient_pass(
         from spark_tsne_spark.runtime import tune_malloc
 
         tune_malloc()
-        Y = bc_Y.value
+        Y, tree = bc_state.value
         ids_sorted = bc_ids.value
-        tree = bc_tree.value
         d = Y.shape[1]
         for pdf in batches:
             if len(pdf) == 0:

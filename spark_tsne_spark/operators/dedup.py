@@ -242,6 +242,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → clusters.
+
+    The step after candidate generation in a production dedup
+    pipeline: documents linked by any chain of candidate pairs collapse
+    into one cluster labeled by its minimum id. Iterative min-label
+    propagation on DataFrames: each round, every vertex takes the min
+    of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    Each round is one shuffle (groupBy dst) + one join; lineage is cut
+    per round with ``localCheckpoint`` so plans stay flat at scale.
+
+    ``pairs``: (i, j) candidate edges. ``vertices``: table carrying
+    ``id_col`` (isolated docs form singleton clusters). Returns
+    ``(id_col, cluster_id)``.
+    """
+    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionAll(
+        pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+    labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("label").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

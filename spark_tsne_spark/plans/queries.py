@@ -729,6 +729,47 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return out.select("i", "j", F.round("jaccard", 6).alias("jaccard"))
 
 
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE cand AS (" + _MINHASH_SQL + "),\n"
+    + r"""
+    edges AS (
+      SELECT i AS src, j AS dst FROM cand
+      UNION ALL
+      SELECT j AS src, i AS dst FROM cand
+    ),
+    verts AS (
+      SELECT doc_id FROM documents WHERE doc_id < 200 AND length(text) >= 5
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+)
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash candidate pairs → connected
+    components via iterative min-label propagation (the DataFrame
+    analogue of large-star/small-star). Oracle: DuckDB recursive CTE
+    computing min reachable id — both sides converge to the same
+    deterministic labeling."""
+    from spark_tsne_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 200) & (F.length("text") >= 5))
+    )
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_k=5)
+    return duplicate_clusters(pairs, docs)
+
+
 _COS_NEARDUP_SQL = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

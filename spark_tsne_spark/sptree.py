@@ -132,8 +132,109 @@ class SPTree:
         return tree
 
 
+class FlatTree:
+    """Array-of-nodes serialization of an :class:`SPTree`.
+
+    The object tree costs ~0.5 KB/node to pickle and unpickles node by
+    node; at one broadcast per t-SNE iteration that dominates the
+    per-iteration wire cost. The flat form is six numpy arrays
+    (~70 B/node), unpickles in O(1) allocations, and the walk reads
+    node attributes with array indexing. Semantics are identical —
+    :func:`non_edge_forces` accepts either form.
+    """
+
+    __slots__ = ("center", "count", "radius_sq", "leaf", "children", "n_nodes")
+
+    def __init__(self, center, count, radius_sq, leaf, children):
+        self.center = center
+        self.count = count
+        self.radius_sq = radius_sq
+        self.leaf = leaf
+        self.children = children
+        self.n_nodes = len(count)
+
+    @classmethod
+    def from_sptree(cls, root: SPTree) -> "FlatTree":
+        """Flatten (preorder); children of empty/leaf nodes are -1."""
+        n_child = 2**root.dimension
+        centers, counts, radii, leaves, children = [], [], [], [], []
+        stack = [root]
+        order: list[SPTree] = []
+        while stack:
+            node = stack.pop()
+            order.append(node)
+            if node._children is not None:
+                stack.extend(node._children)
+        index = {id(node): k for k, node in enumerate(order)}
+        for node in order:
+            centers.append(node.center)
+            counts.append(node.count)
+            radii.append(node.radius_sq)
+            leaves.append(node.leaf)
+            if node._children is not None:
+                children.append([index[id(c)] for c in node._children])
+            else:
+                children.append([-1] * n_child)
+        return cls(
+            np.asarray(centers, dtype=np.float64),
+            np.asarray(counts, dtype=np.int64),
+            np.asarray(radii, dtype=np.float64),
+            np.asarray(leaves, dtype=bool),
+            np.asarray(children, dtype=np.int32),
+        )
+
+    @classmethod
+    def from_matrix(cls, Y: np.ndarray) -> "FlatTree":
+        return cls.from_sptree(SPTree.from_matrix(Y))
+
+
+def _non_edge_forces_flat(
+    tree: FlatTree, Yb: np.ndarray, theta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat-array variant of the subset walk (same accept rule)."""
+    k, d = Yb.shape
+    negF = np.zeros((k, d))
+    sumQ = np.zeros(k)
+    C, cnt, rad, leaf, kids = (
+        tree.center,
+        tree.count,
+        tree.radius_sq,
+        tree.leaf,
+        tree.children,
+    )
+    stack: list[tuple[int, np.ndarray]] = [(0, np.arange(k))]
+    while stack:
+        ni, idx = stack.pop()
+        if cnt[ni] == 0 or idx.size == 0:
+            continue
+        diff = Yb[idx] - C[ni]
+        dist_sq = (diff * diff).sum(axis=1)
+        if leaf[ni]:
+            m = dist_sq > 0.0
+            sel, d2 = idx[m], dist_sq[m]
+            qZ = 1.0 / (1.0 + d2)
+            nqZ = cnt[ni] * qZ
+            sumQ[sel] += nqZ
+            negF[sel] += (nqZ * qZ)[:, None] * diff[m]
+        else:
+            with np.errstate(divide="ignore"):
+                accept = rad[ni] / dist_sq < theta
+            accept &= dist_sq > 0.0
+            sel, d2 = idx[accept], dist_sq[accept]
+            if sel.size:
+                qZ = 1.0 / (1.0 + d2)
+                nqZ = cnt[ni] * qZ
+                sumQ[sel] += nqZ
+                negF[sel] += (nqZ * qZ)[:, None] * diff[accept]
+            rest = idx[~accept]
+            if rest.size and kids[ni, 0] >= 0:
+                for ci in kids[ni]:
+                    stack.append((int(ci), rest))
+    return negF, sumQ
+
+
 def non_edge_forces(
-    tree: SPTree, Yb: np.ndarray, theta: float
+    tree: "SPTree | FlatTree", Yb: np.ndarray, theta: float
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized Barnes-Hut negative forces + sumQ for a block of points.
 
@@ -148,6 +249,8 @@ def non_edge_forces(
 
     Returns ``(negF [k×d], sumQ [k])``.
     """
+    if isinstance(tree, FlatTree):
+        return _non_edge_forces_flat(tree, Yb, theta)
     k, d = Yb.shape
     negF = np.zeros((k, d))
     sumQ = np.zeros(k)

@@ -69,7 +69,7 @@ def test_fused_pass_matches_dense(spark, exaggeration):
     ).coalesce(2)
     sc = spark.sparkContext
     ids = np.arange(n, dtype=np.int64)
-    bc_Y, bc_ids = sc.broadcast(Y), sc.broadcast(ids)
+    bc_Y, bc_ids = sc.broadcast((Y, None)), sc.broadcast(ids)
     out = exact_gradient_pass(adjacency, bc_Y, bc_ids, exaggeration).toPandas()
     dY, Z, loss = assemble(out, ids, n, 2, "exact")
     dY_ref, Z_ref, loss_ref = dense_reference_gradient(Y, P, exaggeration)

@@ -65,6 +65,20 @@ def test_simhash_near_dups(near_dup_docs):
     assert (0, 1) in pairs
 
 
+def test_duplicate_clusters_transitive(spark):
+    """Chains of candidate pairs collapse into one min-id cluster;
+    isolated vertices stay singletons."""
+    from spark_tsne_spark.operators.dedup import duplicate_clusters
+
+    verts = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # components: {0,1,2,3} via chain 3-2, 2-1, 1-0; {4,5}; {6} isolated
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (0, 1), (4, 5)], "i long, j long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs, verts).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
 def test_cosine_topk_block_equals_sql(spark, embeddings):
     qs = embeddings.where(F.col("vec_id") < 5)
     a = cosine_topk(embeddings, qs, k=5, id_col="vec_id", vec_col="embedding").collect()

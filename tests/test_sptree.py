@@ -111,3 +111,20 @@ def test_theta_half_approximates_exact():
     qnum = 1.0 / (1.0 + d2)
     np.fill_diagonal(qnum, 0.0)
     assert np.abs(sumQ.sum() - qnum.sum()) / qnum.sum() < 0.05
+
+
+def test_flat_tree_matches_object_tree():
+    """FlatTree walk must be bit-identical to the object-tree walk at
+    any θ (same nodes, same accept decisions, different storage)."""
+    from spark_tsne_spark.sptree import FlatTree
+
+    rng = np.random.default_rng(13)
+    Y = rng.standard_normal((300, 2)) * 3
+    Y[5] = Y[17]  # duplicate point exercises leaf-count semantics
+    tree = SPTree.from_matrix(Y)
+    flat = FlatTree.from_sptree(tree)
+    for theta in (0.0, 0.5, 1.2):
+        negF_o, sumQ_o = non_edge_forces(tree, Y, theta)
+        negF_f, sumQ_f = non_edge_forces(flat, Y, theta)
+        assert np.array_equal(sumQ_o, sumQ_f)
+        assert np.array_equal(negF_o, negF_f)
