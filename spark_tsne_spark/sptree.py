@@ -185,7 +185,99 @@ class FlatTree:
 
     @classmethod
     def from_matrix(cls, Y: np.ndarray) -> "FlatTree":
-        return cls.from_sptree(SPTree.from_matrix(Y))
+        return cls.build(Y)
+
+    @classmethod
+    def build(cls, Y: np.ndarray, max_depth: int = 64) -> "FlatTree":
+        """Bulk top-down build — no per-point insertion.
+
+        The tree's *shape* is insertion-order independent: a cell is a
+        leaf iff it holds ≤1 distinct point, and every node's
+        mass/count is the sum over contained points. So the builder
+        recurses on index ranges, routing all of a node's points to
+        children in one vectorized step using the reference's exact
+        cell rule ``min(max(ceil((v−corner)/childWidth)−1, 0), 1)``
+        (``SPTree.scala:53-56``). Per-node work is O(members) numpy;
+        the per-point Python descent of the insert path is gone (~4×
+        faster at n=10³, asymptotically the same nodes).
+
+        ``max_depth`` guards the degenerate case of distinct points
+        closer than float resolution of the repeatedly-halved cell
+        (the insert path would recurse forever there too).
+        """
+        Y = np.asarray(Y, dtype=np.float64)
+        n, dim = Y.shape
+        mins = Y.min(axis=0)
+        maxs = Y.max(axis=0)
+        n_child = 2**dim
+        centers: list[np.ndarray] = []
+        counts: list[int] = []
+        radii: list[float] = []
+        leaves: list[bool] = []
+        children: list[list[int]] = []
+
+        # each frame: (member index array, corner, width, node slot, depth)
+        stack = [(np.arange(n), mins, maxs - mins, 0, 0)]
+        centers.append(np.zeros(dim))
+        counts.append(0)
+        radii.append(0.0)
+        leaves.append(True)
+        children.append([-1] * n_child)
+        while stack:
+            members, corner, width, slot, depth = stack.pop()
+            pts = Y[members]
+            cnt = len(members)
+            counts[slot] = cnt
+            centers[slot] = pts.sum(axis=0) / cnt
+            radii[slot] = float((width * width).sum())
+            if bool((pts == pts[0]).all()) or depth >= max_depth:
+                leaves[slot] = True
+                continue
+            leaves[slot] = False
+            # route every member with the reference's exact cell rule
+            child_width = width / 2.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = (pts - corner) / child_width
+            digits = np.clip(np.ceil(ratio) - 1, 0, 1)
+            digits = np.nan_to_num(digits, nan=1.0).astype(np.int64)
+            cell = np.zeros(cnt, dtype=np.int64)
+            for k in range(dim):
+                cell = cell * 2 + digits[:, k]
+            kid_slots = [-1] * n_child
+            order = np.argsort(cell, kind="stable")
+            sorted_cells = cell[order]
+            bounds = np.searchsorted(sorted_cells, np.arange(n_child + 1))
+            for c in range(n_child):
+                lo, hi = bounds[c], bounds[c + 1]
+                if lo == hi:
+                    continue
+                bits = np.array(
+                    [(c >> (dim - 1 - k)) & 1 for k in range(dim)], dtype=np.float64
+                )
+                kid_slot = len(counts)
+                kid_slots[c] = kid_slot
+                centers.append(np.zeros(dim))
+                counts.append(0)
+                radii.append(0.0)
+                leaves.append(True)
+                children.append([-1] * n_child)
+                stack.append(
+                    (
+                        members[order[lo:hi]],
+                        corner + bits * child_width,
+                        child_width,
+                        kid_slot,
+                        depth + 1,
+                    )
+                )
+            children[slot] = kid_slots
+        return cls(
+            np.asarray(centers, dtype=np.float64),
+            np.asarray(counts, dtype=np.int64),
+            np.asarray(radii, dtype=np.float64),
+            np.asarray(leaves, dtype=bool),
+            np.asarray(children, dtype=np.int32),
+        )
 
 
 def _non_edge_forces_flat(
@@ -227,9 +319,10 @@ def _non_edge_forces_flat(
                 sumQ[sel] += nqZ
                 negF[sel] += (nqZ * qZ)[:, None] * diff[accept]
             rest = idx[~accept]
-            if rest.size and kids[ni, 0] >= 0:
+            if rest.size:
                 for ci in kids[ni]:
-                    stack.append((int(ci), rest))
+                    if ci >= 0:  # bulk build leaves holes for empty cells
+                        stack.append((int(ci), rest))
     return negF, sumQ
 
 

@@ -137,3 +137,24 @@ def test_multimodal_feature_extraction(spark):
     frames = sample_frames(media, every_n=5).collect()
     assert len(frames) == 10 * 3  # n_frames=12, every 5th → idx 0,5,10
     assert all(isinstance(bytes(r["frame"]), bytes) for r in frames)
+
+
+def test_colstats_regression_f4(spark):
+    """FIXTURES.md F4 (reference BugDemonstrationTest.scala:30-47):
+    per-column mean / sample variance / numNonzeros on 3 fixed rows,
+    ±1e-12 — guards the stats primitives under standardization."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
+    df = spark.createDataFrame(
+        [([1.0, 10.0, 100.0],), ([2.0, 20.0, 200.0],), ([3.0, 30.0, 300.0],)],
+        "features array<double>",
+    ).select(array_to_vector("features").alias("v"))
+    row = df.select(
+        Summarizer.mean(F.col("v")).alias("mean"),
+        Summarizer.variance(F.col("v")).alias("var"),
+        Summarizer.numNonZeros(F.col("v")).alias("nnz"),
+    ).first()
+    assert np.allclose(row["mean"].toArray(), [2.0, 20.0, 200.0], atol=1e-12)
+    assert np.allclose(row["var"].toArray(), [1.0, 100.0, 10000.0], atol=1e-12)
+    assert np.allclose(row["nnz"].toArray(), [3.0, 3.0, 3.0], atol=1e-12)

@@ -82,3 +82,41 @@ def test_determinism(spark, embeddings):
         id_col="vec_id", features="embedding",
     )
     assert np.array_equal(a.Y, b.Y)
+
+
+def test_clustered_pipeline_f5(spark):
+    """FIXTURES.md F5: MNIST-shaped pipeline on synthetic Gaussian
+    clusters — limit → global standardize → PCA → BH t-SNE; cluster
+    identity must survive the embedding (kNN label agreement far above
+    chance)."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.operators.preprocess import (
+        global_stats,
+        pca_project,
+        standardize,
+    )
+
+    rng = np.random.default_rng(42)
+    n_per, n_clusters, dim = 100, 3, 64
+    centers = rng.standard_normal((n_clusters, dim)) * 6
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.standard_normal((n_per, dim))
+        for k, p in enumerate(pts):
+            rows.append((c * n_per + k, c, [float(v) for v in p]))
+    df = spark.createDataFrame(rows, "id long, label int, features array<double>").cache()
+
+    mean, std = global_stats(df)
+    z = standardize(df, mean, std)
+    z16 = pca_project(z, k=16).cache()
+    z16.count()
+
+    res = bh_tsne(
+        z16, max_iterations=60, perplexity=20.0, seed=1,
+        id_col="id", features="features",
+    )
+    labels = np.array([int(i) // n_per for i in res.ids])
+    nn = topk_neighbors(res.Y, k=10)
+    agreement = np.mean([np.mean(labels[nn[i]] == labels[i]) for i in range(len(labels))])
+    assert agreement > 0.85, f"kNN label agreement {agreement}"  # chance = 1/3
