@@ -76,3 +76,59 @@ def test_progress_sink_stream_roundtrip(spark, tmp_path):
     rows = spark.table("progress").collect()
     assert len(rows) == 15  # 3 iterations × 5 points
     assert {r["iteration"] for r in rows} == {1, 2, 3}
+
+
+def test_stateful_running_stats(spark, sf_dir, events_dir):
+    """applyInPandasWithState custom operator: running per-user counts
+    over one availableNow drain must equal the batch per-user counts."""
+    from spark_tsne_spark.streaming.stateful import running_user_stats
+
+    stream = running_user_stats(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("user_stats").collect()
+    got = {}
+    for r in rows:  # keep the latest running row per user
+        got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 4))
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch}
+    assert got == want
+
+
+def test_player_json_fold(spark, tmp_path):
+    """IterationSink CSVs fold into the d3 player's JSON shape
+    (iterations list + per-point pos trajectories)."""
+    import json
+    import numpy as np
+
+    from spark_tsne_spark.streaming.progress import IterationSink
+    from spark_tsne_spark.streaming.player import fold_progress_to_player_json
+
+    out = str(tmp_path / "prog")
+    ids = np.arange(4)
+    sink = IterationSink(out, ids)
+    rng = np.random.default_rng(0)
+    for it in range(1, 13):
+        sink(it, rng.standard_normal((4, 2)), loss=None)
+    res = fold_progress_to_player_json(
+        out, str(tmp_path / "player.json"), labels={0: 7},
+        early_exaggeration=10, stride=2,
+    )
+    # iterations 1..9 all kept; then 10, 12
+    assert res["iterations"] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12]
+    assert len(res["data"]) == 4
+    assert res["data"][0]["label"] == 7
+    assert all(len(d["pos"]) == len(res["iterations"]) for d in res["data"])
+    on_disk = json.load(open(tmp_path / "player.json"))
+    assert on_disk["iterations"] == res["iterations"]
