@@ -113,31 +113,48 @@ def knn_exact_block(
     kk = k
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import shared_empty, tune_malloc
 
         tune_malloc()
         X_all = b_X.value
         ids_all = b_ids.value
         sq_all = b_sq.value
+        n_all = X_all.shape[0]
         pos = {v: p for p, v in enumerate(ids_all)}
+        # Fixed-size distance workspace (shared-anon mapping — see
+        # runtime.py), reused across chunks and tasks: a fresh full
+        # (batch × n) private buffer per task is page-fault-bound on
+        # this host class.
+        CH = max(1, min(256, (32 * 2**20) // (8 * n_all)))
+        d_buf = shared_empty((CH, n_all))
+        g_buf = shared_empty((CH, n_all))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Xb = np.array(pdf["f"].tolist(), dtype=np.float64)
             my = pdf["id"].to_numpy()
-            d = sq_all[None, :] + (Xb * Xb).sum(axis=1)[:, None] - 2.0 * (Xb @ X_all.T)
-            np.maximum(d, 0.0, out=d)
-            for r, rid in enumerate(my):
-                d[r, pos[rid]] = np.inf  # exclude self
-            kkk = min(kk, d.shape[1] - 1)
-            idx = np.argpartition(d, kkk - 1, axis=1)[:, :kkk]
+            xb_sq = (Xb * Xb).sum(axis=1)
+            kkk = min(kk, n_all - 1)
             out_js, out_ds = [], []
-            for r in range(len(my)):
-                row_idx = idx[r]
-                order = np.argsort(d[r, row_idx], kind="stable")
-                sel = row_idx[order]
-                out_js.append(ids_all[sel].tolist())
-                out_ds.append(d[r, sel].tolist())
+            for lo in range(0, len(my), CH):
+                hi = min(lo + CH, len(my))
+                m = hi - lo
+                g = g_buf[:m]
+                d = d_buf[:m]
+                np.dot(Xb[lo:hi], X_all.T, out=g)
+                np.multiply(g, -2.0, out=d)
+                d += sq_all[None, :]
+                d += xb_sq[lo:hi, None]
+                np.maximum(d, 0.0, out=d)
+                for r in range(m):
+                    d[r, pos[my[lo + r]]] = np.inf  # exclude self
+                idx = np.argpartition(d, kkk - 1, axis=1)[:, :kkk]
+                for r in range(m):
+                    row_idx = idx[r]
+                    order = np.argsort(d[r, row_idx], kind="stable")
+                    sel = row_idx[order]
+                    out_js.append(ids_all[sel].tolist())
+                    out_ds.append(d[r, sel].tolist())
             yield pd.DataFrame({"i": my, "js": out_js, "ds": out_ds})
 
     # The fixture parquet often lands as ONE partition; spread the block
