@@ -154,6 +154,9 @@ def main():
         n = df.count()  # exhaust the plan
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", flush=True)
+        # Queries are timed independently; drop persisted intermediates
+        # so one query's cache doesn't pressure the next one's memory.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

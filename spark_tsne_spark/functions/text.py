@@ -116,14 +116,22 @@ def minhash_values(
     """
     sh = char_shingles(text, shingle_k)
     if hash_fn == "xxhash64":
-        return F.array(
-            *[
-                F.array_min(
-                    F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-                ).cast("string")
-                for i in range(num_hashes)
-            ]
+        # h_i(s) = xxhash64(s, i): each shingle is hashed once per
+        # signature row inside ONE transform (the shingle array is
+        # built once), then the per-shingle hash vectors fold into
+        # elementwise minima. NB a two-parameter lambda in F.transform
+        # would receive the array POSITION as its second argument —
+        # the seed must come from the Python loop, not a lambda param.
+        per_shingle = F.transform(
+            sh,
+            lambda s: F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
         )
+        folded = F.aggregate(
+            per_shingle,
+            F.array_repeat(F.lit(2**63 - 1), num_hashes),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        )
+        return F.transform(folded, lambda v: v.cast("string"))
     return F.array(
         *[
             F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))

@@ -87,16 +87,22 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Bucket-grouped pair emit: ONE shuffle groups colliding docs per
+    # (band, sig) bucket, then all i<j pairs expand JVM-side — no
+    # sort-merge self-join of the full banded table. Bucket fan-out is
+    # df²-bounded exactly as the join was; the distinct dedups pairs
+    # that collide in several bands.
+    grouped = bands.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, k) -> "
+        "transform(slice(ds, k + 2, size(ds)), y -> struct(x AS i, y AS j))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        grouped.where(F.size("ds") >= 2)
+        .select(F.explode(pair_expr).alias("pr"))
+        .select(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
         .distinct()
     )
 
@@ -207,9 +213,8 @@ def ngram_jaccard_pairs(
     exact (the oracle path).
     """
     # Shingle the corpus ONCE (regex split + n-gram build is the
-    # expensive narrow pass); everything downstream — sizes, document
-    # frequencies, both sides of the intersection join — reuses the
-    # persisted per-doc shingle sets instead of re-scanning the text.
+    # expensive narrow pass); sizes and the intersection count reuse
+    # the persisted per-doc shingle sets instead of re-scanning text.
     par = docs.sparkSession.sparkContext.defaultParallelism
     base = (
         docs.repartition(par)  # small-fixture parquet lands as 1 partition
@@ -221,18 +226,24 @@ def ngram_jaccard_pairs(
     )
     sizes = base.select("doc_id", F.size("gs").alias("n_grams"))
     grams = base.select("doc_id", F.explode("gs").alias("g"))
+    # Intersection counts via grouped pair-emit: ONE shuffle groups the
+    # inverted index by shingle, then all i<j doc pairs per shingle are
+    # expanded JVM-side with nested `transform` (no self-join of the
+    # full index — the sort-merge of two |index|-row sides is replaced
+    # by a groupBy of one). The max_df hot-shingle cap becomes a
+    # post-aggregation size filter on the same pass.
+    grouped = grams.groupBy("g").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     if max_df is not None:
-        keep = (
-            grams.groupBy("g")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("g")
-        )
-        grams = grams.join(F.broadcast(keep), "g")
-    a, b = grams.alias("a"), grams.alias("b")
+        grouped = grouped.where(F.size("ds") <= max_df)
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, k) -> "
+        "transform(slice(ds, k + 2, size(ds)), y -> struct(x AS i, y AS j))))"
+    )
     shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        grouped.select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
         .agg(F.count("*").alias("n_shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("i"), F.col("n_grams").alias("na"))
@@ -257,17 +268,27 @@ def duplicate_clusters(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    small_edge_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs → clusters.
 
     The step after candidate generation in a production dedup
     pipeline: documents linked by any chain of candidate pairs collapse
-    into one cluster labeled by its minimum id. Iterative min-label
-    propagation on DataFrames: each round, every vertex takes the min
-    of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds (near-dup clusters are shallow).
-    Each round is one shuffle (groupBy dst) + one join; lineage is cut
-    per round with ``localCheckpoint`` so plans stay flat at scale.
+    into one cluster labeled by its minimum id.
+
+    Two physical strategies, picked by edge count:
+
+    - **driver union-find** when the edge set is small (candidate
+      pairs after LSH are orders of magnitude smaller than the corpus
+      — the usual production case): collect (i, j), union-find on the
+      driver, broadcast-join the non-singleton labels back onto the
+      vertices. One collect + one broadcast join; no iteration.
+    - **iterative min-label propagation** beyond the threshold: each
+      round, every vertex takes the min of its own label and its
+      neighbors' labels; converges in O(component diameter) rounds
+      (near-dup clusters are shallow). Each round is one shuffle
+      (groupBy dst) + one join; lineage is cut per round with
+      ``localCheckpoint`` so plans stay flat at scale.
 
     ``pairs``: (i, j) candidate edges. ``vertices``: table carrying
     ``id_col`` (isolated docs form singleton clusters). Returns
@@ -277,6 +298,34 @@ def duplicate_clusters(
         pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"))
     )
     edges = edges.localCheckpoint()
+    n_edges = edges.count()
+    if n_edges <= small_edge_threshold:
+        ij = edges.where(F.col("src") < F.col("dst")).collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in ij:
+            ri, rj = find(row["src"]), find(row["dst"])
+            if ri != rj:  # union by min id → label IS the min member
+                if rj < ri:
+                    ri, rj = rj, ri
+                parent[rj] = ri
+        labels = [(int(x), int(find(x))) for x in parent]
+        spark = pairs.sparkSession
+        lab_df = spark.createDataFrame(labels or [], "_cc_id long, _cc_label long")
+        return vertices.select(F.col(id_col)).join(
+            F.broadcast(lab_df), F.col(id_col) == F.col("_cc_id"), "left"
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.col("_cc_label"), F.col(id_col)).alias("cluster_id"),
+        )
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint()
     for _ in range(max_iter):

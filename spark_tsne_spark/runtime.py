@@ -15,6 +15,12 @@ and safe everywhere else:
   numerator matrices), which takes the slow fault path out of the hot
   loop entirely.
 
+Measured dead end (do NOT revisit): ``-XX:+UseTransparentHugePages``
+on the Spark JVM makes a 50M-row groupBy ~25-40x SLOWER here (10.5s →
+247-393s, reproduced twice) — the restore path's cost scales with
+bytes, so 2 MiB faults restore 512x the data per fault with zero
+amortization benefit.
+
 Call :func:`tune_malloc` once per process — it is invoked from the
 driver session factory and at the top of every Arrow-batched kernel so
 Spark's Python workers are covered too. No-ops safely where glibc
