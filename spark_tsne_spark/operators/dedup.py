@@ -294,13 +294,13 @@ def duplicate_clusters(
     ``id_col`` (isolated docs form singleton clusters). Returns
     ``(id_col, cluster_id)``.
     """
-    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionAll(
-        pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"))
-    )
-    edges = edges.localCheckpoint()
-    n_edges = edges.count()
+    pairs = pairs.select("i", "j").localCheckpoint()
+    n_edges = pairs.count()
     if n_edges <= small_edge_threshold:
-        ij = edges.where(F.col("src") < F.col("dst")).collect()
+        # One Arrow pull (toPandas, not Row-object collect — the edge
+        # set lands as two int64 columns), then linear union-find.
+        epdf = pairs.toPandas()
+        src, dst = epdf["i"].to_numpy(), epdf["j"].to_numpy()
         parent: dict = {}
 
         def find(x):
@@ -311,8 +311,8 @@ def duplicate_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in ij:
-            ri, rj = find(row["src"]), find(row["dst"])
+        for a_, b_ in zip(src.tolist(), dst.tolist()):
+            ri, rj = find(a_), find(b_)
             if ri != rj:  # union by min id → label IS the min member
                 if rj < ri:
                     ri, rj = rj, ri
@@ -326,6 +326,10 @@ def duplicate_clusters(
             F.col(id_col),
             F.coalesce(F.col("_cc_label"), F.col(id_col)).alias("cluster_id"),
         )
+    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionAll(
+        pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint()
     for _ in range(max_iter):

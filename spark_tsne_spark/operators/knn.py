@@ -105,6 +105,8 @@ def knn_exact_block(
     ).toPandas()
     ids = pdf_all["id"].to_numpy(dtype=np.int64)
     X = np.array(pdf_all["f"].tolist(), dtype=np.float64)
+    ord_ = np.argsort(ids, kind="stable")  # sorted ids → searchsorted
+    ids, X = ids[ord_], X[ord_]            # in workers, no O(n) dict
     sc = df.sparkSession.sparkContext
     b_ids = sc.broadcast(ids)
     b_X = sc.broadcast(X)
@@ -120,7 +122,6 @@ def knn_exact_block(
         ids_all = b_ids.value
         sq_all = b_sq.value
         n_all = X_all.shape[0]
-        pos = {v: p for p, v in enumerate(ids_all)}
         # Fixed-size distance workspace (shared-anon mapping — see
         # runtime.py), reused across chunks and tasks: a fresh full
         # (batch × n) private buffer per task is page-fault-bound on
@@ -133,6 +134,7 @@ def knn_exact_block(
                 continue
             Xb = np.array(pdf["f"].tolist(), dtype=np.float64)
             my = pdf["id"].to_numpy()
+            self_pos = np.searchsorted(ids_all, my)
             xb_sq = (Xb * Xb).sum(axis=1)
             kkk = min(kk, n_all - 1)
             out_js, out_ds = [], []
@@ -146,8 +148,7 @@ def knn_exact_block(
                 d += sq_all[None, :]
                 d += xb_sq[lo:hi, None]
                 np.maximum(d, 0.0, out=d)
-                for r in range(m):
-                    d[r, pos[my[lo + r]]] = np.inf  # exclude self
+                d[np.arange(m), self_pos[lo:hi]] = np.inf  # exclude self
                 idx = np.argpartition(d, kkk - 1, axis=1)[:, :kkk]
                 for r in range(m):
                     row_idx = idx[r]

@@ -26,19 +26,34 @@ def get_spark(
     coalesces from there at runtime.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-    )
+    conf: dict[str, str] = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+    }
+    # Host-class mitigation (see runtime.py): private anonymous pages
+    # fault ~600x slower than shared/file-backed ones here, and a
+    # growing JVM heap is the biggest private-anon consumer — heavy
+    # queries stall for tens of seconds touching fresh heap. Placing
+    # the heap on tmpfs (-XX:AllocateHeapAt) makes heap faults take
+    # the fast path. Local-mode-only tuning; a real cluster would set
+    # executor JVM flags in its own submit conf.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) and not os.environ.get(
+        "SPARK_GRAFT_NO_HEAPAT"
+    ):
+        conf["spark.driver.extraJavaOptions"] = "-XX:AllocateHeapAt=/dev/shm"
     for k, v in (extra_conf or {}).items():
+        if k == "spark.driver.extraJavaOptions" and k in conf:
+            conf[k] = conf[k] + " " + v
+        else:
+            conf[k] = v
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    for k, v in conf.items():
         builder = builder.config(k, v)
     from spark_tsne_spark.runtime import tune_malloc
 
