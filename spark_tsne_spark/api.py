@@ -32,10 +32,17 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Row, functions as F, types as T
 
-from spark_tsne_spark.gradient import assemble, bh_gradient_pass, exact_gradient_pass
-from spark_tsne_spark.operators.affinities import compute_p
+from spark_tsne_spark.gradient import (
+    assemble,
+    bh_block,
+    bh_gradient_pass,
+    exact_block,
+    exact_gradient_pass,
+)
+from spark_tsne_spark.operators.affinities import P_CLAMP, compute_p
 from spark_tsne_spark.operators.x2p import x2p
 from spark_tsne_spark.params import TSNEParam
 from spark_tsne_spark.sptree import FlatTree, SPTree
@@ -44,6 +51,16 @@ from spark_tsne_spark.update import update
 logger = logging.getLogger(__name__)
 
 Callback = Callable[[int, np.ndarray, "float | None"], None]
+
+# Adaptive local execution: below these row counts the whole pipeline
+# (kNN, calibration, per-iteration force pass) runs driver-side with
+# the SAME kernel functions the distributed path uses — launching a
+# cluster job per iteration for data that fits in one task is pure
+# overhead (the same adaptivity principle AQE applies when it converts
+# a shuffle join to a broadcast join at runtime). The exact threshold
+# is lower because its kernel materializes an n×n numerator.
+LOCAL_THRESHOLD_BH = 16384
+LOCAL_THRESHOLD_EXACT = 4096
 
 
 @dataclass
@@ -66,8 +83,64 @@ class TSNEResult:
         return spark.createDataFrame(rows, schema)
 
 
-def _prepare(df, perplexity, id_col, features, method, mode):
+def _local_adjacency(pdf_points: pd.DataFrame, perplexity: float, tol: float):
+    """Driver-local X2P + symmetrize for sub-threshold inputs.
+
+    Same math as the distributed path end to end: chunked exact kNN
+    (the ``knn_exact_block`` distance expansion), per-row β bisection
+    (``_calibrate_row``), and the clamped Y1 symmetrization
+    (``affinities.symmetrize``). Returns ``(adjacency (i, js, ps),
+    ids_sorted)`` with neighbors sorted by j as ``to_adjacency`` does.
+    """
+    from spark_tsne_spark.operators.x2p import _calibrate_row
+
+    ids = pdf_points["i"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    X = np.array(pdf_points["f"].tolist(), dtype=np.float64)[order]
+    n = len(ids)
+    mu = min(int(3 * perplexity), n - 1)
+    log_u = math.log(perplexity)
+    sq = (X * X).sum(axis=1)
+    chunk = max(256, min(n, (64 * 2**20) // (8 * max(1, n))))
+    jpos_all = np.empty((n, mu), dtype=np.int64)
+    ps_all = np.empty((n, mu), dtype=np.float64)
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        d = sq[lo:hi, None] + sq[None, :] - 2.0 * (X[lo:hi] @ X.T)
+        np.maximum(d, 0.0, out=d)
+        d[np.arange(hi - lo), np.arange(lo, hi)] = np.inf  # exclude self
+        idx = np.argpartition(d, mu - 1, axis=1)[:, :mu]
+        for r in range(hi - lo):
+            beta, p = _calibrate_row(d[r, idx[r]], log_u, tol)
+            jpos_all[lo + r] = idx[r]
+            ps_all[lo + r] = p
+    # Y1 symmetrization on positions: p_ij = max((p_ji+p_ij)/2n, clamp)
+    ipos = np.repeat(np.arange(n, dtype=np.int64), mu)
+    jpos = jpos_all.ravel()
+    key = np.concatenate([ipos * n + jpos, jpos * n + ipos])
+    val = np.concatenate([ps_all.ravel(), ps_all.ravel()])
+    uk, inv = np.unique(key, return_inverse=True)
+    pj = np.maximum(np.bincount(inv, weights=val) / (2.0 * n), P_CLAMP)
+    si = (uk // n).astype(np.int64)
+    sj = (uk % n).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(np.bincount(si, minlength=n))])
+    adjacency = pd.DataFrame(
+        {
+            "i": ids,
+            "js": [ids[sj[offs[r] : offs[r + 1]]].tolist() for r in range(n)],
+            "ps": [pj[offs[r] : offs[r + 1]].tolist() for r in range(n)],
+        }
+    )
+    return adjacency, ids
+
+
+def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=None):
     """X2P + symmetrize + adjacency, cached for the loop.
+
+    Inputs at or below the local threshold (see module constants) run
+    the whole affinity pipeline driver-side and return a pandas
+    adjacency — ``_loop`` then iterates without launching jobs.
 
     Partition sizing: per-iteration task overhead dominates when
     blocks are tiny, and the exact kernel materializes a k×n double
@@ -80,6 +153,15 @@ def _prepare(df, perplexity, id_col, features, method, mode):
     if df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
         logger.warning("Input is not persisted and performance could be bad")
     n = df.count()
+    if local_threshold is None:
+        local_threshold = LOCAL_THRESHOLD_BH if mode == "bh" else LOCAL_THRESHOLD_EXACT
+    if method == "block" and 1 < n <= local_threshold:
+        pdf_points = df.select(
+            F.col(id_col).alias("i"),
+            F.col(features).cast("array<double>").alias("f"),
+        ).toPandas()
+        adjacency, ids = _local_adjacency(pdf_points, perplexity, tol=1e-5)
+        return adjacency, ids, n
     par = df.sparkSession.sparkContext.defaultParallelism
     if mode == "exact":
         rows_per_block = max(1, (64 * 2**20) // (8 * max(1, n)))
@@ -108,32 +190,48 @@ def _loop(
     seed,
     y_scale,
 ):
-    sc = adjacency.sparkSession.sparkContext
+    local = isinstance(adjacency, pd.DataFrame)
     rng = np.random.default_rng(seed)
     Y = rng.standard_normal((n, no_dims)) * y_scale
     iY = np.zeros((n, no_dims))
     gains = np.ones((n, no_dims))
-    bc_ids = sc.broadcast(ids)
+    if not local:
+        sc = adjacency.sparkSession.sparkContext
+        bc_ids = sc.broadcast(ids)
     losses = []
     for iteration in range(1, max_iterations + 1):
         exaggeration = (
             param.exaggeration_factor if iteration <= param.early_exaggeration else 1.0
         )
-        if mode == "exact":
-            bc_state = sc.broadcast((Y, None))
-            pass_df = exact_gradient_pass(adjacency, bc_state, bc_ids, exaggeration)
+        if local:
+            # Sub-threshold input: identical kernels, no job launch.
+            if mode == "exact":
+                res = exact_block(adjacency, Y, ids, exaggeration)
+            else:
+                res = bh_block(
+                    adjacency, Y, FlatTree.from_matrix(Y), ids, theta, exaggeration
+                )
         else:
-            bc_state = sc.broadcast((Y, FlatTree.from_matrix(Y)))
-            pass_df = bh_gradient_pass(adjacency, bc_state, bc_ids, theta, exaggeration)
-        dY, Z, loss = assemble(pass_df.toPandas(), ids, n, no_dims, mode)
+            if mode == "exact":
+                bc_state = sc.broadcast((Y, None))
+                pass_df = exact_gradient_pass(adjacency, bc_state, bc_ids, exaggeration)
+            else:
+                bc_state = sc.broadcast((Y, FlatTree.from_matrix(Y)))
+                pass_df = bh_gradient_pass(
+                    adjacency, bc_state, bc_ids, theta, exaggeration
+                )
+            res = pass_df.toPandas()
+        dY, Z, loss = assemble(res, ids, n, no_dims, mode)
         update(Y, dY, iY, gains, iteration, param)
-        bc_state.destroy()
+        if not local:
+            bc_state.destroy()
         want_loss = report_loss(iteration) if callable(report_loss) else True
         if want_loss:
             losses.append((iteration, loss))
         if callback is not None:
             callback(iteration, Y.copy(), loss if want_loss else None)
-    bc_ids.destroy()
+    if not local:
+        bc_ids.destroy()
     return TSNEResult(ids=ids, Y=Y, losses=losses)
 
 
@@ -148,13 +246,18 @@ def simple_tsne(
     id_col: str = "id",
     features: str = "features",
     knn_method: str = "block",
+    local_threshold: int | None = None,
 ) -> TSNEResult:
     """Exact-gradient t-SNE (reference ``SimpleTSNE.tsne``).
 
     Y ~ N(0,1) seeded init (``SimpleTSNE.scala:26,32``); loss reported
-    every iteration.
+    every iteration. ``local_threshold``: row count at or below which
+    the identical kernels run driver-side with no per-iteration job
+    (None → ``LOCAL_THRESHOLD_EXACT``; 0 forces the distributed path).
     """
-    adjacency, ids, n = _prepare(df, perplexity, id_col, features, knn_method, "exact")
+    adjacency, ids, n = _prepare(
+        df, perplexity, id_col, features, knn_method, "exact", local_threshold
+    )
     return _loop(
         adjacency, ids, n, no_dims, max_iterations, param,
         mode="exact", theta=0.0, report_loss=lambda i: True,
@@ -189,7 +292,11 @@ def lbfgs_tsne(
     """
     from spark_tsne_spark.optim import lbfgs_minimize
 
-    adjacency, ids, n = _prepare(df, perplexity, id_col, features, knn_method, "exact")
+    # L-BFGS stays on the distributed pass (experimental path; its
+    # objective closure is built around broadcast state).
+    adjacency, ids, n = _prepare(
+        df, perplexity, id_col, features, knn_method, "exact", local_threshold=0
+    )
     sc = adjacency.sparkSession.sparkContext
     rng = np.random.default_rng(seed)
     Y0 = rng.standard_normal((n, no_dims)) * 1e-4
@@ -245,6 +352,7 @@ def bh_tsne(
     id_col: str = "id",
     features: str = "features",
     knn_method: str = "block",
+    local_threshold: int | None = None,
 ) -> TSNEResult:
     """Barnes-Hut t-SNE (reference ``BHTSNE.tsne``).
 
@@ -252,9 +360,13 @@ def bh_tsne(
     negative forces; loss cadence every 10 iterations by default
     (``BHTSNE.scala:22``). Unlike the reference the loss costs nothing
     extra (it rides the gradient pass), but the cadence contract is
-    kept.
+    kept. ``local_threshold``: row count at or below which the
+    identical kernels run driver-side with no per-iteration job
+    (None → ``LOCAL_THRESHOLD_BH``; 0 forces the distributed path).
     """
-    adjacency, ids, n = _prepare(df, perplexity, id_col, features, knn_method, "bh")
+    adjacency, ids, n = _prepare(
+        df, perplexity, id_col, features, knn_method, "bh", local_threshold
+    )
     return _loop(
         adjacency, ids, n, no_dims, max_iterations, param,
         mode="bh", theta=theta, report_loss=report_loss,

@@ -86,6 +86,56 @@ def _kl_partials(
     return _rowsum(row_of, lrow, k), _rowsum(row_of, p, k)
 
 
+def exact_block(
+    pdf: pd.DataFrame,
+    Y: np.ndarray,
+    ids_sorted: np.ndarray,
+    exaggeration: float,
+) -> pd.DataFrame:
+    """Exact-gradient kernel over one adjacency block.
+
+    Fuses the reference's numerator (``TSNEGradient.computeNumerator``,
+    ``TSNEGradient.scala:18-29``) and gradient/loss
+    (``TSNEGradient.compute``, ``:40-76``) kernels into one block
+    computation: for a block B,
+    ``num = 1/(1 + (‖y_b‖² + ‖y‖² − 2·Y_B·Yᵀ))`` with the diagonal
+    zeroed, then sparse positive forces over the P-neighbors and dense
+    negative forces over all columns. Shared verbatim by the
+    distributed ``mapInPandas`` pass and the small-input local path.
+    """
+    sumY = (Y * Y).sum(axis=1)
+    k = len(pdf)
+    ids = pdf["i"].to_numpy()
+    bi = np.searchsorted(ids_sorted, ids)
+    Yb = Y[bi]
+    # Student-t numerator block (diagonal zeroed)
+    num = 1.0 / (
+        1.0 + (sumY[None, :] + (Yb * Yb).sum(axis=1)[:, None] - 2.0 * (Yb @ Y.T))
+    )
+    num[np.arange(k), bi] = 0.0
+    znum = num.sum(axis=1)
+    # dense negative term: Σ_j num²·(y_i − y_j)
+    num2 = num * num
+    negF = num2.sum(axis=1)[:, None] * Yb - num2 @ Y
+    # sparse positive term over the P-neighbors, fully flattened
+    row_of, jpos, p = _flatten_edges(pdf, ids_sorted, exaggeration)
+    pn = p * num[row_of, jpos]
+    posF = _rowsum(row_of, pn, k)[:, None] * Yb
+    for c in range(Y.shape[1]):
+        posF[:, c] -= _rowsum(row_of, pn * Y[jpos, c], k)
+    ploss, psum = _kl_partials(row_of, p, num[row_of, jpos], k)
+    return pd.DataFrame(
+        {
+            "i": ids,
+            "posF": list(posF),
+            "negF": list(negF),
+            "znum": znum,
+            "ploss": ploss,
+            "psum": psum,
+        }
+    )
+
+
 def exact_gradient_pass(
     adjacency: DataFrame,
     bc_state,
@@ -94,13 +144,7 @@ def exact_gradient_pass(
 ) -> DataFrame:
     """Exact-gradient map pass over the cached adjacency table.
 
-    Fuses the reference's numerator (``TSNEGradient.computeNumerator``,
-    ``TSNEGradient.scala:18-29``) and gradient/loss
-    (``TSNEGradient.compute``, ``:40-76``) kernels into one block
-    computation: for a block B,
-    ``num = 1/(1 + (‖y_b‖² + ‖y‖² − 2·Y_B·Yᵀ))`` with the diagonal
-    zeroed, then sparse positive forces over the P-neighbors and dense
-    negative forces over all columns.
+    One :func:`exact_block` per Arrow batch.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,40 +153,10 @@ def exact_gradient_pass(
         tune_malloc()
         Y, _ = bc_state.value
         ids_sorted = bc_ids.value
-        sumY = (Y * Y).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            k = len(pdf)
-            ids = pdf["i"].to_numpy()
-            bi = np.searchsorted(ids_sorted, ids)
-            Yb = Y[bi]
-            # Student-t numerator block (diagonal zeroed)
-            num = 1.0 / (
-                1.0 + (sumY[None, :] + (Yb * Yb).sum(axis=1)[:, None] - 2.0 * (Yb @ Y.T))
-            )
-            num[np.arange(k), bi] = 0.0
-            znum = num.sum(axis=1)
-            # dense negative term: Σ_j num²·(y_i − y_j)
-            num2 = num * num
-            negF = num2.sum(axis=1)[:, None] * Yb - num2 @ Y
-            # sparse positive term over the P-neighbors, fully flattened
-            row_of, jpos, p = _flatten_edges(pdf, ids_sorted, exaggeration)
-            pn = p * num[row_of, jpos]
-            posF = _rowsum(row_of, pn, k)[:, None] * Yb
-            for c in range(Y.shape[1]):
-                posF[:, c] -= _rowsum(row_of, pn * Y[jpos, c], k)
-            ploss, psum = _kl_partials(row_of, p, num[row_of, jpos], k)
-            yield pd.DataFrame(
-                {
-                    "i": ids,
-                    "posF": list(posF),
-                    "negF": list(negF),
-                    "znum": znum,
-                    "ploss": ploss,
-                    "psum": psum,
-                }
-            )
+            yield exact_block(pdf, Y, ids_sorted, exaggeration)
 
     return adjacency.mapInPandas(run, GRAD_SCHEMA)
 
@@ -172,35 +186,49 @@ def bh_gradient_pass(
         tune_malloc()
         Y, tree = bc_state.value
         ids_sorted = bc_ids.value
-        d = Y.shape[1]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            k = len(pdf)
-            ids = pdf["i"].to_numpy()
-            bi = np.searchsorted(ids_sorted, ids)
-            Yb = Y[bi]
-            negF, sumQ = non_edge_forces(tree, Yb, theta)
-            row_of, jpos, p = _flatten_edges(pdf, ids_sorted, exaggeration)
-            diff = Yb[row_of] - Y[jpos]
-            qnum = 1.0 / (1.0 + (diff * diff).sum(axis=1))
-            w = p * qnum
-            posF = np.empty_like(Yb)
-            for c in range(d):
-                posF[:, c] = _rowsum(row_of, w * diff[:, c], k)
-            ploss, psum = _kl_partials(row_of, p, qnum, k)
-            yield pd.DataFrame(
-                {
-                    "i": ids,
-                    "posF": list(posF),
-                    "negF": list(negF),
-                    "znum": sumQ,
-                    "ploss": ploss,
-                    "psum": psum,
-                }
-            )
+            yield bh_block(pdf, Y, tree, ids_sorted, theta, exaggeration)
 
     return adjacency.mapInPandas(run, GRAD_SCHEMA)
+
+
+def bh_block(
+    pdf: pd.DataFrame,
+    Y: np.ndarray,
+    tree,
+    ids_sorted: np.ndarray,
+    theta: float,
+    exaggeration: float,
+) -> pd.DataFrame:
+    """Barnes-Hut kernel over one adjacency block (see
+    :func:`bh_gradient_pass`); shared by the distributed pass and the
+    small-input local path."""
+    k = len(pdf)
+    d = Y.shape[1]
+    ids = pdf["i"].to_numpy()
+    bi = np.searchsorted(ids_sorted, ids)
+    Yb = Y[bi]
+    negF, sumQ = non_edge_forces(tree, Yb, theta)
+    row_of, jpos, p = _flatten_edges(pdf, ids_sorted, exaggeration)
+    diff = Yb[row_of] - Y[jpos]
+    qnum = 1.0 / (1.0 + (diff * diff).sum(axis=1))
+    w = p * qnum
+    posF = np.empty_like(Yb)
+    for c in range(d):
+        posF[:, c] = _rowsum(row_of, w * diff[:, c], k)
+    ploss, psum = _kl_partials(row_of, p, qnum, k)
+    return pd.DataFrame(
+        {
+            "i": ids,
+            "posF": list(posF),
+            "negF": list(negF),
+            "znum": sumQ,
+            "ploss": ploss,
+            "psum": psum,
+        }
+    )
 
 
 def assemble(

@@ -72,6 +72,35 @@ def test_bh_tsne_e2e(spark, embeddings, features_by_id):
     run_checks(res, features_by_id, n)
 
 
+def test_local_path_matches_distributed(spark, embeddings, features_by_id):
+    """The adaptive driver-local fast path and the distributed
+    mapInPandas path share the same kernel functions — same seed must
+    give the same trajectory (up to BLAS reduction-order float noise
+    in the kNN distances)."""
+    kw = dict(
+        max_iterations=10, perplexity=12.0, seed=3,
+        id_col="vec_id", features="embedding",
+    )
+    loc = bh_tsne(embeddings, **kw)  # n=500 → local by default
+    dist = bh_tsne(embeddings, local_threshold=0, **kw)  # force distributed
+    assert np.array_equal(loc.ids, dist.ids)
+    assert np.allclose(loc.Y, dist.Y, rtol=1e-4, atol=1e-8)
+    le = simple_tsne(embeddings, **kw)
+    de = simple_tsne(embeddings, local_threshold=0, **kw)
+    assert np.allclose(le.Y, de.Y, rtol=1e-4, atol=1e-8)
+
+
+def test_distributed_bh_e2e(spark, embeddings, features_by_id):
+    """Full statistical checks on the forced-distributed loop (the
+    default-path e2e above now runs local at this n)."""
+    n = embeddings.count()
+    res = bh_tsne(
+        embeddings, max_iterations=120, perplexity=15.0, theta=0.5,
+        seed=42, id_col="vec_id", features="embedding", local_threshold=0,
+    )
+    run_checks(res, features_by_id, n)
+
+
 def test_determinism(spark, embeddings):
     a = simple_tsne(
         embeddings, max_iterations=5, perplexity=10.0, seed=7,
