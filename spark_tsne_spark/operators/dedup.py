@@ -66,8 +66,10 @@ def minhash_lsh_candidates(
     ``hash_fn='xxhash64'`` is the fast production hash; 'md5' is the
     DuckDB-portable oracle hash (see ``minhash_values``).
     """
+    from spark_tsne_spark.partitioning import widen_small_input
+
     n_bands = num_hashes // band_size
-    sig = docs.select(
+    sig = widen_small_input(docs).select(
         F.col(id_col).alias("doc_id"),
         minhash_values(text_col, num_hashes, shingle_k, hash_fn).alias("mh"),
     )
@@ -121,7 +123,9 @@ def simhash(
     conditional sums — one shuffle, no UDF. Returns
     ``(doc_id, simhash long)``.
     """
-    tok = docs.select(
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    tok = widen_small_input(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", F.md5("tok"))
     bit_sums = [
@@ -212,12 +216,13 @@ def ngram_jaccard_pairs(
     shingles — the standard production trade for bounded skew. None =
     exact (the oracle path).
     """
+    from spark_tsne_spark.partitioning import widen_small_input
+
     # Shingle the corpus ONCE (regex split + n-gram build is the
     # expensive narrow pass); sizes and the intersection count reuse
     # the persisted per-doc shingle sets instead of re-scanning text.
-    par = docs.sparkSession.sparkContext.defaultParallelism
     base = (
-        docs.repartition(par)  # small-fixture parquet lands as 1 partition
+        widen_small_input(docs)
         .select(
             F.col(id_col).alias("doc_id"),
             F.array_distinct(word_ngrams(text_col, n)).alias("gs"),
