@@ -11,7 +11,10 @@ Usage:  python examples/mnist_like.py [out_dir] [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 from pyspark.sql import functions as F
