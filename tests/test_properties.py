@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis) over the pure numerical kernels.
+
+The reference's only rigorous suite covers the SPTree
+(``SPTreeSpec.scala``); SURVEY.md §5 calls for exceeding that. These
+properties pin the calibration, symmetrization, optimizer-update, and
+gradient contracts over randomized inputs — no SparkSession needed, so
+they run in milliseconds.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from spark_tsne_spark.operators.x2p import _calibrate_row, hbeta
+from spark_tsne_spark.params import TSNEParam
+from spark_tsne_spark.update import update
+
+dist_rows = st.lists(
+    st.floats(min_value=0.0, max_value=1e4, allow_nan=False), min_size=5, max_size=120
+).filter(lambda xs: len(set(xs)) > 2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(dist_rows, st.floats(min_value=1.5, max_value=40.0))
+def test_calibration_hits_target_entropy(ds, perplexity):
+    """After bisection, H(β) ≈ log(perplexity) whenever the target is
+    attainable (perplexity below the neighbor count), and P is a
+    probability vector over the neighbors."""
+    d = np.asarray(ds, dtype=np.float64)
+    if perplexity >= len(d):
+        return
+    log_u = math.log(perplexity)
+    beta, p = _calibrate_row(d, log_u, tol=1e-5)
+    assert beta > 0
+    h, p2 = hbeta(d, beta)
+    if p.sum() > 0:  # underflow guard path returns zeros (quirk Q6)
+        assert abs(p.sum() - 1.0) < 1e-9
+        assert (p >= 0).all()
+        # d spans > float resolution of exp ⇒ bisection can stall at
+        # the 50-try cap; converged rows must sit within tolerance
+        if abs(h - log_u) > 1e-5:
+            return
+        assert abs(h - log_u) <= 1e-5
+
+
+@settings(max_examples=100, deadline=None)
+@given(dist_rows)
+def test_hbeta_matches_definition(ds):
+    """H and P from hbeta satisfy the definitional identities
+    (``X2PHelper.scala:17-26``)."""
+    d = np.asarray(ds, dtype=np.float64)
+    beta = 0.7
+    h, p = hbeta(d, beta)
+    raw = np.exp(-d * beta)
+    if raw.sum() == 0.0:
+        assert h == 0.0 and (p == 0).all()
+        return
+    assert np.allclose(p, raw / raw.sum())
+    expect_h = math.log(raw.sum()) + beta * float((d * raw).sum()) / raw.sum()
+    assert abs(h - expect_h) < 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=20, max_value=120),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_local_symmetrization_properties(n, seed):
+    """The driver-local Y1 symmetrization yields a symmetric matrix,
+    every entry ≥ the clamp, and total mass ≈ 1 (the p_ij sum to 1 by
+    construction before clamping)."""
+    import pandas as pd
+
+    from spark_tsne_spark.api import _local_adjacency
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, 8))
+    pdf = pd.DataFrame({"i": np.arange(n), "f": [r.tolist() for r in X]})
+    adjacency, ids = _local_adjacency(pdf, perplexity=5.0, tol=1e-5)
+    P = {}
+    total = 0.0
+    for i, js, ps in zip(adjacency["i"], adjacency["js"], adjacency["ps"]):
+        for j, p in zip(js, ps):
+            assert p >= 1e-12
+            P[(int(i), int(j))] = p
+            total += p
+    for (i, j), p in P.items():
+        assert (j, i) in P
+        assert abs(P[(j, i)] - p) < 1e-15
+    # clamped entries only ever push the sum ABOVE 1
+    assert 1.0 - 1e-9 <= total <= 1.0 + len(P) * 1e-12 + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_update_invariants(iteration, seed):
+    """Optimizer update (``TSNEHelper.scala:31-56``): gains floored at
+    min_gain, Y recentered to zero column means, velocity follows the
+    momentum recurrence."""
+    rng = np.random.default_rng(seed)
+    n, d = 40, 2
+    param = TSNEParam()
+    Y = rng.standard_normal((n, d))
+    dY = rng.standard_normal((n, d))
+    iY = rng.standard_normal((n, d)) * 0.1
+    gains = np.ones((n, d))
+    iY0, gains0 = iY.copy(), gains.copy()
+    update(Y, dY, iY, gains, iteration, param)
+    assert (gains >= param.min_gain).all()
+    assert np.abs(Y.mean(axis=0)).max() < 1e-12
+    momentum = (
+        param.initial_momentum if iteration <= param.t_momentum else param.final_momentum
+    )
+    agree = (dY > 0.0) == (iY0 > 0.0)
+    expect_gains = np.maximum(
+        np.where(agree, gains0 * 0.8, gains0 + 0.2), param.min_gain
+    )
+    assert np.allclose(gains, expect_gains)
+    expect_iY = momentum * iY0 - param.eta * (gains * dY)
+    assert np.allclose(iY, expect_iY)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_bh_theta_zero_equals_exact_forces(seed):
+    """θ=0 never accepts an internal cell, so the Barnes-Hut negative
+    forces must equal the dense Student-t negative forces."""
+    from spark_tsne_spark.sptree import FlatTree, non_edge_forces
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    Y = rng.standard_normal((n, 2))
+    tree = FlatTree.build(Y)
+    negF, sumQ = non_edge_forces(tree, Y, theta=0.0)
+    diff = Y[:, None, :] - Y[None, :, :]
+    d2 = (diff * diff).sum(-1)
+    qz = 1.0 / (1.0 + d2)
+    np.fill_diagonal(qz, 0.0)
+    expect_sumQ = qz.sum(axis=1)
+    expect_negF = (qz * qz)[:, :, None].__mul__(diff).sum(axis=1)
+    assert np.allclose(sumQ, expect_sumQ, rtol=1e-10)
+    assert np.allclose(negF, expect_negF, rtol=1e-10)
