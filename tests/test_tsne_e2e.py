@@ -101,6 +101,21 @@ def test_distributed_bh_e2e(spark, embeddings, features_by_id):
     run_checks(res, features_by_id, n)
 
 
+def test_bh_tsne_lsh_knn_path(spark, embeddings):
+    """The approximate-kNN (LSH bucket-join) affinity path — the
+    beyond-broadcast 100 TB route — must compose with the full loop:
+    finite decreasing KL, right shape."""
+    n = embeddings.count()
+    res = bh_tsne(
+        embeddings, max_iterations=80, perplexity=10.0, seed=5,
+        id_col="vec_id", features="embedding", knn_method="lsh",
+    )
+    assert res.Y.shape == (n, 2)
+    ls = [l for _, l in res.losses]
+    assert all(np.isfinite(l) for l in ls)
+    assert ls[-1] < ls[0]
+
+
 def test_determinism(spark, embeddings):
     a = simple_tsne(
         embeddings, max_iterations=5, perplexity=10.0, seed=7,
