@@ -146,6 +146,12 @@ def main():
     warm.withColumn(
         "r", F.row_number().over(_W.partitionBy("k").orderBy("v"))
     ).where(F.col("r") <= 2).count()
+    # Touch every input table once (footer/schema read + OS page cache)
+    # so per-query timings measure the queries, not first-scan I/O.
+    from spark_tsne_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, t, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
