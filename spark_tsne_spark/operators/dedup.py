@@ -322,9 +322,20 @@ def duplicate_clusters(
                 if rj < ri:
                     ri, rj = rj, ri
                 parent[rj] = ri
-        labels = [(int(x), int(find(x))) for x in parent]
+        import numpy as _np
+        import pandas as _pd
+
+        keys = list(parent)
+        lab_pdf = _pd.DataFrame(
+            {
+                "_cc_id": _np.asarray(keys, dtype=_np.int64),
+                "_cc_label": _np.asarray(
+                    [find(x) for x in keys], dtype=_np.int64
+                ),
+            }
+        )
         spark = pairs.sparkSession
-        lab_df = spark.createDataFrame(labels or [], "_cc_id long, _cc_label long")
+        lab_df = spark.createDataFrame(lab_pdf, "_cc_id long, _cc_label long")
         return vertices.select(F.col(id_col)).join(
             F.broadcast(lab_df), F.col(id_col) == F.col("_cc_id"), "left"
         ).select(
