@@ -114,8 +114,10 @@ def test_theta_half_approximates_exact():
 
 
 def test_flat_tree_matches_object_tree():
-    """FlatTree walk must be bit-identical to the object-tree walk at
-    any θ (same nodes, same accept decisions, different storage)."""
+    """FlatTree walk must visit the same cells with the same accept
+    decisions as the object-tree walk at any θ. The flat walk is
+    level-synchronous, so float accumulation ORDER differs — tolerance
+    covers exactly that (contributions themselves are identical)."""
     from spark_tsne_spark.sptree import FlatTree
 
     rng = np.random.default_rng(13)
@@ -126,5 +128,5 @@ def test_flat_tree_matches_object_tree():
     for theta in (0.0, 0.5, 1.2):
         negF_o, sumQ_o = non_edge_forces(tree, Y, theta)
         negF_f, sumQ_f = non_edge_forces(flat, Y, theta)
-        assert np.array_equal(sumQ_o, sumQ_f)
-        assert np.array_equal(negF_o, negF_f)
+        assert np.allclose(sumQ_o, sumQ_f, rtol=1e-10, atol=1e-12)
+        assert np.allclose(negF_o, negF_f, rtol=1e-10, atol=1e-10)
