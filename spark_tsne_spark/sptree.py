@@ -189,17 +189,19 @@ class FlatTree:
 
     @classmethod
     def build(cls, Y: np.ndarray, max_depth: int = 64) -> "FlatTree":
-        """Bulk top-down build — no per-point insertion.
+        """Bulk level-synchronous (BFS) build — no per-point insertion,
+        no per-node Python loop.
 
         The tree's *shape* is insertion-order independent: a cell is a
         leaf iff it holds ≤1 distinct point, and every node's
-        mass/count is the sum over contained points. So the builder
-        recurses on index ranges, routing all of a node's points to
-        children in one vectorized step using the reference's exact
-        cell rule ``min(max(ceil((v−corner)/childWidth)−1, 0), 1)``
-        (``SPTree.scala:53-56``). Per-node work is O(members) numpy;
-        the per-point Python descent of the insert path is gone (~4×
-        faster at n=10³, asymptotically the same nodes).
+        mass/count is the sum over contained points. The builder
+        advances one tree level per pass: ALL points of ALL nodes at
+        the level are routed to child cells in one vectorized step
+        using the reference's exact cell rule
+        ``min(max(ceil((v−corner)/childWidth)−1, 0), 1)``
+        (``SPTree.scala:53-56``); per-child counts/centers/extents come
+        from ``reduceat`` over one sort. Python iteration count is
+        O(tree depth), not O(nodes).
 
         ``max_depth`` guards the degenerate case of distinct points
         closer than float resolution of the repeatedly-halved cell
@@ -207,70 +209,89 @@ class FlatTree:
         """
         Y = np.asarray(Y, dtype=np.float64)
         n, dim = Y.shape
+        n_child = 2**dim
         mins = Y.min(axis=0)
         maxs = Y.max(axis=0)
-        n_child = 2**dim
-        centers: list[np.ndarray] = []
-        counts: list[int] = []
-        radii: list[float] = []
-        leaves: list[bool] = []
-        children: list[list[int]] = []
+        root_width = maxs - mins
 
-        # each frame: (member index array, corner, width, node slot, depth)
-        stack = [(np.arange(n), mins, maxs - mins, 0, 0)]
-        centers.append(np.zeros(dim))
-        counts.append(0)
-        radii.append(0.0)
-        leaves.append(True)
-        children.append([-1] * n_child)
-        while stack:
-            members, corner, width, slot, depth = stack.pop()
-            pts = Y[members]
-            cnt = len(members)
-            counts[slot] = cnt
-            centers[slot] = pts.sum(axis=0) / cnt
-            radii[slot] = float((width * width).sum())
-            if bool((pts == pts[0]).all()) or depth >= max_depth:
-                leaves[slot] = True
-                continue
-            leaves[slot] = False
-            # route every member with the reference's exact cell rule
-            child_width = width / 2.0
+        centers: list[np.ndarray] = [Y.sum(axis=0) / n]
+        counts: list[int] = [n]
+        radii: list[float] = [float((root_width * root_width).sum())]
+        leaves: list[bool] = [True]
+        children: list[np.ndarray] = [np.full(n_child, -1, dtype=np.int64)]
+        total_slots = 1
+
+        root_is_leaf = bool((Y == Y[0]).all()) or max_depth <= 0
+        if root_is_leaf:
+            lv_pts = np.array([], dtype=np.int64)
+            g_slot = np.array([], dtype=np.int64)
+        else:
+            lv_pts = np.arange(n)
+            g_slot = np.array([0], dtype=np.int64)
+        grp_of = np.zeros(len(lv_pts), dtype=np.int64)
+        g_corner = mins[None, :].copy()
+        g_width = root_width[None, :].copy()
+        depth = 0
+        bit_shifts = np.arange(dim - 1, -1, -1)
+
+        while g_slot.size:
+            child_width = g_width / 2.0
             with np.errstate(divide="ignore", invalid="ignore"):
-                ratio = (pts - corner) / child_width
+                ratio = (Y[lv_pts] - g_corner[grp_of]) / child_width[grp_of]
             digits = np.clip(np.ceil(ratio) - 1, 0, 1)
             digits = np.nan_to_num(digits, nan=1.0).astype(np.int64)
-            cell = np.zeros(cnt, dtype=np.int64)
+            cell = np.zeros(len(lv_pts), dtype=np.int64)
             for k in range(dim):
                 cell = cell * 2 + digits[:, k]
-            kid_slots = [-1] * n_child
-            order = np.argsort(cell, kind="stable")
-            sorted_cells = cell[order]
-            bounds = np.searchsorted(sorted_cells, np.arange(n_child + 1))
-            for c in range(n_child):
-                lo, hi = bounds[c], bounds[c + 1]
-                if lo == hi:
-                    continue
-                bits = np.array(
-                    [(c >> (dim - 1 - k)) & 1 for k in range(dim)], dtype=np.float64
-                )
-                kid_slot = len(counts)
-                kid_slots[c] = kid_slot
-                centers.append(np.zeros(dim))
-                counts.append(0)
-                radii.append(0.0)
-                leaves.append(True)
-                children.append([-1] * n_child)
-                stack.append(
-                    (
-                        members[order[lo:hi]],
-                        corner + bits * child_width,
-                        child_width,
-                        kid_slot,
-                        depth + 1,
-                    )
-                )
-            children[slot] = kid_slots
+            key = grp_of * n_child + cell
+            order = np.argsort(key, kind="stable")
+            skey, spts = key[order], lv_pts[order]
+            uniq, starts = np.unique(skey, return_index=True)
+            sizes = np.diff(np.append(starts, len(skey)))
+            K = len(uniq)
+            kid_slot = total_slots + np.arange(K)
+            parent_g = uniq // n_child
+            cellno = uniq % n_child
+
+            # write children rows + clear leaf flag on the subdivided nodes
+            rows = np.full((g_slot.size, n_child), -1, dtype=np.int64)
+            rows[parent_g, cellno] = kid_slot
+            for g in range(g_slot.size):
+                children[g_slot[g]] = rows[g]
+                leaves[g_slot[g]] = False
+
+            # child metadata, all groups at once
+            sums = np.add.reduceat(Y[spts], starts, axis=0)
+            centers_k = sums / sizes[:, None]
+            radius_k = (child_width[parent_g] ** 2).sum(axis=1)
+            bits = ((cellno[:, None] >> bit_shifts[None, :]) & 1).astype(np.float64)
+            corner_k = g_corner[parent_g] + bits * child_width[parent_g]
+            gmin = np.minimum.reduceat(Y[spts], starts, axis=0)
+            gmax = np.maximum.reduceat(Y[spts], starts, axis=0)
+            identical = (gmin == gmax).all(axis=1)
+
+            centers.extend(centers_k)
+            counts.extend(sizes.tolist())
+            radii.extend(radius_k.tolist())
+            leaves.extend([True] * K)
+            neg_row = np.full(n_child, -1, dtype=np.int64)
+            children.extend([neg_row] * K)
+            total_slots += K
+
+            # next level: children holding >1 distinct point, depth permitting
+            expand = ~identical if depth + 1 < max_depth else np.zeros(K, dtype=bool)
+            if not expand.any():
+                break
+            pos_group = np.repeat(np.arange(K), sizes)
+            keep = expand[pos_group]
+            lv_pts = spts[keep]
+            renum = np.cumsum(expand) - 1
+            grp_of = renum[pos_group[keep]]
+            g_slot = kid_slot[expand]
+            g_corner = corner_k[expand]
+            g_width = child_width[parent_g[expand]]
+            depth += 1
+
         return cls(
             np.asarray(centers, dtype=np.float64),
             np.asarray(counts, dtype=np.int64),

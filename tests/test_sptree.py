@@ -130,3 +130,31 @@ def test_flat_tree_matches_object_tree():
         negF_f, sumQ_f = non_edge_forces(flat, Y, theta)
         assert np.allclose(sumQ_o, sumQ_f, rtol=1e-10, atol=1e-12)
         assert np.allclose(negF_o, negF_f, rtol=1e-10, atol=1e-10)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=200),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_bfs_build_walk_matches_object_tree(n, d, seed):
+    """The BFS bulk build must produce walk-equivalent trees to the
+    insert-built object tree for any point set (duplicates included).
+    Node COUNTS differ by design — the object tree materializes all
+    2^d sibling cells, the bulk build only occupied ones — but empty
+    cells contribute nothing to any walk."""
+    from spark_tsne_spark.sptree import FlatTree
+
+    rng = np.random.default_rng(seed)
+    Y = rng.standard_normal((n, d))
+    if seed % 3 == 0:
+        Y[n // 2] = Y[0]
+    flat = FlatTree.build(Y)
+    obj = SPTree.from_matrix(Y)
+    assert flat.count[0] == n
+    for theta in (0.0, 0.7):
+        negF_o, sumQ_o = non_edge_forces(obj, Y, theta)
+        negF_f, sumQ_f = non_edge_forces(flat, Y, theta)
+        assert np.allclose(sumQ_o, sumQ_f, rtol=1e-9, atol=1e-9)
+        assert np.allclose(negF_o, negF_f, rtol=1e-9, atol=1e-9)
