@@ -198,6 +198,13 @@ def _loop(
     if not local:
         sc = adjacency.sparkSession.sparkContext
         bc_ids = sc.broadcast(ids)
+    elif mode == "bh":
+        # The flat edge arrays are loop-invariant: flatten ONCE, then
+        # every iteration is pure array kernels with no pandas churn.
+        from spark_tsne_spark.gradient import _flatten_edges, bh_forces
+
+        bi_l = np.searchsorted(ids, adjacency["i"].to_numpy())
+        row_of_l, jpos_l, p_base = _flatten_edges(adjacency, ids, 1.0)
     losses = []
     for iteration in range(1, max_iterations + 1):
         exaggeration = (
@@ -208,9 +215,26 @@ def _loop(
             if mode == "exact":
                 res = exact_block(adjacency, Y, ids, exaggeration)
             else:
-                res = bh_block(
-                    adjacency, Y, FlatTree.from_matrix(Y), ids, theta, exaggeration
+                posF, negF, sumQ, ploss, psum = bh_forces(
+                    Y,
+                    FlatTree.from_matrix(Y),
+                    bi_l,
+                    row_of_l,
+                    jpos_l,
+                    p_base * exaggeration,
+                    theta,
                 )
+                Z = float(sumQ.sum())
+                dY = np.zeros((n, no_dims))
+                dY[bi_l] = posF - negF / Z
+                loss = float(ploss.sum()) + math.log(Z) * float(psum.sum())
+                update(Y, dY, iY, gains, iteration, param)
+                want_loss = report_loss(iteration) if callable(report_loss) else True
+                if want_loss:
+                    losses.append((iteration, loss))
+                if callback is not None:
+                    callback(iteration, Y.copy(), loss if want_loss else None)
+                continue
         else:
             if mode == "exact":
                 bc_state = sc.broadcast((Y, None))

@@ -72,6 +72,36 @@ def _flatten_edges(pdf: pd.DataFrame, ids_sorted: np.ndarray, exaggeration: floa
     return row_of, jpos, p_all
 
 
+def bh_forces(
+    Y: np.ndarray,
+    tree,
+    bi: np.ndarray,
+    row_of: np.ndarray,
+    jpos: np.ndarray,
+    p: np.ndarray,
+    theta: float,
+):
+    """Array-level Barnes-Hut force core over a block.
+
+    ``bi``: embedding positions of the block rows; ``(row_of, jpos,
+    p)``: flattened (already exaggerated) edges. The flat edge form is
+    loop-invariant, so the driver-local path precomputes it once and
+    calls this every iteration with zero pandas churn.
+    Returns (posF, negF, znum, ploss, psum) arrays.
+    """
+    k = len(bi)
+    Yb = Y[bi]
+    negF, sumQ = non_edge_forces(tree, Yb, theta)
+    diff = Yb[row_of] - Y[jpos]
+    qnum = 1.0 / (1.0 + (diff * diff).sum(axis=1))
+    w = p * qnum
+    posF = np.empty_like(Yb)
+    for c in range(Y.shape[1]):
+        posF[:, c] = _rowsum(row_of, w * diff[:, c], k)
+    ploss, psum = _kl_partials(row_of, p, qnum, k)
+    return posF, negF, sumQ, ploss, psum
+
+
 def _rowsum(row_of: np.ndarray, values: np.ndarray, k: int) -> np.ndarray:
     return np.bincount(row_of, weights=values, minlength=k)
 
@@ -205,20 +235,10 @@ def bh_block(
     """Barnes-Hut kernel over one adjacency block (see
     :func:`bh_gradient_pass`); shared by the distributed pass and the
     small-input local path."""
-    k = len(pdf)
-    d = Y.shape[1]
     ids = pdf["i"].to_numpy()
     bi = np.searchsorted(ids_sorted, ids)
-    Yb = Y[bi]
-    negF, sumQ = non_edge_forces(tree, Yb, theta)
     row_of, jpos, p = _flatten_edges(pdf, ids_sorted, exaggeration)
-    diff = Yb[row_of] - Y[jpos]
-    qnum = 1.0 / (1.0 + (diff * diff).sum(axis=1))
-    w = p * qnum
-    posF = np.empty_like(Yb)
-    for c in range(d):
-        posF[:, c] = _rowsum(row_of, w * diff[:, c], k)
-    ploss, psum = _kl_partials(row_of, p, qnum, k)
+    posF, negF, sumQ, ploss, psum = bh_forces(Y, tree, bi, row_of, jpos, p, theta)
     return pd.DataFrame(
         {
             "i": ids,
