@@ -158,8 +158,14 @@ def calibrated_neighbors(
         nn = knn_exact_block(df, mu, id_col, features)
     elif method == "lsh":
         flat = knn_lsh(df, mu, id_col, features)
+        # ONE collect_list of structs: two parallel collect_lists have
+        # no contractual ordering guarantee relative to each other.
         nn = flat.groupBy("i").agg(
-            F.collect_list("j").alias("js"), F.collect_list("dist").alias("ds")
+            F.collect_list(F.struct("j", "dist")).alias("nbr")
+        ).select(
+            "i",
+            F.col("nbr.j").alias("js"),
+            F.col("nbr.dist").alias("ds"),
         )
     else:
         raise ValueError(f"unknown method {method!r}")

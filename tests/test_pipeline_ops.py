@@ -158,3 +158,37 @@ def test_colstats_regression_f4(spark):
     assert np.allclose(row["mean"].toArray(), [2.0, 20.0, 200.0], atol=1e-12)
     assert np.allclose(row["var"].toArray(), [1.0, 100.0, 10000.0], atol=1e-12)
     assert np.allclose(row["nnz"].toArray(), [3.0, 3.0, 3.0], atol=1e-12)
+
+
+def test_multimodal_to_dedup_chain(spark):
+    """Cross-family composition: binary media → feature extraction →
+    embedding-cosine near-dup pairs → duplicate clusters. Exact
+    payload duplicates must produce identical features and land in one
+    cluster; the distinct payloads must stay singletons."""
+    from spark_tsne_spark.operators.dedup import (
+        duplicate_clusters,
+        embedding_near_dups,
+    )
+
+    rows = [
+        (0, b"same-payload-A" * 8, ("image/fake", 8, 8, 1)),
+        (1, b"same-payload-A" * 8, ("image/fake", 8, 8, 1)),  # dup of 0
+        (2, b"same-payload-A" * 8, ("image/fake", 8, 8, 1)),  # dup of 0
+        (3, b"other-payload-B" * 8, ("image/fake", 8, 8, 1)),
+        (4, b"third-payload-C" * 8, ("image/fake", 8, 8, 1)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,n_frames:int>",
+    )
+    feats = extract_features(media, dim=16)
+    pairs = embedding_near_dups(
+        feats, id_col="media_id", vec_col="features", min_cosine=0.999
+    ).select("i", "j")
+    clusters = duplicate_clusters(
+        pairs, feats.select("media_id"), id_col="media_id"
+    ).collect()
+    label = {r["media_id"]: r["cluster_id"] for r in clusters}
+    assert label[0] == label[1] == label[2] == 0
+    assert label[3] == 3 and label[4] == 4
