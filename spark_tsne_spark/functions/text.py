@@ -99,6 +99,39 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(_col(text)), r"\s+", " ")))
 
 
+def winnow_fingerprints(
+    text: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing fingerprint set (Schleimer et al. 2003, the MOSS
+    scheme): hash every character k-gram, keep the minimum hash of
+    each ``window`` of consecutive shingles, distinct.
+
+    Guarantees any shared substring of length ≥ k + window − 1
+    contributes at least one common fingerprint to both documents —
+    the positional robustness whole-document hashing lacks. Documents
+    shorter than the guarantee threshold emit no fingerprints (the
+    scheme makes no promise about them). Fully declarative (one
+    ``transform`` over a shingle array) and DuckDB-portable via the
+    lowercase-hex md5 ordering, like ``minhash_values``.
+    """
+    t = _col(text)
+    hashes = F.transform(char_shingles(t, k), lambda s: F.md5(s))
+    # Sliding-window min as a zip_with chain over `window` shifted
+    # slices: O(window * L) per row. A naive transform(sequence(...),
+    # i -> array_min(slice(hashes, i, window))) re-evaluates the whole
+    # md5 array per position (higher-order-function lambdas don't CSE
+    # outer expressions), which is O(L^2) and 30x slower in practice.
+    n_out = F.size(hashes) - (window - 1)
+    mins = F.slice(hashes, 1, n_out)
+    for off in range(1, window):
+        mins = F.zip_with(
+            mins, F.slice(hashes, off + 1, n_out), lambda a, b: F.least(a, b)
+        )
+    return F.when(F.length(t) >= k + window - 1, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def minhash_values(
     text: Column | str,
     num_hashes: int = 16,

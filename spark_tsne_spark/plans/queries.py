@@ -35,6 +35,7 @@ from spark_tsne_spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    winnow_fingerprints,
 )
 from spark_tsne_spark.functions.vector import (
     cosine_sim,
@@ -1075,6 +1076,40 @@ def text_fingerprint(spark, sf_dir):
     """Deterministic normalized-text md5 fingerprint."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    """
+    SELECT doc_id, fp
+    FROM (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [list_min(h[i : i + 3])
+                for i in generate_series(1, len(h) - 3)]
+             )) AS fp
+      FROM (
+        SELECT doc_id,
+               [md5(text[i : i + 4])
+                for i in generate_series(1, length(text) - 4)] AS h
+        FROM documents
+        WHERE length(text) >= 8
+      )
+    )
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: min-md5 per 4-window of 5-gram
+    shingles, distinct, exploded to (doc_id, fp) rows. Guarantees any
+    shared substring of length ≥ 8 yields a common fingerprint."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            F.explode(winnow_fingerprints("text", k=5, window=4)).alias("fp"),
+        )
     )
 
 

@@ -192,3 +192,26 @@ def test_multimodal_to_dedup_chain(spark):
     label = {r["media_id"]: r["cluster_id"] for r in clusters}
     assert label[0] == label[1] == label[2] == 0
     assert label[3] == 3 and label[4] == 4
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing promise: documents sharing a substring of length
+    >= k + window - 1 (= 8 here) share at least one fingerprint;
+    a completely disjoint-alphabet doc shares none."""
+    from spark_tsne_spark.functions.text import winnow_fingerprints
+
+    common = "abcdefghij"  # length 10 >= 8
+    rows = [
+        (0, f"xxxx {common} yyyy"),
+        (1, f"zzzz {common} wwww"),
+        (2, "0123456789012345678901234"),
+        (3, "ab"),  # below threshold -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id", winnow_fingerprints("text", k=5, window=4).alias("fps")
+    ).collect()
+    fps = {r["doc_id"]: set(r["fps"]) for r in out}
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[2])
+    assert fps[3] == set()
