@@ -954,6 +954,35 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@register("multimodal_resize", None)
+def multimodal_resize(spark, sf_dir):
+    """Multimodal resize plumbing: documents re-landed as fake raw
+    16x16 images (text bytes as the pixel grid — the decode kernel is
+    the stub boundary), nearest-neighbor resampled to 8x8 in one
+    Arrow-batched narrow pass. Rows-only: md5 of the resized payload
+    pins determinism across runs."""
+    from spark_tsne_spark.sources.multimodal import resize_images
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+    out = resize_images(media, 8, 8)
+    return out.select(
+        "media_id",
+        F.length("payload").alias("out_len"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+
+
 _S1_SQL = """
     SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
     FROM lineitem WHERE l_orderkey < 1000

@@ -124,11 +124,83 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return flat.mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _decode_grid_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB image decode: interpret the raw payload as a row-major
+    uint8 pixel grid, zero-padded / truncated to ``height x width``.
+    A real deployment swaps this for PIL/libjpeg; the resample kernel
+    and everything around it is production-shaped.
+    """
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height
+    if buf.size < need:
+        buf = np.pad(buf, (0, need - buf.size))
+    return buf[:need].reshape(height, width)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — decode stubbed with NotImplementedError to make
-    the missing-codec boundary explicit (the plan/schema plumbing is
-    what this module ships)."""
-    raise NotImplementedError(
-        "image codecs are unavailable in this environment; "
-        "swap _decode_stub for a real decoder and mirror extract_features"
+    """Resize every image to ``width x height`` (nearest-neighbor),
+    one narrow Arrow-batched pass: decode (stubbed) -> vectorized
+    numpy index resample -> re-encode as raw bytes, metadata updated
+    in place. No shuffle; payloads stay columnar through Arrow.
+    """
+    from spark_tsne_spark.shipping import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"media_id": [], "payload": [], "meta": []}
+            for _, row in pdf.iterrows():
+                src_w = max(1, int(row["width"] or 1))
+                src_h = max(1, int(row["height"] or 1))
+                grid = _decode_grid_stub(bytes(row["payload"]), src_w, src_h)
+                ys = np.minimum(
+                    (np.arange(height) * src_h) // height, src_h - 1
+                )
+                xs = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
+                resized = grid[np.ix_(ys, xs)]
+                out["media_id"].append(row["media_id"])
+                out["payload"].append(resized.tobytes())
+                out["meta"].append(
+                    {
+                        "mime": row["mime"],
+                        "width": width,
+                        "height": height,
+                        "n_frames": row["n_frames"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    flat = media.select(
+        "media_id",
+        "payload",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
     )
+    return flat.mapInPandas(run, RESIZED_SCHEMA)

@@ -139,6 +139,34 @@ def test_multimodal_feature_extraction(spark):
     assert all(isinstance(bytes(r["frame"]), bytes) for r in frames)
 
 
+def test_multimodal_resize(spark):
+    """Nearest-neighbor resize over the stubbed raw-grid decode:
+    exact pixel selection down, pixel replication up, metadata
+    rewritten, payload length = new width*height."""
+    from spark_tsne_spark.sources.multimodal import resize_images
+
+    grid4 = bytes(range(16))  # 4x4 row-major: row r, col c -> 4r+c
+    grid2 = bytes([7, 9, 11, 13])  # 2x2
+    media = spark.createDataFrame(
+        [(0, grid4, ("image/fake", 4, 4, 1)), (1, grid2, ("image/fake", 2, 2, 1))],
+        "media_id long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,n_frames:int>",
+    )
+    down = {
+        r["media_id"]: r for r in resize_images(media, 2, 2).collect()
+    }
+    # 4x4 -> 2x2 picks rows {0,2} x cols {0,2}: values 0,2,8,10
+    assert bytes(down[0]["payload"]) == bytes([0, 2, 8, 10])
+    assert down[0]["meta"]["width"] == 2 and down[0]["meta"]["height"] == 2
+    assert down[0]["meta"]["mime"] == "image/fake"
+    up = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    # 2x2 -> 4x4 replicates each pixel into a 2x2 block
+    assert bytes(up[1]["payload"]) == bytes(
+        [7, 7, 9, 9, 7, 7, 9, 9, 11, 11, 13, 13, 11, 11, 13, 13]
+    )
+    assert all(len(bytes(r["payload"])) == 4 for r in down.values())
+
+
 def test_colstats_regression_f4(spark):
     """FIXTURES.md F4 (reference BugDemonstrationTest.scala:30-47):
     per-column mean / sample variance / numNonzeros on 3 fixed rows,
