@@ -99,6 +99,33 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(_col(text)), r"\s+", " ")))
 
 
+def shingle_hashes(text: Column | str, k: int = 5) -> Column:
+    """md5 of every character k-gram (DuckDB-portable hash order)."""
+    return F.transform(char_shingles(_col(text), k), lambda s: F.md5(s))
+
+
+def winnow_from_hashes(hashes: Column, window: int = 4) -> Column:
+    """Sliding-window minimum over a shingle-hash array: the winnowing
+    core, as a zip_with chain over ``window`` shifted slices
+    (O(window * L) per row).
+
+    Pass ``hashes`` as a *named column* materialized in its own
+    projection (see ``text_winnow_fingerprints``): referencing a
+    non-cheap alias several times keeps Catalyst's CollapseProject
+    from inlining it, so the md5 pass runs once per row. Handing an
+    inline ``transform(...)`` expression here re-evaluates it per
+    slice instead. Assumes ``size(hashes) >= window`` (filter shorter
+    docs out first — winnowing makes no promise about them anyway).
+    """
+    n_out = F.size(hashes) - (window - 1)
+    mins = F.slice(hashes, 1, n_out)
+    for off in range(1, window):
+        mins = F.zip_with(
+            mins, F.slice(hashes, off + 1, n_out), lambda a, b: F.least(a, b)
+        )
+    return F.array_distinct(mins)
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = 5, window: int = 4
 ) -> Column:
@@ -115,13 +142,14 @@ def winnow_fingerprints(
     lowercase-hex md5 ordering, like ``minhash_values``.
     """
     t = _col(text)
-    hashes = F.transform(char_shingles(t, k), lambda s: F.md5(s))
-    # Sliding-window min as a zip_with chain over `window` shifted
-    # slices: O(window * L) per row. A naive transform(sequence(...),
-    # i -> array_min(slice(hashes, i, window))) re-evaluates the whole
-    # md5 array per position (higher-order-function lambdas don't CSE
-    # outer expressions), which is O(L^2) and 30x slower in practice.
-    n_out = F.size(hashes) - (window - 1)
+    hashes = shingle_hashes(t, k)
+    # Single-expression form: the inline hash array is re-evaluated
+    # once per shifted slice (constant `window` factor). Length-based
+    # arithmetic for the slice width avoids `size(hashes)` re-running
+    # the md5 transform another `window` times. For the one-per-row
+    # evaluation, materialize shingle_hashes() in its own projection
+    # and call winnow_from_hashes (what the catalog query does).
+    n_out = F.length(t) - (k - 1) - (window - 1)
     mins = F.slice(hashes, 1, n_out)
     for off in range(1, window):
         mins = F.zip_with(

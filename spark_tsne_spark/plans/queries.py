@@ -35,7 +35,6 @@ from spark_tsne_spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
-    winnow_fingerprints,
 )
 from spark_tsne_spark.functions.vector import (
     cosine_sim,
@@ -1131,14 +1130,21 @@ def text_fingerprint(spark, sf_dir):
 def text_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) fingerprints: min-md5 per 4-window of 5-gram
     shingles, distinct, exploded to (doc_id, fp) rows. Guarantees any
-    shared substring of length ≥ 8 yields a common fingerprint."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .where(F.length("text") >= 8)
-        .select(
-            "doc_id",
-            F.explode(winnow_fingerprints("text", k=5, window=4)).alias("fp"),
-        )
+    shared substring of length ≥ 8 yields a common fingerprint.
+
+    Plan shape: widen the (often single-file) input so the md5-heavy
+    narrow stage uses every slot, then materialize the shingle-hash
+    array in its own projection so the window-min pass reads it once
+    per row instead of re-evaluating the transform per slice."""
+    from spark_tsne_spark.functions.text import shingle_hashes, winnow_from_hashes
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    docs = widen_small_input(
+        _t(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    )
+    hashed = docs.select("doc_id", shingle_hashes("text", k=5).alias("h"))
+    return hashed.select(
+        "doc_id", F.explode(winnow_from_hashes(F.col("h"), window=4)).alias("fp")
     )
 
 
