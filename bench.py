@@ -109,6 +109,7 @@ def bench_queries():
         "dedup_simhash": b_simhash_full,
         "dedup_ngram_jaccard": b_jaccard_full,
         "text_quality_score": Q.text_quality_score,
+        "text_winnow": Q.text_winnow_fingerprints,
         "knn_exact_block": b_knn_block,
         "ann_topk_cosine": b_ann_topk,
         "ann_ivf_topk": b_ivf_topk,
