@@ -381,6 +381,28 @@ def duplicate_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def canonical_corpus(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    **cluster_kwargs,
+) -> DataFrame:
+    """The deduplicated corpus: one representative row per duplicate
+    cluster (the minimum-id member — the cluster's own label), all
+    columns of ``vertices`` preserved.
+
+    This is the step pipelines actually consume — candidate pairs and
+    cluster labels are intermediates; training reads the kept rows.
+    The keep-list (ids where ``cluster_id == id``) is a projection of
+    the label frame, and the final semi-join broadcasts it when small
+    (AQE converts at runtime), so dedup adds no extra shuffle over the
+    clustering itself.
+    """
+    labels = duplicate_clusters(pairs, vertices, id_col=id_col, **cluster_kwargs)
+    keep = labels.where(F.col("cluster_id") == F.col(id_col)).select(id_col)
+    return vertices.join(keep, id_col, "semi")
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

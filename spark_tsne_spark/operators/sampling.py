@@ -1,0 +1,79 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+``DataFrame.sample`` is seed- *and partitioning*-dependent: the same
+seed over a repartitioned input selects different rows, which makes
+pipeline re-runs irreproducible. Content-hash sampling instead keys
+the include/exclude decision on a hash of the row's own bytes, so the
+sample is stable across runs, partitionings, engines (exact SQL
+oracle in DuckDB), and cluster sizes — and identical payloads land on
+the same side of the cut, composing cleanly with dedup.
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) and the predicate sits directly above the scan,
+so Catalyst can prune columns; one narrow pass, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 15 lowercase-hex md5 chars = 60 bits: fits a signed 64-bit int in
+# both Spark (conv base 16 -> 10) and DuckDB (('0x' || h)::BIGINT).
+_HASH_BITS = 60
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform 60-bit bucket from md5(salt || key) — the shared
+    primitive under sampling and train/test splitting. DuckDB oracle:
+    ``('0x' || substring(md5(salt || key), 1, 15))::BIGINT``.
+    """
+    h = F.md5(F.concat(F.lit(salt), _col(key)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key: Column | str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose content-hash bucket falls below ``fraction`` of
+    the hash space. Change ``salt`` to draw an independent sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(hash_bucket(key, salt) < int(fraction * _HASH_SPACE))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    stratum: Column | str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 20% of 'en' docs
+    but 5% of 'other'): one CASE over the stratum column picks the
+    threshold, the same content-hash bucket decides membership. Still
+    a single narrow pass — the stratum never becomes a shuffle key."""
+    threshold = F.lit(int(default_fraction * _HASH_SPACE))
+    for value, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {frac}")
+        threshold = F.when(
+            _col(stratum) == value, F.lit(int(frac * _HASH_SPACE))
+        ).otherwise(threshold)
+    return df.where(hash_bucket(key, salt) < threshold)
+
+
+def train_test_split(
+    df: DataFrame, key: Column | str, test_fraction: float, salt: str = ""
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, test) split on the content hash:
+    a document can never leak across the boundary between re-runs,
+    the property random splits lose the moment data is re-partitioned."""
+    cut = int(test_fraction * _HASH_SPACE)
+    bucket = hash_bucket(key, salt)
+    return df.where(bucket >= cut), df.where(bucket < cut)

@@ -770,6 +770,50 @@ def dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs, docs)
 
 
+_CANONICAL_SQL = (
+    "WITH RECURSIVE cand AS (" + _MINHASH_SQL + "),\n"
+    + r"""
+    edges AS (
+      SELECT i AS src, j AS dst FROM cand
+      UNION ALL
+      SELECT j AS src, i AS dst FROM cand
+    ),
+    verts AS (
+      SELECT doc_id FROM documents WHERE doc_id < 200 AND length(text) >= 5
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id, length(d.text) AS n_chars
+    FROM documents d JOIN labels l ON d.doc_id = l.id
+    WHERE l.cluster_id = l.id
+"""
+)
+
+
+@register("dedup_keep_canonical", _CANONICAL_SQL)
+def dedup_keep_canonical(spark, sf_dir):
+    """The deduplicated corpus itself — one kept row (the min-id
+    member) per near-dup cluster, singletons included. The consumable
+    end of the dedup pipeline; pairs and labels are intermediates."""
+    from spark_tsne_spark.operators.dedup import (
+        canonical_corpus,
+        minhash_lsh_candidates,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 200) & (F.length("text") >= 5))
+    )
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_k=5)
+    return canonical_corpus(docs, pairs).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
 _COS_NEARDUP_SQL = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1094,6 +1138,57 @@ def text_token_counts(spark, sf_dir):
         token_count("text").cast("long").alias("ws_tokens"),
         bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
     )
+
+
+_HASH_SPACE = 1 << 60
+_BUCKET_SQL = "('0x' || substring(md5({salt} || text), 1, 15))::BIGINT"
+
+
+@register(
+    "corpus_hash_sample",
+    f"""
+    SELECT doc_id, length(text) AS n_chars
+    FROM documents
+    WHERE {_BUCKET_SQL.format(salt="'s1'")} < {int(0.1 * _HASH_SPACE)}
+    """,
+)
+def corpus_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample keyed on content md5 —
+    reproducible across runs, partitionings, and engines (unlike
+    DataFrame.sample, whose output moves with the partitioning)."""
+    from spark_tsne_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, F.col("text"), 0.1, salt="s1").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN {_STOP_RATIO_SQL} > 0.08 THEN 'en' ELSE 'other' END AS lang
+      FROM documents
+    )
+    WHERE {_BUCKET_SQL.format(salt="'s2'")} <
+          CASE WHEN lang = 'en' THEN {int(0.25 * _HASH_SPACE)}
+               ELSE {int(0.05 * _HASH_SPACE)} END
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: keep 25% of 'en' docs and
+    5% of 'other' (language-ID stratum), one narrow pass — the CASE
+    picks the threshold, the content hash decides membership."""
+    from spark_tsne_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn("lang", lang_id("text"))
+    out = stratified_hash_sample(
+        docs, F.col("text"), "lang", {"en": 0.25, "other": 0.05}, salt="s2"
+    )
+    return out.select("doc_id", "lang")
 
 
 @register(

@@ -222,6 +222,63 @@ def test_multimodal_to_dedup_chain(spark):
     assert label[3] == 3 and label[4] == 4
 
 
+def test_hash_sampling(spark):
+    """Content-hash sampling: deterministic under repartitioning,
+    roughly the asked fraction, disjoint+exhaustive train/test split,
+    independent draws under different salts."""
+    from spark_tsne_spark.operators.sampling import hash_sample, train_test_split
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("text")
+    )
+    s1 = {r["doc_id"] for r in hash_sample(df, "text", 0.2, salt="a").collect()}
+    s1_again = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(7), "text", 0.2, salt="a").collect()
+    }
+    assert s1 == s1_again, "sample must not move with partitioning"
+    assert 0.15 < len(s1) / 2000 < 0.25
+    s2 = {r["doc_id"] for r in hash_sample(df, "text", 0.2, salt="b").collect()}
+    assert s2 != s1, "different salt must draw a different sample"
+    train, test = train_test_split(df, "text", 0.25, salt="c")
+    tr = {r["doc_id"] for r in train.collect()}
+    te = {r["doc_id"] for r in test.collect()}
+    assert not (tr & te) and len(tr) + len(te) == 2000
+
+
+def test_stratified_hash_sample(spark):
+    from spark_tsne_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("other").alias("lang"),
+    )
+    out = stratified_hash_sample(
+        df, "text", "lang", {"en": 0.5, "other": 0.1}
+    ).groupBy("lang").count()
+    counts = {r["lang"]: r["count"] for r in out.collect()}
+    assert 0.4 < counts["en"] / 2000 < 0.6
+    assert 0.05 < counts["other"] / 2000 < 0.15
+
+
+def test_canonical_corpus(spark, near_dup_docs):
+    """canonical_corpus keeps exactly one (min-id) row per duplicate
+    cluster and every singleton, with vertex columns intact."""
+    from spark_tsne_spark.operators.dedup import (
+        canonical_corpus,
+        minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(
+        near_dup_docs, num_hashes=8, band_size=2, shingle_k=5
+    )
+    # docs 0,1,2 are (near-)dups of each other; 3 and 4 are singletons
+    kept = canonical_corpus(near_dup_docs, pairs).collect()
+    assert {r["doc_id"] for r in kept} == {0, 3, 4}
+    assert all(r["text"] for r in kept)
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """Winnowing promise: documents sharing a substring of length
     >= k + window - 1 (= 8 here) share at least one fingerprint;
