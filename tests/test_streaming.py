@@ -132,3 +132,49 @@ def test_player_json_fold(spark, tmp_path):
     assert all(len(d["pos"]) == len(res["iterations"]) for d in res["data"])
     on_disk = json.load(open(tmp_path / "player.json"))
     assert on_disk["iterations"] == res["iterations"]
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark keep-set == batch distinct
+    fingerprints when all duplicates arrive inside the watermark."""
+    from spark_tsne_spark.functions.text import fingerprint
+    from spark_tsne_spark.streaming.dedup import dedup_stream
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .limit(100)
+        .select("doc_id", "text")
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+    )
+    # every doc re-arrives 10 minutes later under a new id
+    dups = docs.withColumn("doc_id", F.col("doc_id") + 1000).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
+    )
+    path = str(tmp_path / "docs_stream")
+    docs.write.parquet(path)
+    dups.write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(path)
+    )
+    q = (
+        dedup_stream(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM sdedup")
+    want_n = (
+        docs.unionByName(dups).select(fingerprint("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == want_n
+    # one emitted row per fingerprint, each a real ingested row
+    assert got.select("fp").distinct().count() == want_n
