@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: pin the plan properties SCALE.md
+claims (filter pushdown, column pruning, broadcast joins, no Python
+in JVM-only paths, single-evaluation projections) so they cannot
+silently regress. These assert on plan STRINGS, not timings — stable
+under load, and they fail loudly when a rewrite changes the shape."""
+
+import pytest
+
+from spark_tsne_spark.plans import queries as Q
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df) -> str:
+    """Full `explain("formatted")` text — node details untruncated
+    (the one-line toString elides long PushedFilters lists)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def scan_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_q1_pushdown_and_single_exchange(spark, sf_dir):
+    plan = plan_of(Q.q1_pricing_summary(spark, sf_dir))
+    scans = scan_lines(plan)
+    assert scans, plan
+    # the shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [" in scans[0] and "LessThanOrEqual" in scans[0]
+    # projection pruning: lineitem has 16 cols, q1 needs 7
+    read_schema = scans[0].split("ReadSchema:")[1]
+    assert read_schema.count(":") <= 8, read_schema
+    # one shuffle: the final groupBy (partial agg is map-side)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = formatted_plan(Q.q6_revenue_delta(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    for f in ("GreaterThanOrEqual", "LessThan"):
+        assert f in pushed, pushed
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert read_schema.count(":") <= 5, read_schema
+
+
+@pytest.mark.parametrize("qname", ["q3_top_orders", "q5_nation_revenue"])
+def test_dims_broadcast_not_shuffled(spark, sf_dir, qname):
+    """Star-schema dims must broadcast into the fact scan; a
+    SortMergeJoin here would shuffle the fact table per dim."""
+    plan = plan_of(getattr(Q, qname)(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["text_quality_score", "text_lang_id", "corpus_hash_sample", "text_fingerprint"],
+)
+def test_text_paths_stay_jvm_side(spark, sf_dir, qname):
+    """Text/sampling expressions are built-ins: no Python evaluation
+    node and no shuffle anywhere in these narrow passes."""
+    plan = plan_of(getattr(Q, qname)(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_winnow_hash_array_evaluated_once(spark, sf_dir):
+    """The shingle-hash projection must survive CollapseProject: one
+    md5 transform in the whole plan. If this regresses to inlining,
+    the md5 pass runs once per window slice (measured 29x slower)."""
+    plan = plan_of(Q.text_winnow_fingerprints(spark, sf_dir))
+    assert plan.count("md5") == 1, plan
+
+
+def test_hash_sample_prunes_columns(spark, sf_dir):
+    scan = scan_lines(plan_of(Q.corpus_hash_sample(spark, sf_dir)))[0]
+    read_schema = scan.split("ReadSchema:")[1]
+    # only doc_id and text are read, not the whole documents schema
+    assert read_schema.count(":") <= 2, read_schema
