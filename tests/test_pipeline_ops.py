@@ -300,3 +300,23 @@ def test_winnow_fingerprint_guarantee(spark):
     assert fps[0] & fps[1], "shared substring must share a fingerprint"
     assert not (fps[0] & fps[2])
     assert fps[3] == set()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be result-identical to the plain equi-join on
+    skewed data (one key = 50% of the big side), for inner and left."""
+    from spark_tsne_spark.partitioning import salted_join
+
+    big = spark.range(2000).select(
+        F.when(F.col("id") < 1000, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    for how in ("inner", "left"):
+        got = salted_join(big, small, "k", n_salts=8, how=how)
+        want = big.join(small, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), how
