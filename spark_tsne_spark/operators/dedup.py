@@ -69,10 +69,19 @@ def minhash_lsh_candidates(
     from spark_tsne_spark.partitioning import widen_small_input
 
     n_bands = num_hashes // band_size
+    # Docs shorter than one shingle have an empty shingle set — every one
+    # of them would fold to the identical sentinel signature and collapse
+    # into a single bucket whose i<j expansion is O(m²). Filter them here
+    # (they can't be near-duplicates under this scheme by definition)
+    # instead of relying on callers to pre-filter.
+    docs = docs.where(F.length(F.col(text_col)) >= shingle_k)
     sig = widen_small_input(docs).select(
         F.col(id_col).alias("doc_id"),
         minhash_values(text_col, num_hashes, shingle_k, hash_fn).alias("mh"),
     )
+    # '|' delimiter: xxhash64 values stringify at variable width (and may
+    # be negative), so an undelimited concat could alias distinct minhash
+    # tuples ('12'+'345' == '123'+'45') into one bucket.
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -81,7 +90,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            "", F.slice("mh", b * band_size + 1, band_size)
+                            "|", F.slice("mh", b * band_size + 1, band_size)
                         ).alias("sig"),
                     )
                     for b in range(n_bands)
@@ -153,41 +162,51 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Pairs whose simhash differs in ≤ ``max_hamming`` bits.
 
-    Candidate generation by bucket: identical-signature join (the
-    scalable production shape splits the signature into
-    ``max_hamming+1`` chunks and buckets on each — pigeonhole — which
-    is the same banding join as MinHash). Here: join on signature
-    chunks, verify hamming distance with ``bit_count(xor)``.
+    Candidate generation by pigeonhole bucketing: the signature is
+    split into ``max_hamming + 1`` disjoint bit chunks, so any pair
+    within the hamming budget agrees exactly on at least one chunk
+    (``max_hamming`` differing bits cannot touch all ``max_hamming+1``
+    chunks). Chunk buckets are grouped and i<j pairs expand JVM-side —
+    the same one-shuffle grouped pair-emit as MinHash banding, never a
+    self-join of the full chunk table — then hamming is verified with
+    ``bit_count(xor)``. Recall is exact for the stated contract.
     """
-    sig = simhash(docs, id_col, text_col, bits).cache()
-    half = bits // 2
-    chunks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("c"), F.shiftright("simhash", half).alias("v")),
-                F.struct(
-                    F.lit(1).alias("c"),
-                    (F.col("simhash") % F.lit(2**half)).alias("v"),
-                ),
-            )
-        ).alias("ch"),
-    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {n_chunks} chunks > {bits} bits")
+    sig = simhash(docs, id_col, text_col, bits)
+    # Even split of the bit range, MSB-first: chunk c covers lens[c]
+    # bits starting shifts[c] bits above the LSB.
+    base, rem = divmod(bits, n_chunks)
+    lens = [base + 1 if c < rem else base for c in range(n_chunks)]
+    shifts, s = [], bits
+    for length in lens:
+        s -= length
+        shifts.append(s)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("c"),
+            (F.shiftright("simhash", shifts[c]) % F.lit(2 ** lens[c])).alias("v"),
         )
+        for c in range(n_chunks)
+    ]
+    chunks = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    grouped = chunks.groupBy("c", "v").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, k) -> transform(slice(ds, k + 2, size(ds)), "
+        "y -> struct(x.doc_id AS i, y.doc_id AS j, x.simhash AS si, y.simhash AS sj))))"
+    )
+    return (
+        grouped.where(F.size("ds") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
         .select(
-            F.col("a.doc_id").alias("i"),
-            F.col("b.doc_id").alias("j"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("p.i").alias("i"),
+            F.col("p.j").alias("j"),
+            F.bit_count(F.col("p.si").bitwiseXOR(F.col("p.sj"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
@@ -218,19 +237,17 @@ def ngram_jaccard_pairs(
     """
     from spark_tsne_spark.partitioning import widen_small_input
 
-    # Shingle the corpus ONCE (regex split + n-gram build is the
-    # expensive narrow pass); sizes and the intersection count reuse
-    # the persisted per-doc shingle sets instead of re-scanning text.
-    base = (
-        widen_small_input(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(word_ngrams(text_col, n)).alias("gs"),
-        )
-        .persist()
+    # Shingle once into the exploded inverted index; per-doc set sizes
+    # are recovered from the same index with a groupBy rather than by
+    # persisting the per-doc shingle arrays — at corpus scale a persist
+    # of the shingled table spills far more than the extra map-side
+    # partial count costs, and nothing lingers in the block manager.
+    base = widen_small_input(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("gs"),
     )
-    sizes = base.select("doc_id", F.size("gs").alias("n_grams"))
     grams = base.select("doc_id", F.explode("gs").alias("g"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     # Intersection counts via grouped pair-emit: ONE shuffle groups the
     # inverted index by shingle, then all i<j doc pairs per shingle are
     # expanded JVM-side with nested `transform` (no self-join of the
@@ -251,11 +268,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
         .agg(F.count("*").alias("n_shared"))
     )
+    # No forced broadcast: `sizes` is one row per document (too big to
+    # broadcast at corpus scale); AQE converts these to broadcast joins
+    # at runtime whenever the measured side fits.
     sa = sizes.select(F.col("doc_id").alias("i"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("j"), F.col("n_grams").alias("nb"))
     return (
-        shared.join(F.broadcast(sa), "i")
-        .join(F.broadcast(sb), "j")
+        shared.join(sa, "i")
+        .join(sb, "j")
         .select(
             "i",
             "j",

@@ -133,7 +133,6 @@ def x2p(
     (``X2P.scala:72``, quirk Q2) — here diagnostics are opt-in via
     :func:`mean_sigma` to keep the plan lazy.
     """
-    mu = int(3 * perplexity)
     cal = calibrated_neighbors(df, tol, perplexity, id_col, features, method)
     return cal.select(
         "i", F.explode(F.arrays_zip("js", "ps")).alias("e")

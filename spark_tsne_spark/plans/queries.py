@@ -639,7 +639,7 @@ _MINHASH_SQL = r"""
     ),
     bands AS (
       SELECT doc_id, CAST(k // 2 AS INT) AS band,
-             string_agg(mh, '' ORDER BY k) AS sig
+             string_agg(mh, '|' ORDER BY k) AS sig
       FROM hx GROUP BY doc_id, CAST(k // 2 AS INT)
     )
     SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
@@ -944,10 +944,14 @@ _SIMHASH_NEAR_SQL = r"""
                AS simhash
       FROM bits GROUP BY doc_id
     ),
+    -- pigeonhole: max_hamming+1 = 3 disjoint chunks (6+5+5 bits, MSB
+    -- first) so any pair within hamming<=2 agrees on >=1 full chunk
     chunks AS (
-      SELECT doc_id, simhash, 0 AS c, simhash // 256 AS v FROM sig
+      SELECT doc_id, simhash, 0 AS c, (simhash // 1024) % 64 AS v FROM sig
       UNION ALL
-      SELECT doc_id, simhash, 1 AS c, simhash % 256 AS v FROM sig
+      SELECT doc_id, simhash, 1 AS c, (simhash // 32) % 32 AS v FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 2 AS c, simhash % 32 AS v FROM sig
     )
     SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
            bit_count(xor(a.simhash, b.simhash)) AS hamming

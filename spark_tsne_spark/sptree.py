@@ -75,6 +75,11 @@ class SPTree:
         """Route a point to the child cell that contains it."""
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = (v - self.corner) / self.child_width
+        # A subdividing cell with a zero-width dimension yields 0/0 = NaN
+        # (point on the corner); the reference tolerates it (NaN.toInt == 0,
+        # SPTree.scala getCellIndex). Mirror FlatTree.build: NaN → 0,
+        # ±inf → clamped finite, so math.ceil never sees a non-finite.
+        ratio = np.nan_to_num(ratio)
         idx = 0
         for k in range(self.dimension):
             digit = min(max(math.ceil(ratio[k]) - 1, 0), 1)

@@ -70,6 +70,17 @@ def test_build_with_duplicates():
     verify_correctness(tree)
 
 
+def test_build_constant_dimension():
+    """Points differing in only one coordinate: the constant dimension
+    gives child_width 0 and a 0/0 = NaN routing ratio. The reference
+    tolerates this (NaN.toInt == 0); the object tree must route it as
+    digit 0, not raise ValueError from math.ceil(nan)."""
+    pts = np.array([[1.0, 5.0], [2.0, 5.0], [3.0, 5.0], [1.5, 5.0]])
+    tree = SPTree.from_matrix(pts)
+    assert tree.count == 4
+    verify_correctness(tree)
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.integers(min_value=2, max_value=40),
