@@ -143,6 +143,43 @@ def cosine_topk_block(
     )
 
 
+def _kmeans_centroids(
+    base: DataFrame,
+    n_cells: int,
+    seed: int,
+    max_train: int = 200_000,
+) -> np.ndarray:
+    """Spherical-k-means coarse quantizer: L2-normalize, hash-sample a
+    bounded training set, fit ``pyspark.ml`` KMeans, re-normalize the
+    centroids (row-normalized Euclidean k-means ≈ cosine k-means).
+    Returns an ``(n_cells, d)`` unit-row matrix. Deterministic in
+    ``seed``; centroid count degrades gracefully below ``n_cells``
+    rows of input.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nrm = l2_norm("v")
+    unit = base.select(
+        F.transform("v", lambda x: x / nrm).alias("vn")
+    ).where(nrm > 0)
+    # Bounded training set: one count (narrow scan — the quantizer fit
+    # is a one-time cost) sizes a seeded Bernoulli sample so the fit
+    # never sees more than ~max_train rows regardless of corpus size.
+    n = unit.count()
+    if n == 0:
+        raise ValueError("ivf_topk: empty corpus")
+    frac = min(1.0, (max_train * 1.2) / n)
+    train = unit if frac >= 1.0 else unit.sample(False, frac, seed)
+    train = train.limit(max_train).select(array_to_vector("vn").alias("features"))
+    k_eff = min(n_cells, n)
+    model = KMeans(k=max(1, k_eff), seed=seed, maxIter=20).fit(train)
+    C = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return C / norms
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -155,12 +192,14 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Coarse quantizer = a deterministic seeded sample of ``n_cells``
-    corpus vectors (stand-in for k-means centroids; the routing,
-    partitioning and probe logic — the Spark-side structure — is
-    identical). Corpus rows are assigned to their nearest cell;
-    queries probe their ``n_probe`` nearest cells; the join is on
-    cell id, so work scales with cell population, not n².
+    Coarse quantizer = spherical k-means over the (L2-normalized)
+    corpus, trained with ``pyspark.ml.clustering.KMeans`` on a
+    deterministic hash-sample capped at ``max_train`` rows — at corpus
+    scale the quantizer never sees more than a bounded training set,
+    and the fit is one distributed job. Corpus rows are assigned to
+    their nearest centroid (one cell each); queries probe their
+    ``n_probe`` nearest cells; the join is on cell id, so work scales
+    with cell population, not n².
     """
     from spark_tsne_spark.shipping import ship_package
 
@@ -168,22 +207,7 @@ def ivf_topk(
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    # Deterministic centroid sample without a full global sort: hash-
-    # filter to ~4·n_cells candidates, sort only those. (Stand-in for
-    # k-means centroids — the routing/probe structure is the point.)
-    h = F.xxhash64(F.col("id") + F.lit(seed))
-    cand = base.withColumn("_h", h)
-    cents_rows = (
-        cand.where(F.pmod(F.col("_h"), F.lit(997)) < F.lit(64))
-        .orderBy("_h")
-        .limit(n_cells)
-        .collect()
-    )
-    if len(cents_rows) < n_cells:  # tiny input fallback: take first by hash
-        cents_rows = cand.orderBy("_h").limit(n_cells).collect()
-    cents = [(int(r["id"]), np.array(r["v"])) for r in cents_rows]
-    C = np.stack([c[1] for c in cents])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    C = _kmeans_centroids(base, n_cells, seed)
     sc = emb.sparkSession.sparkContext
     b_C = sc.broadcast(C)
 
@@ -227,13 +251,17 @@ def ivf_topk(
             X = np.array(pdf["v"].tolist(), dtype=np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             order = np.argsort(-(Xn @ C_.T), axis=1)[:, :n_probe]
-            rows = {"id": [], "v": [], "cell": []}
-            for r in range(len(pdf)):
-                for c in order[r]:
-                    rows["id"].append(pdf["id"].iloc[r])
-                    rows["v"].append(pdf["v"].iloc[r])
-                    rows["cell"].append(int(c))
-            yield pd.DataFrame(rows)
+            # Vectorized n_probe fan-out: repeat each row's id/vector
+            # once per probed cell, flatten the cell matrix — no
+            # per-row Python loop.
+            reps = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), reps),
+                    "v": pdf["v"].to_numpy().repeat(reps),
+                    "cell": order.ravel().astype(np.int32),
+                }
+            )
 
     par = emb.sparkSession.sparkContext.defaultParallelism
     corpus_cells = base.repartition(par).mapInPandas(assign, assign_schema)

@@ -972,61 +972,106 @@ def dedup_simhash_near(spark, sf_dir):
     return out.select("i", "j", F.col("hamming").cast("long").alias("hamming"))
 
 
-@register("multimodal_features", None)
-def multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: documents re-landed as opaque binary
-    payloads + typed metadata, pushed through the Arrow-batched
-    feature-extraction pass (decode kernel stubbed — deterministic
-    sha256-seeded features; the schema/batching/partitioning is the
-    production shape). Rows-only."""
-    from spark_tsne_spark.sources.multimodal import extract_features
+def _pgm_media(spark, sf_dir):
+    """documents → real binary P5 PGM payloads (16x16, pixels = text
+    bytes zero-padded). meta width/height deliberately 0: the real
+    netpbm decoder must take dimensions from the parsed header."""
+    from spark_tsne_spark.sources.multimodal import pgm_payload
 
-    media = _t(spark, sf_dir, "documents").select(
+    return _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
+        pgm_payload("text", 16, 16).alias("payload"),
         F.struct(
-            F.lit("text/plain").alias("mime"),
+            F.lit("image/x-portable-graymap").alias("mime"),
             F.lit(0).alias("width"),
             F.lit(0).alias("height"),
             F.lit(1).alias("n_frames"),
         ).alias("meta"),
     )
-    out = extract_features(media, dim=16)
+
+
+_MM_FEATURES_SQL = r"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN k < length(text) THEN unicode(substr(text, k + 1, 1))
+                  ELSE 0 END AS code
+      FROM documents, range(0, 256) t(k)
+    ),
+    h AS (
+      SELECT doc_id, code // 16 AS bin, count(*) AS c
+      FROM b GROUP BY doc_id, code // 16
+    ),
+    dense AS (
+      SELECT d.doc_id, i.i AS bin, coalesce(h.c, 0) AS c
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN range(0, 16) i(i)
+      LEFT JOIN h ON h.doc_id = d.doc_id AND h.bin = i.i
+    )
+    SELECT doc_id AS media_id, 16 AS dim,
+           md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin)) AS hist_md5
+    FROM dense GROUP BY doc_id
+"""
+
+
+@register("multimodal_features", _MM_FEATURES_SQL)
+def multimodal_features(spark, sf_dir):
+    """Multimodal features with a REAL decode: documents land as
+    genuine P5 PGM binaries, the pure-numpy netpbm parser decodes the
+    header + pixel grid, and features are a 16-bin intensity
+    histogram. The DuckDB oracle recomputes every bin count from the
+    same text bytes — this is a value check of the actual decoder,
+    not a rows-only smoke test."""
+    from spark_tsne_spark.sources.multimodal import extract_features
+
+    out = extract_features(_pgm_media(spark, sf_dir), dim=16)
+    # features are exact bin_count/256 fractions; scale back to the
+    # integer counts for a float-free cross-engine hash
     return out.select(
         "media_id",
         F.size("features").alias("dim"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6).alias(
-            "feat_sum"
-        ),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "features",
+                    lambda f: F.round(f * 256).cast("int").cast("string"),
+                ),
+            )
+        ).alias("hist_md5"),
     )
 
 
-@register("multimodal_resize", None)
+_MM_RESIZE_SQL = r"""
+    SELECT doc_id AS media_id, 8 AS w, 8 AS h,
+           md5(list_aggregate(list_transform(range(0, 64),
+               k -> CAST(CASE WHEN (32 * (k // 8) + 2 * (k % 8)) < length(text)
+                         THEN unicode(substr(text, 32 * (k // 8) + 2 * (k % 8) + 1, 1))
+                         ELSE 0 END AS VARCHAR)),
+               'string_agg', ',')) AS pix_md5
+    FROM documents
+"""
+
+
+@register("multimodal_resize", _MM_RESIZE_SQL)
 def multimodal_resize(spark, sf_dir):
-    """Multimodal resize plumbing: documents re-landed as fake raw
-    16x16 images (text bytes as the pixel grid — the decode kernel is
-    the stub boundary), nearest-neighbor resampled to 8x8 in one
-    Arrow-batched narrow pass. Rows-only: md5 of the resized payload
-    pins determinism across runs."""
+    """Multimodal resize with a REAL decode: P5 PGM payloads are
+    parsed by the pure-numpy netpbm decoder (dims from the header —
+    meta says 0x0), nearest-neighbor resampled 16x16 → 8x8 in one
+    Arrow-batched narrow pass. The oracle recomputes every output
+    pixel (source index 32y+2x of the text bytes) in DuckDB — an
+    exact pixel-level value check."""
     from spark_tsne_spark.sources.multimodal import resize_images
 
-    media = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.struct(
-            F.lit("image/fake").alias("mime"),
-            F.lit(16).alias("width"),
-            F.lit(16).alias("height"),
-            F.lit(1).alias("n_frames"),
-        ).alias("meta"),
-    )
-    out = resize_images(media, 8, 8)
+    out = resize_images(_pgm_media(spark, sf_dir), 8, 8)
+    # binary → per-pixel ints via hex (JVM-side), hashed as a csv
     return out.select(
         "media_id",
-        F.length("payload").alias("out_len"),
-        F.md5("payload").alias("payload_md5"),
         F.col("meta.width").alias("w"),
         F.col("meta.height").alias("h"),
+        F.expr(
+            "md5(concat_ws(',', transform(sequence(0, 63), "
+            "k -> conv(substr(hex(payload), k * 2 + 1, 2), 16, 10))))"
+        ).alias("pix_md5"),
     )
 
 

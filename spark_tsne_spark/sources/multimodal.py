@@ -2,11 +2,14 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` passes. The decode kernels themselves are STUBBED
-(image/audio codecs are not available in this environment): a
-clearly-marked deterministic fake stands in so the Spark-side
-contract — schema, batch shape, partitioning, UDF signature — is real
-and tested, and a production deployment swaps ``_decode_stub`` for a
+``mapInPandas`` passes.
+
+Decode support: **netpbm (P5 PGM / P6 PPM) images decode for real** —
+a pure-numpy parser (`parse_netpbm`) with no codec dependency — so one
+genuine image format is exercised end-to-end (header parse → pixel
+grid → resample / histogram features). Compressed formats (JPEG/PNG/
+audio) remain STUBBED (`_decode_stub`) because no codec library ships
+in this environment; a production deployment swaps the stub for a
 PIL/ffmpeg call without touching the plan.
 
 Scale notes: binary payloads stay columnar through Arrow; per-batch
@@ -58,6 +61,66 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def pgm_payload(text_col, width: int, height: int):
+    """Column expression: a real binary P5 PGM image whose pixel grid
+    is the first ``width*height`` bytes of an ASCII text column
+    (zero-padded / truncated). Pure JVM-side (encode + rpad + concat),
+    so catalog queries can land genuine netpbm payloads from the
+    `documents` table and the DuckDB oracle can recompute every pixel
+    from the same text."""
+    header = F.encode(F.lit(f"P5\n{width} {height}\n255\n"), "UTF-8")
+    body = F.encode(F.rpad(F.col(text_col) if isinstance(text_col, str) else text_col,
+                           width * height, "\x00"), "UTF-8")
+    return F.concat(header, body)
+
+
+def parse_netpbm(payload: bytes) -> np.ndarray | None:
+    """Pure-numpy decoder for binary netpbm images: P5 (grayscale PGM)
+    and P6 (RGB PPM, averaged to grayscale). Returns a ``(h, w)``
+    uint8 grid, or ``None`` when the payload is not a binary netpbm
+    (caller falls back to the stub). Truncated rasters are zero-padded
+    (deterministic, mirrors the raw-grid stub's padding).
+
+    Header grammar (netpbm spec): magic, then three ASCII decimal
+    tokens (width, height, maxval) separated by whitespace, ``#``
+    comments running to end-of-line allowed, a single whitespace byte,
+    then the raw raster. Only maxval <= 255 (1-byte samples) is
+    supported — the common case; 2-byte-sample images fall back.
+    """
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        return None
+    pos, toks = 2, []
+    n = len(payload)
+    try:
+        while len(toks) < 3:
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos < n and payload[pos : pos + 1] == b"#":
+                while pos < n and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace byte before the raster
+    except (ValueError, IndexError):
+        return None
+    w, h, maxval = toks
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    buf = np.frombuffer(payload, dtype=np.uint8, count=min(need, n - pos), offset=pos)
+    if buf.size < need:
+        buf = np.pad(buf, (0, need - buf.size))
+    if ch == 3:
+        rgb = buf.reshape(h, w, 3).astype(np.uint16)
+        return (rgb.sum(axis=2) // 3).astype(np.uint8)
+    return buf.reshape(h, w)
+
+
 def _decode_stub(payload: bytes, dim: int = 16) -> np.ndarray:
     """STUB decoder: deterministic pseudo-features from the payload
     bytes (sha256-seeded). A real deployment replaces this with an
@@ -70,8 +133,20 @@ def _decode_stub(payload: bytes, dim: int = 16) -> np.ndarray:
     return rng.standard_normal(dim)
 
 
+def _histogram_features(grid: np.ndarray, dim: int) -> np.ndarray:
+    """Real image features: a ``dim``-bin normalized intensity
+    histogram of the decoded pixel grid (deterministic, SQL-checkable
+    — see the ``multimodal_features`` oracle)."""
+    counts = np.bincount((grid.ravel().astype(np.uint16) * dim) // 256, minlength=dim)
+    return counts[:dim].astype(np.float64) / max(1, grid.size)
+
+
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """binary payload → fixed-width feature vector, one narrow pass."""
+    """binary payload → fixed-width feature vector, one narrow pass.
+
+    netpbm payloads (P5/P6) decode for real and yield intensity
+    histograms; other payloads fall to the deterministic stub.
+    """
     from spark_tsne_spark.shipping import ship_package
 
     ship_package(media.sparkSession)
@@ -83,7 +158,13 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = [list(_decode_stub(bytes(p), dim)) for p in pdf["payload"]]
+            feats = []
+            for p in pdf["payload"]:
+                grid = parse_netpbm(bytes(p))
+                if grid is not None:
+                    feats.append(list(_histogram_features(grid, dim)))
+                else:
+                    feats.append(list(_decode_stub(bytes(p), dim)))
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
@@ -108,12 +189,17 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             if len(pdf) == 0:
                 continue
             out = {"media_id": [], "frame_idx": [], "frame": []}
-            for _, row in pdf.iterrows():
-                n = max(1, int(row["n_frames"] or 1))
-                payload = bytes(row["payload"])
+            # column zips, not iterrows: per-payload slicing is
+            # inherently per-row, but building a pandas Series per row
+            # is not
+            for mid, payload, n_frames in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                n = max(1, int(n_frames or 1))
+                payload = bytes(payload)
                 step = max(1, len(payload) // n)
                 for k in range(0, n, every_n):
-                    out["media_id"].append(row["media_id"])
+                    out["media_id"].append(mid)
                     out["frame_idx"].append(k)
                     out["frame"].append(payload[k * step : (k + 1) * step])
             yield pd.DataFrame(out)
@@ -158,13 +244,16 @@ def _decode_grid_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize every image to ``width x height`` (nearest-neighbor),
-    one narrow Arrow-batched pass: decode (stubbed) -> vectorized
-    numpy index resample -> re-encode as raw bytes, metadata updated
-    in place. No shuffle; payloads stay columnar through Arrow.
+    one narrow Arrow-batched pass: decode (real netpbm parse, raw-grid
+    stub otherwise) -> vectorized numpy index resample -> re-encode as
+    raw bytes, metadata updated in place. No shuffle; payloads stay
+    columnar through Arrow.
     """
     from spark_tsne_spark.shipping import ship_package
 
     ship_package(media.sparkSession)
+    xs_tpl = np.arange(width)
+    ys_tpl = np.arange(height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_tsne_spark.runtime import tune_malloc
@@ -174,23 +263,28 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             if len(pdf) == 0:
                 continue
             out = {"media_id": [], "payload": [], "meta": []}
-            for _, row in pdf.iterrows():
-                src_w = max(1, int(row["width"] or 1))
-                src_h = max(1, int(row["height"] or 1))
-                grid = _decode_grid_stub(bytes(row["payload"]), src_w, src_h)
-                ys = np.minimum(
-                    (np.arange(height) * src_h) // height, src_h - 1
-                )
-                xs = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
+            for mid, payload, mime, w0, h0, nf in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"],
+                pdf["width"], pdf["height"], pdf["n_frames"],
+            ):
+                grid = parse_netpbm(bytes(payload))
+                if grid is None:
+                    src_w = max(1, int(w0 or 1))
+                    src_h = max(1, int(h0 or 1))
+                    grid = _decode_grid_stub(bytes(payload), src_w, src_h)
+                else:
+                    src_h, src_w = grid.shape
+                ys = np.minimum((ys_tpl * src_h) // height, src_h - 1)
+                xs = np.minimum((xs_tpl * src_w) // width, src_w - 1)
                 resized = grid[np.ix_(ys, xs)]
-                out["media_id"].append(row["media_id"])
+                out["media_id"].append(mid)
                 out["payload"].append(resized.tobytes())
                 out["meta"].append(
                     {
-                        "mime": row["mime"],
+                        "mime": mime,
                         "width": width,
                         "height": height,
-                        "n_frames": row["n_frames"],
+                        "n_frames": nf,
                     }
                 )
             yield pd.DataFrame(out)

@@ -150,7 +150,8 @@ def test_ivf_recall_vs_exact(spark, embeddings):
     for r in approx:
         ap.setdefault(r["i"], set()).add(r["j"])
     recalls = [len(ex[i] & ap.get(i, set())) / len(ex[i]) for i in ex]
-    assert np.mean(recalls) > 0.5  # probing half the cells → decent recall
+    # real k-means centroids + probing half the cells → high recall
+    assert np.mean(recalls) >= 0.8
 
 
 def test_standardize_and_pca(spark, embeddings):
@@ -214,6 +215,58 @@ def test_multimodal_resize(spark):
         [7, 7, 9, 9, 7, 7, 9, 9, 11, 11, 13, 13, 11, 11, 13, 13]
     )
     assert all(len(bytes(r["payload"])) == 4 for r in down.values())
+
+
+def test_netpbm_decoder_real_formats():
+    """The pure-numpy netpbm parser: P5 exact pixels, P6 RGB→gray,
+    comments in the header, truncated raster zero-pad, non-netpbm
+    payloads → None (stub fallback)."""
+    from spark_tsne_spark.sources.multimodal import parse_netpbm
+
+    p5 = b"P5\n# a comment\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    g = parse_netpbm(p5)
+    assert g.shape == (2, 3) and g.tolist() == [[10, 20, 30], [40, 50, 60]]
+    # P6: RGB triples average (floor) to grayscale
+    p6 = b"P6 2 1 255 " + bytes([255, 0, 0, 10, 20, 33])
+    g6 = parse_netpbm(p6)
+    assert g6.shape == (1, 2) and g6.tolist() == [[85, 21]]
+    # truncated raster: zero-padded, not an error
+    short = b"P5\n2 2\n255\n" + bytes([9])
+    assert parse_netpbm(short).tolist() == [[9, 0], [0, 0]]
+    assert parse_netpbm(b"JFIF....") is None
+    assert parse_netpbm(b"P5\nnot-a-number\n") is None
+
+
+def test_resize_decodes_real_pgm(spark):
+    """resize_images must take dimensions from a real PGM header (meta
+    deliberately wrong) and resample the decoded grid."""
+    from spark_tsne_spark.sources.multimodal import resize_images
+
+    grid4 = bytes(range(16))  # 4x4
+    pgm = b"P5\n4 4\n255\n" + grid4
+    media = spark.createDataFrame(
+        [(0, pgm, ("image/x-portable-graymap", 0, 0, 1))],
+        "media_id long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,n_frames:int>",
+    )
+    out = resize_images(media, 2, 2).collect()[0]
+    assert bytes(out["payload"]) == bytes([0, 2, 8, 10])
+
+
+def test_features_real_histogram(spark):
+    """extract_features on a netpbm payload yields the exact intensity
+    histogram, not the sha stub."""
+    pgm = b"P5\n4 2\n255\n" + bytes([0, 0, 15, 16, 31, 32, 255, 255])
+    media = spark.createDataFrame(
+        [(0, pgm, ("image/x-portable-graymap", 0, 0, 1))],
+        "media_id long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,n_frames:int>",
+    )
+    feats = extract_features(media, dim=16).collect()[0]["features"]
+    # bins (value//16): 0:{0,0,15}, 1:{16,31}, 2:{32}, 15:{255,255}
+    expect = [0.0] * 16
+    expect[0], expect[1], expect[2], expect[15] = 3 / 8, 2 / 8, 1 / 8, 2 / 8
+    assert feats == pytest.approx(expect)
 
 
 def test_colstats_regression_f4(spark):
