@@ -143,41 +143,88 @@ def cosine_topk_block(
     )
 
 
+def _spherical_kmeans(
+    X: np.ndarray, k: int, seed: int, iters: int = 20, restarts: int = 8
+) -> np.ndarray:
+    """Driver-side spherical k-means over a unit-row sample matrix.
+
+    k-means++ (D²) seeding, Lloyd iterations with cosine assignment
+    (argmax X·Cᵀ over unit rows) and re-normalized mean updates; empty
+    cells reseed to the worst-served point. Best of ``restarts``
+    seeded runs by mean within-cell similarity. Deterministic in
+    ``seed``. O(restarts·iters·n·k·d) flops — milliseconds at the
+    bounded sample sizes used here.
+    """
+    n = X.shape[0]
+    k = min(k, n)
+
+    def one(s: int) -> tuple[np.ndarray, float]:
+        rng = np.random.default_rng(s)
+        chosen = [int(rng.integers(n))]
+        best_sim = X @ X[chosen[0]]
+        for _ in range(1, k):
+            d2 = np.maximum(0.0, 1.0 - best_sim)
+            tot = d2.sum()
+            if tot <= 0:
+                nxt = int(rng.integers(n))
+            else:
+                nxt = int(rng.choice(n, p=d2 / tot))
+            chosen.append(nxt)
+            best_sim = np.maximum(best_sim, X @ X[nxt])
+        C = X[chosen].copy()
+        for _ in range(iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            sims = (X * C[assign]).sum(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if not mask.any():
+                    C[c] = X[int(np.argmin(sims))]
+                    continue
+                m = X[mask].sum(axis=0)
+                nm = np.linalg.norm(m)
+                C[c] = m / nm if nm > 0 else C[c]
+        assign = np.argmax(X @ C.T, axis=1)
+        return C, float((X * C[assign]).sum(axis=1).mean())
+
+    best_C, best_obj = None, -2.0
+    for s in range(seed, seed + max(1, restarts)):
+        C, obj = one(s)
+        if obj > best_obj:
+            best_C, best_obj = C, obj
+    return best_C
+
+
 def _kmeans_centroids(
     base: DataFrame,
     n_cells: int,
     seed: int,
-    max_train: int = 200_000,
+    max_train: int = 100_000,
 ) -> np.ndarray:
-    """Spherical-k-means coarse quantizer: L2-normalize, hash-sample a
-    bounded training set, fit ``pyspark.ml`` KMeans, re-normalize the
-    centroids (row-normalized Euclidean k-means ≈ cosine k-means).
-    Returns an ``(n_cells, d)`` unit-row matrix. Deterministic in
-    ``seed``; centroid count degrades gracefully below ``n_cells``
-    rows of input.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Spherical-k-means coarse quantizer trained on a bounded sample.
 
-    nrm = l2_norm("v")
-    unit = base.select(
-        F.transform("v", lambda x: x / nrm).alias("vn")
-    ).where(nrm > 0)
-    # Bounded training set: one count (narrow scan — the quantizer fit
-    # is a one-time cost) sizes a seeded Bernoulli sample so the fit
-    # never sees more than ~max_train rows regardless of corpus size.
-    n = unit.count()
+    The quantizer only needs a representative sample, not the corpus
+    (the standard IVF design: FAISS trains coarse quantizers on
+    30–256 points per centroid). One metadata-cheap ``count`` sizes a
+    seeded Bernoulli sample capped at ``max_train`` rows (≤ ~50 MB at
+    d=64 — bounded regardless of corpus size), which is collected and
+    fit driver-side with pure numpy — a single narrow Spark job
+    instead of 20 distributed KMeans iterations. Deterministic in
+    ``seed``. Returns ``(C, n)``: an ``(n_cells, d)`` unit-row matrix
+    and the corpus row count (reused by the caller for partition
+    sizing).
+    """
+    n = base.count()
     if n == 0:
         raise ValueError("ivf_topk: empty corpus")
     frac = min(1.0, (max_train * 1.2) / n)
-    train = unit if frac >= 1.0 else unit.sample(False, frac, seed)
-    train = train.limit(max_train).select(array_to_vector("vn").alias("features"))
-    k_eff = min(n_cells, n)
-    model = KMeans(k=max(1, k_eff), seed=seed, maxIter=20).fit(train)
-    C = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
-    norms = np.linalg.norm(C, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return C / norms
+    train = base if frac >= 1.0 else base.sample(False, frac, seed)
+    rows = train.limit(max_train).select("v").collect()
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    if len(X) == 0:
+        raise ValueError("ivf_topk: corpus has no nonzero vectors")
+    return _spherical_kmeans(X, n_cells, seed), n
 
 
 def ivf_topk(
@@ -186,20 +233,21 @@ def ivf_topk(
     k: int,
     n_cells: int = 16,
     n_probe: int = 4,
+    replicas: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Coarse quantizer = spherical k-means over the (L2-normalized)
-    corpus, trained with ``pyspark.ml.clustering.KMeans`` on a
-    deterministic hash-sample capped at ``max_train`` rows — at corpus
-    scale the quantizer never sees more than a bounded training set,
-    and the fit is one distributed job. Corpus rows are assigned to
-    their nearest centroid (one cell each); queries probe their
-    ``n_probe`` nearest cells; the join is on cell id, so work scales
-    with cell population, not n².
+    Coarse quantizer = driver-side spherical k-means on a bounded
+    sample (see :func:`_kmeans_centroids`). Corpus rows are indexed
+    into their ``replicas`` nearest cells (multi-assignment — the
+    standard recall lever when clusters overlap; storage grows by
+    ``replicas``×, never the join); queries probe their ``n_probe``
+    nearest cells; the join is on cell id, so work scales with cell
+    population × probes, not n². Duplicate (i, j) candidates from
+    shared cells are dropped before ranking.
     """
     from spark_tsne_spark.shipping import ship_package
 
@@ -207,11 +255,11 @@ def ivf_topk(
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    C = _kmeans_centroids(base, n_cells, seed)
+    C, n_corpus = _kmeans_centroids(base, n_cells, seed)
     sc = emb.sparkSession.sparkContext
     b_C = sc.broadcast(C)
 
-    assign_schema = T.StructType(
+    fanout_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
             T.StructField("v", T.ArrayType(T.DoubleType())),
@@ -219,68 +267,61 @@ def ivf_topk(
         ]
     )
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+    def cell_fanout(n_top: int):
+        """mapInPandas kernel: emit each row once per its n_top
+        nearest cells — vectorized (np.repeat / ravel), no row loop."""
 
-        tune_malloc()
-        C_ = b_C.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            cell = np.argmax(Xn @ C_.T, axis=1).astype(np.int32)
-            yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "cell": cell})
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from spark_tsne_spark.runtime import tune_malloc
 
-    probe_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("v", T.ArrayType(T.DoubleType())),
-            T.StructField("cell", T.IntegerType()),
-        ]
-    )
+            tune_malloc()
+            C_ = b_C.value
+            m = min(n_top, len(C_))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf["v"].tolist(), dtype=np.float64)
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                sim = Xn @ C_.T
+                if m == 1:
+                    order = np.argmax(sim, axis=1)[:, None]
+                else:
+                    top = np.argpartition(-sim, m - 1, axis=1)[:, :m]
+                    order = top  # membership only — order within cells irrelevant
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf["id"].to_numpy(), m),
+                        "v": pdf["v"].to_numpy().repeat(m),
+                        "cell": order.ravel().astype(np.int32),
+                    }
+                )
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        return run
 
-        tune_malloc()
-        C_ = b_C.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            order = np.argsort(-(Xn @ C_.T), axis=1)[:, :n_probe]
-            # Vectorized n_probe fan-out: repeat each row's id/vector
-            # once per probed cell, flatten the cell matrix — no
-            # per-row Python loop.
-            reps = order.shape[1]
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(pdf["id"].to_numpy(), reps),
-                    "v": pdf["v"].to_numpy().repeat(reps),
-                    "cell": order.ravel().astype(np.int32),
-                }
-            )
-
+    # Partition the corpus scan by size, not blindly by parallelism:
+    # ≥4096 rows per Arrow batch amortizes the per-task Python worker
+    # overhead; large corpora still fan out to full parallelism.
     par = emb.sparkSession.sparkContext.defaultParallelism
-    corpus_cells = base.repartition(par).mapInPandas(assign, assign_schema)
-    query_cells = (
-        queries.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-        ).mapInPandas(probe, probe_schema)
+    parts = max(1, min(par, n_corpus // 4096 + 1))
+    corpus_cells = base.repartition(parts).mapInPandas(
+        cell_fanout(max(1, replicas)), fanout_schema
     )
+    query_cells = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).mapInPandas(cell_fanout(max(1, n_probe)), fanout_schema)
     joined = corpus_cells.alias("c").join(
         F.broadcast(query_cells.alias("q")), on="cell"
     ).where(F.col("q.id") != F.col("c.id"))
-    # Each corpus row lives in exactly ONE cell (argmax assignment), so
-    # (i, j) pairs are already unique across probed cells — no dedup
-    # shuffle needed.
     pairs = joined.select(
         F.col("q.id").alias("i"),
         F.col("c.id").alias("j"),
         cosine_sim(F.col("q.v"), F.col("c.v")).alias("cosine"),
     )
+    # Multi-assignment can surface the same (i, j) via several shared
+    # cells; drop duplicates before ranking (same shuffle key as the
+    # ranking window, so AQE plans them back-to-back).
+    if replicas > 1:
+        pairs = pairs.dropDuplicates(["i", "j"])
     w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))
