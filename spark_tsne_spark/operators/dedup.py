@@ -174,9 +174,17 @@ def simhash_near_dups(
     n_chunks = max_hamming + 1
     if n_chunks > bits:
         raise ValueError(f"max_hamming={max_hamming} needs {n_chunks} chunks > {bits} bits")
+    if bits > 62:
+        # 2**len literals overflow LongType at 63 bits, and Spark's
+        # sign-following % over an arithmetic shiftright would bucket
+        # equal low-chunk bit patterns differently once bit 63 is set
+        # (silent recall loss). Cap until simhash grows a wide-sig type.
+        raise ValueError("simhash_near_dups supports bits <= 62")
     sig = simhash(docs, id_col, text_col, bits)
     # Even split of the bit range, MSB-first: chunk c covers lens[c]
-    # bits starting shifts[c] bits above the LSB.
+    # bits starting shifts[c] bits above the LSB. shiftrightunsigned +
+    # mask (not %) keeps the chunk value a pure bit-slice even if the
+    # top bit were ever set.
     base, rem = divmod(bits, n_chunks)
     lens = [base + 1 if c < rem else base for c in range(n_chunks)]
     shifts, s = [], bits
@@ -186,7 +194,9 @@ def simhash_near_dups(
     chunk_structs = [
         F.struct(
             F.lit(c).alias("c"),
-            (F.shiftright("simhash", shifts[c]) % F.lit(2 ** lens[c])).alias("v"),
+            F.shiftrightunsigned("simhash", shifts[c])
+            .bitwiseAND(F.lit(2 ** lens[c] - 1))
+            .alias("v"),
         )
         for c in range(n_chunks)
     ]
@@ -237,17 +247,17 @@ def ngram_jaccard_pairs(
     """
     from spark_tsne_spark.partitioning import widen_small_input
 
-    # Shingle once into the exploded inverted index; per-doc set sizes
-    # are recovered from the same index with a groupBy rather than by
-    # persisting the per-doc shingle arrays — at corpus scale a persist
-    # of the shingled table spills far more than the extra map-side
-    # partial count costs, and nothing lingers in the block manager.
+    # Shingle once; per-doc set sizes come straight off the unexploded
+    # arrays as a NARROW F.size projection (no shuffle, nothing
+    # persisted — recomputing the shingling for the sizes branch costs
+    # the same scan the groupBy alternative would, without its doc_id
+    # exchange).
     base = widen_small_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(text_col, n)).alias("gs"),
     )
     grams = base.select("doc_id", F.explode("gs").alias("g"))
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    sizes = base.select("doc_id", F.size("gs").alias("n_grams"))
     # Intersection counts via grouped pair-emit: ONE shuffle groups the
     # inverted index by shingle, then all i<j doc pairs per shingle are
     # expanded JVM-side with nested `transform` (no self-join of the

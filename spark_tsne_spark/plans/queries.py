@@ -991,11 +991,15 @@ def _pgm_media(spark, sf_dir):
 
 
 _MM_FEATURES_SQL = r"""
-    WITH b AS (
+    WITH ascii_docs AS (
+      SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
+      FROM documents
+    ),
+    b AS (
       SELECT doc_id,
              CASE WHEN k < length(text) THEN unicode(substr(text, k + 1, 1))
                   ELSE 0 END AS code
-      FROM documents, range(0, 256) t(k)
+      FROM ascii_docs, range(0, 256) t(k)
     ),
     h AS (
       SELECT doc_id, code // 16 AS bin, count(*) AS c
@@ -1048,7 +1052,8 @@ _MM_RESIZE_SQL = r"""
                          THEN unicode(substr(text, 32 * (k // 8) + 2 * (k % 8) + 1, 1))
                          ELSE 0 END AS VARCHAR)),
                'string_agg', ',')) AS pix_md5
-    FROM documents
+    FROM (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
+          FROM documents)
 """
 
 

@@ -69,8 +69,14 @@ def pgm_payload(text_col, width: int, height: int):
     `documents` table and the DuckDB oracle can recompute every pixel
     from the same text."""
     header = F.encode(F.lit(f"P5\n{width} {height}\n255\n"), "UTF-8")
-    body = F.encode(F.rpad(F.col(text_col) if isinstance(text_col, str) else text_col,
-                           width * height, "\x00"), "UTF-8")
+    # rpad counts CHARACTERS while the raster needs BYTES — any
+    # non-ASCII char would silently misalign every following pixel
+    # (and diverge from the per-character DuckDB oracle). Strip
+    # non-ASCII up front so the chars==bytes assumption is enforced,
+    # not hoped for; oracle SQL mirrors the same strip.
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    ascii_only = F.regexp_replace(col, "[^\\x00-\\x7F]", "")
+    body = F.encode(F.rpad(ascii_only, width * height, "\x00"), "UTF-8")
     return F.concat(header, body)
 
 
@@ -110,9 +116,14 @@ def parse_netpbm(payload: bytes) -> np.ndarray | None:
     w, h, maxval = toks
     if w <= 0 or h <= 0 or not (0 < maxval <= 255):
         return None
+    if pos > n:
+        # Header tokens ended exactly at end-of-payload (no raster, no
+        # trailing whitespace byte) — malformed; fall back like any
+        # other truncated input instead of letting frombuffer throw.
+        return None
     ch = 3 if magic == b"P6" else 1
     need = w * h * ch
-    buf = np.frombuffer(payload, dtype=np.uint8, count=min(need, n - pos), offset=pos)
+    buf = np.frombuffer(payload, dtype=np.uint8, count=max(0, min(need, n - pos)), offset=pos)
     if buf.size < need:
         buf = np.pad(buf, (0, need - buf.size))
     if ch == 3:

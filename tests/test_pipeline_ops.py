@@ -88,6 +88,28 @@ def test_simhash_pigeonhole_recall_exact(spark, sf_dir):
     assert got == expected
 
 
+def test_simhash_wide_signature_rejected(near_dup_docs):
+    """bits > 62 would overflow the LongType chunk-mask literals; the
+    operator must refuse loudly instead of silently losing recall."""
+    import pytest
+
+    with pytest.raises(ValueError, match="bits <= 62"):
+        simhash_near_dups(near_dup_docs, bits=64, max_hamming=2)
+
+
+def test_pgm_payload_strips_non_ascii(spark):
+    """Non-ASCII text would make rpad's character count diverge from
+    the raster's byte count; pgm_payload must strip it so every pixel
+    byte aligns with the per-character oracle."""
+    from spark_tsne_spark.sources.multimodal import parse_netpbm, pgm_payload
+
+    df = spark.createDataFrame([(0, "abécd")], "doc_id long, text string")
+    payload = bytes(df.select(pgm_payload("text", 2, 2).alias("p")).first()["p"])
+    grid = parse_netpbm(payload)
+    # é stripped: pixels are exactly a, b, c, d
+    assert grid.ravel().tolist() == [ord("a"), ord("b"), ord("c"), ord("d")]
+
+
 def test_minhash_filters_short_docs(spark):
     """Docs shorter than one shingle can't near-dup under the scheme;
     they must be dropped inside the operator (not collapse into one
@@ -235,6 +257,11 @@ def test_netpbm_decoder_real_formats():
     assert parse_netpbm(short).tolist() == [[9, 0], [0, 0]]
     assert parse_netpbm(b"JFIF....") is None
     assert parse_netpbm(b"P5\nnot-a-number\n") is None
+    # header's third token ends exactly at end-of-payload: the raster
+    # separator byte is missing — must fall back to None, not throw
+    assert parse_netpbm(b"P5\n2 2\n255") is None
+    # separator present but zero raster bytes: valid zero-pad contract
+    assert parse_netpbm(b"P5\n2 2\n255\n").tolist() == [[0, 0], [0, 0]]
 
 
 def test_resize_decodes_real_pgm(spark):
