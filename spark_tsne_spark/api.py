@@ -61,6 +61,9 @@ Callback = Callable[[int, np.ndarray, "float | None"], None]
 # is lower because its kernel materializes an n×n numerator.
 LOCAL_THRESHOLD_BH = 16384
 LOCAL_THRESHOLD_EXACT = 4096
+# 'auto' kNN picks 'block' while the broadcast n×d double matrix fits
+# this budget, 'lsh' beyond it (~4M rows at d=64).
+KNN_BROADCAST_BUDGET_BYTES = 2 << 30
 
 
 @dataclass
@@ -135,6 +138,34 @@ def _local_adjacency(pdf_points: pd.DataFrame, perplexity: float, tol: float):
     return adjacency, ids
 
 
+def _resolve_knn_method(method: str, n: int, d: int) -> str:
+    """Pick the kNN path from the data, not hope.
+
+    'block' broadcasts the full n×d double matrix to every executor
+    (and first collects it on the driver) — exact and fast while it
+    fits, a driver OOM when it doesn't. 'auto' chooses 'block' under
+    :data:`KNN_BROADCAST_BUDGET_BYTES` and 'lsh' above; an explicit
+    'block' above budget is honored but warned about.
+    """
+    est = n * d * 8
+    if method == "auto":
+        if est > KNN_BROADCAST_BUDGET_BYTES:
+            logger.info(
+                "knn auto: n*d*8 = %.1f GB exceeds broadcast budget; using 'lsh'",
+                est / 2**30,
+            )
+            return "lsh"
+        return "block"
+    if method == "block" and est > KNN_BROADCAST_BUDGET_BYTES:
+        logger.warning(
+            "knn_method='block' broadcasts ~%.1f GB (n=%d, d=%d) — above the "
+            "%.1f GB budget; expect driver/executor memory pressure. "
+            "Use knn_method='auto' or 'lsh'.",
+            est / 2**30, n, d, KNN_BROADCAST_BUDGET_BYTES / 2**30,
+        )
+    return method
+
+
 def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=None):
     """X2P + symmetrize + adjacency, cached for the loop.
 
@@ -153,6 +184,9 @@ def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=Non
     if df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
         logger.warning("Input is not persisted and performance could be bad")
     n = df.count()
+    first = df.select(F.size(F.col(features)).alias("d")).first()
+    d = int(first["d"]) if first is not None else 0
+    method = _resolve_knn_method(method, n, d)
     if local_threshold is None:
         local_threshold = LOCAL_THRESHOLD_BH if mode == "bh" else LOCAL_THRESHOLD_EXACT
     if method == "block" and 1 < n <= local_threshold:
@@ -269,7 +303,7 @@ def simple_tsne(
     param: TSNEParam = TSNEParam(),
     id_col: str = "id",
     features: str = "features",
-    knn_method: str = "block",
+    knn_method: str = "auto",
     local_threshold: int | None = None,
 ) -> TSNEResult:
     """Exact-gradient t-SNE (reference ``SimpleTSNE.tsne``).
@@ -300,7 +334,7 @@ def lbfgs_tsne(
     param: TSNEParam = TSNEParam(),
     id_col: str = "id",
     features: str = "features",
-    knn_method: str = "block",
+    knn_method: str = "auto",
 ) -> TSNEResult:
     """L-BFGS t-SNE (reference ``LBFGSTSNE.tsne``, ``LBFGSTSNE.scala:20``).
 
@@ -375,7 +409,7 @@ def bh_tsne(
     param: TSNEParam = TSNEParam(),
     id_col: str = "id",
     features: str = "features",
-    knn_method: str = "block",
+    knn_method: str = "auto",
     local_threshold: int | None = None,
 ) -> TSNEResult:
     """Barnes-Hut t-SNE (reference ``BHTSNE.tsne``).

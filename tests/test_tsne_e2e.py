@@ -116,6 +116,40 @@ def test_bh_tsne_lsh_knn_path(spark, embeddings):
     assert ls[-1] < ls[0]
 
 
+def test_knn_method_auto_resolution():
+    """'auto' must pick 'block' under the broadcast budget and 'lsh'
+    above it (n·d·8 bytes); explicit choices pass through."""
+    from spark_tsne_spark.api import KNN_BROADCAST_BUDGET_BYTES, _resolve_knn_method
+
+    under = KNN_BROADCAST_BUDGET_BYTES // (64 * 8) - 1
+    over = KNN_BROADCAST_BUDGET_BYTES // (64 * 8) + 1
+    assert _resolve_knn_method("auto", under, 64) == "block"
+    assert _resolve_knn_method("auto", over, 64) == "lsh"
+    assert _resolve_knn_method("lsh", under, 64) == "lsh"
+    assert _resolve_knn_method("block", over, 64) == "block"  # honored, warned
+
+
+def test_knn_auto_over_budget_never_collects_matrix(spark, embeddings, monkeypatch):
+    """With 'auto' above the broadcast budget, the full-matrix
+    driver collect (knn_exact_block's toPandas) must never run — the
+    10⁸-row user gets LSH, not a driver OOM."""
+    import spark_tsne_spark.api as api_mod
+    import spark_tsne_spark.operators.x2p as x2p_mod
+
+    monkeypatch.setattr(api_mod, "KNN_BROADCAST_BUDGET_BYTES", 1)
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("knn_exact_block must not run above budget")
+
+    monkeypatch.setattr(x2p_mod, "knn_exact_block", boom)
+    res = bh_tsne(
+        embeddings, max_iterations=3, perplexity=10.0, seed=5,
+        id_col="vec_id", features="embedding", knn_method="auto",
+        local_threshold=0,
+    )
+    assert res.Y.shape == (embeddings.count(), 2)
+
+
 def test_determinism(spark, embeddings):
     a = simple_tsne(
         embeddings, max_iterations=5, perplexity=10.0, seed=7,
