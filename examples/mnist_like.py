@@ -63,7 +63,23 @@ def main(out_dir: str = "/tmp/tsne_progress", sf_dir: str = "/root/testdata/sf0.
         features="features",
         callback=sink,
     )
+    # Fold the per-iteration CSVs into the player JSON and place the
+    # bundled viewer next to it: open player.html over any static
+    # server and it autoloads tsne_run.json.
+    import shutil
+
+    from spark_tsne_spark.streaming.player import fold_progress_to_player_json
+
+    labels = {int(i): int(i) % 10 for i in ids}
+    fold_progress_to_player_json(
+        out_dir, os.path.join(out_dir, "tsne_run.json"), labels=labels
+    )
+    shutil.copy(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "player.html"),
+        os.path.join(out_dir, "player.html"),
+    )
     print(f"final KL: {res.losses[-1][1]:.4f}; artifacts in {out_dir}")
+    print(f"view: python -m http.server -d {out_dir}  ->  /player.html")
     spark.stop()
 
 

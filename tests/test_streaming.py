@@ -134,6 +134,44 @@ def test_player_json_fold(spark, tmp_path):
     assert on_disk["iterations"] == res["iterations"]
 
 
+def test_bundled_viewer_pairs_with_player_json(spark, tmp_path):
+    """The repo bundles an original viewer for the player JSON: it
+    must exist, be fully self-contained (no external script/style
+    fetches — works offline), and reference the exact JSON fields the
+    fold produces (iterations / data / pos / label)."""
+    import json
+    import os
+    import re
+    import numpy as np
+
+    from spark_tsne_spark.streaming.player import fold_progress_to_player_json
+    from spark_tsne_spark.streaming.progress import IterationSink
+
+    html_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "player.html",
+    )
+    html = open(html_path).read()
+    # self-contained: no src=/href= pointing at http(s) or protocol-
+    # relative URLs (fetch of the sibling tsne_run.json is relative)
+    assert not re.search(r"""(src|href)\s*=\s*["'](https?:)?//""", html)
+    for field in ("iterations", "data", "pos", "label", "tsne_run.json"):
+        assert field in html
+    # the JSON the example writes satisfies the viewer's contract
+    out = str(tmp_path / "prog")
+    sink = IterationSink(out, np.arange(3))
+    rng = np.random.default_rng(1)
+    for it in range(1, 4):
+        sink(it, rng.standard_normal((3, 2)), loss=None)
+    fold_progress_to_player_json(out, str(tmp_path / "tsne_run.json"))
+    doc = json.load(open(tmp_path / "tsne_run.json"))
+    assert isinstance(doc["iterations"], list) and doc["iterations"]
+    for d in doc["data"]:
+        assert {"key", "label", "pos"} <= set(d)
+        assert all({"x", "y"} <= set(p) for p in d["pos"])
+        assert len(d["pos"]) == len(doc["iterations"])
+
+
 def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark keep-set == batch distinct
     fingerprints when all duplicates arrive inside the watermark."""
