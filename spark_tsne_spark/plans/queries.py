@@ -21,6 +21,7 @@ rows-only check for those, per the contract.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -1336,11 +1337,25 @@ def streaming_windowed_counts(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@register("x2p_affinities", None)
+_X2P_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "x2p_affinities_sf001.parquet",
+)
+
+# The β bisection is iterative numerical search — not expressible as
+# a DuckDB query over the raw tables. The oracle instead reads a
+# golden parquet computed by an INDEPENDENT driver-side dense path
+# (full n×n distances + the shared _calibrate_row bisection; see
+# scripts/make_x2p_golden.py) at the same parameters and rounding —
+# a strict value check of the distributed kNN + calibration pipeline.
+_X2P_SQL = f"SELECT i, j, p FROM read_parquet('{_X2P_GOLDEN}')"
+
+
+@register("x2p_affinities", _X2P_SQL)
 def x2p_affinities(spark, sf_dir):
-    """X7-X9: full X2P (kNN + per-row β bisection + COO emit). The
-    bisection is iterative numerical search — not SQL-expressible;
-    invariants (Σ_j p = 1, entropy = log perplexity) are unit-tested."""
+    """X7-X9: full X2P (kNN + per-row β bisection + COO emit),
+    value-checked against the independently-computed golden parquet
+    (valid for the sf0.01 fixture the correctness driver uses)."""
     from spark_tsne_spark.operators.x2p import x2p
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()

@@ -69,6 +69,39 @@ def test_x2p_golden_4x3(spark, points4):
                 assert row[j] > 0.4
 
 
+def test_x2p_matches_golden_parquet(spark):
+    """The distributed X2P pipeline (knn_exact_block + calibrate +
+    COO emit) must reproduce, value-for-value at 6 decimals, the
+    golden affinities computed by the independent dense driver path
+    (scripts/make_x2p_golden.py) — the same comparison the
+    correctness driver's DuckDB oracle runs. A failure here usually
+    means the sf0.01 fixture changed: regenerate the golden and
+    re-check before the driver does."""
+    import os
+
+    import duckdb
+
+    from spark_tsne_spark.plans.queries import x2p_affinities
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "x2p_affinities_sf001.parquet",
+    )
+    got = (
+        x2p_affinities(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values(["i", "j"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"SELECT i, j, p FROM read_parquet('{golden_path}') ORDER BY i, j"
+    ).df()
+    assert len(got) == len(want)
+    assert got["i"].tolist() == want["i"].tolist()
+    assert got["j"].tolist() == want["j"].tolist()
+    assert got["p"].tolist() == want["p"].tolist()
+
+
 def test_x2p_embeddings_invariants(spark, embeddings):
     cal = calibrated_neighbors(
         embeddings, perplexity=10.0, id_col="vec_id", features="embedding"
