@@ -94,6 +94,45 @@ def bench_queries():
         )
         return res.to_df(spark)
 
+    def b_tsne_bh_distributed(spark, sf_dir):
+        """The distributed per-iteration loop, actually measured: 50k
+        rows (25 deterministic jittered copies of the embeddings
+        table) is ~3x above LOCAL_THRESHOLD_BH, so X2P kNN, the β
+        calibration, and every one of the 10 BH iterations
+        (broadcast (Y, tree) → mapInPandas force pass → driver
+        update) run as Spark jobs — the flagship's 100 TB shape, not
+        the driver-local shortcut."""
+        from spark_tsne_spark.api import bh_tsne
+
+        e = emb(spark, sf_dir)
+        copies = spark.range(25).select(F.col("id").alias("copy"))
+        big = (
+            e.crossJoin(copies)
+            .select(
+                (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vid"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        + F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.col("copy"), i),
+                            F.lit(1000),
+                        ).cast("double")
+                        / 1e4
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+            .withColumnRenamed("vid", "vec_id")
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .cache()
+        )
+        big.count()
+        res = bh_tsne(
+            big, max_iterations=10, perplexity=30.0, seed=42,
+            id_col="vec_id", features="embedding",
+        )
+        return res.to_df(spark)
+
     return {
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q3_top_orders": Q.q3_top_orders,
@@ -114,6 +153,7 @@ def bench_queries():
         "ann_topk_cosine": b_ann_topk,
         "ann_ivf_topk": b_ivf_topk,
         "tsne_bh_20iter": b_tsne_bh20,
+        "tsne_bh_distributed": b_tsne_bh_distributed,
     }
 
 
