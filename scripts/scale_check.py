@@ -1,0 +1,103 @@
+"""Linearity check: do the dedup/text pipelines scale ~linearly in
+corpus size? (VERDICT round-1 item 10 — catch any accidental
+quadratic before a real cluster would.)
+
+Runs the headline document operators at 1x (the sf0.1 documents
+table) and 10x (10 deterministically mutated copies — each copy
+prefixes a distinct token so copies are near- but not exact dups,
+the adversarial case for candidate generation), and prints the
+time ratio per operator. A bucketed plan should land well under
+the 10x data ratio once per-job overhead is subtracted; a
+quadratic one lands near 100x.
+
+    python scripts/scale_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def ops():
+    from spark_tsne_spark.functions.text import quality_score, winnow_fingerprints
+    from spark_tsne_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash,
+    )
+
+    return {
+        "exact_dedup": lambda d: exact_dedup(d),
+        "minhash_lsh": lambda d: minhash_lsh_candidates(
+            d.where(F.length("text") >= 5), num_hashes=16, band_size=4,
+            hash_fn="xxhash64",
+        ),
+        "simhash": lambda d: simhash(d),
+        "ngram_jaccard": lambda d: ngram_jaccard_pairs(
+            d, n=3, min_jaccard=0.2, max_df=100
+        ),
+        "quality_score": lambda d: d.select(
+            "doc_id", quality_score("text").alias("q")
+        ),
+        "winnow": lambda d: d.select(
+            "doc_id", F.explode(winnow_fingerprints("text", 5, 4)).alias("fp")
+        ),
+    }
+
+
+def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
+    from spark_tsne_spark.session import get_spark
+    from spark_tsne_spark.shipping import ship_package
+    from spark_tsne_spark.sources.tables import load_table
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("scale-check", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda it: (p for p in it), "id long"
+    ).count()
+
+    docs1 = load_table(spark, "documents", sf_dir).cache()
+    n1 = docs1.count()
+    copies = spark.range(10).select(F.col("id").alias("copy"))
+    docs10 = (
+        docs1.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * 10_000_000).alias("doc_id"),
+            F.concat(
+                F.format_string("c%d ", F.col("copy")), F.col("text")
+            ).alias("text"),
+        )
+        .repartition(int(cpus))
+        .cache()
+    )
+    n10 = docs10.count()
+    print(f"corpora: {n1} and {n10} docs")
+
+    results = {}
+    for name, fn in ops().items():
+        ts = []
+        for d in (docs1, docs10):
+            t0 = time.time()
+            fn(d).write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        results[name] = ts
+        print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
+              f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
+
+    worst = max(v[1] / v[0] for v in results.values())
+    print(f"worst ratio: {worst:.1f} (10x data; linear => ~10, "
+          f"quadratic => ~100)")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

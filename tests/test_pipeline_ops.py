@@ -125,6 +125,55 @@ def test_minhash_filters_short_docs(spark):
     assert pairs == set()
 
 
+def test_dedup_correct_under_hot_key_skew(spark, sf_dir):
+    """Pathological skew: 10% of the corpus is ONE identical document,
+    so one MinHash band bucket / one shingle posting holds a 50-doc
+    clique while every other bucket is tiny (the SCALE.md AQE-skew
+    scenario, pinned for correctness). The grouped pair-emit must
+    surface the full clique exactly and not mangle the cold tail."""
+    from spark_tsne_spark.operators.dedup import exact_dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 500)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit("the same hot duplicated document body appears many times"),
+            ).otherwise(F.col("text")),
+        )
+        .cache()
+    )
+    hot_ids = [r["doc_id"] for r in docs.where(F.col("doc_id") % 10 == 0).collect()]
+    clique = {
+        (a, b) for ai, a in enumerate(sorted(hot_ids)) for b in sorted(hot_ids)[ai + 1 :]
+    }
+
+    # exact dedup: the hot fingerprint groups all 50 into one canonical
+    ex = exact_dedup(docs)
+    assert ex.agg(F.max("n_copies")).first()[0] == len(hot_ids)
+
+    # MinHash: identical docs share every band → the full clique must
+    # be in the candidate set (recall 1.0 on the hot group)
+    mh = {
+        (r["i"], r["j"])
+        for r in minhash_lsh_candidates(docs, num_hashes=16, band_size=4).collect()
+    }
+    assert clique <= mh
+
+    # Jaccard with max_df ABOVE the clique size: clique pairs score 1.0
+    jac = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=3, min_jaccard=0.9, max_df=2 * len(hot_ids)
+        ).collect()
+    }
+    assert clique <= set(jac)
+    assert all(abs(jac[p] - 1.0) < 1e-12 for p in clique)
+    docs.unpersist()
+
+
 def test_dedup_leaves_no_cached_rdds(spark, near_dup_docs):
     """Dedup operators must not leave blocks pinned in the block
     manager after their actions complete (the reference's own
