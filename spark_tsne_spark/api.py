@@ -201,9 +201,12 @@ def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=Non
         rows_per_block = max(1, (64 * 2**20) // (8 * max(1, n)))
         parts = max(1, min(2 * par, -(-n // rows_per_block)))
     else:
-        # BH: cheap per-row work — spread across the cluster but keep
-        # blocks ≥256 rows so the per-task tree-walk overhead amortizes.
-        parts = max(1, min(2 * par, -(-n // 256)))
+        # BH: cheap per-row work (vectorized tree walk ~µs/row). One
+        # task per core, not 2× — the per-iteration pass is latency-
+        # bound, so a second task wave costs a full extra round of
+        # scheduler + Python-worker round-trips for no balance win on
+        # near-uniform blocks. Blocks still ≥256 rows.
+        parts = max(1, min(par, -(-n // 256)))
     p_ji = x2p(df, tol=1e-5, perplexity=perplexity, id_col=id_col, features=features, method=method)
     adjacency = compute_p(p_ji, n).repartition(parts).cache()
     ids = np.sort(adjacency.select("i").toPandas()["i"].to_numpy(dtype=np.int64))
