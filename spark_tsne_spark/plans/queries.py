@@ -914,11 +914,26 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select("i", "j", F.round("cosine", 6).alias("cosine"), "rank")
 
 
-@register("knn_lsh_approx", None)
+_LSH_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "knn_lsh_sf001.parquet",
+)
+
+# Every piece of knn_lsh is JVM-side and seeded (MLlib hyperplanes,
+# expression distances, (dist, j)-tiebroken ranking) — the output is
+# machine-independent deterministic (verified byte-identical across
+# local[8]/local[32]). The oracle reads the pinned golden
+# (scripts/make_lsh_golden.py); recall quality vs exact kNN is pinned
+# separately by pytest.
+_LSH_SQL = f"SELECT i, j, dist, rank FROM read_parquet('{_LSH_GOLDEN}')"
+
+
+@register("knn_lsh_approx", _LSH_SQL)
 def knn_lsh_approx(spark, sf_dir):
     """Approximate kNN via BucketedRandomProjectionLSH bucket-join —
     the 100 TB replacement for the O(n²) cartesian (SURVEY.md §7
-    Phase 5). Approximate — rows-only."""
+    Phase 5). Value-checked against the pinned golden parquet (valid
+    for the sf0.01 fixture the correctness driver uses)."""
     from spark_tsne_spark.operators.knn import knn_lsh
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)

@@ -15,7 +15,10 @@ SQL_QUERIES = [(n, q) for n, q in sorted(catalog().items()) if q.sql is not None
 
 # Oracles backed by a precomputed golden parquet are valid only at the
 # scale the golden was generated for — the driver's correctness sf.
-GOLDEN_SF_DIR = {"x2p_affinities": "/root/testdata/sf0.01"}
+GOLDEN_SF_DIR = {
+    "x2p_affinities": "/root/testdata/sf0.01",
+    "knn_lsh_approx": "/root/testdata/sf0.01",
+}
 
 
 @pytest.fixture(scope="module")

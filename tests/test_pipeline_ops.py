@@ -225,6 +225,28 @@ def test_ivf_recall_vs_exact(spark, embeddings):
     assert np.mean(recalls) >= 0.8
 
 
+def test_knn_lsh_recall_vs_exact(spark):
+    """Approximation quality of the LSH kNN path: top-10 recall vs
+    exact kNN on the sf0.01 embeddings (the catalog entry's fixture).
+    Measured 0.93 mean / 0.70 min; pinned with headroom."""
+    from spark_tsne_spark.operators.knn import knn_exact_block, knn_lsh
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .where("vec_id < 200")
+        .cache()
+    )
+    ex = {r["i"]: set(r["js"][:10]) for r in knn_exact_block(
+        emb, 10, "vec_id", "embedding").collect()}
+    ap = {}
+    for r in knn_lsh(emb, 10, "vec_id", "embedding").collect():
+        ap.setdefault(r["i"], set()).add(r["j"])
+    recalls = [len(ex[i] & ap.get(i, set())) / len(ex[i]) for i in ex]
+    emb.unpersist()
+    assert np.mean(recalls) >= 0.85
+    assert min(recalls) >= 0.5
+
+
 def test_standardize_and_pca(spark, embeddings):
     df = embeddings.select("vec_id", F.col("embedding").alias("features"))
     mean, std = global_stats(df)
