@@ -900,12 +900,25 @@ def ann_topk_cosine(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk", None)
+_IVF_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "ann_ivf_sf001.parquet",
+)
+
+# The IVF path is seeded end to end (driver spherical k-means on a
+# deterministically-ordered sample, argmax assignment, tiebroken
+# ranking) and byte-identical across local[8]/local[32] — pinned as a
+# golden parquet (scripts/make_ivf_golden.py); recall quality vs the
+# exact baseline is pinned separately by pytest.
+_IVF_SQL = f"SELECT i, j, cosine, rank FROM read_parquet('{_IVF_GOLDEN}')"
+
+
+@register("ann_ivf_topk", _IVF_SQL)
 def ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate top-k (the scale path for ANN: route
     corpus+queries to coarse cells, search within probed cells only).
-    Approximate by construction — rows-only; recall vs the exact
-    baseline is pinned in tests/test_pipeline_ops.py."""
+    Value-checked against the pinned golden parquet (valid for the
+    sf0.01 fixture the correctness driver uses)."""
     from spark_tsne_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
