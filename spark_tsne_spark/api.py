@@ -208,7 +208,9 @@ def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=Non
         # near-uniform blocks. Blocks still ≥256 rows.
         parts = max(1, min(par, -(-n // 256)))
     p_ji = x2p(df, tol=1e-5, perplexity=perplexity, id_col=id_col, features=features, method=method)
-    adjacency = compute_p(p_ji, n).repartition(parts).cache()
+    # compute_p partitions by i into `parts` directly — no extra
+    # repartition pass over the materialized adjacency lists.
+    adjacency = compute_p(p_ji, n, parts).cache()
     ids = np.sort(adjacency.select("i").toPandas()["i"].to_numpy(dtype=np.int64))
     return adjacency, ids, len(ids)
 

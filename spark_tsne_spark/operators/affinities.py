@@ -17,15 +17,33 @@ from pyspark.sql import DataFrame, functions as F
 P_CLAMP = 1e-12
 
 
-def symmetrize(p_ji: DataFrame, n: int) -> DataFrame:
+def symmetrize(p_ji: DataFrame, n: int, num_partitions: int | None = None) -> DataFrame:
     """COO ``(i, j, p)`` conditional → symmetric joint ``(i, j, p)``.
 
-    Scale-correct: one shuffle on (i, j) with map-side partial
-    aggregation; no driver state.
+    Scale-correct and shuffle-minimal: ONE explicit hash-partition on
+    ``i`` — HashPartitioning(i) satisfies the ClusteredDistribution of
+    BOTH the (i, j) aggregation here and the per-row grouping in
+    :func:`to_adjacency`, so Catalyst inserts no further exchange for
+    the whole symmetrize→adjacency chain (one shuffle of the edge set
+    instead of three). No driver state.
     """
-    both = p_ji.select("i", "j", "p").unionAll(
-        p_ji.select(F.col("j").alias("i"), F.col("i").alias("j"), "p")
-    )
+    # BOTH orientations from ONE pass over p_ji — a unionAll of two
+    # selects would re-execute the whole upstream (kNN + calibration)
+    # once per branch; the map-side explode doubles rows instead.
+    both = p_ji.select(
+        F.explode(
+            F.array(
+                F.struct("i", "j", "p"),
+                F.struct(
+                    F.col("j").alias("i"), F.col("i").alias("j"), F.col("p")
+                ),
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    if num_partitions:
+        both = both.repartition(num_partitions, "i")
+    else:
+        both = both.repartition("i")
     return (
         both.groupBy("i", "j")
         .agg(F.sum("p").alias("psum"))
@@ -61,9 +79,13 @@ def to_adjacency(p_sym: DataFrame) -> DataFrame:
     )
 
 
-def compute_p(p_ji: DataFrame, n: int) -> DataFrame:
+def compute_p(
+    p_ji: DataFrame, n: int, num_partitions: int | None = None
+) -> DataFrame:
     """Public-API twin of reference ``TSNEHelper.computeP``.
 
-    ``(i, j, p)`` conditional COO → ``(i, js, ps)`` symmetric adjacency.
+    ``(i, j, p)`` conditional COO → ``(i, js, ps)`` symmetric
+    adjacency, hash-partitioned by ``i`` into ``num_partitions`` (one
+    shuffle end to end — see :func:`symmetrize`).
     """
-    return to_adjacency(symmetrize(p_ji, n))
+    return to_adjacency(symmetrize(p_ji, n, num_partitions))
