@@ -33,7 +33,7 @@ from typing import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Row, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from spark_tsne_spark.gradient import (
     assemble,
@@ -80,10 +80,12 @@ class TSNEResult:
                 T.StructField("y", T.ArrayType(T.DoubleType())),
             ]
         )
-        rows = [
-            Row(id=int(i), y=[float(v) for v in y]) for i, y in zip(self.ids, self.Y)
-        ]
-        return spark.createDataFrame(rows, schema)
+        # One Arrow conversion, not n Row objects — at 10⁵+ rows the
+        # Row-list path spends seconds in per-object construction.
+        pdf = pd.DataFrame(
+            {"id": np.asarray(self.ids, dtype=np.int64), "y": list(self.Y)}
+        )
+        return spark.createDataFrame(pdf, schema)
 
 
 def _local_adjacency(pdf_points: pd.DataFrame, perplexity: float, tol: float):
