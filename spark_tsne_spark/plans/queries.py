@@ -301,19 +301,46 @@ def p2_standardize(spark, sf_dir):
     )
 
 
-@register("p3_pca_project", None)
+_PCA_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "pca_project_sf001.parquet",
+)
+
+# Eigenvector SIGN is the only indeterminacy for well-separated
+# eigenvalues; canonicalizing each component against the minimum-id
+# row's loading makes the projection fully deterministic, and an
+# INDEPENDENT numpy eigendecomposition (scripts/make_pca_golden.py)
+# reproduces the Spark ML pipeline to ~1e-14 — far inside the shared
+# 6-decimal rounding. The golden parquet is that independent result.
+_PCA_SQL = f"SELECT vec_id, c, v FROM read_parquet('{_PCA_GOLDEN}')"
+
+
+@register("p3_pca_project", _PCA_SQL)
 def p3_pca_project(spark, sf_dir):
     """P3: PCA to 8 dims (reference MNIST.scala:47 — Gramian via
     distributed agg, driver eigendecomposition, distributed
-    projection). Rows-only: eigenvector sign/rotation is not
-    cross-engine deterministic; invariants are unit-tested."""
+    projection), exploded to (vec_id, component, value) with
+    per-component sign canonicalization, value-checked against an
+    independently-computed golden (valid for the driver's sf0.01)."""
     from spark_tsne_spark.operators.preprocess import pca_project
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("features")
     )
     out = pca_project(emb, k=8)
-    return out.select("vec_id", F.size("features").alias("k"))
+    ref = out.orderBy("vec_id").select(F.col("features").alias("ref")).limit(1)
+    return (
+        out.crossJoin(F.broadcast(ref))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "features", "ref",
+                lambda x, r: F.when(r < 0, -x).otherwise(x),
+            ).alias("canon"),
+        )
+        .select("vec_id", F.posexplode("canon").alias("c", "raw"))
+        .select("vec_id", "c", F.round("raw", 6).alias("v"))
+    )
 
 
 @register(
