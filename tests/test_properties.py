@@ -144,3 +144,40 @@ def test_bh_theta_zero_equals_exact_forces(seed):
     expect_negF = (qz * qz)[:, :, None].__mul__(diff).sum(axis=1)
     assert np.allclose(sumQ, expect_sumQ, rtol=1e-10)
     assert np.allclose(negF, expect_negF, rtol=1e-10)
+
+
+_netpbm_payloads = st.one_of(
+    st.binary(max_size=200),
+    # adversarial: valid-looking magic + arbitrary header/raster bytes
+    st.tuples(
+        st.sampled_from([b"P5", b"P6"]),
+        st.binary(max_size=100),
+    ).map(lambda t: t[0] + t[1]),
+    # well-formed headers with arbitrary truncation points
+    st.tuples(
+        st.sampled_from([b"P5", b"P6"]),
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=300),
+        st.binary(max_size=120),
+        st.integers(min_value=0, max_value=140),
+    ).map(
+        lambda t: (t[0] + f"\n{t[1]} {t[2]}\n{t[3]}\n".encode() + t[4])[: 10 + t[5]]
+    ),
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_netpbm_payloads)
+def test_netpbm_parser_total(payload):
+    """The netpbm decoder is TOTAL over arbitrary bytes: every input
+    either parses to a well-shaped uint8 grid or returns None — it
+    must never raise inside a Spark task (the decode kernels run it
+    on untrusted payload columns)."""
+    from spark_tsne_spark.sources.multimodal import parse_netpbm
+
+    out = parse_netpbm(bytes(payload))
+    if out is not None:
+        assert out.ndim == 2
+        assert out.dtype == np.uint8
+        assert out.shape[0] > 0 and out.shape[1] > 0
