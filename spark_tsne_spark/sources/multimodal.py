@@ -132,6 +132,138 @@ def parse_netpbm(payload: bytes) -> np.ndarray | None:
     return buf.reshape(h, w)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def wav_payload(text_col, n_samples: int, sample_rate: int = 8000):
+    """Column expression: a real PCM16 mono WAV whose samples derive
+    from an ASCII text column — sample k = (code_k − 64)·256 where
+    code_k is the k-th character (text '@'-padded / truncated to
+    ``n_samples``), giving signed samples in [−16384, 16128]. Pure
+    JVM (chr/ascii transforms + ISO-8859-1 encode + concat), so the
+    DuckDB oracle can recompute every sample from the same text.
+    """
+    import struct
+
+    data_len = n_samples * 2
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", data_len)
+    )
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    ascii_only = F.regexp_replace(col, "[^\\x00-\\x7F]", "")
+    padded = F.rpad(ascii_only, n_samples, "@")
+    # int16 LE per char: low byte 0x00, high byte (code-64) mod 256
+    # (two's-complement int8 semantics for the signed value).
+    # split('', ...) appends a trailing empty element — slice to
+    # exactly n_samples chars before mapping to high bytes.
+    hi = F.transform(
+        F.slice(F.split(padded, ""), 1, n_samples),
+        lambda c: F.chr((F.ascii(c) - F.lit(64) + F.lit(256)) % F.lit(256)),
+    )
+    body = F.encode(
+        F.concat_ws("", F.transform(hi, lambda h: F.concat(F.lit("\x00"), h))),
+        "ISO-8859-1",
+    )
+    return F.concat(F.lit(header), body)
+
+
+def parse_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Pure-numpy decoder for PCM16 mono WAV: proper RIFF chunk walk
+    (fmt before data, unknown chunks skipped, odd sizes padded per
+    spec). Returns ``(sample_rate, int16 samples)`` or ``None`` for
+    anything that is not an uncompressed 16-bit mono WAV (caller
+    falls back to the stub). Truncated data chunks are clamped to the
+    bytes present. Total over arbitrary bytes — never raises.
+    """
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    sample_rate = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body_start = pos + 8
+        if cid == b"fmt ":
+            fmt = payload[body_start : body_start + min(size, n - body_start)]
+            if len(fmt) < 16:
+                return None
+            audio_format = int.from_bytes(fmt[0:2], "little")
+            channels = int.from_bytes(fmt[2:4], "little")
+            sample_rate = int.from_bytes(fmt[4:8], "little")
+            bits = int.from_bytes(fmt[14:16], "little")
+            if audio_format != 1 or channels != 1 or bits != 16:
+                return None
+        elif cid == b"data":
+            if sample_rate is None:
+                return None
+            avail = max(0, n - body_start)
+            take = min(size, avail) & ~1  # whole int16 samples only
+            samples = np.frombuffer(
+                payload, dtype="<i2", count=take // 2, offset=body_start
+            )
+            return sample_rate, samples
+        pos = body_start + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """PCM16 WAV payload → global audio features, one narrow pass:
+    sample count, rate, RMS amplitude, zero-crossing rate (sign
+    changes / (n−1), sign(x) = x < 0), integer peak |amplitude|.
+    Non-WAV payloads are dropped (a production pipeline would route
+    them to their own decoder) — emitted metrics are exact functions
+    of the samples, so the catalog oracle recomputes them in SQL.
+    """
+    from spark_tsne_spark.shipping import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in
+                   ("media_id", "n_samples", "sample_rate", "rms", "zcr", "peak")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_wav(bytes(p))
+                if parsed is None:
+                    continue
+                sr, s = parsed
+                if len(s) == 0:
+                    continue
+                x = s.astype(np.float64)
+                neg = s < 0
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(s))
+                out["sample_rate"].append(sr)
+                out["rms"].append(float(np.sqrt(np.mean(x * x))))
+                out["zcr"].append(
+                    float(np.mean(neg[1:] != neg[:-1])) if len(s) > 1 else 0.0
+                )
+                out["peak"].append(int(np.max(np.abs(x))))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def _decode_stub(payload: bytes, dim: int = 16) -> np.ndarray:
     """STUB decoder: deterministic pseudo-features from the payload
     bytes (sha256-seeded). A real deployment replaces this with an

@@ -335,6 +335,52 @@ def test_netpbm_decoder_real_formats():
     assert parse_netpbm(b"P5\n2 2\n255\n").tolist() == [[0, 0], [0, 0]]
 
 
+def test_wav_decoder_real_format():
+    """The pure-numpy WAV parser: PCM16 mono decodes with a proper
+    RIFF chunk walk (unknown chunks skipped, word alignment), clamps
+    truncated data, rejects everything else."""
+    import struct
+
+    from spark_tsne_spark.sources.multimodal import parse_wav
+
+    def wav(samples, sr=8000, fmt=1, ch=1, bits=16, extra=b""):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt_chunk = b"fmt " + struct.pack(
+            "<IHHIIHH", 16, fmt, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits
+        )
+        body = fmt_chunk + extra + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    sr, s = parse_wav(wav([1, -2, 300, -16384]))
+    assert sr == 8000 and s.tolist() == [1, -2, 300, -16384]
+    # unknown chunk (odd size → word-aligned) between fmt and data
+    sr, s = parse_wav(wav([7, 8], extra=b"LIST" + struct.pack("<I", 3) + b"abc\x00"))
+    assert sr == 8000 and s.tolist() == [7, 8]
+    # truncated data chunk: clamp to whole samples present
+    full = wav([10, 20, 30])
+    sr, s = parse_wav(full[:-3])
+    assert s.tolist() == [10]
+    # not PCM16 mono / not WAV at all
+    assert parse_wav(wav([1], ch=2)) is None
+    assert parse_wav(wav([1], bits=8)) is None
+    assert parse_wav(wav([1], fmt=3)) is None
+    assert parse_wav(b"OggS....") is None
+    assert parse_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+
+
+def test_wav_payload_roundtrip(spark):
+    """JVM-built WAV payloads decode to exactly (code − 64)·256 per
+    char, '@'-padded, with non-ASCII stripped first."""
+    from spark_tsne_spark.sources.multimodal import parse_wav, wav_payload
+
+    df = spark.createDataFrame([(0, "Héllo!")], "doc_id long, text string")
+    p = bytes(df.select(wav_payload("text", 8, 16000).alias("p")).first()["p"])
+    sr, s = parse_wav(p)
+    assert sr == 16000
+    expect = [(ord(c) - 64) * 256 for c in "Hllo!@@@"]  # é stripped
+    assert s.tolist() == expect
+
+
 def test_resize_decodes_real_pgm(spark):
     """resize_images must take dimensions from a real PGM header (meta
     deliberately wrong) and resample the decoded grid."""

@@ -167,6 +167,32 @@ _netpbm_payloads = st.one_of(
 )
 
 
+_wav_payloads = st.one_of(
+    st.binary(max_size=200),
+    st.tuples(
+        st.sampled_from([b"RIFF", b"RIFX", b"OggS"]),
+        st.binary(max_size=120),
+    ).map(lambda t: t[0] + t[1]),
+    # RIFF/WAVE skeleton with arbitrary chunk soup + truncation
+    st.tuples(st.binary(max_size=120), st.integers(min_value=0, max_value=130))
+    .map(lambda t: (b"RIFF\x24\x00\x00\x00WAVE" + t[0])[: 12 + t[1]]),
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_wav_payloads)
+def test_wav_parser_total(payload):
+    """parse_wav is TOTAL over arbitrary bytes: PCM16-mono WAVs give
+    (rate, int16 array), everything else gives None — never raises."""
+    from spark_tsne_spark.sources.multimodal import parse_wav
+
+    out = parse_wav(bytes(payload))
+    if out is not None:
+        sr, s = out
+        assert isinstance(sr, int)
+        assert s.dtype == np.int16
+
+
 @settings(max_examples=500, deadline=None)
 @given(_netpbm_payloads)
 def test_netpbm_parser_total(payload):
