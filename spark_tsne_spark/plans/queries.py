@@ -1392,6 +1392,74 @@ def streaming_windowed_counts(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+_VIDEO_SQL = r"""
+    WITH ascii_docs AS (
+      SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
+      FROM documents
+    )
+    SELECT doc_id AS media_id, f AS frame_idx,
+           md5(list_aggregate(list_transform(range(0, 64),
+               k -> CAST(CASE WHEN (64 * f + k) < length(text)
+                         THEN unicode(substr(text, 64 * f + k + 1, 1))
+                         ELSE 0 END AS VARCHAR)),
+               'string_agg', ',')) AS pix_md5
+    FROM ascii_docs, (VALUES (0), (2)) t(f)
+"""
+
+
+@register("video_frame_sample", _VIDEO_SQL)
+def video_frame_sample(spark, sf_dir):
+    """Multimodal VIDEO with a REAL decode: documents land as genuine
+    3-frame concatenated-P5 streams (frame f's pixels = text bytes at
+    offset 64·f), sample_frames splits the stream by parsing each
+    frame's header + raster extent and keeps every 2nd frame (0, 2),
+    and each kept frame decodes to its exact 8x8 pixel grid. The
+    DuckDB oracle recomputes every pixel of every kept frame from the
+    same text."""
+    from spark_tsne_spark.sources.multimodal import (
+        parse_netpbm,
+        pgm_stream_payload,
+        sample_frames,
+    )
+    import pandas as pd
+    from typing import Iterator
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        pgm_stream_payload("text", 8, 8, 3).alias("payload"),
+        F.struct(
+            F.lit("video/x-netpbm-stream").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(3).alias("n_frames"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_n=2)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            csvs = [
+                ",".join(str(int(v)) for v in parse_netpbm(bytes(fr)).ravel())
+                for fr in pdf["frame"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "pix": csvs,
+                }
+            )
+
+    decoded = frames.mapInPandas(
+        decode, "media_id long, frame_idx int, pix string"
+    )
+    return decoded.select(
+        "media_id", "frame_idx", F.md5(F.col("pix").cast("binary")).alias("pix_md5")
+    )
+
+
 _AUDIO_SQL = r"""
     WITH ascii_docs AS (
       SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text

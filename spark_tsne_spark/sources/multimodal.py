@@ -80,6 +80,27 @@ def pgm_payload(text_col, width: int, height: int):
     return F.concat(header, body)
 
 
+def pgm_stream_payload(text_col, width: int, height: int, n_frames: int):
+    """Column expression: a concatenated-netpbm 'video' — ``n_frames``
+    binary P5 frames back to back, frame f's pixels taken from the
+    text's bytes at offset ``f·width·height`` (zero-padded). Pure JVM;
+    the DuckDB oracle recomputes every pixel of every frame from the
+    same text (non-ASCII stripped first, as in :func:`pgm_payload`).
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    ascii_only = F.regexp_replace(col, "[^\\x00-\\x7F]", "")
+    header = F.encode(F.lit(f"P5\n{width} {height}\n255\n"), "UTF-8")
+    size = width * height
+    parts = []
+    for f in range(n_frames):
+        body = F.encode(
+            F.rpad(F.substring(ascii_only, f * size + 1, size), size, "\x00"),
+            "UTF-8",
+        )
+        parts.extend([header, body])
+    return F.concat(*parts)
+
+
 def parse_netpbm(payload: bytes) -> np.ndarray | None:
     """Pure-numpy decoder for binary netpbm images: P5 (grayscale PGM)
     and P6 (RGB PPM, averaged to grayscale). Returns a ``(h, w)``
@@ -93,10 +114,32 @@ def parse_netpbm(payload: bytes) -> np.ndarray | None:
     then the raw raster. Only maxval <= 255 (1-byte samples) is
     supported — the common case; 2-byte-sample images fall back.
     """
-    magic = payload[:2]
+    parsed = _parse_netpbm_header(payload, 0)
+    if parsed is None:
+        return None
+    w, h, ch, pos = parsed
+    n = len(payload)
+    need = w * h * ch
+    buf = np.frombuffer(payload, dtype=np.uint8, count=max(0, min(need, n - pos)), offset=pos)
+    if buf.size < need:
+        buf = np.pad(buf, (0, need - buf.size))
+    if ch == 3:
+        rgb = buf.reshape(h, w, 3).astype(np.uint16)
+        return (rgb.sum(axis=2) // 3).astype(np.uint8)
+    return buf.reshape(h, w)
+
+
+def _parse_netpbm_header(payload: bytes, at: int) -> tuple[int, int, int, int] | None:
+    """Parse one binary-netpbm header starting at offset ``at``.
+
+    Returns ``(width, height, channels, raster_offset)`` or ``None``
+    for anything malformed (bad magic, non-numeric tokens, header
+    ending at end-of-payload, maxval > 255).
+    """
+    magic = payload[at : at + 2]
     if magic not in (b"P5", b"P6"):
         return None
-    pos, toks = 2, []
+    pos, toks = at + 2, []
     n = len(payload)
     try:
         while len(toks) < 3:
@@ -121,15 +164,27 @@ def parse_netpbm(payload: bytes) -> np.ndarray | None:
         # trailing whitespace byte) — malformed; fall back like any
         # other truncated input instead of letting frombuffer throw.
         return None
-    ch = 3 if magic == b"P6" else 1
-    need = w * h * ch
-    buf = np.frombuffer(payload, dtype=np.uint8, count=max(0, min(need, n - pos)), offset=pos)
-    if buf.size < need:
-        buf = np.pad(buf, (0, need - buf.size))
-    if ch == 3:
-        rgb = buf.reshape(h, w, 3).astype(np.uint16)
-        return (rgb.sum(axis=2) // 3).astype(np.uint8)
-    return buf.reshape(h, w)
+    return w, h, (3 if magic == b"P6" else 1), pos
+
+
+def split_netpbm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-netpbm stream (frames back to back — the
+    multi-frame 'video' container here) into standalone frame
+    binaries. Returns ``[]`` when the payload does not start with a
+    netpbm frame; a truncated final raster yields a final short frame
+    (the frame decoder zero-pads it). Total — never raises.
+    """
+    frames: list[bytes] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        parsed = _parse_netpbm_header(payload, pos)
+        if parsed is None:
+            break
+        w, h, ch, raster = parsed
+        end = min(n, raster + w * h * ch)
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -316,9 +371,10 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sample videos: one output row per kept frame.
 
-    The frame-split kernel is stubbed (slices the payload into
-    ``n_frames`` equal chunks); the explode-shaped output contract is
-    the real part.
+    Concatenated-netpbm streams (the multi-frame container here)
+    split into REAL standalone frame binaries by parsing each frame's
+    header + raster extent; other containers fall back to the stub
+    frame split (payload sliced into ``meta.n_frames`` equal chunks).
     """
     from spark_tsne_spark.shipping import ship_package
 
@@ -338,8 +394,15 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             for mid, payload, n_frames in zip(
                 pdf["media_id"], pdf["payload"], pdf["n_frames"]
             ):
-                n = max(1, int(n_frames or 1))
                 payload = bytes(payload)
+                frames = split_netpbm_stream(payload)
+                if frames:
+                    for k in range(0, len(frames), every_n):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(k)
+                        out["frame"].append(frames[k])
+                    continue
+                n = max(1, int(n_frames or 1))
                 step = max(1, len(payload) // n)
                 for k in range(0, n, every_n):
                     out["media_id"].append(mid)

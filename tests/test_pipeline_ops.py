@@ -335,6 +335,40 @@ def test_netpbm_decoder_real_formats():
     assert parse_netpbm(b"P5\n2 2\n255\n").tolist() == [[0, 0], [0, 0]]
 
 
+def test_netpbm_stream_splits_real_frames(spark):
+    """Concatenated-P5 'video' streams split into exact standalone
+    frames by header+raster parsing (not equal-size chunking — frames
+    of DIFFERENT sizes prove it), and sample_frames keeps every Nth
+    real frame."""
+    from spark_tsne_spark.sources.multimodal import (
+        parse_netpbm,
+        sample_frames,
+        split_netpbm_stream,
+    )
+
+    f0 = b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    f1 = b"P5\n3 1\n255\n" + bytes([5, 6, 7])
+    f2 = b"P5\n1 1\n255\n" + bytes([9])
+    stream = f0 + f1 + f2
+    assert split_netpbm_stream(stream) == [f0, f1, f2]
+    # truncated final raster still yields a (short) frame
+    assert split_netpbm_stream(stream[:-1])[-1] == f2[:-1]
+    # non-netpbm → no frames (stub fallback territory)
+    assert split_netpbm_stream(b"RIFFxxxx") == []
+
+    media = spark.createDataFrame(
+        [(7, bytearray(stream), ("video/x-netpbm-stream", 0, 0, 3))],
+        "media_id long, payload binary, meta struct<mime:string,width:int,height:int,n_frames:int>",
+    )
+    kept = {
+        r["frame_idx"]: bytes(r["frame"])
+        for r in sample_frames(media, every_n=2).collect()
+    }
+    assert set(kept) == {0, 2}
+    assert kept[0] == f0 and kept[2] == f2
+    assert parse_netpbm(kept[0]).tolist() == [[1, 2], [3, 4]]
+
+
 def test_wav_decoder_real_format():
     """The pure-numpy WAV parser: PCM16 mono decodes with a proper
     RIFF chunk walk (unknown chunks skipped, word alignment), clamps
