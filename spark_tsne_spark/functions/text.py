@@ -199,3 +199,36 @@ def minhash_values(
             for i in range(num_hashes)
         ]
     )
+
+
+# PII patterns in the common Java-regex / RE2 subset (no lookaround,
+# no backrefs) so Spark and the DuckDB oracle scrub identically.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9. ()-]{7,}[0-9]",
+}
+PII_ORDER = ("email", "ipv4", "phone")  # email first: contains digits
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact PII spans with ``<TYPE>`` placeholders (email, IPv4,
+    phone-like digit runs), applied in a fixed order so placeholders
+    never re-match a later pattern. One JVM regexp pass per pattern —
+    a narrow projection, no Python."""
+    out = _col(text)
+    for name in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts (same patterns/order semantics as
+    :func:`scrub_pii`, counted on the progressively-scrubbed text so
+    types never double-count each other's spans)."""
+    cur = _col(text)
+    counts = {}
+    for name in PII_ORDER:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(PII_PATTERNS[name]), 0))
+        cur = F.regexp_replace(cur, PII_PATTERNS[name], f"<{name.upper()}>")
+    return counts

@@ -298,6 +298,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share any
+    word ``n``-gram with a benchmark/eval set (the standard 8-gram
+    overlap test used to scrub test-set contamination from training
+    corpora). Returns ``(doc_id, bench_id, n_shared)`` — one row per
+    contaminated (document, benchmark item) pair with the count of
+    distinct shared n-grams.
+
+    Plan shape: both sides shingle narrowly, the inverted-index join
+    runs on the n-gram string. The benchmark side is the small one by
+    nature (eval sets are thousands of rows, corpora are billions) —
+    AQE broadcasts it when it fits; the join never touches corpus
+    pairs, only (corpus n-gram, benchmark n-gram) matches.
+    """
+    from spark_tsne_spark.functions.text import word_ngrams
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(word_ngrams(bench_text_col, n))).alias("g"),
+    )
+    return (
+        d.join(b, "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     vertices: DataFrame,

@@ -1392,6 +1392,129 @@ def streaming_windowed_counts(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+_PII_SQL = r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' call +1 555 01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                  ELSE '' END AS text
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, text,
+                  len(regexp_extract_all(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                  regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g') AS t1
+           FROM injected),
+    s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t1,
+                      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+                  regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                      '<IPV4>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ipv4,
+                  len(regexp_extract_all(t2,
+                      '\+?[0-9][0-9. ()-]{7,}[0-9]')) AS n_phone,
+                  regexp_replace(t2, '\+?[0-9][0-9. ()-]{7,}[0-9]',
+                      '<PHONE>', 'g') AS t3
+           FROM s2)
+    SELECT doc_id, md5(t3) AS scrubbed_md5, n_email, n_ipv4, n_phone
+    FROM s3
+"""
+
+
+@register("text_pii_scrub", _PII_SQL)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing over the corpus (emails, IPv4, phone-like runs
+    redacted to typed placeholders in a fixed order) with synthetic
+    injections so the check is non-trivial; the oracle replays the
+    identical regex pipeline in DuckDB (shared Java/RE2 subset) and
+    compares the scrubbed text md5 plus per-type counts."""
+    from spark_tsne_spark.functions.text import pii_counts, scrub_pii
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 555 01"),
+                    (F.col("doc_id") % 90 + 10).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return base.select(
+        "doc_id",
+        F.md5(scrub_pii("text").cast("binary")).alias("scrubbed_md5"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+_CONTAM_SQL = r"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(1,
+                 len(regexp_split_to_array(trim(text), '\s+')) - 6)),
+               i -> array_to_string(
+                 list_slice(regexp_split_to_array(trim(text), '\s+'),
+                            i, i + 7), ' ')))) AS gram
+      FROM documents
+    )
+    SELECT d.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+    FROM grams d
+    JOIN (SELECT * FROM grams WHERE doc_id % 50 = 0) b USING (gram)
+    GROUP BY d.doc_id, b.doc_id
+"""
+
+
+@register("contamination_check", _CONTAM_SQL)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing any word
+    8-gram with a 'benchmark' set (every 50th doc stands in for an
+    eval set). The inverted-index join touches only matching n-grams,
+    never corpus pairs; the oracle rebuilds the same 8-gram overlap
+    in DuckDB."""
+    from spark_tsne_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return ngram_contamination(docs, bench, n=8).select(
+        "doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 _VIDEO_SQL = r"""
     WITH ascii_docs AS (
       SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text

@@ -174,6 +174,55 @@ def test_dedup_correct_under_hot_key_skew(spark, sf_dir):
     docs.unpersist()
 
 
+def test_contamination_check_finds_planted_overlap(spark):
+    """A corpus doc embedding a benchmark item's 8-gram span is
+    flagged with the right shared count; clean docs are not."""
+    from spark_tsne_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+            (2, "completely unrelated text with no overlap at all whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["bench_id"]): r["n_shared"]
+           for r in ngram_contamination(docs, bench, n=8).collect()}
+    # bench has 3 distinct 8-grams; doc 1 contains the first 2 of them
+    assert out == {(1, 100): 2}
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """Email/IPv4/phone spans redact to typed placeholders; counts
+    match; clean text passes through untouched."""
+    from spark_tsne_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@test.org or ping 192.168.0.1 or call +1 555 0199 now"),
+            (1, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", scrub_pii("text").alias("s"),
+            counts["email"].alias("ne"), counts["ipv4"].alias("ni"),
+            counts["phone"].alias("np"),
+        ).collect()
+    }
+    assert rows[0]["s"] == "mail <EMAIL> or ping <IPV4> or call <PHONE> now"
+    assert (rows[0]["ne"], rows[0]["ni"], rows[0]["np"]) == (1, 1, 1)
+    assert rows[1]["s"] == "nothing sensitive here"
+    assert (rows[1]["ne"], rows[1]["ni"], rows[1]["np"]) == (0, 0, 0)
+
+
 def test_dedup_leaves_no_cached_rdds(spark, near_dup_docs):
     """Dedup operators must not leave blocks pinned in the block
     manager after their actions complete (the reference's own
