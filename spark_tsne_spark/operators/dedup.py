@@ -57,6 +57,7 @@ def minhash_lsh_candidates(
     band_size: int = 4,
     shingle_k: int = 5,
     hash_fn: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding.
 
@@ -65,6 +66,15 @@ def minhash_lsh_candidates(
     all-pairs. Returns distinct ``(i, j)`` with i < j.
     ``hash_fn='xxhash64'`` is the fast production hash; 'md5' is the
     DuckDB-portable oracle hash (see ``minhash_values``).
+
+    ``max_bucket`` caps per-bucket width at scale: a bucket of B docs
+    expands B² pairs inside one task, so one pathological mega-clique
+    (e.g. a boilerplate page duplicated 10⁶×) would OOM its task.
+    Buckets wider than the cap are dropped — the standard production
+    contract, since EXACT duplicates are removed by ``exact_dedup``
+    BEFORE near-dup detection and legitimate near-dup clusters are
+    orders of magnitude smaller. None (default) = uncapped (the
+    oracle-comparable setting).
     """
     from spark_tsne_spark.partitioning import widen_small_input
 
@@ -106,12 +116,15 @@ def minhash_lsh_candidates(
     grouped = bands.groupBy("band", "sig").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
+    grouped = grouped.where(F.size("ds") >= 2)
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ds") <= max_bucket)
     pair_expr = F.expr(
         "flatten(transform(ds, (x, k) -> "
         "transform(slice(ds, k + 2, size(ds)), y -> struct(x AS i, y AS j))))"
     )
     return (
-        grouped.where(F.size("ds") >= 2)
+        grouped
         .select(F.explode(pair_expr).alias("pr"))
         .select(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
         .distinct()
@@ -159,6 +172,7 @@ def simhash_near_dups(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs whose simhash differs in ≤ ``max_hamming`` bits.
 
@@ -170,6 +184,10 @@ def simhash_near_dups(
     the same one-shuffle grouped pair-emit as MinHash banding, never a
     self-join of the full chunk table — then hamming is verified with
     ``bit_count(xor)``. Recall is exact for the stated contract.
+
+    ``max_bucket``: same mega-clique task-OOM guard as
+    ``minhash_lsh_candidates`` — chunk buckets wider than the cap are
+    dropped (run ``exact_dedup`` first; None = uncapped oracle mode).
     """
     n_chunks = max_hamming + 1
     if n_chunks > bits:
@@ -206,12 +224,15 @@ def simhash_near_dups(
     grouped = chunks.groupBy("c", "v").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
     )
+    grouped = grouped.where(F.size("ds") >= 2)
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ds") <= max_bucket)
     pair_expr = F.expr(
         "flatten(transform(ds, (x, k) -> transform(slice(ds, k + 2, size(ds)), "
         "y -> struct(x.doc_id AS i, y.doc_id AS j, x.simhash AS si, y.simhash AS sj))))"
     )
     return (
-        grouped.where(F.size("ds") >= 2)
+        grouped
         .select(F.explode(pair_expr).alias("p"))
         .select(
             F.col("p.i").alias("i"),

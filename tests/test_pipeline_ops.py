@@ -174,6 +174,46 @@ def test_dedup_correct_under_hot_key_skew(spark, sf_dir):
     docs.unpersist()
 
 
+def test_max_bucket_drops_mega_cliques(spark, sf_dir):
+    """The task-OOM guard: with max_bucket below the hot clique size,
+    the clique's B² pair expansion is skipped entirely while the cold
+    tail's candidates are untouched."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 500)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit("the same hot duplicated document body appears many times"),
+            ).otherwise(F.col("text")),
+        )
+        .cache()
+    )
+    hot = {r["doc_id"] for r in docs.where(F.col("doc_id") % 10 == 0).collect()}
+
+    uncapped = {
+        (r["i"], r["j"])
+        for r in minhash_lsh_candidates(docs, num_hashes=16, band_size=4).collect()
+    }
+    capped = {
+        (r["i"], r["j"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=16, band_size=4, max_bucket=10
+        ).collect()
+    }
+    assert not any(a in hot and b in hot for a, b in capped)
+    cold_uncapped = {p for p in uncapped if p[0] not in hot and p[1] not in hot}
+    assert cold_uncapped <= capped
+
+    sh_capped = {
+        (r["i"], r["j"])
+        for r in simhash_near_dups(docs, max_hamming=2, max_bucket=10).collect()
+    }
+    assert not any(a in hot and b in hot for a, b in sh_capped)
+    docs.unpersist()
+
+
 def test_contamination_check_finds_planted_overlap(spark):
     """A corpus doc embedding a benchmark item's 8-gram span is
     flagged with the right shared count; clean docs are not."""
