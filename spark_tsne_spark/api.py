@@ -178,7 +178,9 @@ def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=Non
     Partition sizing: per-iteration task overhead dominates when
     blocks are tiny, and the exact kernel materializes a k×n double
     block per task, so blocks are sized for ~64 MB of numerator in
-    exact mode and ~2000 rows in BH mode, capped at 2× parallelism.
+    exact mode (capped at 2× parallelism for balance) and ≥256 rows
+    in BH mode (capped at 1× parallelism — the pass is latency-bound,
+    see the BH branch below).
     """
     from spark_tsne_spark.shipping import ship_package
 
