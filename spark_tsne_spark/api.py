@@ -81,9 +81,16 @@ class TSNEResult:
             ]
         )
         # One Arrow conversion, not n Row objects — at 10⁵+ rows the
-        # Row-list path spends seconds in per-object construction.
+        # Row-list path spends seconds in per-object construction. The y
+        # cells must be plain-Python floats: the non-Arrow
+        # _createFromLocal verifier rejects numpy.float64 elements for
+        # ArrayType(DoubleType), and sessions without Arrow (or with a
+        # failed Arrow fallback) take that path.
         pdf = pd.DataFrame(
-            {"id": np.asarray(self.ids, dtype=np.int64), "y": list(self.Y)}
+            {
+                "id": np.asarray(self.ids, dtype=np.int64),
+                "y": np.asarray(self.Y, dtype=np.float64).tolist(),
+            }
         )
         return spark.createDataFrame(pdf, schema)
 

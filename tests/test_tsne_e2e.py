@@ -198,3 +198,29 @@ def test_clustered_pipeline_f5(spark):
     nn = topk_neighbors(res.Y, k=10)
     agreement = np.mean([np.mean(labels[nn[i]] == labels[i]) for i in range(len(labels))])
     assert agreement > 0.85, f"kNN label agreement {agreement}"  # chance = 1/3
+
+
+def test_to_df_without_arrow(spark):
+    """Regression (round 3): sessions where Arrow conversion is off (or
+    falls back) take ``_createFromLocal``, whose verifier rejects
+    numpy.float64 elements for ArrayType(DoubleType). ``to_df`` must
+    emit plain-Python floats so both paths accept the frame."""
+    from spark_tsne_spark.api import TSNEResult
+
+    res = TSNEResult(
+        ids=np.arange(5, dtype=np.int64),
+        Y=np.arange(10, dtype=np.float64).reshape(5, 2) / 7.0,
+        losses=[(0, 1.0)],
+    )
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        rows = res.to_df(spark).orderBy("id").collect()
+    finally:
+        spark.conf.set(key, prev)
+    assert [r["id"] for r in rows] == list(range(5))
+    got = np.array([r["y"] for r in rows])
+    np.testing.assert_allclose(got, res.Y)
+    # and the Arrow path still works
+    assert res.to_df(spark).count() == 5
