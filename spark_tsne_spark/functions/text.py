@@ -32,21 +32,39 @@ def token_count(text: Column | str) -> Column:
 
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:
-    """All character k-grams (1-based positions, DuckDB-portable)."""
+    """All character k-grams (1-based positions, DuckDB-portable).
+
+    Strings shorter than k yield an EMPTY array. The guard matters:
+    ``sequence(1, 0)`` is DESCENDING ``[1, 0]`` in Spark, so without
+    it a short string emits its own prefix twice (positions 1 and 0
+    both read from the front) instead of nothing.
+    """
     t = _col(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), F.length(t) - (k - 1))),
-        lambda i: F.substring(t, i, k),
-    )
+    return F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: F.substring(t, i, k),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams(text: Column | str, n: int = 2) -> Column:
-    """Word n-grams joined by a single space."""
+    """Word n-grams joined by a single space.
+
+    Documents with fewer than n tokens yield an EMPTY array. Without
+    the guard, ``sequence(1, 0)`` emits the descending ``[1, 0]`` and
+    ``slice(toks, 0, n)`` throws INVALID_PARAMETER_VALUE.START —
+    crashing the whole job on one short document.
+    """
     toks = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - (n - 1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_ratio(text: Column | str) -> Column:

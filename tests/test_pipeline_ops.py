@@ -689,3 +689,29 @@ def test_salted_join_equals_plain_join(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), how
+
+
+def test_ngram_functions_short_inputs(spark):
+    """Regression (round-3 ADVICE): sequence(1, 0) is descending in
+    Spark, so unguarded short inputs made word_ngrams crash the job
+    (slice start=0) and char_shingles emit the prefix twice. Both must
+    yield empty arrays, matching the DuckDB oracle semantics."""
+    from spark_tsne_spark.functions.text import char_shingles, word_ngrams
+    from spark_tsne_spark.operators.dedup import ngram_contamination
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "ab"), (3, ""), (4, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    grams = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", word_ngrams("text", 8).alias("g")).collect()}
+    assert grams[1] == [] and grams[2] == [] and grams[3] == []
+    assert grams[4][0] == "a b c d e f g h"
+    sh = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", char_shingles("text", 5).alias("s")).collect()}
+    assert sh[2] == [] and sh[3] == []
+    assert sh[1][0] == "one t"
+    # end-to-end: contamination over a corpus containing short docs
+    bench = spark.createDataFrame(
+        [(100, "x y")], "bench_id long, text string")
+    assert ngram_contamination(df, bench, n=8).collect() == []
