@@ -4,8 +4,9 @@ INDEPENDENT twin of the Spark ML PCA path: sample covariance
 (ddof=1) of the raw sf0.01 embeddings in plain numpy, `eigh`
 eigendecomposition, top-8 components by eigenvalue, projection of the
 UNcentered rows (Spark ML's PCA.transform convention), then
-per-component sign canonicalization (flip so the minimum-vec_id row's
-loading is positive — the same rule the catalog query applies).
+per-component sign canonicalization (flip so the max-|loading| row's
+value is positive, ties to the lowest vec_id — the same rule the
+catalog query applies; the reference loading can never be ~zero).
 Agreement with the distributed pipeline is ~1e-14 before the shared
 6-decimal rounding.
 
@@ -39,9 +40,13 @@ def main() -> None:
     comp = V[:, np.argsort(-w)[:K]]
     P = X @ comp
     for c in range(K):
-        ref = P[0, c]
-        assert ref != 0.0, "sign-canonicalization reference loading is zero"
-        if ref < 0:
+        # Canonicalize against the max-|loading| row (ties: lowest
+        # vec_id — np.argmax picks the first occurrence and rows are
+        # id-sorted). Unlike an arbitrary fixed row, this reference
+        # can never be near zero, so the flip is always well-defined.
+        r = int(np.argmax(np.abs(P[:, c])))
+        assert abs(P[r, c]) > 1e-9, "component is identically ~zero"
+        if P[r, c] < 0:
             P[:, c] *= -1
 
     rows = [

@@ -217,8 +217,22 @@ def _kmeans_centroids(
     if n == 0:
         raise ValueError("ivf_topk: empty corpus")
     frac = min(1.0, (max_train * 1.2) / n)
-    train = base if frac >= 1.0 else base.sample(False, frac, seed)
-    rows = train.limit(max_train).select("v").collect()
+    if frac < 1.0:
+        # Value-deterministic sample: DataFrame.sample draws from a
+        # per-partition RNG, so a change in file splits or layout
+        # would silently reshuffle the training set and move the
+        # centroids. Content-hash sampling keys on the id value only.
+        from spark_tsne_spark.operators.sampling import hash_sample
+
+        train = hash_sample(
+            base, F.col("id").cast("string"), frac, salt=f"ivf-{seed}-"
+        )
+    else:
+        train = base
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k, driver merge — no full sort shuffle) and fixes the row
+    # order the k-means++ seeding sees, independent of scan order.
+    rows = train.orderBy("id").limit(max_train).select("v").collect()
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = X[norms[:, 0] > 0] / norms[norms[:, 0] > 0]

@@ -307,11 +307,14 @@ _PCA_GOLDEN = os.path.join(
 )
 
 # Eigenvector SIGN is the only indeterminacy for well-separated
-# eigenvalues; canonicalizing each component against the minimum-id
-# row's loading makes the projection fully deterministic, and an
-# INDEPENDENT numpy eigendecomposition (scripts/make_pca_golden.py)
-# reproduces the Spark ML pipeline to ~1e-14 — far inside the shared
-# 6-decimal rounding. The golden parquet is that independent result.
+# eigenvalues; canonicalizing each component against its max-|loading|
+# row (ties to the lowest vec_id) makes the projection fully
+# deterministic — and unlike an arbitrary fixed row, that reference
+# loading can never sit near zero where 6-decimal rounding could flip
+# the comparison. An INDEPENDENT numpy eigendecomposition
+# (scripts/make_pca_golden.py) reproduces the Spark ML pipeline to
+# ~1e-14 — far inside the shared 6-decimal rounding. The golden
+# parquet is that independent result.
 _PCA_SQL = f"SELECT vec_id, c, v FROM read_parquet('{_PCA_GOLDEN}')"
 
 
@@ -328,18 +331,28 @@ def p3_pca_project(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("features")
     )
     out = pca_project(emb, k=8)
-    ref = out.orderBy("vec_id").select(F.col("features").alias("ref")).limit(1)
+    exploded = out.select("vec_id", F.posexplode("features").alias("c", "raw"))
+    # Per-component reference sign: the max-|loading| row, ties broken
+    # to the lowest vec_id (struct ordering: larger |raw| wins, then
+    # larger -vec_id = smaller vec_id). Tiny groupBy (n·k rows → k),
+    # broadcast back — no extra pass over the wide features.
+    signs = exploded.groupBy("c").agg(
+        F.max_by(
+            F.signum("raw"), F.struct(F.abs("raw"), -F.col("vec_id"))
+        ).alias("ref_sign")
+    )
     return (
-        out.crossJoin(F.broadcast(ref))
+        exploded.join(F.broadcast(signs), "c")
         .select(
             "vec_id",
-            F.zip_with(
-                "features", "ref",
-                lambda x, r: F.when(r < 0, -x).otherwise(x),
-            ).alias("canon"),
+            "c",
+            F.round(
+                F.when(F.col("ref_sign") < 0, -F.col("raw")).otherwise(
+                    F.col("raw")
+                ),
+                6,
+            ).alias("v"),
         )
-        .select("vec_id", F.posexplode("canon").alias("c", "raw"))
-        .select("vec_id", "c", F.round("raw", 6).alias("v"))
     )
 
 

@@ -715,3 +715,22 @@ def test_ngram_functions_short_inputs(spark):
     bench = spark.createDataFrame(
         [(100, "x y")], "bench_id long, text string")
     assert ngram_contamination(df, bench, n=8).collect() == []
+
+
+def test_ivf_quantizer_scan_order_invariant(spark, embeddings):
+    """Regression (round-3 ADVICE): the k-means training sample must
+    depend only on data VALUES — a different partitioning (standing in
+    for a different file-split config) must yield byte-identical
+    centroids, through both the all-rows and the hash-sampled path."""
+    from spark_tsne_spark.operators.similarity import _kmeans_centroids
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    shuffled = base.repartition(7, F.col("id"))
+    for max_train in (100_000, 120):  # all-rows path; sampled path
+        C1, n1 = _kmeans_centroids(base, n_cells=8, seed=42, max_train=max_train)
+        C2, n2 = _kmeans_centroids(shuffled, n_cells=8, seed=42, max_train=max_train)
+        assert n1 == n2
+        np.testing.assert_array_equal(C1, C2)
