@@ -20,6 +20,11 @@ import time
 
 from pyspark.sql import functions as F
 
+# Stage-breakdown scratchpad: composite bench entries (the distributed
+# t-SNE) write their per-stage wall-clock here; main() snapshots it
+# per run and emits it under "stages" in the JSON line.
+_STAGES: dict = {}
+
 
 def bench_queries():
     """name -> callable(spark, sf_dir) returning a DataFrame to exhaust."""
@@ -41,9 +46,12 @@ def bench_queries():
         return load_table(spark, "embeddings", sf_dir)
 
     def b_minhash_full(spark, sf_dir):
+        # max_bucket=512 exercises the mega-clique cap — the
+        # production contract at scale (the uncapped variant stays in
+        # the correctness catalog, where the oracle needs every pair).
         return minhash_lsh_candidates(
             docs(spark, sf_dir).where(F.length("text") >= 5),
-            num_hashes=16, band_size=4, hash_fn="xxhash64",
+            num_hashes=16, band_size=4, hash_fn="xxhash64", max_bucket=512,
         )
 
     def b_simhash_full(spark, sf_dir):
@@ -67,7 +75,7 @@ def bench_queries():
 
         d = docs(spark, sf_dir).where(F.length("text") >= 5)
         pairs = minhash_lsh_candidates(
-            d, num_hashes=16, band_size=4, hash_fn="xxhash64"
+            d, num_hashes=16, band_size=4, hash_fn="xxhash64", max_bucket=512
         )
         return duplicate_clusters(pairs, d)
 
@@ -101,10 +109,15 @@ def bench_queries():
         calibration, and every one of the 10 BH iterations
         (broadcast (Y, tree) → mapInPandas force pass → driver
         update) run as Spark jobs — the flagship's 100 TB shape, not
-        the driver-local shortcut."""
+        the driver-local shortcut. Fills ``_STAGES`` with the stage
+        breakdown (input build / fused affinity job / per-iteration
+        stats) so the headline number is attributable."""
+        import time as _t
+
         from spark_tsne_spark.api import bh_tsne
 
         e = emb(spark, sf_dir)
+        t_build0 = _t.time()
         copies = spark.range(25).select(F.col("id").alias("copy"))
         big = (
             e.crossJoin(copies)
@@ -127,9 +140,10 @@ def bench_queries():
             .cache()
         )
         big.count()
+        _STAGES["input_build_sec"] = round(_t.time() - t_build0, 3)
         res = bh_tsne(
             big, max_iterations=10, perplexity=30.0, seed=42,
-            id_col="vec_id", features="embedding",
+            id_col="vec_id", features="embedding", profile=_STAGES,
         )
         return res.to_df(spark)
 
@@ -229,16 +243,40 @@ def main():
     warm_emb.unpersist()
     spark.catalog.clearCache()
 
+    # Repeat-and-min: on this host class single-shot timings swing
+    # 3-5x with VM page-restore, so each query runs `repeat` times and
+    # the headline number is the min (the least-perturbed run); all
+    # runs are reported under "runs" so variance stays visible. The
+    # long-running distributed t-SNE gets fewer repeats — its stage
+    # breakdown (under "stages") provides the attribution instead.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    heavy_repeat = {"tsne_bh_distributed": 2}
+
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    stages: dict[str, dict] = {}
     for name, fn in bench_queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # exhaust the plan
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", flush=True)
-        # Queries are timed independently; drop persisted intermediates
-        # so one query's cache doesn't pressure the next one's memory.
-        spark.catalog.clearCache()
+        reps = max(1, min(repeat, heavy_repeat.get(name, repeat)))
+        runs: list[float] = []
+        best_stage: dict | None = None
+        for _ in range(reps):
+            _STAGES.clear()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # exhaust the plan
+            dt = round(time.time() - t0, 3)
+            runs.append(dt)
+            if _STAGES and dt == min(runs):
+                best_stage = dict(_STAGES)
+            # Queries are timed independently; drop persisted
+            # intermediates so one run's cache doesn't pressure the
+            # next one's memory.
+            spark.catalog.clearCache()
+        timings[name] = min(runs)
+        all_runs[name] = runs
+        if best_stage is not None:
+            stages[name] = best_stage
+        print(f"# {name}: min={timings[name]}s runs={runs} rows={n}", flush=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -248,6 +286,9 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
+                "repeat": repeat,
+                "stages": stages,
                 "sf": sf,
             }
         ),

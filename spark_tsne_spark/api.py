@@ -175,7 +175,10 @@ def _resolve_knn_method(method: str, n: int, d: int) -> str:
     return method
 
 
-def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=None):
+def _prepare(
+    df, perplexity, id_col, features, method, mode, local_threshold=None,
+    profile=None,
+):
     """X2P + symmetrize + adjacency, cached for the loop.
 
     Inputs at or below the local threshold (see module constants) run
@@ -191,12 +194,17 @@ def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=Non
     """
     from spark_tsne_spark.shipping import ship_package
 
+    import time as _time
+
     ship_package(df.sparkSession)
     if df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
         logger.warning("Input is not persisted and performance could be bad")
+    t0 = _time.time()
     n = df.count()
     first = df.select(F.size(F.col(features)).alias("d")).first()
     d = int(first["d"]) if first is not None else 0
+    if profile is not None:
+        profile["input_count_sec"] = round(_time.time() - t0, 3)
     method = _resolve_knn_method(method, n, d)
     if local_threshold is None:
         local_threshold = LOCAL_THRESHOLD_BH if mode == "bh" else LOCAL_THRESHOLD_EXACT
@@ -206,6 +214,9 @@ def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=Non
             F.col(features).cast("array<double>").alias("f"),
         ).toPandas()
         adjacency, ids = _local_adjacency(pdf_points, perplexity, tol=1e-5)
+        if profile is not None:
+            profile["affinity_sec"] = round(_time.time() - t0, 3)
+            profile["affinity_path"] = "local"
         return adjacency, ids, n
     par = df.sparkSession.sparkContext.defaultParallelism
     if mode == "exact":
@@ -218,11 +229,18 @@ def _prepare(df, perplexity, id_col, features, method, mode, local_threshold=Non
         # scheduler + Python-worker round-trips for no balance win on
         # near-uniform blocks. Blocks still ≥256 rows.
         parts = max(1, min(par, -(-n // 256)))
+    t0 = _time.time()
     p_ji = x2p(df, tol=1e-5, perplexity=perplexity, id_col=id_col, features=features, method=method)
     # compute_p partitions by i into `parts` directly — no extra
     # repartition pass over the materialized adjacency lists.
     adjacency = compute_p(p_ji, n, parts).cache()
     ids = np.sort(adjacency.select("i").toPandas()["i"].to_numpy(dtype=np.int64))
+    if profile is not None:
+        # One fused job in production (kNN → β calibration → symmetrize
+        # → cache), so it is timed as one stage — splitting it would
+        # mean materializing intermediates the real plan doesn't.
+        profile["affinity_sec"] = round(_time.time() - t0, 3)
+        profile["affinity_path"] = f"distributed/{method}"
     return adjacency, ids, len(ids)
 
 
@@ -239,7 +257,10 @@ def _loop(
     callback,
     seed,
     y_scale,
+    profile=None,
 ):
+    import time as _time
+
     local = isinstance(adjacency, pd.DataFrame)
     rng = np.random.default_rng(seed)
     Y = rng.standard_normal((n, no_dims)) * y_scale
@@ -256,7 +277,9 @@ def _loop(
         bi_l = np.searchsorted(ids, adjacency["i"].to_numpy())
         row_of_l, jpos_l, p_base = _flatten_edges(adjacency, ids, 1.0)
     losses = []
+    iter_secs = [] if profile is not None else None
     for iteration in range(1, max_iterations + 1):
+        it0 = _time.time()
         exaggeration = (
             param.exaggeration_factor if iteration <= param.early_exaggeration else 1.0
         )
@@ -284,6 +307,8 @@ def _loop(
                     losses.append((iteration, loss))
                 if callback is not None:
                     callback(iteration, Y.copy(), loss if want_loss else None)
+                if iter_secs is not None:
+                    iter_secs.append(round(_time.time() - it0, 3))
                 continue
         else:
             if mode == "exact":
@@ -304,8 +329,17 @@ def _loop(
             losses.append((iteration, loss))
         if callback is not None:
             callback(iteration, Y.copy(), loss if want_loss else None)
+        if iter_secs is not None:
+            iter_secs.append(round(_time.time() - it0, 3))
     if not local:
         bc_ids.destroy()
+    if profile is not None and iter_secs:
+        profile["n_iters"] = len(iter_secs)
+        profile["iter_sec_min"] = min(iter_secs)
+        profile["iter_sec_max"] = max(iter_secs)
+        profile["iter_sec_mean"] = round(sum(iter_secs) / len(iter_secs), 3)
+        profile["iter_sec_first"] = iter_secs[0]
+        profile["iter_sec_total"] = round(sum(iter_secs), 3)
     return TSNEResult(ids=ids, Y=Y, losses=losses)
 
 
@@ -427,6 +461,7 @@ def bh_tsne(
     features: str = "features",
     knn_method: str = "auto",
     local_threshold: int | None = None,
+    profile: dict | None = None,
 ) -> TSNEResult:
     """Barnes-Hut t-SNE (reference ``BHTSNE.tsne``).
 
@@ -437,12 +472,17 @@ def bh_tsne(
     kept. ``local_threshold``: row count at or below which the
     identical kernels run driver-side with no per-iteration job
     (None → ``LOCAL_THRESHOLD_BH``; 0 forces the distributed path).
+    ``profile``: pass a dict to collect wall-clock stage timings
+    (input count, fused affinity job, per-iteration min/mean/max) —
+    purely observational, it never changes the plan.
     """
     adjacency, ids, n = _prepare(
-        df, perplexity, id_col, features, knn_method, "bh", local_threshold
+        df, perplexity, id_col, features, knn_method, "bh", local_threshold,
+        profile=profile,
     )
     return _loop(
         adjacency, ids, n, no_dims, max_iterations, param,
         mode="bh", theta=theta, report_loss=report_loss,
         callback=callback, seed=seed, y_scale=1e-4,
+        profile=profile,
     )
