@@ -1086,19 +1086,9 @@ _MM_FEATURES_SQL = r"""
 """
 
 
-@register("multimodal_features", _MM_FEATURES_SQL)
-def multimodal_features(spark, sf_dir):
-    """Multimodal features with a REAL decode: documents land as
-    genuine P5 PGM binaries, the pure-numpy netpbm parser decodes the
-    header + pixel grid, and features are a 16-bin intensity
-    histogram. The DuckDB oracle recomputes every bin count from the
-    same text bytes — this is a value check of the actual decoder,
-    not a rows-only smoke test."""
-    from spark_tsne_spark.sources.multimodal import extract_features
-
-    out = extract_features(_pgm_media(spark, sf_dir), dim=16)
-    # features are exact bin_count/256 fractions; scale back to the
-    # integer counts for a float-free cross-engine hash
+def _hist_md5(out):
+    """(media_id, features) → float-free cross-engine hash: features
+    are exact bin_count/256 fractions; scale back to integer counts."""
     return out.select(
         "media_id",
         F.size("features").alias("dim"),
@@ -1112,6 +1102,62 @@ def multimodal_features(spark, sf_dir):
             )
         ).alias("hist_md5"),
     )
+
+
+@register("multimodal_features", _MM_FEATURES_SQL)
+def multimodal_features(spark, sf_dir):
+    """Multimodal features with a REAL decode: documents land as
+    genuine P5 PGM binaries, the pure-numpy netpbm parser decodes the
+    header + pixel grid, and features are a 16-bin intensity
+    histogram. The DuckDB oracle recomputes every bin count from the
+    same text bytes — this is a value check of the actual decoder,
+    not a rows-only smoke test."""
+    from spark_tsne_spark.sources.multimodal import extract_features
+
+    return _hist_md5(extract_features(_pgm_media(spark, sf_dir), dim=16))
+
+
+@register("multimodal_png", _MM_FEATURES_SQL)
+def multimodal_png(spark, sf_dir):
+    """PNG decode, value-checked: each document's text bytes become a
+    16x16 grid encoded as a REAL deflate-compressed PNG with scanline
+    filters cycling through all five types (None/Sub/Up/Average/
+    Paeth), decoded back by the pure numpy+zlib parser, and reduced
+    to the 16-bin intensity histogram. The DuckDB oracle recomputes
+    every bin count straight from the text — so a single wrong pixel
+    anywhere in inflate or any unfilter path flips the hash."""
+    from spark_tsne_spark.sources.multimodal import extract_features
+    from spark_tsne_spark.shipping import ship_package
+
+    ship_package(spark)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from spark_tsne_spark.sources.multimodal import make_png
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                # Same grid rule as pgm_payload + the SQL oracle:
+                # ASCII-stripped text bytes, zero-padded to 256.
+                codes = [ord(c) for c in text if ord(c) < 128][:256]
+                grid = np.zeros(256, dtype=np.uint8)
+                grid[: len(codes)] = codes
+                payloads.append(make_png(grid.reshape(16, 16)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(encode, "media_id long, payload binary")
+    )
+    return _hist_md5(extract_features(media, dim=16))
 
 
 _MM_RESIZE_SQL = r"""

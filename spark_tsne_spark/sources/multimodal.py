@@ -4,13 +4,16 @@ Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` passes.
 
-Decode support: **netpbm (P5 PGM / P6 PPM) images decode for real** —
-a pure-numpy parser (`parse_netpbm`) with no codec dependency — so one
-genuine image format is exercised end-to-end (header parse → pixel
-grid → resample / histogram features). Compressed formats (JPEG/PNG/
-audio) remain STUBBED (`_decode_stub`) because no codec library ships
-in this environment; a production deployment swaps the stub for a
-PIL/ffmpeg call without touching the plan.
+Decode support: **netpbm (P5 PGM / P6 PPM) and non-interlaced 8-bit
+gray/RGB PNG images decode for real** — pure numpy + stdlib parsers
+(`parse_netpbm`, `parse_png`; PNG is IDAT zlib-inflate + a
+per-scanline unfilter pass) with no codec dependency — so both an
+uncompressed and a genuinely compressed image format are exercised
+end-to-end (container walk → pixel grid → resample / histogram
+features). JPEG and compressed audio remain STUBBED (`_decode_stub`)
+because no codec library ships in this environment; a production
+deployment swaps the stub for a PIL/ffmpeg call without touching the
+plan.
 
 Scale notes: binary payloads stay columnar through Arrow; per-batch
 numpy work avoids per-row Python. Feature extraction is a narrow map
@@ -187,6 +190,173 @@ def split_netpbm_stream(payload: bytes) -> list[bytes]:
     return frames
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png(payload: bytes) -> np.ndarray | None:
+    """Pure numpy + stdlib-zlib decoder for non-interlaced 8-bit PNG,
+    color types 0 (grayscale) and 2 (RGB, averaged to grayscale like
+    the P6 path). Returns a ``(h, w)`` uint8 grid, or ``None`` for
+    anything else (other color types / bit depths / interlace, bad
+    signature, truncated chunks, corrupt deflate stream) — the caller
+    falls back to the stub. Total over arbitrary bytes, never raises.
+
+    Decode = chunk walk (IHDR → IDAT* → IEND, unknown ancillary
+    chunks skipped, CRCs not validated — pixel correctness is checked
+    against the SQL oracle instead), one ``zlib.decompress`` over the
+    concatenated IDAT bodies, then the per-scanline unfilter pass.
+    Filters None/Sub/Up are fully vectorized (Sub is a cumulative sum
+    over the per-channel stride); Average/Paeth carry a true
+    left-neighbor recurrence, so those rows fall back to a per-byte
+    loop.
+    """
+    import zlib
+
+    n = len(payload)
+    if not payload.startswith(PNG_SIG):
+        return None
+    pos = 8
+    ihdr: bytes | None = None
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color, comp, filt_method, interlace = ihdr[8:13]
+    if (
+        w <= 0 or h <= 0 or bit_depth != 8 or color not in (0, 2)
+        or comp != 0 or filt_method != 0 or interlace != 0
+    ):
+        return None
+    ch = 3 if color == 2 else 1
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        return None
+    arr = np.frombuffer(
+        raw, dtype=np.uint8, count=h * (1 + stride)
+    ).reshape(h, 1 + stride)
+    ftypes = arr[:, 0]
+    data = arr[:, 1:].astype(np.int32)
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = ch
+    for y in range(h):
+        f = int(ftypes[y])
+        row = data[y]
+        if f == 0:
+            cur = row % 256
+        elif f == 1:  # Sub: recon[x] = row[x] + recon[x-bpp]
+            cur = (np.cumsum(row.reshape(w, bpp), axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f == 3:  # Average — left-recurrence, per-byte
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth — left-recurrence, per-byte
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) % 256
+        else:
+            return None
+        recon[y] = cur.astype(np.uint8)
+        prev = cur.astype(np.int32)
+    if ch == 3:
+        rgb = recon.reshape(h, w, 3).astype(np.uint16)
+        return (rgb.sum(axis=2) // 3).astype(np.uint8)
+    return recon.reshape(h, w)
+
+
+def make_png(img: np.ndarray, filter_cycle: bool = True) -> bytes:
+    """Encode a uint8 grid — ``(h, w)`` grayscale or ``(h, w, 3)``
+    RGB — as a real non-interlaced 8-bit PNG. ``filter_cycle=True``
+    assigns scanline y filter type ``y % 5``, deliberately exercising
+    every unfilter path (None/Sub/Up/Average/Paeth) in one image;
+    ``False`` writes filter 0 everywhere. Used by tests and catalog
+    queries to land genuine deflate-compressed payloads whose pixel
+    grid the SQL oracle can recompute independently.
+    """
+    import struct
+    import zlib
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        ch, color = 1, 0
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ch, color = 3, 2
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    bpp = ch
+
+    def left_of(v: np.ndarray) -> np.ndarray:
+        return np.concatenate((np.zeros(bpp, dtype=np.int32), v[:-bpp]))
+
+    lines: list[bytes] = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = y % 5 if filter_cycle else 0
+        left = left_of(cur)
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth: predictor from RECONSTRUCTED (= original) bytes
+            ul = left_of(prev)
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -339,11 +509,20 @@ def _histogram_features(grid: np.ndarray, dim: int) -> np.ndarray:
     return counts[:dim].astype(np.float64) / max(1, grid.size)
 
 
+def _decode_image(payload: bytes) -> np.ndarray | None:
+    """Try every REAL decoder (netpbm, then PNG); ``None`` → stub."""
+    grid = parse_netpbm(payload)
+    if grid is None:
+        grid = parse_png(payload)
+    return grid
+
+
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """binary payload → fixed-width feature vector, one narrow pass.
 
-    netpbm payloads (P5/P6) decode for real and yield intensity
-    histograms; other payloads fall to the deterministic stub.
+    netpbm (P5/P6) and 8-bit gray/RGB PNG payloads decode for real
+    and yield intensity histograms; other payloads fall to the
+    deterministic stub.
     """
     from spark_tsne_spark.shipping import ship_package
 
@@ -358,7 +537,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 continue
             feats = []
             for p in pdf["payload"]:
-                grid = parse_netpbm(bytes(p))
+                grid = _decode_image(bytes(p))
                 if grid is not None:
                     feats.append(list(_histogram_features(grid, dim)))
                 else:
@@ -450,10 +629,10 @@ def _decode_grid_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize every image to ``width x height`` (nearest-neighbor),
-    one narrow Arrow-batched pass: decode (real netpbm parse, raw-grid
-    stub otherwise) -> vectorized numpy index resample -> re-encode as
-    raw bytes, metadata updated in place. No shuffle; payloads stay
-    columnar through Arrow.
+    one narrow Arrow-batched pass: decode (real netpbm / PNG parse,
+    raw-grid stub otherwise) -> vectorized numpy index resample ->
+    re-encode as raw bytes, metadata updated in place. No shuffle;
+    payloads stay columnar through Arrow.
     """
     from spark_tsne_spark.shipping import ship_package
 
@@ -473,7 +652,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["mime"],
                 pdf["width"], pdf["height"], pdf["n_frames"],
             ):
-                grid = parse_netpbm(bytes(payload))
+                grid = _decode_image(bytes(payload))
                 if grid is None:
                     src_w = max(1, int(w0 or 1))
                     src_h = max(1, int(h0 or 1))

@@ -734,3 +734,57 @@ def test_ivf_quantizer_scan_order_invariant(spark, embeddings):
         C2, n2 = _kmeans_centroids(shuffled, n_cells=8, seed=42, max_train=max_train)
         assert n1 == n2
         np.testing.assert_array_equal(C1, C2)
+
+
+def test_png_codec_round_trip_and_total():
+    """parse_png: exact pixel recovery through every filter type
+    (make_png cycles None/Sub/Up/Average/Paeth per scanline), RGB
+    averaged to gray like the P6 path, unsupported features rejected
+    as None, and totality over arbitrary / corrupted bytes."""
+    import zlib
+
+    from spark_tsne_spark.sources.multimodal import make_png, parse_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16), (7, 5), (1, 1), (33, 17), (16, 16, 3), (9, 4, 3)]:
+        g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for cyc in (True, False):
+            dec = parse_png(make_png(g, filter_cycle=cyc))
+            want = (
+                g if g.ndim == 2
+                else (g.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+            )
+            assert dec is not None and np.array_equal(dec, want)
+    # interlaced / 16-bit / palette → None, not a crash
+    base = bytearray(make_png(np.zeros((4, 4), dtype=np.uint8)))
+    for off, val in ((24, 16), (25, 3), (28, 1)):  # depth, color, interlace
+        ba = bytearray(base)
+        ba[off] = val
+        assert parse_png(bytes(ba)) is None
+    # corrupt deflate stream → None
+    ba = bytearray(make_png(np.full((4, 4), 7, dtype=np.uint8)))
+    ba[-20] ^= 0xFF
+    assert parse_png(bytes(ba)) is None
+    # totality fuzz: random bytes, with and without a valid signature
+    for _ in range(500):
+        b = rng.bytes(int(rng.integers(0, 120)))
+        parse_png(b)
+        parse_png(b"\x89PNG\r\n\x1a\n" + b)
+
+
+def test_extract_features_decodes_png(spark):
+    """The feature extractor's decode chain reaches the real PNG
+    parser: a deflate-compressed payload yields the decoded grid's
+    intensity histogram, not stub pseudo-features."""
+    from spark_tsne_spark.sources.multimodal import extract_features, make_png
+
+    g = np.zeros((16, 16), dtype=np.uint8)
+    g[:8] = 255  # half the pixels in bin 0, half in bin 15
+    media = spark.createDataFrame(
+        [(1, bytearray(make_png(g)), ("image/png", 0, 0, 1))],
+        "media_id long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,n_frames:int>",
+    )
+    [row] = extract_features(media, dim=16).collect()
+    feats = row["features"]
+    assert feats[0] == 0.5 and feats[15] == 0.5 and sum(feats) == 1.0
