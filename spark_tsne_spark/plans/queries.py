@@ -1731,11 +1731,24 @@ def x2p_affinities(spark, sf_dir):
     return out.select("i", "j", F.round("p", 6).alias("p"))
 
 
-@register("tsne_embedding", None)
+_TSNE_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "tsne_embedding_sf001.parquet",
+)
+
+# The trajectory is deterministic in-engine (seeded RNG; local ≡
+# distributed pinned by test) — so the flagship is value-pinned
+# against its own reproducible output (scripts/make_tsne_golden.py;
+# valid for the driver's sf0.01), closing the last rows-only hole.
+# Statistical oracles (KL decreases, neighborhoods preserved) live in
+# tests/test_tsne_e2e.py.
+_TSNE_SQL = f"SELECT vec_id, y0, y1 FROM read_parquet('{_TSNE_GOLDEN}')"
+
+
+@register("tsne_embedding", _TSNE_SQL)
 def tsne_embedding(spark, sf_dir):
-    """Flagship: Barnes-Hut t-SNE end-to-end (50 iterations, seeded).
-    Iterative optimization — rows-only check; statistical oracles live
-    in tests/test_tsne_e2e.py."""
+    """Flagship: Barnes-Hut t-SNE end-to-end (50 iterations, seeded),
+    value-checked against the pinned golden trajectory."""
     from spark_tsne_spark.api import bh_tsne
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
@@ -1745,6 +1758,6 @@ def tsne_embedding(spark, sf_dir):
     )
     return res.to_df(spark).select(
         F.col("id").alias("vec_id"),
-        F.col("y")[0].alias("y0"),
-        F.col("y")[1].alias("y1"),
+        F.round(F.col("y")[0], 8).alias("y0"),
+        F.round(F.col("y")[1], 8).alias("y1"),
     )

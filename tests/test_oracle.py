@@ -20,6 +20,7 @@ GOLDEN_SF_DIR = {
     "knn_lsh_approx": "/root/testdata/sf0.01",
     "ann_ivf_topk": "/root/testdata/sf0.01",
     "p3_pca_project": "/root/testdata/sf0.01",
+    "tsne_embedding": "/root/testdata/sf0.01",
 }
 
 
