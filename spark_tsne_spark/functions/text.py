@@ -101,14 +101,134 @@ def quality_score(text: Column | str) -> Column:
     return (length_term + punct_term + stop_term) / 3.0
 
 
-def lang_id(text: Column | str, threshold: float = 0.08) -> Column:
-    """Heuristic language ID: 'en' when the stopword ratio clears the
-    threshold, else 'other'. (Image of a real n-gram LID model; the
-    Spark plumbing — per-doc scoring in one narrow pass — is the
-    point at scale.)"""
-    return F.when(stopword_ratio(text) > threshold, F.lit("en")).otherwise(
-        F.lit("other")
+# --- Character-trigram language ID ---------------------------------
+#
+# A real (if small) LID model: per-language character-trigram
+# profiles trained at import time from the embedded sample corpus
+# below, classification by argmax of the summed per-trigram profile
+# weights — equivalent to cosine argmax against unit-norm profiles
+# with term-frequency doc vectors, since the document norm is the
+# same for every language. Weights are INTEGER parts-per-million so
+# the score is an exact integer sum in any summation order — the
+# same number in Spark and in the DuckDB oracle, no float drift.
+#
+# The sample corpus is original text written for this profile (the
+# classic public-domain technique: Cavnar & Trenkle-style n-gram
+# profiles); what matters is coverage of each language's function
+# words and orthography, not the prose.
+
+_LANG_SAMPLES: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then runs into "
+        "the forest where it finds that the other animals have gathered "
+        "for a meeting about the coming winter this is the time of year "
+        "when food is hard to find and the days are short so they plan "
+        "together and share what they have because that is what good "
+        "neighbours do in a small wood with one another and with all of "
+        "their friends who would rather work as a group than struggle "
+        "alone through the cold months of the long northern winter"
+    ),
+    "fr": (
+        "le renard brun saute par dessus le chien et court dans la foret "
+        "ou il trouve que les autres animaux se sont reunis pour une "
+        "assemblee au sujet de l'hiver qui vient c'est la periode de "
+        "l'annee ou la nourriture est difficile a trouver et les jours "
+        "sont courts alors ils font des plans ensemble et partagent ce "
+        "qu'ils ont parce que c'est ce que font les bons voisins dans un "
+        "petit bois les uns avec les autres et avec tous leurs amis qui "
+        "preferent travailler en groupe plutot que de lutter seuls"
+    ),
+    "de": (
+        "der braune fuchs springt uber den faulen hund und lauft dann in "
+        "den wald wo er findet dass die anderen tiere sich zu einer "
+        "versammlung uber den kommenden winter getroffen haben das ist "
+        "die zeit des jahres in der das essen schwer zu finden ist und "
+        "die tage kurz sind also planen sie zusammen und teilen was sie "
+        "haben weil gute nachbarn das in einem kleinen wald so machen "
+        "miteinander und mit allen ihren freunden die lieber als gruppe "
+        "arbeiten als allein durch die kalten monate zu kommen"
+    ),
+    "es": (
+        "el zorro marron salta sobre el perro perezoso y luego corre "
+        "hacia el bosque donde encuentra que los otros animales se han "
+        "reunido para una asamblea sobre el invierno que viene esta es "
+        "la epoca del ano en que la comida es dificil de encontrar y los "
+        "dias son cortos asi que hacen planes juntos y comparten lo que "
+        "tienen porque eso es lo que hacen los buenos vecinos en un "
+        "bosque pequeno unos con otros y con todos sus amigos que "
+        "prefieren trabajar en grupo antes que luchar solos"
+    ),
+    "it": (
+        "la volpe marrone salta sopra il cane pigro e poi corre nella "
+        "foresta dove trova che gli altri animali si sono riuniti per "
+        "una assemblea sull'inverno che viene questo e il periodo "
+        "dell'anno in cui il cibo e difficile da trovare e le giornate "
+        "sono corte quindi fanno piani insieme e condividono quello che "
+        "hanno perche questo e quello che fanno i buoni vicini in un "
+        "piccolo bosco gli uni con gli altri e con tutti i loro amici "
+        "che preferiscono lavorare in gruppo piuttosto che lottare soli"
+    ),
+}
+
+# Minimum mean per-trigram weight (ppm) for a positive call: below
+# this the best language is still a poor fit and the doc is 'other'.
+LANG_MIN_MEAN_WEIGHT = 400
+
+
+def _trigram_profile(sample: str, top: int = 300) -> dict[str, int]:
+    """Integer-ppm trigram frequency profile of a training sample."""
+    from collections import Counter
+
+    s = " " + " ".join(sample.lower().split()) + " "
+    counts = Counter(s[i : i + 3] for i in range(len(s) - 2))
+    total = sum(counts.values())
+    prof = {}
+    for g, c in counts.most_common(top):
+        w = round(1_000_000 * c / total)
+        if w > 0:
+            prof[g] = w
+    return prof
+
+
+LANG_TRIGRAM_PROFILES: dict[str, dict[str, int]] = {
+    lang: _trigram_profile(s) for lang, s in sorted(_LANG_SAMPLES.items())
+}
+
+
+def _lang_score(grams: Column, profile: dict[str, int]) -> Column:
+    """Integer score: sum of profile weights over trigram occurrences."""
+    m = F.create_map(
+        *[F.lit(x) for g, w in sorted(profile.items()) for x in (g, w)]
     )
+    return F.aggregate(
+        F.transform(grams, lambda g: F.coalesce(m[g], F.lit(0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Char-trigram language ID over ``LANG_TRIGRAM_PROFILES``.
+
+    One narrow pass, no shuffle: trigrams of the lowercased text, an
+    integer profile-weight sum per language (a map-literal lookup —
+    JVM-side, no UDF), argmax with lexicographic tie-break, 'other'
+    when the best mean weight is under ``LANG_MIN_MEAN_WEIGHT`` ppm
+    or the text has no trigrams. Exact-arithmetic twin of the DuckDB
+    oracle (integer sums are order-independent).
+    """
+    t = F.lower(_col(text))
+    grams = char_shingles(t, 3)
+    n = F.size(grams)
+    langs = sorted(LANG_TRIGRAM_PROFILES)
+    scores = {L: _lang_score(grams, LANG_TRIGRAM_PROFILES[L]) for L in langs}
+    best = F.greatest(*scores.values())
+    pred = F.lit("other")
+    for L in reversed(langs):  # build when-chain so FIRST lang wins ties
+        pred = F.when(scores[L] == best, F.lit(L)).otherwise(pred)
+    return F.when(
+        (n > 0) & (best >= F.lit(LANG_MIN_MEAN_WEIGHT) * n), pred
+    ).otherwise(F.lit("other"))
 
 
 def fingerprint(text: Column | str) -> Column:

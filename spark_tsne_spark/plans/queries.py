@@ -1239,17 +1239,65 @@ _STOP_RATIO_SQL = (
 )
 
 
+def _lang_pred_sql(tbl: str) -> str:
+    """DuckDB twin of :func:`lang_id` — ``(doc_id, text, lang)``.
+
+    Generated from the SAME ``LANG_TRIGRAM_PROFILES`` dict the Spark
+    expression uses (single source of truth), with integer score sums
+    so both engines compute the identical number in any order. Usable
+    as a FROM subquery (DuckDB allows WITH inside a derived table).
+    """
+    from spark_tsne_spark.functions.text import (
+        LANG_MIN_MEAN_WEIGHT,
+        LANG_TRIGRAM_PROFILES,
+    )
+
+    vals = ",".join(
+        "('{}', '{}', {})".format(L, g.replace("'", "''"), w)
+        for L in sorted(LANG_TRIGRAM_PROFILES)
+        for g, w in sorted(LANG_TRIGRAM_PROFILES[L].items())
+    )
+    return f"""(
+    WITH src AS (SELECT doc_id, text, lower(text) AS t FROM {tbl}),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+                     i -> substr(t, i, 3))) AS g
+      FROM src WHERE length(t) >= 3
+    ),
+    prof(lang, g, w) AS (VALUES {vals}),
+    scores AS (
+      SELECT doc_id, lang, sum(w) AS s
+      FROM grams JOIN prof USING (g)
+      GROUP BY doc_id, lang
+    ),
+    best AS (
+      SELECT doc_id, lang, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, lang ASC) AS r
+      FROM scores
+    )
+    SELECT d.doc_id, d.text,
+           CASE WHEN b.s IS NOT NULL
+                 AND b.s >= {LANG_MIN_MEAN_WEIGHT} * (length(d.t) - 2)
+                THEN b.lang ELSE 'other' END AS lang
+    FROM src d
+    LEFT JOIN (SELECT doc_id, lang, s FROM best WHERE r = 1) b USING (doc_id)
+    )"""
+
+
 @register(
     "text_lang_id",
     f"""
     SELECT doc_id,
            round({_STOP_RATIO_SQL}, 6) AS stop_ratio,
-           CASE WHEN {_STOP_RATIO_SQL} > 0.08 THEN 'en' ELSE 'other' END AS lang_pred
-    FROM documents
+           lang AS lang_pred
+    FROM {_lang_pred_sql("documents")} p
     """,
 )
 def text_lang_id(spark, sf_dir):
-    """Stopword-ratio language ID heuristic (one narrow pass)."""
+    """Char-trigram-profile language ID (argmax of integer profile
+    scores over five languages, 'other' below the fit threshold) in
+    one narrow pass; the stopword ratio stays as a diagnostic."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
@@ -1337,11 +1385,7 @@ def corpus_hash_sample(spark, sf_dir):
     "corpus_stratified_sample",
     f"""
     SELECT doc_id, lang
-    FROM (
-      SELECT doc_id, text,
-             CASE WHEN {_STOP_RATIO_SQL} > 0.08 THEN 'en' ELSE 'other' END AS lang
-      FROM documents
-    )
+    FROM {_lang_pred_sql("documents")} p
     WHERE {_BUCKET_SQL.format(salt="'s2'")} <
           CASE WHEN lang = 'en' THEN {int(0.25 * _HASH_SPACE)}
                ELSE {int(0.05 * _HASH_SPACE)} END
@@ -1355,7 +1399,8 @@ def corpus_stratified_sample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").withColumn("lang", lang_id("text"))
     out = stratified_hash_sample(
-        docs, F.col("text"), "lang", {"en": 0.25, "other": 0.05}, salt="s2"
+        docs, F.col("text"), "lang", {"en": 0.25},
+        default_fraction=0.05, salt="s2",
     )
     return out.select("doc_id", "lang")
 

@@ -788,3 +788,43 @@ def test_extract_features_decodes_png(spark):
     [row] = extract_features(media, dim=16).collect()
     feats = row["features"]
     assert feats[0] == 0.5 and feats[15] == 0.5 and sum(feats) == 1.0
+
+
+def test_lang_id_trigram_model_accuracy(spark):
+    """The char-trigram LID classifies held-out sentences (not in the
+    training samples) for every profiled language, and sends junk /
+    too-short / empty inputs to 'other'."""
+    held_out = [
+        ("en", "she opened the window because the morning air was cool "
+               "and the birds were already singing in the garden"),
+        ("en", "we should have asked them about the road to the village "
+               "before the sun went down behind the hills"),
+        ("fr", "elle a ouvert la fenetre parce que l'air du matin etait "
+               "frais et les oiseaux chantaient deja dans le jardin"),
+        ("fr", "nous aurions du leur demander le chemin du village avant "
+               "que le soleil ne descende derriere les collines"),
+        ("de", "sie offnete das fenster weil die morgenluft kuhl war und "
+               "die vogel schon im garten sangen"),
+        ("de", "wir hatten sie nach dem weg zum dorf fragen sollen bevor "
+               "die sonne hinter den hugeln verschwand"),
+        ("es", "ella abrio la ventana porque el aire de la manana era "
+               "fresco y los pajaros ya cantaban en el jardin"),
+        ("es", "deberiamos haberles preguntado por el camino al pueblo "
+               "antes de que el sol bajara detras de las colinas"),
+        ("it", "lei ha aperto la finestra perche l'aria del mattino era "
+               "fresca e gli uccelli cantavano gia nel giardino"),
+        ("it", "avremmo dovuto chiedere loro la strada per il paese prima "
+               "che il sole scendesse dietro le colline"),
+        ("other", "zzq xkw vvb qqj zzx wkq jjv xxq zkw"),
+        ("other", "ab"),
+        ("other", ""),
+    ]
+    from spark_tsne_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(held_out)],
+        "i long, want string, text string",
+    )
+    rows = df.select("i", "want", lang_id("text").alias("got")).collect()
+    wrong = [(r["want"], r["got"]) for r in rows if r["want"] != r["got"]]
+    assert not wrong, f"misclassified: {wrong}"
