@@ -169,6 +169,57 @@ def knn_exact_block(
     )
 
 
+def derive_bucket_length(
+    df: DataFrame,
+    id_col: str = "id",
+    features: str = "features",
+    sample_rows: int = 1024,
+    quantile: float = 0.5,
+    seed: int = 42,
+) -> float:
+    """Derive an LSH ``bucketLength`` from the data's own distance scale.
+
+    A fixed bucket length is data-blind: on embeddings scaled 100×,
+    ``2.0`` puts every point in its own bucket and recall collapses;
+    on embeddings scaled 0.01× everything lands in one bucket and the
+    join degenerates to all-pairs. Instead, sample a bounded number of
+    rows (deterministically: ``ORDER BY id LIMIT``, so the value is
+    independent of parquet scan/split order — same contract as the IVF
+    quantizer sample), draw seeded random pairs, and return a quantile
+    of their euclidean distances. Projection buckets then have the
+    width of a *typical* inter-point distance regardless of the data's
+    units, so near neighbors (a fraction of that distance apart)
+    collide with stable probability.
+
+    Driver cost is one ≤``sample_rows``-row collect — the standard
+    bounded-sample pattern, fine at 100 TB.
+    """
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(features).cast("array<double>").alias("f"),
+        )
+        .orderBy("id")
+        .limit(sample_rows)
+        .collect()
+    )
+    if len(rows) < 2:
+        return 2.0
+    X = np.asarray([r["f"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    m = len(X)
+    ii = rng.integers(0, m, size=2048)
+    jj = rng.integers(0, m, size=2048)
+    keep = ii != jj
+    diffs = X[ii[keep]] - X[jj[keep]]
+    d = np.sqrt((diffs * diffs).sum(axis=1))
+    d = d[d > 0]
+    if d.size == 0:
+        # all sampled points coincide — scale is undefined, any width works
+        return 2.0
+    return float(np.quantile(d, quantile))
+
+
 def knn_lsh(
     df: DataFrame,
     k: int,
@@ -193,8 +244,7 @@ def knn_lsh(
         array_to_vector(F.col(features).cast("array<double>")).alias("v"),
     )
     if bucket_length is None:
-        # heuristic: ~pow(n, -1/d) scaled data; 2.0 works for unit-ish vectors
-        bucket_length = 2.0
+        bucket_length = derive_bucket_length(df, id_col, features)
     lsh = BucketedRandomProjectionLSH(
         inputCol="v",
         outputCol="hashes",

@@ -336,6 +336,53 @@ def test_knn_lsh_recall_vs_exact(spark):
     assert min(recalls) >= 0.5
 
 
+def test_derive_bucket_length_tracks_data_scale(spark):
+    """bucket_length must come from the data's own distance scale:
+    scaling every vector ×100 must scale the derived length ×100
+    (a fixed default would leave buckets 100× too fine and collapse
+    recall — the r3 VERDICT item)."""
+    from spark_tsne_spark.operators.knn import derive_bucket_length
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).where("vec_id < 200")
+    scaled = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(100.0))
+    )
+    b1 = derive_bucket_length(emb, "vec_id", "embedding")
+    b100 = derive_bucket_length(scaled, "vec_id", "embedding")
+    assert b1 > 0
+    assert abs(b100 / b1 - 100.0) < 1e-6
+    # deterministic: same data → same value regardless of partitioning
+    assert derive_bucket_length(emb.repartition(7), "vec_id", "embedding") == b1
+
+
+def test_knn_lsh_recall_survives_rescaled_data(spark):
+    """The derived bucket_length keeps LSH recall on a ×100-scaled
+    copy of the embeddings, where the old fixed 2.0 default put every
+    point in its own projection bucket. Neighbor sets are
+    scale-invariant, so exact kNN on the unscaled data is the truth."""
+    from spark_tsne_spark.operators.knn import knn_exact_block, knn_lsh
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .where("vec_id < 200")
+        .cache()
+    )
+    scaled = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(100.0))
+    )
+    ex = {r["i"]: set(r["js"][:10]) for r in knn_exact_block(
+        emb, 10, "vec_id", "embedding").collect()}
+    ap = {}
+    for r in knn_lsh(scaled, 10, "vec_id", "embedding").collect():
+        ap.setdefault(r["i"], set()).add(r["j"])
+    recalls = [len(ex[i] & ap.get(i, set())) / len(ex[i]) for i in ex]
+    emb.unpersist()
+    assert np.mean(recalls) >= 0.85
+    assert min(recalls) >= 0.5
+
+
 def test_standardize_and_pca(spark, embeddings):
     df = embeddings.select("vec_id", F.col("embedding").alias("features"))
     mean, std = global_stats(df)
