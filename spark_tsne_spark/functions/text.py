@@ -195,40 +195,98 @@ LANG_TRIGRAM_PROFILES: dict[str, dict[str, int]] = {
 }
 
 
-def _lang_score(grams: Column, profile: dict[str, int]) -> Column:
-    """Integer score: sum of profile weights over trigram occurrences."""
-    m = F.create_map(
-        *[F.lit(x) for g, w in sorted(profile.items()) for x in (g, w)]
-    )
-    return F.aggregate(
-        F.transform(grams, lambda g: F.coalesce(m[g], F.lit(0)).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+def _lang_weight_map() -> Column:
+    """All profiles as ONE nested literal map: first-char →
+    (trigram → array of per-language weights, language order =
+    ``sorted(LANG_TRIGRAM_PROFILES)``).
+
+    Shape matters for speed: Spark's ``GetMapValue`` on a literal map
+    is a linear key scan, so one flat (trigram → …) map of ~1.2k union
+    keys costs ~1.2k string compares per text trigram. Bucketing by
+    first character makes each lookup an outer scan over ~25 chars
+    plus an inner scan over ~50 trigrams — ~20× fewer compares, still
+    pure JVM expressions, still exact integer arithmetic.
+
+    Construction matters too: building this from ~2.4k ``F.lit``
+    Column objects costs >10s of py4j round-trips PER QUERY BUILD;
+    rendering it as one SQL literal and crossing the bridge with a
+    single ``F.expr`` call is ~three orders of magnitude cheaper, so
+    that is what we do (the rendered string is cached; the Column is
+    rebuilt per call so nothing outlives a SparkSession).
+    """
+    return F.expr(_lang_weight_map_sql())
+
+
+def _lang_weight_map_sql() -> str:
+    global _LANG_MAP_SQL
+    if _LANG_MAP_SQL is not None:
+        return _LANG_MAP_SQL
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    langs = sorted(LANG_TRIGRAM_PROFILES)
+    union: dict[str, list[int]] = {}
+    for li, lang in enumerate(langs):
+        for g, w in LANG_TRIGRAM_PROFILES[lang].items():
+            union.setdefault(g, [0] * len(langs))[li] = w
+    by_first: dict[str, dict[str, list[int]]] = {}
+    for g, ws in union.items():
+        by_first.setdefault(g[0], {})[g] = ws
+    outer = []
+    for c in sorted(by_first):
+        inner = []
+        for g in sorted(by_first[c]):
+            ws = ", ".join(f"{w}L" for w in by_first[c][g])
+            inner.append(f"{q(g)}, array({ws})")
+        outer.append(f"{q(c)}, map({', '.join(inner)})")
+    _LANG_MAP_SQL = f"map({', '.join(outer)})"
+    return _LANG_MAP_SQL
+
+
+_LANG_MAP_SQL: str | None = None
 
 
 def lang_id(text: Column | str) -> Column:
     """Char-trigram language ID over ``LANG_TRIGRAM_PROFILES``.
 
-    One narrow pass, no shuffle: trigrams of the lowercased text, an
-    integer profile-weight sum per language (a map-literal lookup —
-    JVM-side, no UDF), argmax with lexicographic tie-break, 'other'
-    when the best mean weight is under ``LANG_MIN_MEAN_WEIGHT`` ppm
-    or the text has no trigrams. Exact-arithmetic twin of the DuckDB
-    oracle (integer sums are order-independent).
+    One narrow pass, no shuffle, no UDF: a SINGLE ``F.aggregate`` over
+    the text's trigrams folds an ``array<long>`` accumulator of
+    ``[score_lang0, …, score_langN, trigram_count]`` — one nested
+    map-literal lookup per trigram (see :func:`_lang_weight_map`) —
+    and the ``finish`` lambda does the argmax (lexicographic
+    tie-break) and the ``LANG_MIN_MEAN_WEIGHT`` fit threshold inside
+    the same expression, so the whole classification is evaluated
+    exactly once per row (higher-order functions are interpreted, not
+    codegen'd — re-referencing per-language aggregates from an outer
+    when-chain re-evaluates them; the r3 shape cost ~12s/500 docs,
+    this one ~0.3s). Exact-arithmetic twin of the DuckDB oracle
+    (integer sums are order-independent).
     """
-    t = F.lower(_col(text))
-    grams = char_shingles(t, 3)
-    n = F.size(grams)
     langs = sorted(LANG_TRIGRAM_PROFILES)
-    scores = {L: _lang_score(grams, LANG_TRIGRAM_PROFILES[L]) for L in langs}
-    best = F.greatest(*scores.values())
-    pred = F.lit("other")
-    for L in reversed(langs):  # build when-chain so FIRST lang wins ties
-        pred = F.when(scores[L] == best, F.lit(L)).otherwise(pred)
-    return F.when(
-        (n > 0) & (best >= F.lit(LANG_MIN_MEAN_WEIGHT) * n), pred
-    ).otherwise(F.lit("other"))
+    nl = len(langs)
+    wmap = _lang_weight_map()
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(nl)])
+    acc0 = F.array(*[F.lit(0).cast("long") for _ in range(nl + 1)])
+    one = F.array(F.lit(1).cast("long"))
+
+    def merge(acc: Column, g: Column) -> Column:
+        ws = F.coalesce(wmap[F.substring(g, 1, 1)][g], zeros)
+        return F.zip_with(acc, F.concat(ws, one), lambda a, b: a + b)
+
+    def finish(acc: Column) -> Column:
+        n = F.element_at(acc, nl + 1)
+        scores = [F.element_at(acc, i + 1) for i in range(nl)]
+        best = F.greatest(*scores)
+        pred = F.lit("other")
+        for i in reversed(range(nl)):  # build so FIRST lang wins ties
+            pred = F.when(scores[i] == best, F.lit(langs[i])).otherwise(pred)
+        return F.when(
+            (n > 0) & (best >= F.lit(LANG_MIN_MEAN_WEIGHT) * n), pred
+        ).otherwise(F.lit("other"))
+
+    grams = char_shingles(F.lower(_col(text)), 3)
+    return F.coalesce(F.aggregate(grams, acc0, merge, finish), F.lit("other"))
 
 
 def fingerprint(text: Column | str) -> Column:
