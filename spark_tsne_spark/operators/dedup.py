@@ -277,8 +277,26 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(text_col, n)).alias("gs"),
     )
-    grams = base.select("doc_id", F.explode("gs").alias("g"))
-    sizes = base.select("doc_id", F.size("gs").alias("n_grams"))
+    # explode_outer, not explode: a plain explode lets Catalyst infer
+    # `size(gs) > 0 AND isnotnull(gs)` (InferFiltersFromGenerate) and
+    # push that Filter below the widening Exchange — re-evaluating the
+    # whole shingling expression serially on the un-widened scan
+    # (measured as a single-task ~6s stage, ~the entire query cost at
+    # sf0.1). outer generate has no such constraint; the null rows from
+    # gram-less docs are dropped right after, above the exchange.
+    grams = (
+        base.select("doc_id", F.explode_outer("gs").alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    # coalesce makes n_grams NON-NULLABLE, which matters for the plan:
+    # the final joins' jaccard filter infers IsNotNull(n_grams), and on
+    # a nullable column that null-check is pushed below the repartition
+    # — re-evaluating the whole shingling expression inside a Filter on
+    # the un-widened scan (measured: 2 single-task ~5s stages, the
+    # entire query cost). Non-nullable ⇒ Catalyst folds the check away.
+    sizes = base.select(
+        "doc_id", F.coalesce(F.size("gs"), F.lit(0)).alias("n_grams")
+    )
     # Intersection counts via grouped pair-emit: ONE shuffle groups the
     # inverted index by shingle, then all i<j doc pairs per shingle are
     # expanded JVM-side with nested `transform` (no self-join of the
