@@ -289,6 +289,57 @@ def lang_id(text: Column | str) -> Column:
     return F.coalesce(F.aggregate(grams, acc0, merge, finish), F.lit("other"))
 
 
+def multiplicity_stats(arr: Column) -> Column:
+    """Duplicate-multiplicity stats of a string array in ONE narrow
+    pass: ``struct(n, top, dup)`` where ``n`` = element count,
+    ``top`` = the highest multiplicity of any value, and ``dup`` = how
+    many elements belong to values occurring ≥ 2 times.
+
+    Shape: ``sort_array`` groups equal values contiguously, then a
+    single ``F.aggregate`` fold tracks (previous value, current run,
+    best run, dup count) — O(L log L) per row, JVM-side, NO shuffle.
+    The obvious alternative (explode → groupBy(doc, value) → groupBy
+    (doc)) shuffles the whole token stream twice; this never leaves
+    the row. Equivalent to the SQL ``count(*) GROUP BY value`` stats:
+    ``top = max(c)``, ``dup = sum(c) FILTER (c >= 2)`` — which is
+    exactly how the DuckDB oracle states it.
+    """
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = F.coalesce(x == acc["prev"], F.lit(False))
+        run = F.when(same, acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        # a value's 2nd occurrence retroactively counts the 1st too
+        dup_inc = (
+            F.when(~same, F.lit(0))
+            .when(acc["run"] == 1, F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["dup"] + dup_inc).alias("dup"),
+            (acc["n"] + F.lit(1).cast("long")).alias("n"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            acc["n"].alias("n"), acc["best"].alias("top"), acc["dup"].alias("dup")
+        )
+
+    return F.aggregate(F.sort_array(arr), zero, merge, finish)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text."""

@@ -36,6 +36,8 @@ from spark_tsne_spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
+    word_ngrams,
 )
 from spark_tsne_spark.functions.vector import (
     cosine_sim,
@@ -1354,6 +1356,80 @@ def text_token_counts(spark, sf_dir):
         "doc_id",
         token_count("text").cast("long").alias("ws_tokens"),
         bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+_REPETITION_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(toks) AS t FROM d),
+    wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
+    ws AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(max(c) AS BIGINT) AS top_w,
+             CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_w
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM d
+    ),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    bs AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(max(c) AS BIGINT) AS top_b,
+             CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_b
+      FROM bc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           ws.n_words,
+           round(ws.top_w / ws.n_words, 6) AS top_word_frac,
+           round(ws.dup_w / ws.n_words, 6) AS dup_word_frac,
+           coalesce(round(bs.top_b / bs.n_bigrams, 6), 0.0) AS top_bigram_frac,
+           coalesce(round(bs.dup_b / bs.n_bigrams, 6), 0.0) AS dup_bigram_frac
+    FROM d
+    LEFT JOIN ws USING (doc_id)
+    LEFT JOIN bs USING (doc_id)
+"""
+
+
+@register("text_repetition_scores", _REPETITION_SQL)
+def text_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals per document: top-
+    and duplicate-multiplicity fractions over words and word-bigrams.
+    High values mark the word-salad / boilerplate / template docs a
+    pretraining pipeline filters out.
+
+    Entirely narrow (one projection, NO shuffle): each signal is a
+    sorted-array fold inside the row via
+    :func:`~spark_tsne_spark.functions.text.multiplicity_stats` —
+    the explode → groupBy(doc, value) → groupBy(doc) alternative the
+    oracle uses would shuffle the full token stream twice. The struct
+    stats are projected in a separate step so CollapseProject keeps
+    each fold evaluated once (same contract as text_winnow)."""
+    from spark_tsne_spark.functions.text import multiplicity_stats
+
+    stats = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        multiplicity_stats(tokens("text")).alias("w"),
+        multiplicity_stats(word_ngrams("text", 2)).alias("b"),
+    )
+
+    def frac(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den, 6)
+        ).otherwise(F.lit(0.0))
+
+    return stats.select(
+        "doc_id",
+        F.col("w.n").alias("n_words"),
+        frac(F.col("w.top"), F.col("w.n")).alias("top_word_frac"),
+        frac(F.col("w.dup"), F.col("w.n")).alias("dup_word_frac"),
+        frac(F.col("b.top"), F.col("b.n")).alias("top_bigram_frac"),
+        frac(F.col("b.dup"), F.col("b.n")).alias("dup_bigram_frac"),
     )
 
 

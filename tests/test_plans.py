@@ -62,7 +62,13 @@ def test_dims_broadcast_not_shuffled(spark, sf_dir, qname):
 
 @pytest.mark.parametrize(
     "qname",
-    ["text_quality_score", "text_lang_id", "corpus_hash_sample", "text_fingerprint"],
+    [
+        "text_quality_score",
+        "text_lang_id",
+        "corpus_hash_sample",
+        "text_fingerprint",
+        "text_repetition_scores",
+    ],
 )
 def test_text_paths_stay_jvm_side(spark, sf_dir, qname):
     """Text/sampling expressions are built-ins: no Python evaluation
@@ -70,6 +76,39 @@ def test_text_paths_stay_jvm_side(spark, sf_dir, qname):
     plan = plan_of(getattr(Q, qname)(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_repetition_folds_evaluated_once(spark, sf_dir):
+    """The two multiplicity folds (words, bigrams) must survive
+    CollapseProject: exactly two sort_array folds in the plan. If the
+    struct projection inlines, every fraction column re-runs its fold
+    (5 extra O(L log L) passes per row)."""
+    plan = plan_of(Q.text_repetition_scores(spark, sf_dir))
+    assert plan.count("sort_array") == 2, plan
+
+
+def test_multiplicity_stats_semantics(spark):
+    """Fold result == the GROUP BY statement of the same stats."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.functions.text import multiplicity_stats
+
+    rows = spark.createDataFrame(
+        [
+            (0, ["a", "b", "a", "c", "a", "b"]),  # a:3 b:2 c:1
+            (1, ["x"]),
+            (2, []),
+            (3, ["y", "y", "y", "y"]),
+        ],
+        "id long, arr array<string>",
+    ).select("id", multiplicity_stats(F.col("arr")).alias("s")).collect()
+    got = {r["id"]: (r["s"]["n"], r["s"]["top"], r["s"]["dup"]) for r in rows}
+    assert got == {
+        0: (6, 3, 5),  # dup: a(3)+b(2); c is a singleton
+        1: (1, 1, 0),
+        2: (0, 0, 0),
+        3: (4, 4, 4),
+    }
 
 
 def test_winnow_hash_array_evaluated_once(spark, sf_dir):
