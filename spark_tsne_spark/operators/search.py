@@ -1,0 +1,163 @@
+"""Keyword search + passage-level dedup over the ``documents`` table.
+
+Two operators a training-data pipeline runs constantly:
+
+- **BM25 top-k search** (``bm25_topk``): classic Okapi BM25 with an
+  inverted-index-shaped plan. The corpus is never cross-joined with
+  the query: tokens are intersected with the (small, literal) query
+  term set BEFORE the explode, so only postings for query terms flow
+  into the shuffle — the DataFrame equivalent of reading an inverted
+  index. Per-term document frequencies and the global (N, avgdl)
+  stats are tiny aggregates broadcast back onto the postings.
+
+- **Passage-level exact dedup** (``passage_stats``): split each doc
+  into fixed-width non-overlapping token windows (the CCNet/Dolma
+  paragraph-dedup pattern adapted to unstructured text), fingerprint
+  each window, and flag windows whose fingerprint occurs more than
+  once corpus-wide. Output is per-document duplication stats — the
+  signal used to drop boilerplate-heavy documents.
+
+Scale shape at 100 TB: BM25 is one narrow scan (filter + explode of
+query-term matches only), one (doc, term) groupBy with map-side
+partial aggregation, two broadcast joins (|terms| rows and 1 row),
+and a TakeOrdered top-k — no full sort, no cartesian. Passage dedup
+is one explode, one fingerprint groupBy (partial-agg count), one
+hash-key join back, one per-doc agg: every shuffle is on a
+high-cardinality uniform key (md5), so no skew.
+
+No reference counterpart (saurfang/spark-tsne has no text pipeline);
+these extend the engine per the builder's brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from spark_tsne_spark.functions.text import fingerprint, tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k: ``(doc_id, score, rank)`` for docs matching
+    at least one query term.
+
+    idf uses the standard "plus one inside the log" form,
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``, which is non-negative
+    for any df. Ranking orders by the ROUNDED score with the id as
+    tie-break, per the catalog's hash-stability rules.
+    """
+    terms = sorted(set(query_terms))
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        # Inverted-index read: keep only query-term tokens. The filter
+        # runs inside the row (no shuffle) and bounds the explode to
+        # |matches| instead of |tokens|.
+        F.filter("toks", lambda t: F.array_contains(terms_lit, t)).alias("hits"),
+    )
+    # Global stats: one row, broadcast onto the postings.
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    postings = (
+        toks.where(F.size("hits") > 0)
+        .select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    # Document frequency per term: at most |terms| rows — broadcast.
+    dfreq = postings.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    ranked = (
+        per_doc.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def passage_windows(
+    text: Column | str, width: int = 32
+) -> Column:
+    """Non-overlapping ``width``-token windows of a document, each
+    re-joined with single spaces; the final window keeps the (shorter)
+    tail. Empty/short docs yield a single window of the whole text.
+    """
+    t = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(width)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, width)),
+    )
+
+
+def passage_stats(
+    docs: DataFrame,
+    width: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document passage-duplication stats:
+    ``(doc_id, n_passages, n_dup, dup_ratio)``.
+
+    A passage is "dup" when its fingerprint occurs >1 time corpus-wide
+    (including twice within one document — internal boilerplate counts).
+    """
+    pas = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(passage_windows(text_col, width)).alias("p"),
+    ).select("doc_id", fingerprint("p").alias("ph"))
+    # Fingerprint multiplicity: partial-agg count on a uniform md5 key.
+    counts = pas.groupBy("ph").agg(F.count("*").alias("cnt"))
+    return (
+        pas.join(counts, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_passages"), 6).alias("dup_ratio"),
+        )
+    )

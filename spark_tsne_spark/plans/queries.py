@@ -1882,3 +1882,86 @@ def tsne_embedding(spark, sf_dir):
         F.round(F.col("y")[0], 8).alias("y0"),
         F.round(F.col("y")[1], 8).alias("y1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Keyword search + passage-level dedup (operators/search.py)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["merge", "stream", "vector", "window"]
+
+_BM25_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             list_filter(t, x -> list_contains(
+               ['merge','stream','vector','window'], x)) AS hits
+      FROM toks
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+    posting AS (
+      SELECT doc_id, dl, unnest(hits) AS term FROM base WHERE len(hits) > 0
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+      FROM posting GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS contrib
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored
+            GROUP BY doc_id)
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register("bm25_search", _BM25_SQL)
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 with an inverted-index-shaped plan: tokens are
+    intersected with the literal query-term set BEFORE the explode, so
+    only query-term postings shuffle; df/stats are broadcast; top-k is
+    a TakeOrdered, not a full sort."""
+    from spark_tsne_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+_PASSAGE_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    pas AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(array_to_string(
+               list_slice(t, i, i + 31), ' ')), '\s+', ' ', 'g'))) AS ph
+      FROM toks, unnest(range(1, greatest(len(t), 1) + 1, 32)) AS u(i)
+    ),
+    counts AS (SELECT ph, count(*) AS cnt FROM pas GROUP BY ph)
+    SELECT doc_id, count(*) AS n_passages,
+           sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+           round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_ratio
+    FROM pas JOIN counts USING (ph)
+    GROUP BY doc_id
+"""
+
+
+@register("passage_dedup", _PASSAGE_SQL)
+def passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup (CCNet/Dolma paragraph pattern over
+    fixed 32-token windows): one explode, one fingerprint groupBy with
+    map-side partial agg, one uniform-key join back, one per-doc agg."""
+    from spark_tsne_spark.operators.search import passage_stats
+
+    return passage_stats(_t(spark, sf_dir, "documents"), width=32)

@@ -875,3 +875,73 @@ def test_lang_id_trigram_model_accuracy(spark):
     rows = df.select("i", "want", lang_id("text").alias("got")).collect()
     wrong = [(r["want"], r["got"]) for r in rows if r["want"] != r["got"]]
     assert not wrong, f"misclassified: {wrong}"
+
+
+# --------------------------------------------------------------------------
+# BM25 search + passage dedup (operators/search.py)
+# --------------------------------------------------------------------------
+
+
+def test_bm25_matches_pure_python_model(spark):
+    """BM25 scores equal an independently-computed reference (pure
+    python, straight from the Okapi formula) on a tiny corpus."""
+    import math
+
+    from spark_tsne_spark.operators.search import bm25_topk
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "apple banana",
+        3: "durian fig grape",
+        4: "banana banana banana banana",
+    }
+    terms, k1, b = ["apple", "banana"], 1.2, 0.75
+    n = len(corpus)
+    dls = {d: len(t.split()) for d, t in corpus.items()}
+    avgdl = sum(dls.values()) / n
+    dfreq = {
+        t: sum(1 for txt in corpus.values() if t in txt.split()) for t in terms
+    }
+    expected = {}
+    for d, txt in corpus.items():
+        s = 0.0
+        for t in terms:
+            tf = txt.split().count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+        if s > 0:
+            expected[d] = round(s, 6)
+
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    out = bm25_topk(df, terms, k=10, k1=k1, b=b).collect()
+    got = {r.doc_id: r.score for r in out}
+    assert got == pytest.approx(expected)
+    assert 3 not in got  # doc without any query term never surfaces
+    # ranks are contiguous and follow (score desc, id asc)
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.rank for r in ranked] == list(range(1, len(out) + 1))
+    assert ranked == sorted(out, key=lambda r: (-r.score, r.doc_id))
+
+
+def test_passage_stats_semantics(spark):
+    from spark_tsne_spark.operators.search import passage_stats
+
+    block = " ".join(f"w{i}" for i in range(32))
+    uniq = " ".join(f"u{i}" for i in range(40))
+    rows = [
+        (1, block + " " + uniq),  # windows: block | uniq[:32] | uniq tail
+        (2, block),  # exact passage dup of doc 1's first window
+        (3, "only unique words here"),  # short doc: one sub-width window
+        (4, block + " " + block),  # internal boilerplate: dup within doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in passage_stats(df, width=32).collect()}
+    assert out[1].n_passages == 3 and out[1].n_dup == 1
+    assert out[2].n_passages == 1 and out[2].n_dup == 1
+    assert out[3].n_passages == 1 and out[3].n_dup == 0
+    assert out[4].n_passages == 2 and out[4].n_dup == 2
+    assert out[1].dup_ratio == pytest.approx(round(1 / 3, 6))

@@ -124,3 +124,21 @@ def test_hash_sample_prunes_columns(spark, sf_dir):
     read_schema = scan.split("ReadSchema:")[1]
     # only doc_id and text are read, not the whole documents schema
     assert read_schema.count(":") <= 2, read_schema
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """BM25 must read like an inverted index: no cartesian between
+    corpus and terms, df/stats broadcast (never a SortMergeJoin), the
+    top-k as TakeOrdered (no global sort), all JVM-side."""
+    plan = plan_of(Q.bm25_search(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_passage_dedup_plan_shape(spark, sf_dir):
+    """Passage dedup: uniform md5 join key, no cartesian, no Python."""
+    plan = plan_of(Q.passage_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
