@@ -556,3 +556,126 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    by clustering embeddings and pruning near-identical points within
+    each cluster.
+
+    Plan shape (the paper's pipeline, Spark-first):
+
+    1. coarse k-means on a bounded driver-side sample (reuses the IVF
+       quantizer — FAISS-style, deterministic in ``seed``);
+    2. one narrow ``mapInPandas`` pass assigns every row to its argmax
+       cluster (broadcast centroids, vectorized — no shuffle);
+    3. ONE shuffle groups rows by cluster; ``applyInPandas`` computes
+       the within-cluster cosine matrix and applies the paper's rule:
+       a point is REMOVED when its max cosine to any lower-id point in
+       the cluster is ≥ ``threshold`` (the reference implementation's
+       ``torch.triu`` max — note the comparison set is lower-*id*
+       points, kept or not, exactly as in the paper's code).
+
+    Work is O(Σ c²·d) over cluster sizes c — bounded by choosing
+    ``n_clusters`` ∝ n so clusters stay ~10⁴ rows (BLAS-speed
+    matmuls); never an all-pairs join across clusters. Output is one
+    row per input: ``(id, cluster, keep, max_prior_sim)`` with
+    ``max_prior_sim`` rounded to 6 decimals (−1.0 for the cluster's
+    lowest id, which is always kept).
+    """
+    from pyspark.sql import types as T
+
+    from spark_tsne_spark.operators.similarity import _kmeans_centroids
+    from spark_tsne_spark.shipping import ship_package
+
+    ship_package(emb.sparkSession)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    C, n_corpus = _kmeans_centroids(base, n_clusters, seed)
+    sc = emb.sparkSession.sparkContext
+    b_C = sc.broadcast(C)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
+        C_ = b_C.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = np.divide(X, nrm, out=np.zeros_like(X), where=nrm > 0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cluster": np.argmax(Xn @ C_.T, axis=1).astype(np.int32),
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+            T.StructField("max_prior_sim", T.DoubleType()),
+        ]
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = np.divide(X, nrm, out=np.zeros_like(X), where=nrm > 0)
+        c = len(pdf)
+        if c == 1:
+            prior = np.array([-1.0])
+        else:
+            S = Xn @ Xn.T
+            # prior[j] = max_{i<j} S[i, j]: entries with row < column
+            # are the strict upper triangle, so mask the diagonal and
+            # lower triangle before the column-wise max.
+            S[np.tril_indices(c)] = -2.0
+            prior = S.max(axis=0)
+            prior[0] = -1.0
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(),
+                "cluster": pdf["cluster"].to_numpy(),
+                "keep": prior < threshold,
+                "max_prior_sim": np.round(prior, 6),
+            }
+        )
+
+    par = sc.defaultParallelism
+    parts = max(1, min(par, n_corpus // 4096 + 1))
+    return (
+        base.repartition(parts)
+        .mapInPandas(assign, assign_schema)
+        .groupBy("cluster")
+        .applyInPandas(prune, out_schema)
+    )

@@ -1965,3 +1965,61 @@ def passage_dedup(spark, sf_dir):
     from spark_tsne_spark.operators.search import passage_stats
 
     return passage_stats(_t(spark, sf_dir, "documents"), width=32)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup + IVF-PQ (operators/dedup.py, operators/similarity.py)
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "semdedup_sf001.parquet",
+)
+
+# Seeded end to end (deterministic quantizer sample, argmax
+# assignment, id-ordered triu-max rule) and partition-count invariant
+# (pinned by pytest) — golden-parquet oracle, like ann_ivf_topk.
+# Rule semantics are independently re-verified against numpy by
+# pytest. The fixture's cosines top out at ~0.51, so the entry runs
+# threshold=0.4 to exercise the prune path; the production default
+# stays 0.97 (the paper's operating point).
+_SEMDEDUP_SQL = (
+    f"SELECT id, cluster, keep, max_prior_sim "
+    f"FROM read_parquet('{_SEMDEDUP_GOLDEN}')"
+)
+
+
+@register("semdedup_prune", _SEMDEDUP_SQL)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup: cluster embeddings (bounded-sample k-means), prune
+    points whose max cosine to a lower-id cluster-mate exceeds the
+    threshold. One shuffle (the cluster groupBy); work is per-cluster
+    c²·d BLAS, never an all-pairs join."""
+    from spark_tsne_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.4, n_clusters=8)
+
+
+_IVFPQ_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "ann_ivfpq_sf001.parquet",
+)
+
+# Deterministic end to end (seeded quantizers, linspace PQ seeding,
+# tie-broken rankings, exact re-rank) — golden-pinned; recall vs the
+# exact baseline is pinned separately by pytest.
+_IVFPQ_SQL = f"SELECT i, j, cosine, rank FROM read_parquet('{_IVFPQ_GOLDEN}')"
+
+
+@register("ann_ivf_pq_topk", _IVFPQ_SQL)
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN: corpus stored as m=8 uint8 codes (64× smaller than
+    d=64 doubles), ADC table-lookup scoring inside probed cells, then
+    exact re-rank of the k·4 shortlist — the compressed 100 TB path."""
+    from spark_tsne_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    out = ivf_pq_topk(emb, qs, k=5, n_cells=16, n_probe=4)
+    return out.select("i", "j", F.round("cosine", 6).alias("cosine"), "rank")
