@@ -92,6 +92,18 @@ def bench_queries():
         qs = e.where(F.col("vec_id") < 100)
         return ivf_topk(e, qs, k=10, id_col="vec_id", vec_col="embedding")
 
+    def b_semdedup(spark, sf_dir):
+        from spark_tsne_spark.operators.dedup import semdedup
+
+        return semdedup(emb(spark, sf_dir), threshold=0.4, n_clusters=16)
+
+    def b_ivf_pq(spark, sf_dir):
+        from spark_tsne_spark.operators.similarity import ivf_pq_topk
+
+        e = emb(spark, sf_dir)
+        qs = e.where(F.col("vec_id") < 100)
+        return ivf_pq_topk(e, qs, k=10, id_col="vec_id", vec_col="embedding")
+
     def b_tsne_bh20(spark, sf_dir):
         from spark_tsne_spark.api import bh_tsne
 
@@ -161,11 +173,15 @@ def bench_queries():
         "dedup_minhash_lsh": b_minhash_full,
         "dedup_simhash": b_simhash_full,
         "dedup_ngram_jaccard": b_jaccard_full,
+        "dedup_passages": Q.passage_dedup,
+        "dedup_semantic": b_semdedup,
         "text_quality_score": Q.text_quality_score,
         "text_winnow": Q.text_winnow_fingerprints,
+        "bm25_search": Q.bm25_search,
         "knn_exact_block": b_knn_block,
         "ann_topk_cosine": b_ann_topk,
         "ann_ivf_topk": b_ivf_topk,
+        "ann_ivf_pq_topk": b_ivf_pq,
         "tsne_bh_20iter": b_tsne_bh20,
         "tsne_bh_distributed": b_tsne_bh_distributed,
     }

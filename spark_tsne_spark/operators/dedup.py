@@ -19,7 +19,7 @@ join, which is a single additional groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from spark_tsne_spark.functions.text import (
     char_shingles,
@@ -49,6 +49,54 @@ def exact_dedup(
     )
 
 
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Banded MinHash signatures: ``(doc_id, band, sig)`` — the LSH
+    index rows shared by batch (`minhash_lsh_candidates`) and
+    incremental (`incremental_minhash_candidates`) dedup.
+
+    Docs shorter than one shingle have an empty shingle set — every
+    one of them would fold to the identical sentinel signature and
+    collapse into a single bucket whose i<j expansion is O(m²).
+    Filtered here (they can't be near-duplicates under this scheme by
+    definition) instead of relying on callers to pre-filter.
+    """
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    n_bands = num_hashes // band_size
+    docs = docs.where(F.length(F.col(text_col)) >= shingle_k)
+    sig = widen_small_input(docs).select(
+        F.col(id_col).alias("doc_id"),
+        minhash_values(text_col, num_hashes, shingle_k, hash_fn).alias("mh"),
+    )
+    # '|' delimiter: xxhash64 values stringify at variable width (and may
+    # be negative), so an undelimited concat could alias distinct minhash
+    # tuples ('12'+'345' == '123'+'45') into one bucket.
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", F.slice("mh", b * band_size + 1, band_size)
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -76,38 +124,9 @@ def minhash_lsh_candidates(
     orders of magnitude smaller. None (default) = uncapped (the
     oracle-comparable setting).
     """
-    from spark_tsne_spark.partitioning import widen_small_input
-
-    n_bands = num_hashes // band_size
-    # Docs shorter than one shingle have an empty shingle set — every one
-    # of them would fold to the identical sentinel signature and collapse
-    # into a single bucket whose i<j expansion is O(m²). Filter them here
-    # (they can't be near-duplicates under this scheme by definition)
-    # instead of relying on callers to pre-filter.
-    docs = docs.where(F.length(F.col(text_col)) >= shingle_k)
-    sig = widen_small_input(docs).select(
-        F.col(id_col).alias("doc_id"),
-        minhash_values(text_col, num_hashes, shingle_k, hash_fn).alias("mh"),
+    bands = minhash_bands(
+        docs, id_col, text_col, num_hashes, band_size, shingle_k, hash_fn
     )
-    # '|' delimiter: xxhash64 values stringify at variable width (and may
-    # be negative), so an undelimited concat could alias distinct minhash
-    # tuples ('12'+'345' == '123'+'45') into one bucket.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", F.slice("mh", b * band_size + 1, band_size)
-                        ).alias("sig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     # Bucket-grouped pair emit: ONE shuffle groups colliding docs per
     # (band, sig) bucket, then all i<j pairs expand JVM-side — no
     # sort-merge self-join of the full banded table. Bucket fan-out is
@@ -678,4 +697,88 @@ def semdedup(
         .mapInPandas(assign, assign_schema)
         .groupBy("cluster")
         .applyInPandas(prune, out_schema)
+    )
+
+
+def incremental_exact_flags(
+    new_docs: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental exact dedup: flag each NEW document against the
+    already-ingested corpus — the daily-increment pattern (a 100 TB
+    corpus is deduplicated once; each arriving batch joins the stored
+    fingerprint index instead of re-scanning the corpus).
+
+    Returns one row per new doc: ``(doc_id, dup_of_corpus,
+    dup_within_batch)`` — ``dup_within_batch`` marks every copy after
+    the lowest-id occurrence inside the batch itself.
+
+    Scale shape: the join key is the canonical md5 fingerprint —
+    uniform, so no skew; store the corpus index bucketed by ``fp``
+    (``.write.bucketBy(N, 'fp')``) and the daily join is
+    exchange-free on the corpus side.
+    """
+    n = new_docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp")
+    )
+    seen = (
+        corpus_fps.select(F.col(fp_col).alias("fp"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        n.join(seen, "fp", "left")
+        .withColumn("dup_of_corpus", F.coalesce("in_corpus", F.lit(False)))
+        .withColumn("dup_within_batch", F.row_number().over(w) > 1)
+        .select("doc_id", "dup_of_corpus", "dup_within_batch")
+    )
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 5,
+    hash_fn: str = "md5",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup candidates between a NEW
+    batch and an existing banded index (rows from
+    :func:`minhash_bands`, typically persisted bucketed by
+    ``(band, sig)``).
+
+    Returns distinct ``(i, j)`` with ``i`` = corpus doc, ``j`` = new
+    doc. Within-batch pairs are NOT included — run
+    :func:`minhash_lsh_candidates` on the batch for those (it is tiny
+    relative to the corpus). The join is on ``(band, sig)`` only —
+    work scales with bucket occupancy of the new batch's signatures,
+    never with corpus size. ``max_bucket`` drops buckets where the
+    corpus side exceeds the cap (same mega-clique contract as the
+    batch path).
+    """
+    new_bands = minhash_bands(
+        new_docs, id_col, text_col, num_hashes, band_size, shingle_k, hash_fn
+    )
+    ix = index
+    if max_bucket is not None:
+        counts = ix.groupBy("band", "sig").agg(F.count("*").alias("_bw"))
+        ix = ix.join(
+            counts.where(F.col("_bw") <= max_bucket).drop("_bw"),
+            ["band", "sig"],
+        )
+    return (
+        ix.alias("ix")
+        .join(new_bands.alias("nb"), ["band", "sig"])
+        .where(F.col("ix.doc_id") != F.col("nb.doc_id"))
+        .select(
+            F.col("ix.doc_id").alias("i"), F.col("nb.doc_id").alias("j")
+        )
+        .distinct()
     )

@@ -199,7 +199,8 @@ def _kmeans_centroids(
     n_cells: int,
     seed: int,
     max_train: int = 100_000,
-) -> np.ndarray:
+    return_sample: bool = False,
+) -> tuple:
     """Spherical-k-means coarse quantizer trained on a bounded sample.
 
     The quantizer only needs a representative sample, not the corpus
@@ -238,7 +239,12 @@ def _kmeans_centroids(
     X = X[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
     if len(X) == 0:
         raise ValueError("ivf_topk: corpus has no nonzero vectors")
-    return _spherical_kmeans(X, n_cells, seed), n
+    C = _spherical_kmeans(X, n_cells, seed)
+    if return_sample:
+        # Callers training further quantizers (PQ) reuse the same
+        # bounded unit-row sample instead of re-collecting.
+        return C, n, X
+    return C, n
 
 
 def ivf_topk(
@@ -423,14 +429,9 @@ def ivf_pq_topk(
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    C, n_corpus = _kmeans_centroids(base, n_cells, seed)
-    # PQ codebooks train on the same bounded deterministic sample the
-    # coarse quantizer used (re-collected id-sorted; cheap and keeps
-    # this function free of cross-call state).
-    rows = base.orderBy("id").limit(100_000).select("v").collect()
-    Xs = np.array([r["v"] for r in rows], dtype=np.float64)
-    nrm = np.linalg.norm(Xs, axis=1, keepdims=True)
-    Xs = np.divide(Xs, nrm, out=np.zeros_like(Xs), where=nrm > 0)
+    # Coarse quantizer + PQ codebooks share ONE bounded deterministic
+    # sample (single collect job).
+    C, n_corpus, Xs = _kmeans_centroids(base, n_cells, seed, return_sample=True)
     books = _pq_codebooks(Xs, m, n_codes, seed)
     sc = emb.sparkSession.sparkContext
     b_C, b_books = sc.broadcast(C), sc.broadcast(books)
@@ -479,13 +480,12 @@ def ivf_pq_topk(
         [
             T.StructField("qid", T.LongType()),
             T.StructField("cell", T.IntegerType()),
-            T.StructField("adc", T.ArrayType(T.DoubleType())),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
         ]
     )
 
     def q_fanout(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C_, B_ = b_C.value, b_books.value
-        m_, nc, ds = B_.shape
+        C_ = b_C.value
         probe = min(n_probe, len(C_))
         for pdf in batches:
             if len(pdf) == 0:
@@ -495,16 +495,11 @@ def ivf_pq_topk(
             Xn = np.divide(X, nr, out=np.zeros_like(X), where=nr > 0)
             sim = Xn @ C_.T
             cells = np.argpartition(-sim, probe - 1, axis=1)[:, :probe]
-            # ADC: adc[s*nc + c] = q_s · book[s][c]  (inner-product
-            # tables — scores sum to the PQ approximation of q·x)
-            adc = np.einsum(
-                "qsd,scd->qsc", Xn.reshape(len(X), m_, ds), B_
-            ).reshape(len(X), m_ * nc)
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(pdf["id"].to_numpy(), probe),
                     "cell": cells.ravel().astype(np.int32),
-                    "adc": np.repeat(adc, probe, axis=0).tolist(),
+                    "qv": np.repeat(Xn, probe, axis=0).tolist(),
                 }
             )
 
@@ -521,20 +516,35 @@ def ivf_pq_topk(
     )
 
     def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Per-batch ADC: build each distinct query's lookup table
+        ONCE from its (d-dim) vector, then score every candidate by
+        m table lookups. Carrying the query VECTOR (d doubles) through
+        the join instead of the materialized table (m·n_codes doubles)
+        keeps the join payload 32× smaller; the tables are
+        reconstructed per batch at m·n_codes·(d/m) flops per distinct
+        query — amortized across the batch's candidates."""
         B_ = b_books.value
-        m_, nc, _ = B_.shape
+        m_, nc, ds = B_.shape
         offs = np.arange(m_, dtype=np.int64) * nc
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            adc = np.array(pdf["adc"].tolist(), dtype=np.float64)
+            qids = pdf["qid"].to_numpy()
+            # return order is fixed: (unique, index, inverse)
+            uq, first, inv = np.unique(
+                qids, return_index=True, return_inverse=True
+            )
+            Q = np.array(pdf["qv"].iloc[first].tolist(), dtype=np.float64)
+            tables = np.einsum(
+                "qsd,scd->qsc", Q.reshape(len(uq), m_, ds), B_
+            ).reshape(len(uq), m_ * nc)
             score = np.take_along_axis(
-                adc.reshape(len(pdf), m_ * nc), codes + offs, axis=1
+                tables[inv], codes + offs, axis=1
             ).sum(axis=1)
             yield pd.DataFrame(
                 {
-                    "i": pdf["qid"].to_numpy(),
+                    "i": qids,
                     "j": pdf["id"].to_numpy(),
                     "adc_score": score,
                 }

@@ -2023,3 +2023,108 @@ def ann_ivf_pq_topk(spark, sf_dir):
     qs = emb.where(F.col("vec_id") < 10)
     out = ivf_pq_topk(emb, qs, k=5, n_cells=16, n_probe=4)
     return out.select("i", "j", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup (daily-increment pattern; operators/dedup.py)
+# --------------------------------------------------------------------------
+
+# Corpus = doc_id < 400; new batch = doc_id >= 400 plus re-labeled
+# copies (corpus docs 0-19 as ids 10000-10019; doc 450 again as
+# 10450) so both dup_of_corpus and dup_within_batch are exercised —
+# the fixture itself has no exact duplicates.
+_INC_EXACT_SQL = r"""
+    WITH fpx AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    corpus AS (SELECT fp FROM fpx WHERE doc_id < 400),
+    batch AS (
+      SELECT doc_id, fp FROM fpx WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 10000, fp FROM fpx WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 10000, fp FROM fpx WHERE doc_id = 450
+    )
+    SELECT b.doc_id,
+           (c.fp IS NOT NULL) AS dup_of_corpus,
+           (row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) > 1)
+             AS dup_within_batch
+    FROM batch b LEFT JOIN (SELECT DISTINCT fp FROM corpus) c USING (fp)
+"""
+
+
+@register("dedup_incremental_exact", _INC_EXACT_SQL)
+def dedup_incremental_exact(spark, sf_dir):
+    """Incremental exact dedup: flag a new batch against the stored
+    corpus fingerprint index (uniform md5 join key; at scale the index
+    is bucketed by fp so the daily join is exchange-free)."""
+    from spark_tsne_spark.operators.dedup import incremental_exact_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    batch = (
+        docs.where(F.col("doc_id") >= 400)
+        .select("doc_id", "text")
+        .unionAll(
+            docs.where(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") == 450).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    from spark_tsne_spark.functions.text import fingerprint
+
+    return incremental_exact_flags(
+        batch, corpus.select(fingerprint("text").alias("fp"))
+    )
+
+
+_INC_MINHASH_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 5
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+                                           i -> substr(text, i, 5))) AS s
+      FROM docs
+    ),
+    hx AS (
+      SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mh
+      FROM sh CROSS JOIN range(8) t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             string_agg(mh, '|' ORDER BY k) AS sig
+      FROM hx GROUP BY doc_id, CAST(k // 2 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig
+     AND a.doc_id < 300 AND b.doc_id >= 300
+"""
+
+
+@register("dedup_incremental_minhash", _INC_MINHASH_SQL)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental MinHash-LSH: the new batch's band signatures join
+    the persisted corpus index on (band, sig) — work scales with the
+    batch's bucket occupancy, never corpus size."""
+    from spark_tsne_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_bands,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = minhash_bands(
+        docs.where(F.col("doc_id") < 300), num_hashes=8, band_size=2
+    )
+    batch = docs.where(F.col("doc_id") >= 300)
+    return incremental_minhash_candidates(
+        batch, index, num_hashes=8, band_size=2
+    )

@@ -1079,3 +1079,69 @@ def test_pq_codebook_shapes_and_quantization_gain():
     # 16 codes on 8-dim gaussian subspaces is rate-distortion limited;
     # ~0.53× observed — assert real gain with headroom, not magic.
     assert err < 0.7 * base_err
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup
+# --------------------------------------------------------------------------
+
+
+def test_incremental_exact_flags_semantics(spark):
+    from spark_tsne_spark.functions.text import fingerprint
+    from spark_tsne_spark.operators.dedup import incremental_exact_flags
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha  beta gamma"),  # corpus dup modulo whitespace
+            (11, "zeta eta"),  # fresh
+            (12, "zeta eta"),  # within-batch dup of 11
+            (13, "theta iota"),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_exact_flags(
+            batch, corpus.select(fingerprint("text").alias("fp"))
+        ).collect()
+    }
+    assert out[10].dup_of_corpus and not out[10].dup_within_batch
+    assert not out[11].dup_of_corpus and not out[11].dup_within_batch
+    assert not out[12].dup_of_corpus and out[12].dup_within_batch
+    assert not out[13].dup_of_corpus and not out[13].dup_within_batch
+
+
+def test_incremental_minhash_equals_cross_restriction(spark, sf_dir):
+    """Candidates from (batch vs corpus-index) must equal the
+    cross-split subset of running batch LSH over the full corpus —
+    the incremental path may not lose or invent pairs."""
+    from spark_tsne_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_bands,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 300)
+    batch = docs.where(F.col("doc_id") >= 300)
+    inc = {
+        (r.i, r.j)
+        for r in incremental_minhash_candidates(
+            batch,
+            minhash_bands(corpus, num_hashes=8, band_size=2),
+            num_hashes=8,
+            band_size=2,
+        ).collect()
+    }
+    full = {
+        (r.i, r.j)
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=8, band_size=2
+        ).collect()
+        if r.i < 300 <= r.j
+    }
+    assert inc == full and len(inc) > 0
