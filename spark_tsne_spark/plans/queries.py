@@ -2128,3 +2128,79 @@ def dedup_incremental_minhash(spark, sf_dir):
     return incremental_minhash_candidates(
         batch, index, num_hashes=8, band_size=2
     )
+
+
+# --------------------------------------------------------------------------
+# μ-law audio (sources/multimodal.py: G.711 decode, format code 7)
+# --------------------------------------------------------------------------
+
+_ULAW_SQL = r"""
+    WITH ascii_docs AS (
+      SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id, k,
+             ((CASE WHEN k < length(text)
+                    THEN unicode(substr(text, k + 1, 1)) ELSE 64 END) * 37) % 256
+               AS b
+      FROM ascii_docs, range(0, 256) t(k)
+    ),
+    -- G.711 μ-law decode (CCITT bias form): complement, then
+    -- ((mantissa*8 + 132) << exponent) - 132, negated on the sign bit
+    dec AS (
+      SELECT doc_id, k,
+             CASE WHEN (255 - b) >= 128
+                  THEN 132 - (((255 - b) % 16) * 8 + 132)
+                         * (1 << (((255 - b) // 16) % 8))
+                  ELSE (((255 - b) % 16) * 8 + 132)
+                         * (1 << (((255 - b) // 16) % 8)) - 132
+             END AS smp
+      FROM enc
+    ),
+    feat AS (
+      SELECT doc_id,
+             count(*) AS n_samples,
+             sqrt(avg(CAST(smp AS DOUBLE) * smp)) AS rms_raw,
+             max(abs(smp)) AS peak
+      FROM dec GROUP BY doc_id
+    ),
+    z AS (
+      SELECT doc_id,
+             avg(CASE WHEN (smp < 0) != (prev < 0) THEN 1.0 ELSE 0.0 END)
+               AS zcr_raw
+      FROM (SELECT doc_id, k, smp,
+                   lag(smp) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+            FROM dec)
+      WHERE prev IS NOT NULL
+      GROUP BY doc_id
+    )
+    SELECT f.doc_id AS media_id, f.n_samples, 8000 AS sample_rate,
+           round(f.rms_raw, 6) AS rms,
+           round(coalesce(z.zcr_raw, 0), 6) AS zcr,
+           f.peak
+    FROM feat f LEFT JOIN z ON f.doc_id = z.doc_id
+"""
+
+
+@register("audio_ulaw_features", _ULAW_SQL)
+def audio_ulaw_features(spark, sf_dir):
+    """Multimodal AUDIO, compressed codec: documents land as genuine
+    G.711 μ-law WAVs (format code 7 — a real lossy telephony codec,
+    decoded through the 256-entry CCITT table), then the same global
+    features as the PCM16 path. The DuckDB oracle replays the μ-law
+    decode formula per sample — sample-exact."""
+    from spark_tsne_spark.sources.multimodal import (
+        extract_audio_features,
+        ulaw_wav_payload,
+    )
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        ulaw_wav_payload("text", 256, 8000).alias("payload"),
+    )
+    out = extract_audio_features(media)
+    return out.select(
+        "media_id", "n_samples", "sample_rate",
+        F.round("rms", 6).alias("rms"), F.round("zcr", 6).alias("zcr"), "peak",
+    )

@@ -404,19 +404,69 @@ def wav_payload(text_col, n_samples: int, sample_rate: int = 8000):
     return F.concat(F.lit(header), body)
 
 
+def ulaw_wav_payload(text_col, n_samples: int, sample_rate: int = 8000):
+    """Column expression: a real G.711 μ-law mono WAV (format code 7,
+    8-bit) whose encoded bytes derive from an ASCII text column —
+    byte k = (code_k · 37) mod 256 (the multiplier spreads the 0-127
+    ASCII range over both sign halves of the μ-law code space). Pure
+    JVM, so the DuckDB oracle can recompute every decoded sample from
+    the same text.
+    """
+    import struct
+
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + n_samples) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, sample_rate,
+                                sample_rate, 1, 8)
+        + b"data" + struct.pack("<I", n_samples)
+    )
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    ascii_only = F.regexp_replace(col, "[^\\x00-\\x7F]", "")
+    padded = F.rpad(ascii_only, n_samples, "@")
+    body = F.encode(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice(F.split(padded, ""), 1, n_samples),
+                lambda c: F.chr((F.ascii(c) * F.lit(37)) % F.lit(256)),
+            ),
+        ),
+        "ISO-8859-1",
+    )
+    return F.concat(F.lit(header), body)
+
+
+def _build_ulaw_table() -> np.ndarray:
+    """256-entry G.711 μ-law → linear int16 table (CCITT bias form,
+    the public-domain formula: complement, then
+    ``(((mantissa << 3) + 132) << exponent) − 132`` with the sign
+    bit negating). Endpoints match the ITU table: 0x00 → −32124,
+    0xFF → 0, 0x7F → 0."""
+    b = np.arange(256, dtype=np.int64)
+    u = 255 - b  # ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 132) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 132 - t, t - 132).astype(np.int16)
+
+
+_ULAW_TABLE = _build_ulaw_table()
+
+
 def parse_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
-    """Pure-numpy decoder for PCM16 mono WAV: proper RIFF chunk walk
+    """Pure-numpy decoder for mono WAV: proper RIFF chunk walk
     (fmt before data, unknown chunks skipped, odd sizes padded per
-    spec). Returns ``(sample_rate, int16 samples)`` or ``None`` for
-    anything that is not an uncompressed 16-bit mono WAV (caller
-    falls back to the stub). Truncated data chunks are clamped to the
-    bytes present. Total over arbitrary bytes — never raises.
+    spec). Handles uncompressed PCM16 (format 1, 16-bit) and G.711
+    μ-law (format 7, 8-bit — decoded through the 256-entry CCITT
+    table to int16). Returns ``(sample_rate, int16 samples)`` or
+    ``None`` for anything else (caller falls back to the stub).
+    Truncated data chunks are clamped to the bytes present. Total
+    over arbitrary bytes — never raises.
     """
     n = len(payload)
     if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos = 12
     sample_rate = None
+    audio_format = None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -429,12 +479,23 @@ def parse_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
             channels = int.from_bytes(fmt[2:4], "little")
             sample_rate = int.from_bytes(fmt[4:8], "little")
             bits = int.from_bytes(fmt[14:16], "little")
-            if audio_format != 1 or channels != 1 or bits != 16:
+            if channels != 1:
+                return None
+            if not (
+                (audio_format == 1 and bits == 16)
+                or (audio_format == 7 and bits == 8)
+            ):
                 return None
         elif cid == b"data":
             if sample_rate is None:
                 return None
             avail = max(0, n - body_start)
+            if audio_format == 7:
+                take = min(size, avail)
+                codes = np.frombuffer(
+                    payload, dtype=np.uint8, count=take, offset=body_start
+                )
+                return sample_rate, _ULAW_TABLE[codes]
             take = min(size, avail) & ~1  # whole int16 samples only
             samples = np.frombuffer(
                 payload, dtype="<i2", count=take // 2, offset=body_start

@@ -1145,3 +1145,59 @@ def test_incremental_minhash_equals_cross_restriction(spark, sf_dir):
         if r.i < 300 <= r.j
     }
     assert inc == full and len(inc) > 0
+
+
+# --------------------------------------------------------------------------
+# G.711 μ-law audio
+# --------------------------------------------------------------------------
+
+
+def test_ulaw_table_matches_itu_reference():
+    """Spot-check the decode table against published ITU G.711 values
+    and the stdlib-independent formula symmetry."""
+    from spark_tsne_spark.sources.multimodal import _ULAW_TABLE
+
+    assert _ULAW_TABLE[0x00] == -32124  # most negative
+    assert _ULAW_TABLE[0x80] == 32124  # most positive
+    assert int(_ULAW_TABLE[0xFF]) == 0 and int(_ULAW_TABLE[0x7F]) == 0
+    # sign symmetry: b and b^0x80 decode to negatives of each other
+    for b in range(128):
+        assert int(_ULAW_TABLE[b]) == -int(_ULAW_TABLE[b | 0x80])
+    # monotone decreasing over the negative half (0x00..0x7F)
+    assert all(
+        int(_ULAW_TABLE[b]) <= int(_ULAW_TABLE[b + 1]) for b in range(127)
+    )
+
+
+def test_ulaw_wav_payload_roundtrip(spark):
+    """JVM-built μ-law WAVs decode through parse_wav to exactly
+    table[(code·37) mod 256] per char, '@'-padded."""
+    from spark_tsne_spark.sources.multimodal import (
+        _ULAW_TABLE,
+        parse_wav,
+        ulaw_wav_payload,
+    )
+
+    df = spark.createDataFrame([(0, "Héllo!")], "doc_id long, text string")
+    p = bytes(df.select(ulaw_wav_payload("text", 8, 8000).alias("p")).first()["p"])
+    sr, s = parse_wav(p)
+    assert sr == 8000
+    expect = [int(_ULAW_TABLE[(ord(c) * 37) % 256]) for c in "Hllo!@@@"]
+    assert s.tolist() == expect
+
+
+def test_parse_wav_rejects_other_compressed_formats():
+    """Format codes other than PCM16/μ-law still fall through to None
+    (ADPCM etc. stay honestly unsupported)."""
+    import struct
+
+    from spark_tsne_spark.sources.multimodal import parse_wav
+
+    for fmt_code, bits in [(2, 4), (6, 8), (7, 16), (1, 8)]:
+        p = (
+            b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, 1, 8000,
+                                    8000, 1, bits)
+            + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+        )
+        assert parse_wav(p) is None, (fmt_code, bits)
