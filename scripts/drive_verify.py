@@ -48,6 +48,13 @@ def norm(pdf):
 def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         return (math.isnan(a) and math.isnan(b)) or a == b
+    try:
+        import pandas as _pd
+
+        if _pd.isna(a) and _pd.isna(b):  # None, NaT
+            return True
+    except (TypeError, ValueError):
+        pass
     return a == b
 
 

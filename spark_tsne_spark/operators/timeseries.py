@@ -1,0 +1,211 @@
+"""Time-series operators Spark has no built-in for: as-of join,
+bounded range join, hypertable-style gap-fill.
+
+These are the event-table counterparts of the dedup/ANN extension
+family — operators a telemetry or training-data pipeline needs that
+neither vanilla Spark SQL nor the reference engine (a t-SNE library;
+no temporal ops) provides. Each is expressed as a composition of
+built-in DataFrame ops so Catalyst keeps pushdown/pruning/AQE, and
+each keeps a DuckDB-expressible contract for the correctness gate.
+
+Scale notes (the reason these shapes were chosen):
+
+- ``asof_join`` is ONE shuffle on the equi key — a union + ordered
+  window, never a range join. At 100 TB the alternative (theta join
+  on ``r.ts <= l.ts``) is a cross product per key; the union-window
+  form is linear in rows and AQE-skew-splittable.
+- ``range_join_buckets`` turns a pure time-proximity predicate (no
+  equi key at all — the genuinely hard case) into an equi join on a
+  time bucket with bounded fan-out ``ceil(window/bucket)+1`` per row,
+  then an exact residual filter. Bucket width ≈ window width keeps
+  the fan-out ≤ 2-3×.
+- ``gapfill_locf`` materializes the dense grid with ``sequence`` +
+  ``explode`` per series (never a driver loop) and fills with one
+  ordered window per series — two shuffles total (agg + window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _micros(ts: str) -> Column:
+    """Epoch microseconds as BIGINT. ``unix_micros`` rejects the
+    TIMESTAMP_NTZ that parquet scans produce; the cast pins NTZ to the
+    session timezone (UTC in this engine's sessions), and every use
+    below is a *difference* or a bucket id, both invariant to the
+    constant epoch offset."""
+    return F.unix_micros(F.col(ts).cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    right_cols: list[str],
+    right_order: str | None = None,
+    tolerance_s: int | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, the most recent right row with
+    ``right.ts <= left.ts`` in the same ``by`` group (inclusive; ties
+    on ``ts`` broken by the largest ``right_order``).
+
+    Implementation: tag both sides, union, ONE window ordered by
+    ``(ts, side, right_order)`` with the right payload packed in a
+    struct, ``last(..., ignorenulls=True)`` carries the latest right
+    row forward, then keep left rows. Right rows sort before left
+    rows at equal ``ts`` so the match is inclusive. Linear, one
+    shuffle on ``by`` — no range join, no per-key cross product.
+
+    ``tolerance_s`` (optional) voids matches older than the window:
+    rows whose carried right ``ts`` is more than that many seconds
+    behind come back NULL, like pandas ``merge_asof(tolerance=...)``.
+
+    Output: every left column plus ``prefix + c`` for each
+    ``right_cols`` entry (NULL when no right row qualifies).
+    """
+    if right_order is None:
+        right_order = right_cols[0]
+    pay_cols = list(dict.fromkeys([*right_cols, ts]))
+    payload = F.struct(*[F.col(c).alias(c) for c in pay_cols])
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(right.select(payload).schema[0].dataType)
+    ).withColumn("_ro", F.lit(None).cast("long"))
+    r_tag = (
+        right.select(by, ts, *[c for c in right_cols if c not in (by, ts)])
+        .withColumn("_side", F.lit(0))
+        .withColumn("_rv", payload)
+        .withColumn("_ro", F.col(right_order).cast("long"))
+    )
+    cols = [by, ts, "_side", "_rv", "_ro"]
+    extra = [c for c in left.columns if c not in (by, ts)]
+    u = l_tag.select(*cols, *extra).unionByName(
+        r_tag.select(*cols).withColumns({c: F.lit(None) for c in extra}),
+        allowMissingColumns=False,
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_ro").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("_last", F.last("_rv", ignorenulls=True).over(w))
+    out = carried.where(F.col("_side") == 1)
+    if tolerance_s is not None:
+        out = out.withColumn(
+            "_last",
+            F.when(
+                _micros(ts) - F.unix_micros(F.col("_last")[ts].cast("timestamp"))
+                <= int(tolerance_s * 1_000_000),
+                F.col("_last"),
+            ),
+        )
+    for c in right_cols:
+        out = out.withColumn(prefix + c, F.col("_last")[c])
+    return out.drop("_side", "_rv", "_ro", "_last")
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+    bucket_s: float | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with ``right.ts`` in
+    ``[left.ts + lower_s, left.ts + upper_s]`` — no equi key required.
+
+    The naive plan is a cartesian product with a theta filter; this
+    one buckets time instead: each left row explodes to the buckets
+    its window covers (``sequence`` over bucket ids — bounded fan-out
+    ``ceil((upper-lower)/bucket)+1``), the right side computes its
+    single bucket, and the pair space collapses to an equi join on
+    the bucket id plus an exact microsecond residual filter. Bucket
+    width defaults to the window width (fan-out ≤ 2). Time-clustered
+    data makes hot buckets; AQE skew-join splits them.
+
+    Output: all left columns + all right columns (caller aliases any
+    collisions beforehand).
+    """
+    if upper_s < lower_s:
+        raise ValueError(f"upper_s {upper_s} < lower_s {lower_s}")
+    if bucket_s is None:
+        bucket_s = max(upper_s - lower_s, 1e-6)
+    bus = int(bucket_s * 1_000_000)
+    lo_us = int(lower_s * 1_000_000)
+    hi_us = int(upper_s * 1_000_000)
+    l_us = _micros(left_ts)
+    r_us = _micros(right_ts)
+    l_exp = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor((l_us + F.lit(lo_us)) / F.lit(bus)),
+                F.floor((l_us + F.lit(hi_us)) / F.lit(bus)),
+            )
+        ),
+    )
+    r_b = right.withColumn("_bkt", F.floor(r_us / F.lit(bus)))
+    joined = l_exp.join(r_b, on="_bkt").where(
+        (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
+    )
+    return joined.drop("_bkt")
+
+
+def gapfill_locf(
+    df: DataFrame,
+    series: str,
+    ts: str,
+    value: str,
+    bucket: str = "hour",
+    round_to: int = 4,
+) -> DataFrame:
+    """Hypertable-style dense time grid per series with
+    last-observation-carried-forward fill.
+
+    Aggregates ``value`` per (series, date_trunc(bucket, ts)), builds
+    the full bucket grid from the GLOBAL min/max bucket (a 1-row agg
+    the planner broadcasts, then ``sequence`` + ``explode`` — the
+    grid never exists on the driver), left-joins the aggregate, and
+    fills: ``n_events`` → 0, ``sum_value_locf`` → last non-null
+    ordered by bucket within the series, ``gap_filled`` marks
+    synthesized rows. Two shuffles (agg, per-series window).
+
+    Output: ``(series, hour_ts, n_events, gap_filled,
+    sum_value_locf)``.
+    """
+    b = F.date_trunc(bucket, F.col(ts))
+    agg = df.groupBy(F.col(series).alias("_s"), b.alias("_h")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value), round_to).alias("_sum"),
+    )
+    bounds = df.agg(
+        F.min(b).alias("_lo"), F.max(b).alias("_hi")
+    )
+    grid = (
+        agg.select("_s")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "_s",
+            F.explode(
+                F.expr(f"sequence(_lo, _hi, interval 1 {bucket})")
+            ).alias("_h"),
+        )
+    )
+    filled = grid.join(agg, on=["_s", "_h"], how="left")
+    w = (
+        Window.partitionBy("_s")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        F.col("_s").alias(series),
+        F.col("_h").alias(f"{bucket}_ts"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("gap_filled"),
+        F.last("_sum", ignorenulls=True).over(w).alias("sum_value_locf"),
+    )

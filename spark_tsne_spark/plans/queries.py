@@ -645,6 +645,151 @@ def events_sessionize(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Time-series: as-of join, bounded range join, gap-fill
+# (operators/timeseries.py — Spark has no built-in for any of these)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'view')
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.event_id AS view_id,
+           round(v.value, 6) AS view_value,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    QUALIFY row_number() OVER (
+      PARTITION BY p.event_id
+      ORDER BY v.ts DESC NULLS LAST, v.event_id DESC) = 1
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest view at
+    or before it (ties on ts broken by max view event_id). ONE shuffle
+    on user_id (union + ordered window) — never a per-key range join.
+    The oracle is the declarative theta-join form DuckDB decorrelates;
+    at Spark scale that form is a per-key cross product, which is the
+    point of the operator."""
+    from spark_tsne_spark.operators.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        p, v, by="user_id", ts="ts",
+        right_cols=["event_id", "ts", "value"], right_order="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        # NOTE: the matched view's ts is returned only as gap_us
+        # (BIGINT) — a nullable TIMESTAMP output column would hash as
+        # NaT on the no-match rows, which not every comparer treats
+        # as self-equal.
+        F.col("r_event_id").alias("view_id"),
+        F.round("r_value", 6).alias("view_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "events_range_join",
+    """
+    WITH err AS (SELECT event_id AS err_id, ts AS err_ts FROM events
+                 WHERE event_type = 'error'),
+         nbr AS (SELECT event_id AS nbr_id, ts AS nbr_ts, value FROM events)
+    SELECT e.err_id,
+           count(n.nbr_id) AS n_nearby,
+           round(sum(n.value), 4) AS sum_value
+    FROM err e LEFT JOIN nbr n
+      ON n.nbr_id <> e.err_id
+     AND epoch_us(n.nbr_ts)
+         BETWEEN epoch_us(e.err_ts) - 60000000
+             AND epoch_us(e.err_ts) + 60000000
+    GROUP BY e.err_id
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Keyless time-proximity join: every event within ±60 s of each
+    error event, across ALL users. Bucketized to an equi join on a
+    time bucket (bounded ≤2× fan-out) + exact microsecond residual —
+    the 100 TB-safe shape for a predicate the naive plan makes a
+    cartesian product."""
+    from spark_tsne_spark.operators.timeseries import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    nbr = ev.select(
+        F.col("event_id").alias("nbr_id"),
+        F.col("ts").alias("nbr_ts"),
+        "value",
+    )
+    pairs = range_join_buckets(
+        err, nbr, "err_ts", "nbr_ts", lower_s=-60.0, upper_s=60.0
+    ).where(F.col("nbr_id") != F.col("err_id"))
+    agg = pairs.groupBy("err_id").agg(
+        F.count("*").alias("n_nearby"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return err.join(agg, on="err_id", how="left").select(
+        "err_id",
+        F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
+        "sum_value",
+    )
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n, round(sum(value), 4) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                 max(date_trunc('hour', ts)) AS hi FROM events),
+    grid AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b
+    )
+    SELECT grid.event_type, grid.h AS hour_ts,
+           coalesce(a.n, 0) AS n_events,
+           (a.n IS NULL) AS gap_filled,
+           last_value(a.s IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.h
+             ROWS UNBOUNDED PRECEDING) AS sum_value_locf
+    FROM grid LEFT JOIN agg a
+      ON a.event_type = grid.event_type AND a.h = grid.h
+    """,
+)
+def events_gapfill_locf(spark, sf_dir):
+    """Hypertable-style gap-fill: dense hourly grid per event_type
+    (sequence + explode — the grid never touches the driver), missing
+    buckets synthesized with n_events=0 and last-observation-carried-
+    forward sums. Two shuffles (agg + per-series window)."""
+    from spark_tsne_spark.operators.timeseries import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return gapfill_locf(ev, series="event_type", ts="ts", value="value")
+
+
+# --------------------------------------------------------------------------
 # Training-data pipeline: dedup family over `documents`
 # --------------------------------------------------------------------------
 

@@ -21,6 +21,8 @@ GOLDEN_SF_DIR = {
     "ann_ivf_topk": "/root/testdata/sf0.01",
     "p3_pca_project": "/root/testdata/sf0.01",
     "tsne_embedding": "/root/testdata/sf0.01",
+    "ann_ivf_pq_topk": "/root/testdata/sf0.01",
+    "semdedup_prune": "/root/testdata/sf0.01",
 }
 
 

@@ -1,0 +1,145 @@
+"""Semantics tests for operators/timeseries.py beyond the catalog
+oracles: tie-breaks, tolerance, brute-force equivalence, grid/locf
+invariants — the cases the sf fixtures may not hit."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tsne_spark.operators.timeseries import (
+    asof_join,
+    gapfill_locf,
+    range_join_buckets,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T10:00:00")),
+            (2, 100, _ts("2024-01-01T10:00:05")),
+            (3, 200, _ts("2024-01-01T10:00:03")),
+            (4, 300, _ts("2024-01-01T09:00:00")),  # no quote ever
+        ],
+        "trade_id long, sym long, ts timestamp",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (10, 100, _ts("2024-01-01T09:59:59"), 1.0),
+            (11, 100, _ts("2024-01-01T10:00:00"), 2.0),  # tie with trade 1
+            (12, 100, _ts("2024-01-01T10:00:00"), 3.0),  # same ts, higher id
+            (13, 100, _ts("2024-01-01T10:00:04"), 4.0),
+            (14, 200, _ts("2024-01-01T10:00:10"), 5.0),  # after trade 3
+        ],
+        "quote_id long, sym long, ts timestamp, px double",
+    )
+
+
+def test_asof_inclusive_and_tie_break(spark, trades, quotes):
+    out = {
+        r["trade_id"]: (r["r_quote_id"], r["r_px"])
+        for r in asof_join(
+            trades, quotes, by="sym", ts="ts",
+            right_cols=["quote_id", "px"], right_order="quote_id",
+        ).collect()
+    }
+    # equal-ts quotes DO match (inclusive), max quote_id wins the tie
+    assert out[1] == (12, 3.0)
+    # strictly-later quote 13 (10:00:04) is the latest at 10:00:05
+    assert out[2] == (13, 4.0)
+    # sym 200's only quote is after the trade -> no match
+    assert out[3] == (None, None)
+    # sym 300 has no quotes at all -> left row kept, NULL match
+    assert out[4] == (None, None)
+
+
+def test_asof_tolerance_voids_stale_matches(spark, trades, quotes):
+    out = {
+        r["trade_id"]: r["r_quote_id"]
+        for r in asof_join(
+            trades, quotes, by="sym", ts="ts",
+            right_cols=["quote_id"], right_order="quote_id",
+            tolerance_s=0,
+        ).collect()
+    }
+    # tolerance 0 keeps only exact-ts matches
+    assert out[1] == 12
+    assert out[2] is None and out[3] is None and out[4] is None
+
+
+def test_asof_partition_invariant(spark, trades, quotes):
+    base = asof_join(
+        trades, quotes, by="sym", ts="ts",
+        right_cols=["quote_id"], right_order="quote_id",
+    )
+    rep = asof_join(
+        trades.repartition(7), quotes.repartition(3), by="sym", ts="ts",
+        right_cols=["quote_id"], right_order="quote_id",
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, rep.collect()))
+
+
+def test_range_join_equals_brute_force(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") < 300)
+        .select("event_id", "ts")
+    )
+    left = ev.select(F.col("event_id").alias("lid"), F.col("ts").alias("lts"))
+    right = ev.select(F.col("event_id").alias("rid"), F.col("ts").alias("rts"))
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join_buckets(
+            left, right, "lts", "rts", lower_s=-45.0, upper_s=90.0
+        ).collect()
+    }
+    lus = F.unix_micros(F.col("lts").cast("timestamp"))
+    rus = F.unix_micros(F.col("rts").cast("timestamp"))
+    want = {
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .where((rus >= lus - 45_000_000) & (rus <= lus + 90_000_000))
+        .collect()
+    }
+    assert got == want and len(got) > len(
+        ev.collect()
+    )  # window wide enough that some cross-row pairs exist
+
+
+def test_range_join_rejects_inverted_window(spark, trades):
+    with pytest.raises(ValueError, match="upper_s"):
+        range_join_buckets(trades, trades, "ts", "ts", lower_s=10.0, upper_s=-10.0)
+
+
+def test_gapfill_grid_dense_and_locf(spark):
+    rows = [
+        ("a", _ts("2024-01-01T00:10:00"), 1.5),
+        ("a", _ts("2024-01-01T03:20:00"), 2.5),
+        ("b", _ts("2024-01-01T01:00:00"), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = gapfill_locf(df, series="k", ts="ts", value="value").collect()
+    by_key = {(r["k"], r["hour_ts"].hour): r for r in out}
+    # grid: global bounds 00:00..03:00 -> 4 hourly buckets per series
+    assert len(out) == 8
+    # series b has data only at 01:00; hours 2-3 are synthesized with
+    # the 01:00 sum carried forward, hour 0 precedes any observation
+    assert by_key[("b", 0)]["sum_value_locf"] is None
+    assert by_key[("b", 0)]["n_events"] == 0 and by_key[("b", 0)]["gap_filled"]
+    assert by_key[("b", 1)]["sum_value_locf"] == 7.0
+    assert by_key[("b", 3)]["sum_value_locf"] == 7.0
+    assert by_key[("b", 3)]["gap_filled"]
+    # series a: locf bridges hours 1-2 with hour 0's sum
+    assert by_key[("a", 2)]["sum_value_locf"] == 1.5
+    assert by_key[("a", 3)]["sum_value_locf"] == 2.5
+    assert not by_key[("a", 0)]["gap_filled"]
