@@ -645,6 +645,144 @@ def events_sessionize(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Relational surface: JSON extraction, range-frame windows, pivot,
+# exact percentiles, anti-join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull a field out of the JSON props
+    string with the JVM-side ``get_json_object`` (whole-stage codegen,
+    no Python) and aggregate. At scale the parse happens once per row
+    in the scan stage; only (event_type, k) survives to the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "events_trailing_window",
+    """
+    SELECT event_id,
+           count(*) OVER w AS trailing_n,
+           round(sum(value) OVER w, 4) AS trailing_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def events_trailing_window(spark, sf_dir):
+    """30-minute trailing count/sum per user: a RANGE-framed window on
+    the event time (peers at equal ts included by both engines, so the
+    frame is order-tie-proof). One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("trailing_n"),
+        F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
+    )
+
+
+@register(
+    "events_pivot",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+             AS n_click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+             AS n_view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+             AS n_purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+             AS n_signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+             AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot(spark, sf_dir):
+    """Pivot event counts to one column per type. The value list is
+    explicit, so Catalyst skips the extra distinct-values job and the
+    plan is a single hash aggregate — at 100 TB an unlisted pivot
+    would add a full pass just to discover the 5 keys."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(t, F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@register(
+    "orders_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    interpolation rule, so the values match bit-for-bit after
+    rounding. (At 100 TB you'd reach for approx_percentile; the exact
+    form is the correctness anchor.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c.c_nationkey, count(*) AS n_inactive
+    FROM customer c ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti-join (TPC-H Q22 pattern): customers with no orders,
+    counted per nation. left_anti keeps only the key column flowing
+    and AQE turns the shuffle into a broadcast when the distinct
+    order-customer set is small."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Time-series: as-of join, bounded range join, gap-fill
 # (operators/timeseries.py — Spark has no built-in for any of these)
 # --------------------------------------------------------------------------
@@ -1708,6 +1846,46 @@ def streaming_windowed_counts(spark, sf_dir):
     run_to_memory(stream, "sgq_win_counts")
     return spark.table("sgq_win_counts").select(
         "hour_ts", "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
+    "streaming_interval_join",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_id, user_id, ts FROM events
+               WHERE event_type = 'view')
+    SELECT p.purchase_id, v.view_id, p.user_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM p JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 10 MINUTES
+     AND v.ts <= p.ts
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream self interval join end-to-end: land events as
+    parquet, run the watermarked purchase×view join with availableNow
+    into an append-mode memory sink, return the sink table. Must equal
+    the batch theta join (DuckDB) — the streaming plan IS the oracle
+    target."""
+    import re as _re
+
+    from spark_tsne_spark.streaming.windows import (
+        purchase_view_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    path = f"/tmp/spark_graft_events_{tag}"
+    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    spark.catalog.dropTempView("sgq_interval_join")
+    stream = purchase_view_join(read_events_stream(spark, path))
+    run_to_memory(stream, "sgq_interval_join", mode="append")
+    return spark.table("sgq_interval_join").select(
+        "purchase_id", "view_id", "user_id", "gap_us"
     )
 
 

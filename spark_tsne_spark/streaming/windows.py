@@ -96,13 +96,54 @@ def session_counts(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def purchase_view_join(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream self interval join: each purchase paired with
+    every view by the same user in the ``window`` before it.
+
+    The canonical streaming enrichment: both sides are watermarked and
+    the join condition carries an event-time interval, so Spark can
+    bound the buffered state on each side (views older than
+    ``purchase watermark − window`` are evicted). Inner join →
+    append-mode output. The batch twin is a plain theta join, which is
+    this operator's DuckDB oracle.
+    """
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    cond = F.expr(
+        f"p_user = v_user AND v_ts >= p_ts - interval {window} AND v_ts <= p_ts"
+    )
+    return p.join(v, cond, "inner").select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("v_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drain a (bounded) file-source stream into a memory sink —
-    test/debug helper using availableNow (process everything, stop)."""
+    test/debug helper using availableNow (process everything, stop).
+    Aggregations use ``complete``; stream-stream joins only support
+    ``append``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
