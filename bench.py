@@ -168,6 +168,9 @@ def bench_queries():
         "window_top_orders": Q.window_top_orders_per_customer,
         "events_tumbling_agg": Q.events_tumbling_agg,
         "events_sessionize": Q.events_sessionize,
+        "events_asof_join": Q.events_asof_join,
+        "events_range_join": Q.events_range_join,
+        "events_gapfill_locf": Q.events_gapfill_locf,
         "dedup_exact": b_exact_dedup,
         "dedup_clusters": b_dedup_clusters,
         "dedup_minhash_lsh": b_minhash_full,

@@ -1445,6 +1445,97 @@ def multimodal_png(spark, sf_dir):
     return _hist_md5(extract_features(media, dim=16))
 
 
+# JPEG tile-image oracle: each doc's first 16 ASCII codes become a
+# 4×4 grid of flat 8×8 tiles (32×32 px). A flat tile's only nonzero
+# DCT coefficient is its integer DC, so with the encoder's unit
+# quantization the lossy codec round-trips those images EXACTLY —
+# which is what lets a DCT codec have a pixel-exact SQL oracle: each
+# code contributes 64 pixels to its intensity bin.
+_MM_JPEG_SQL = r"""
+    WITH ascii_docs AS (
+      SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN k < length(text) THEN unicode(substr(text, k + 1, 1))
+                  ELSE 0 END AS code
+      FROM ascii_docs, range(0, 16) t(k)
+    ),
+    h AS (
+      SELECT doc_id, code // 16 AS bin, count(*) * 64 AS c
+      FROM b GROUP BY doc_id, code // 16
+    ),
+    dense AS (
+      SELECT d.doc_id, i.i AS bin, coalesce(h.c, 0) AS c
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN range(0, 16) i(i)
+      LEFT JOIN h ON h.doc_id = d.doc_id AND h.bin = i.i
+    )
+    SELECT doc_id AS media_id, 16 AS dim,
+           md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin)) AS hist_md5
+    FROM dense GROUP BY doc_id
+"""
+
+
+@register("multimodal_jpeg", _MM_JPEG_SQL)
+def multimodal_jpeg(spark, sf_dir):
+    """Baseline JPEG decode, value-checked end to end: text bytes
+    become flat 8×8 tiles in a REAL T.81 baseline JPEG (spec Annex-K
+    Huffman tables, byte-stuffed entropy stream), decoded back by the
+    pure-numpy Huffman+IDCT parser in ``sources/jpeg.py``, and
+    reduced to a 16-bin intensity histogram. Flat tiles round-trip
+    exactly under unit quantization, so one wrong coefficient
+    anywhere in the bit reader, dequantize, de-zigzag, or IDCT flips
+    the hash."""
+    from spark_tsne_spark.sources.multimodal import extract_features
+    from spark_tsne_spark.shipping import ship_package
+
+    ship_package(spark)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from spark_tsne_spark.sources.jpeg import make_jpeg
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                codes = [ord(c) for c in text if ord(c) < 128][:16]
+                tiles = np.zeros(16, dtype=np.uint8)
+                tiles[: len(codes)] = codes
+                img = np.repeat(
+                    np.repeat(tiles.reshape(4, 4), 8, 0), 8, 1
+                )
+                payloads.append(make_jpeg(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(encode, "media_id long, payload binary")
+    )
+    out = extract_features(media, dim=16)
+    return out.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "features",
+                    lambda f: F.round(f * 1024).cast("int").cast("string"),
+                ),
+            )
+        ).alias("hist_md5"),
+    )
+
+
 _MM_RESIZE_SQL = r"""
     SELECT doc_id AS media_id, 8 AS w, 8 AS h,
            md5(list_aggregate(list_transform(range(0, 64),

@@ -10,10 +10,11 @@ gray/RGB PNG images decode for real** — pure numpy + stdlib parsers
 per-scanline unfilter pass) with no codec dependency — so both an
 uncompressed and a genuinely compressed image format are exercised
 end-to-end (container walk → pixel grid → resample / histogram
-features). JPEG and compressed audio remain STUBBED (`_decode_stub`)
-because no codec library ships in this environment; a production
-deployment swaps the stub for a PIL/ffmpeg call without touching the
-plan.
+features). **Baseline JPEG also decodes for real** — a full T.81
+Huffman decoder with 4:2:0 support in `sources/jpeg.py`
+(`parse_jpeg`), pure numpy + stdlib. Only compressed audio beyond
+G.711 remains STUBBED (`_decode_stub`); a production deployment
+swaps that for an ffmpeg call without touching the plan.
 
 Scale notes: binary payloads stay columnar through Arrow; per-batch
 numpy work avoids per-row Python. Feature extraction is a narrow map
@@ -571,10 +572,15 @@ def _histogram_features(grid: np.ndarray, dim: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray | None:
-    """Try every REAL decoder (netpbm, then PNG); ``None`` → stub."""
+    """Try every REAL decoder (netpbm, PNG, then baseline JPEG);
+    ``None`` → stub."""
+    from spark_tsne_spark.sources.jpeg import parse_jpeg
+
     grid = parse_netpbm(payload)
     if grid is None:
         grid = parse_png(payload)
+    if grid is None:
+        grid = parse_jpeg(payload)
     return grid
 
 
