@@ -83,10 +83,73 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
     n10 = docs10.count()
     print(f"corpora: {n1} and {n10} docs")
 
+    # Events 10x: disjoint 31-day time shifts per copy (more days of
+    # data, same density — the realistic growth axis; inflating
+    # density instead would quadratically grow the range join's
+    # OUTPUT by its semantics, which says nothing about the plan).
+    ev1 = load_table(spark, "events", sf_dir).cache()
+    ev1.count()
+    ev10 = (
+        ev1.crossJoin(copies)
+        .select(
+            (F.col("event_id") + F.col("copy") * 100_000_000).alias("event_id"),
+            (
+                F.col("ts") + F.make_interval(days=F.col("copy") * 31)
+            ).alias("ts"),
+            (F.col("user_id") + F.col("copy") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .repartition(int(cpus))
+        .cache()
+    )
+    ev10.count()
+
+    def ev_ops():
+        from spark_tsne_spark.operators.timeseries import (
+            asof_join,
+            range_join_buckets,
+        )
+
+        def run_asof(ev):
+            p = ev.where(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts"
+            )
+            v = ev.where(F.col("event_type") == "view").select(
+                "event_id", "user_id", "ts", "value"
+            )
+            return asof_join(
+                p, v, by="user_id", ts="ts",
+                right_cols=["event_id"], right_order="event_id",
+            ).select("event_id", "user_id", "r_event_id")
+
+        def run_range(ev):
+            err = ev.where(F.col("event_type") == "error").select(
+                F.col("event_id").alias("err_id"),
+                F.col("ts").alias("err_ts"),
+            )
+            nbr = ev.select(
+                F.col("event_id").alias("nbr_id"), F.col("ts").alias("nbr_ts")
+            )
+            return range_join_buckets(
+                err, nbr, "err_ts", "nbr_ts", lower_s=-60.0, upper_s=60.0
+            ).select("err_id", "nbr_id")
+
+        return {"asof_join": run_asof, "range_join": run_range}
+
     results = {}
     for name, fn in ops().items():
         ts = []
         for d in (docs1, docs10):
+            t0 = time.time()
+            fn(d).write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        results[name] = ts
+        print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
+              f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
+    for name, fn in ev_ops().items():
+        ts = []
+        for d in (ev1, ev10):
             t0 = time.time()
             fn(d).write.format("noop").mode("overwrite").save()
             ts.append(time.time() - t0)

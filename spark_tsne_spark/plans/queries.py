@@ -723,16 +723,21 @@ def events_trailing_window(spark, sf_dir):
     """,
 )
 def events_pivot(spark, sf_dir):
-    """Pivot event counts to one column per type. The value list is
-    explicit, so Catalyst skips the extra distinct-values job and the
-    plan is a single hash aggregate — at 100 TB an unlisted pivot
-    would add a full pass just to discover the 5 keys."""
+    """Pivot event counts to one column per type, as conditional
+    aggregation: ONE shuffle on user_id with map-side partial aggs.
+    (``DataFrame.pivot`` — even with explicit values — plans a
+    (key, type) pre-aggregate plus a pivotfirst aggregate: two
+    exchanges; and without explicit values it adds a distinct-values
+    discovery job. At 100 TB the manual form wins on both counts.)"""
     ev = _t(spark, sf_dir, "events")
     types = ["click", "view", "purchase", "signup", "error"]
-    out = ev.groupBy("user_id").pivot("event_type", types).count()
-    return out.select(
-        "user_id",
-        *[F.coalesce(t, F.lit(0)).alias(f"n_{t}") for t in types],
+    return ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"n_{t}")
+            for t in types
+        ]
     )
 
 

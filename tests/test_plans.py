@@ -142,3 +142,50 @@ def test_passage_dedup_plan_shape(spark, sf_dir):
     plan = plan_of(Q.passage_dedup(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """The as-of join's whole point: ONE shuffle (the by-key window),
+    never a range join or cartesian product."""
+    plan = plan_of(Q.events_asof_join(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The bucketized range join must plan as a hash/sort-merge equi
+    join on the bucket id — a theta-only join would fall back to
+    BroadcastNestedLoopJoin and O(n*m) at scale."""
+    plan = plan_of(Q.events_range_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_pivot_single_aggregate_no_discovery_pass(spark, sf_dir):
+    """Conditional-aggregation pivot: exactly one exchange over one
+    scan — DataFrame.pivot would plan two aggregate exchanges (and an
+    extra distinct-values job without explicit values)."""
+    df = Q.events_pivot(spark, sf_dir)
+    plan = plan_of(df)
+    assert len(scan_lines(plan)) == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_json_extract_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(Q.events_json_extract(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # parse + project happen below the single aggregation exchange
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_anti_join_prunes_to_keys(spark, sf_dir):
+    """left_anti keeps only the join/group keys flowing from both
+    scans."""
+    plan = formatted_plan(Q.customers_without_orders(spark, sf_dir))
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema:" in ln]
+    assert len(schemas) == 2, plan
+    for ln in schemas:
+        assert ln.count(":") <= 3, ln  # ≤2 columns read per side
