@@ -209,3 +209,95 @@ def gapfill_locf(
         F.col("n_events").isNull().alias("gap_filled"),
         F.last("_sum", ignorenulls=True).over(w).alias("sum_value_locf"),
     )
+
+
+def gapfill_interp(
+    df: DataFrame,
+    series: str,
+    ts: str,
+    value: str,
+    bucket: str = "hour",
+    round_to: int = 4,
+) -> DataFrame:
+    """Gap-fill with LINEAR interpolation between the nearest
+    observed buckets (TimescaleDB ``interpolate()`` semantics).
+
+    Same dense-grid construction as :func:`gapfill_locf`; each missing
+    bucket then lerps between the previous and next non-null sums
+    using two ordered windows per series (last-non-null looking back,
+    first-non-null looking forward — both carried as (value, bucket)
+    structs so the slope uses the true bucket distance). Buckets
+    before the first / after the last observation stay NULL, like the
+    reference semantics. Three shuffles total (agg + two windows share
+    one partitioning).
+
+    Output: ``(series, <bucket>_ts, n_events, gap_filled,
+    sum_value_interp)``.
+    """
+    b = F.date_trunc(bucket, F.col(ts))
+    agg = df.groupBy(F.col(series).alias("_s"), b.alias("_h")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value), round_to).alias("_sum"),
+    )
+    bounds = df.agg(F.min(b).alias("_lo"), F.max(b).alias("_hi"))
+    grid = (
+        agg.select("_s")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "_s",
+            F.explode(
+                F.expr(f"sequence(_lo, _hi, interval 1 {bucket})")
+            ).alias("_h"),
+        )
+    )
+    filled = grid.join(agg, on=["_s", "_h"], how="left")
+    obs = F.when(
+        F.col("_sum").isNotNull(),
+        F.struct(F.col("_sum").alias("v"), F.col("_h").alias("h")),
+    )
+    w_prev = (
+        Window.partitionBy("_s")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("_s")
+        .orderBy("_h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    # Fixed-point lerp: float interpolation of round_to-decimal
+    # endpoints lands EXACTLY on rounding-grid midpoints whenever the
+    # gap is 2 buckets (frac = 1/2), where engines' round() rules
+    # diverge. Scaling the endpoints to integers and flooring the
+    # exact rational a·(den−num)/den + b·num/den keeps every value on
+    # the 10^-round_to grid with no half-point anywhere.
+    scale = 10**round_to
+    bucket_us = {
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[bucket]
+
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    a = F.round(prev["v"] * scale).cast("long")
+    bb = F.round(nxt["v"] * scale).cast("long")
+    num = ((_us(F.col("_h")) - _us(prev["h"])) / bucket_us).cast("long")
+    den = ((_us(nxt["h"]) - _us(prev["h"])) / bucket_us).cast("long")
+    # den NULL (no prev or no next observation) must yield NULL, not
+    # fall into an otherwise() — edges beyond the observed range stay
+    # unfilled by contract.
+    interp_fp = F.when(
+        den > 0, F.floor((a * (den - num) + bb * num) / den)
+    ).when(den == 0, a)
+    return filled.select(
+        F.col("_s").alias(series),
+        F.col("_h").alias(f"{bucket}_ts"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("gap_filled"),
+        (interp_fp / scale).alias("sum_value_interp"),
+    )

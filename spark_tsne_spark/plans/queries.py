@@ -932,6 +932,105 @@ def events_gapfill_locf(spark, sf_dir):
     return gapfill_locf(ev, series="event_type", ts="ts", value="value")
 
 
+@register(
+    "events_gapfill_interp",
+    """
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n, round(sum(value), 4) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                 max(date_trunc('hour', ts)) AS hi FROM events),
+    grid AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b
+    ),
+    j AS (
+      SELECT grid.event_type AS et, grid.h, a.n, a.s
+      FROM grid LEFT JOIN agg a
+        ON a.event_type = grid.event_type AND a.h = grid.h
+    ),
+    w AS (
+      SELECT et, h, n,
+        last_value(CASE WHEN s IS NOT NULL
+                        THEN struct_pack(v := s, hh := h) END IGNORE NULLS)
+          OVER (PARTITION BY et ORDER BY h
+                ROWS UNBOUNDED PRECEDING) AS p,
+        first_value(CASE WHEN s IS NOT NULL
+                         THEN struct_pack(v := s, hh := h) END IGNORE NULLS)
+          OVER (PARTITION BY et ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM j
+    ),
+    fp AS (
+      SELECT et, h, n,
+        round(struct_extract(p, 'v') * 10000)::BIGINT AS a,
+        round(struct_extract(nx, 'v') * 10000)::BIGINT AS b,
+        ((epoch_us(h) - epoch_us(struct_extract(p, 'hh')))
+         / 3600000000)::BIGINT AS num,
+        ((epoch_us(struct_extract(nx, 'hh'))
+          - epoch_us(struct_extract(p, 'hh'))) / 3600000000)::BIGINT AS den
+      FROM w
+    )
+    SELECT et AS event_type, h AS hour_ts,
+           coalesce(n, 0) AS n_events, (n IS NULL) AS gap_filled,
+           CASE WHEN den > 0
+                THEN floor((a * (den - num) + b * num) / den::DOUBLE)
+                WHEN den = 0 THEN a END / 10000.0 AS sum_value_interp
+    FROM fp
+    """,
+)
+def events_gapfill_interp(spark, sf_dir):
+    """Gap-fill with LINEAR interpolation (TimescaleDB
+    ``interpolate()`` semantics): missing hourly buckets lerp between
+    the nearest observed sums using the true bucket distance; edges
+    beyond the first/last observation stay NULL."""
+    from spark_tsne_spark.operators.timeseries import gapfill_interp
+
+    ev = _t(spark, sf_dir, "events")
+    return gapfill_interp(ev, series="event_type", ts="ts", value="value")
+
+
+@register(
+    "events_hopping_agg",
+    """
+    SELECT date_trunc('minute', ts)
+             - INTERVAL 1 MINUTE * (extract(minute FROM ts)::BIGINT % 15)
+             - INTERVAL 15 MINUTES * k AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events CROSS JOIN range(0, 4) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def events_hopping_agg(spark, sf_dir):
+    """Hopping (sliding) window aggregation: 1-hour windows every 15
+    minutes. ``F.window`` expands each event to its 4 covering windows
+    JVM-side, then one hash aggregate — the batch twin of a sliding
+    Structured Streaming agg. The oracle replays the expansion with a
+    4-row range join (every event is in exactly len/slide windows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: dedup family over `documents`
 # --------------------------------------------------------------------------

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from spark_tsne_spark.operators.timeseries import (
     asof_join,
+    gapfill_interp,
     gapfill_locf,
     range_join_buckets,
 )
@@ -143,3 +144,40 @@ def test_gapfill_grid_dense_and_locf(spark):
     assert by_key[("a", 2)]["sum_value_locf"] == 1.5
     assert by_key[("a", 3)]["sum_value_locf"] == 2.5
     assert not by_key[("a", 0)]["gap_filled"]
+
+
+def test_gapfill_interp_lerps_between_observations(spark):
+    rows = [
+        ("a", _ts("2024-01-01T00:30:00"), 10.0),
+        ("a", _ts("2024-01-01T03:15:00"), 40.0),  # 3-bucket gap: 1/3, 2/3
+        ("b", _ts("2024-01-01T01:00:00"), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        (r["k"], r["hour_ts"].hour): r["sum_value_interp"]
+        for r in gapfill_interp(df, series="k", ts="ts", value="value").collect()
+    }
+    # observed endpoints kept exactly
+    assert out[("a", 0)] == 10.0 and out[("a", 3)] == 40.0
+    # linear between: 10 + 10k (floor-exact on the 1e-4 grid)
+    assert out[("a", 1)] == 20.0 and out[("a", 2)] == 30.0
+    # edges beyond first/last observation stay NULL
+    assert out[("b", 0)] is None and out[("b", 2)] is None and out[("b", 3)] is None
+    assert out[("b", 1)] == 5.0
+
+
+def test_gapfill_interp_midpoint_no_half_point_flip(spark):
+    """The case that broke float lerp: 2-bucket gap (frac=1/2) between
+    4-decimal endpoints whose mean sits on the rounding midpoint —
+    fixed-point floor keeps it deterministic and exact."""
+    rows = [
+        ("a", _ts("2024-01-01T00:00:00"), 0.1234),
+        ("a", _ts("2024-01-01T02:00:00"), 0.1237),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r["hour_ts"].hour: r["sum_value_interp"]
+        for r in gapfill_interp(df, series="k", ts="ts", value="value").collect()
+    }
+    # exact rational midpoint 0.12355 floors to 0.1235 on the 1e-4 grid
+    assert out[1] == 0.1235
