@@ -1915,6 +1915,101 @@ _HASH_SPACE = 1 << 60
 _BUCKET_SQL = "('0x' || substring(md5({salt} || text), 1, 15))::BIGINT"
 
 
+_CURATION_SQL = rf"""
+    WITH fpd AS (
+      SELECT doc_id, text, lang, source,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, lang, source FROM fpd
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    scored AS (
+      SELECT doc_id, text, lang, source,
+             round({{q}}, 6) AS quality
+      FROM kept
+    ),
+    gated AS (
+      SELECT doc_id, text, source, quality FROM scored
+      WHERE lang = 'en' AND quality >= 0.55
+    )
+    SELECT doc_id, source, quality
+    FROM gated
+    WHERE ('0x' || substring(md5('cur' || text), 1, 15))::BIGINT <
+          CASE WHEN source IN ('src1', 'src2') THEN {{full}}
+               ELSE {{half}} END
+"""
+
+
+@register(
+    "corpus_curation",
+    _CURATION_SQL.format(
+        q="{q}", full=1 << 60, half=int(0.5 * (1 << 60))
+    ).replace("{q}", "(least(1.0, length(text)::DOUBLE / 200.0)"
+              " + greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, '[.,!?;:()-]', '', 'g')))::DOUBLE / greatest(1, length(text))) * 5.0)"
+              " + least(1.0, (" + _STOP_RATIO_SQL + ") * 4.0)) / 3.0"),
+)
+def corpus_curation(spark, sf_dir):
+    """End-to-end curation pipeline in ONE composed plan — the shape a
+    training-data run takes at 100 TB: exact dedup (one fingerprint
+    window), quality + language gate (narrow, on the ROUNDED score so
+    the threshold can't flip between engines at a float boundary),
+    then a deterministic stratified content-hash sample (keep all of
+    src1/src2, half of the rest). Two shuffles total for the whole
+    pipeline: the dedup window and nothing else — gates and sampling
+    are filters stacked above it, so Catalyst fuses them into the
+    post-window stage."""
+    from spark_tsne_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    kept = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    gated = kept.withColumn(
+        "quality", F.round(quality_score("text"), 6)
+    ).where((F.col("lang") == "en") & (F.col("quality") >= 0.55))
+    sampled = stratified_hash_sample(
+        gated,
+        key="text",
+        stratum="source",
+        fractions={"src1": 1.0, "src2": 1.0},
+        default_fraction=0.5,
+        salt="cur",
+    )
+    return sampled.select("doc_id", "source", "quality")
+
+
+@register(
+    "events_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users(spark, sf_dir):
+    """Skew-safe exact distinct count: two-stage aggregation
+    (groupBy(key, value) partial-dedup, then groupBy(key) count)
+    instead of countDistinct. With 5 event types, countDistinct
+    funnels every row of a type through one reducer that holds the
+    whole distinct set; the two-stage form dedups map-side across ALL
+    partitions first, so the hot key's final count is a sum of small
+    partials. n_events rides the first stage for free."""
+    ev = _t(spark, sf_dir, "events")
+    stage1 = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("_n")
+    )
+    return stage1.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("_n").alias("n_events"),
+    )
+
+
 @register(
     "corpus_hash_sample",
     f"""

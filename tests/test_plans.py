@@ -189,3 +189,20 @@ def test_anti_join_prunes_to_keys(spark, sf_dir):
     assert len(schemas) == 2, plan
     for ln in schemas:
         assert ln.count(":") <= 3, ln  # ≤2 columns read per side
+
+
+def test_curation_pipeline_single_exchange(spark, sf_dir):
+    """The composed dedup→gate→sample pipeline: ONE shuffle (the
+    fingerprint window); gates and sampling fuse above it as filters,
+    all JVM-side."""
+    plan = plan_of(Q.corpus_curation(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_distinct_users_two_stage_with_partials(spark, sf_dir):
+    """Skew-safe distinct: two aggregate exchanges, each preceded by a
+    map-side partial — never a single-reducer countDistinct funnel."""
+    plan = plan_of(Q.events_distinct_users(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("partial") >= 2, plan
