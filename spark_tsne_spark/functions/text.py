@@ -479,3 +479,60 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
         counts[name] = F.size(F.regexp_extract_all(cur, F.lit(PII_PATTERNS[name]), 0))
         cur = F.regexp_replace(cur, PII_PATTERNS[name], f"<{name.upper()}>")
     return counts
+
+
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the ASCII character
+    distribution — the CCNet-style "is this natural text or
+    boilerplate/noise" signal (low → repetitive filler, ~4.2 → English
+    prose, ~6+ → random bytes).
+
+    ONE narrow pass, no shuffle: ``sort_array`` groups equal chars
+    contiguously, a single ``F.aggregate`` fold accumulates
+    Σ cᵢ·log2(cᵢ) run by run (the :func:`multiplicity_stats` shape),
+    and the finish lambda closes the last run and applies
+    ``H = log2(N) − Σ cᵢ·log2(cᵢ)/N``. The relational alternative
+    (explode chars → two groupBys) shuffles the entire character
+    stream — this never leaves the row.
+    """
+    t = F.regexp_replace(_col(text), r"[^\x00-\x7F]", "")
+    n = F.length(t)
+    chars = F.sort_array(
+        F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.substring(t, i, 1)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = F.coalesce(x == acc["prev"], F.lit(False))
+        flush = F.when(
+            ~same & (acc["run"] > 0),
+            acc["run"].cast("double") * F.log2(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (acc["s"] + flush).alias("s"),
+        )
+
+    def finish(acc: Column) -> Column:
+        s = acc["s"] + F.when(
+            acc["run"] > 0,
+            acc["run"].cast("double") * F.log2(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0))
+        return s
+
+    s_total = F.aggregate(chars, zero, merge, finish)
+    return F.when(
+        n > 0, F.log2(n.cast("double")) - s_total / n.cast("double")
+    ).otherwise(F.lit(0.0))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from spark_tsne_spark.functions.text import (
     EN_STOPWORDS,
     bpe_ish_token_count,
+    char_entropy,
     fingerprint,
     lang_id,
     punct_ratio,
@@ -1794,6 +1795,43 @@ _QUALITY_SQL = (
     f" + greatest(0.0, 1.0 - ({_PUNCT_SQL}) * 5.0)"
     f" + least(1.0, ({_STOP_RATIO_SQL}) * 4.0)) / 3.0"
 )
+
+
+@register(
+    "text_char_entropy",
+    r"""
+    WITH a AS (
+      SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, ch, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(t, '')) AS ch FROM a)
+      GROUP BY doc_id, ch
+    ),
+    e AS (
+      SELECT doc_id, sum(c * log2(c)) AS s, sum(c) AS n
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT a.doc_id, length(a.t) AS n_ascii,
+           round(coalesce(
+             CASE WHEN e.n > 0 THEN log2(e.n) - e.s / e.n END, 0.0), 6)
+             AS entropy_bits
+    FROM a LEFT JOIN e ON e.doc_id = a.doc_id
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy, one narrow shuffle-free
+    pass (sorted-run fold — the character stream never leaves the
+    row). The oracle is the relational restatement: entropy from
+    per-char GROUP BY counts."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(
+            F.regexp_replace("text", r"[^\x00-\x7F]", "")
+        ).cast("long").alias("n_ascii"),
+        F.round(char_entropy("text"), 6).alias("entropy_bits"),
+    )
 
 
 @register(

@@ -1201,3 +1201,46 @@ def test_parse_wav_rejects_other_compressed_formats():
             + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
         )
         assert parse_wav(p) is None, (fmt_code, bits)
+
+
+def test_char_entropy_known_values(spark):
+    """Pin entropy against hand-computable distributions."""
+    import math
+
+    from spark_tsne_spark.functions.text import char_entropy
+
+    rows = [
+        (0, "aaaa"),            # one symbol -> 0 bits
+        (1, "abab"),            # two equiprobable -> 1 bit
+        (2, "abcd"),            # four equiprobable -> 2 bits
+        (3, ""),                # empty -> 0 by contract
+        (4, "aab"),             # 2/3,1/3 -> H = log2(3) - (2/3)
+        (5, "héllo"),           # non-ASCII stripped -> "hllo", all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", char_entropy("text").alias("e")
+        ).collect()
+    }
+    assert out[0] == 0.0 and out[3] == 0.0
+    assert abs(out[1] - 1.0) < 1e-12
+    assert abs(out[2] - 2.0) < 1e-12
+    assert abs(out[4] - (math.log2(3) - 2.0 / 3.0)) < 1e-12
+    # "héllo" strips to "hllo": counts l:2, h:1, o:1 ->
+    # H = log2(4) - (2*log2(2))/4 = 1.5
+    assert abs(out[5] - 1.5) < 1e-12
+
+
+def test_char_entropy_no_shuffle(spark, sf_dir):
+    from spark_tsne_spark.plans import queries as Q
+
+    plan = (
+        Q.text_char_entropy(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
