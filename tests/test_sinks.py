@@ -62,3 +62,80 @@ def test_bucketed_join_runs_shuffle_free(spark, sf_dir, tmpdir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_zordered_write_skips_files_on_both_dims(spark, tmpdir):
+    """Z-order layout: parquet footer min/max stats (what row-group
+    skipping consults) must allow pruning on EVERY clustered column.
+    A single-column sort prunes perfectly on its own column and not
+    at all on the other; z-order prunes partially on both — the
+    multi-dimensional data-skipping contract."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spark_tsne_spark.sources.sinks import write_zordered
+
+    # sf0.001 has only 15 distinct users — too coarse to measure
+    # skipping; use the 150-user sf0.01 events table
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmpdir) + "/z"
+    spath = str(tmpdir) + "/s"
+    write_zordered(ev, zpath, cols=["user_id", "value"], num_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def file_spans(path):
+        out = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            u_lo = v_lo = float("inf")
+            u_hi = v_hi = float("-inf")
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    if col.path_in_schema == "user_id":
+                        u_lo, u_hi = min(u_lo, st.min), max(u_hi, st.max)
+                    elif col.path_in_schema == "value":
+                        v_lo, v_hi = min(v_lo, st.min), max(v_hi, st.max)
+            out.append((u_lo, u_hi, v_lo, v_hi))
+        return out
+
+    q = ev.agg(
+        F.expr("percentile(user_id, 0.45)").alias("u1"),
+        F.expr("percentile(user_id, 0.55)").alias("u2"),
+        F.expr("percentile(value, 0.45)").alias("v1"),
+        F.expr("percentile(value, 0.55)").alias("v2"),
+    ).collect()[0]
+
+    def hits(spans, lo_i, hi_i, lo, hi):
+        return sum(1 for s in spans if s[lo_i] <= hi and s[hi_i] >= lo)
+
+    zs, ss = file_spans(zpath), file_spans(spath)
+    z_v = hits(zs, 2, 3, q["v1"], q["v2"])
+    z_u = hits(zs, 0, 1, q["u1"], q["u2"])
+    s_v = hits(ss, 2, 3, q["v1"], q["v2"])
+    s_u = hits(ss, 0, 1, q["u1"], q["u2"])
+    # the value-sorted dimension of the contrast layout can't prune at
+    # all; z-order must beat it there and still prune on user_id
+    assert s_v == len(ss), (s_v, len(ss))
+    assert z_v < s_v and z_v <= (3 * len(zs)) // 4, (z_v, s_v)
+    assert z_u < len(zs), (z_u, len(zs))
+    # single-col sort rightly stays king on its OWN column
+    assert s_u <= z_u, (s_u, z_u)
+
+    # and the data round-trips exactly
+    assert (
+        spark.read.parquet(zpath).orderBy("event_id").collect()
+        == ev.orderBy("event_id").collect()
+    )
