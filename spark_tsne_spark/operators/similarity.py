@@ -247,6 +247,169 @@ def _kmeans_centroids(
     return C, n
 
 
+_FANOUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+        T.StructField("cell", T.IntegerType()),
+    ]
+)
+
+
+def _make_cell_fanout(b_C, n_top: int):
+    """mapInPandas kernel: emit each row once per its n_top nearest
+    cells — vectorized (np.repeat / ravel), no row loop. Shared by the
+    one-shot :func:`ivf_topk` and the persistent :class:`IvfIndex`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
+        C_ = b_C.value
+        m = min(n_top, len(C_))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sim = Xn @ C_.T
+            if m == 1:
+                order = np.argmax(sim, axis=1)[:, None]
+            else:
+                # membership only — order within cells irrelevant
+                order = np.argpartition(-sim, m - 1, axis=1)[:, :m]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), m),
+                    "v": pdf["v"].to_numpy().repeat(m),
+                    "cell": order.ravel().astype(np.int32),
+                }
+            )
+
+    return run
+
+
+def _rank_cell_join(
+    corpus_cells: DataFrame, query_cells: DataFrame, k: int, dedup: bool
+) -> DataFrame:
+    """Shared IVF tail: broadcast query fan-out into the cell-keyed
+    corpus, exact cosine within shared cells, optional multi-assign
+    dedup, tiebroken top-k."""
+    joined = corpus_cells.alias("c").join(
+        F.broadcast(query_cells.alias("q")), on="cell"
+    ).where(F.col("q.id") != F.col("c.id"))
+    pairs = joined.select(
+        F.col("q.id").alias("i"),
+        F.col("c.id").alias("j"),
+        cosine_sim(F.col("q.v"), F.col("c.v")).alias("cosine"),
+    )
+    if dedup:
+        pairs = pairs.dropDuplicates(["i", "j"])
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("i", "j", "cosine", "rank")
+    )
+
+
+class IvfIndex:
+    """Persistent IVF index: train + encode ONCE, query many times.
+
+    :func:`ivf_topk` retrains the quantizer and re-encodes the corpus
+    on every call — right for one-shot queries, wasteful for the
+    production pattern (nightly corpus build, many query batches).
+    ``IvfIndex.build`` materializes the cell-routed corpus as parquet
+    PARTITIONED BY cell and persists the quantizer beside it, so:
+
+    - probing becomes partition PRUNING: a query batch touching
+      ``n_probe`` of ``n_cells`` cells scans only those directories —
+      at 100 TB the scan shrinks by ``n_probe/n_cells`` before any
+      executor starts;
+    - the quantizer artifact is a tiny parquet (portable across
+      object stores, unlike a driver-local npy);
+    - results are bit-identical to :func:`ivf_topk` with the same
+      parameters (same training, same kernels, same tail).
+    """
+
+    def __init__(self, path: str, C: np.ndarray, replicas: int):
+        self.path = path
+        self.C = C
+        self.replicas = replicas
+
+    @staticmethod
+    def build(
+        emb: DataFrame,
+        path: str,
+        n_cells: int = 16,
+        replicas: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+    ) -> "IvfIndex":
+        from spark_tsne_spark.shipping import ship_package
+
+        spark = emb.sparkSession
+        ship_package(spark)
+        base = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        C, n_corpus = _kmeans_centroids(base, n_cells, seed)
+        b_C = spark.sparkContext.broadcast(C)
+        par = spark.sparkContext.defaultParallelism
+        parts = max(1, min(par, n_corpus // 4096 + 1))
+        (
+            base.repartition(parts)
+            .mapInPandas(_make_cell_fanout(b_C, max(1, replicas)), _FANOUT_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
+        quant = spark.createDataFrame(
+            [(int(i), [float(x) for x in row], int(replicas)) for i, row in enumerate(C)],
+            "cell int, centroid array<double>, replicas int",
+        )
+        quant.coalesce(1).write.mode("overwrite").parquet(f"{path}/quantizer")
+        return IvfIndex(path, C, replicas)
+
+    @staticmethod
+    def load(spark, path: str) -> "IvfIndex":
+        rows = spark.read.parquet(f"{path}/quantizer").collect()
+        rows.sort(key=lambda r: r["cell"])
+        C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        return IvfIndex(path, C, int(rows[0]["replicas"]))
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        from spark_tsne_spark.shipping import ship_package
+
+        spark = queries.sparkSession
+        ship_package(spark)
+        b_C = spark.sparkContext.broadcast(self.C)
+        query_cells = queries.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).mapInPandas(_make_cell_fanout(b_C, max(1, n_probe)), _FANOUT_SCHEMA)
+        query_cells = query_cells.cache()
+        # Bounded driver collect (≤ n_cells ints): the probed cell set
+        # becomes an IN-filter the scan turns into partition pruning —
+        # unprobed cell directories are never opened.
+        probed = [
+            r["cell"] for r in query_cells.select("cell").distinct().collect()
+        ]
+        idx = spark.read.parquet(f"{self.path}/cells").where(
+            F.col("cell").isin(probed)
+        )
+        return _rank_cell_join(idx, query_cells, k, dedup=self.replicas > 1)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -278,76 +441,21 @@ def ivf_topk(
     C, n_corpus = _kmeans_centroids(base, n_cells, seed)
     sc = emb.sparkSession.sparkContext
     b_C = sc.broadcast(C)
-
-    fanout_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("v", T.ArrayType(T.DoubleType())),
-            T.StructField("cell", T.IntegerType()),
-        ]
-    )
-
-    def cell_fanout(n_top: int):
-        """mapInPandas kernel: emit each row once per its n_top
-        nearest cells — vectorized (np.repeat / ravel), no row loop."""
-
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from spark_tsne_spark.runtime import tune_malloc
-
-            tune_malloc()
-            C_ = b_C.value
-            m = min(n_top, len(C_))
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = np.array(pdf["v"].tolist(), dtype=np.float64)
-                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-                sim = Xn @ C_.T
-                if m == 1:
-                    order = np.argmax(sim, axis=1)[:, None]
-                else:
-                    top = np.argpartition(-sim, m - 1, axis=1)[:, :m]
-                    order = top  # membership only — order within cells irrelevant
-                yield pd.DataFrame(
-                    {
-                        "id": np.repeat(pdf["id"].to_numpy(), m),
-                        "v": pdf["v"].to_numpy().repeat(m),
-                        "cell": order.ravel().astype(np.int32),
-                    }
-                )
-
-        return run
-
     # Partition the corpus scan by size, not blindly by parallelism:
     # ≥4096 rows per Arrow batch amortizes the per-task Python worker
     # overhead; large corpora still fan out to full parallelism.
     par = emb.sparkSession.sparkContext.defaultParallelism
     parts = max(1, min(par, n_corpus // 4096 + 1))
     corpus_cells = base.repartition(parts).mapInPandas(
-        cell_fanout(max(1, replicas)), fanout_schema
+        _make_cell_fanout(b_C, max(1, replicas)), _FANOUT_SCHEMA
     )
     query_cells = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).mapInPandas(cell_fanout(max(1, n_probe)), fanout_schema)
-    joined = corpus_cells.alias("c").join(
-        F.broadcast(query_cells.alias("q")), on="cell"
-    ).where(F.col("q.id") != F.col("c.id"))
-    pairs = joined.select(
-        F.col("q.id").alias("i"),
-        F.col("c.id").alias("j"),
-        cosine_sim(F.col("q.v"), F.col("c.v")).alias("cosine"),
-    )
+    ).mapInPandas(_make_cell_fanout(b_C, max(1, n_probe)), _FANOUT_SCHEMA)
     # Multi-assignment can surface the same (i, j) via several shared
-    # cells; drop duplicates before ranking (same shuffle key as the
-    # ranking window, so AQE plans them back-to-back).
-    if replicas > 1:
-        pairs = pairs.dropDuplicates(["i", "j"])
-    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("i", "j", "cosine", "rank")
-    )
+    # cells; _rank_cell_join dedups before ranking (same shuffle key
+    # as the ranking window, so AQE plans them back-to-back).
+    return _rank_cell_join(corpus_cells, query_cells, k, dedup=replicas > 1)
 
 
 def _pq_codebooks(

@@ -1357,6 +1357,27 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select("i", "j", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+@register("ann_ivf_index_query", _IVF_SQL)
+def ann_ivf_index_query(spark, sf_dir):
+    """Persistent-index ANN: build the cell-partitioned IVF index
+    (train + encode once, parquet partitioned by cell), reload it
+    from disk, and query — the scan partition-prunes to the probed
+    cells. Same parameters as ``ann_ivf_topk``, so the same golden
+    pins that the index path is value-identical to the direct path."""
+    import re as _re
+
+    from spark_tsne_spark.operators.similarity import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    path = f"/tmp/spark_graft_ivf_{tag}"
+    IvfIndex.build(emb, path, id_col="vec_id", vec_col="embedding")
+    idx = IvfIndex.load(spark, path)
+    out = idx.query(qs, k=5, id_col="vec_id", vec_col="embedding")
+    return out.select("i", "j", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 _LSH_GOLDEN = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "tests", "golden", "knn_lsh_sf001.parquet",

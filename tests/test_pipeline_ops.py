@@ -1244,3 +1244,29 @@ def test_char_entropy_no_shuffle(spark, sf_dir):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ivf_index_build_query_equals_direct(spark, embeddings, tmp_path):
+    """The persistent index must reproduce ivf_topk bit-for-bit with
+    the same parameters (same trainer, same kernels, same tail), both
+    freshly built and reloaded from disk, and its query scan must
+    partition-prune to the probed cells."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.operators.similarity import IvfIndex, ivf_topk
+
+    qs = embeddings.where(F.col("vec_id") < 10)
+    direct = sorted(map(tuple, ivf_topk(embeddings, qs, k=5).collect()))
+    idx = IvfIndex.build(embeddings, str(tmp_path / "ivf"))
+    built = sorted(map(tuple, idx.query(qs, k=5).collect()))
+    assert built == direct
+    reloaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
+    assert sorted(map(tuple, reloaded.query(qs, k=5).collect())) == direct
+    plan = (
+        reloaded.query(qs, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan
