@@ -2498,6 +2498,95 @@ def audio_features(spark, sf_dir):
     )
 
 
+# IMA ADPCM oracle: the signal is CONSTANT within each 17-sample
+# block (per-block value from one text char), so every block encodes
+# as header-sample + all-zero nibbles at step 7 (diff = 7>>3 = 0) and
+# the lossy codec round-trips EXACTLY — the audio twin of the JPEG
+# flat-tile trick. DuckDB recomputes every decoded sample from the
+# text: sample k = block value of k // 17.
+_ADPCM_SQL = r"""
+    WITH ascii_docs AS (
+      SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, k,
+             (CASE WHEN (k // 17) < length(text)
+                   THEN unicode(substr(text, (k // 17) + 1, 1))
+                   ELSE 64 END - 64) * 256 AS smp
+      FROM ascii_docs, range(0, 136) t(k)
+    ),
+    feat AS (
+      SELECT doc_id,
+             count(*) AS n_samples,
+             sqrt(avg(CAST(smp AS DOUBLE) * smp)) AS rms_raw,
+             max(abs(smp)) AS peak
+      FROM s GROUP BY doc_id
+    ),
+    z AS (
+      SELECT doc_id,
+             avg(CASE WHEN (smp < 0) != (prev < 0) THEN 1.0 ELSE 0.0 END)
+               AS zcr_raw
+      FROM (SELECT doc_id, k, smp,
+                   lag(smp) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+            FROM s)
+      WHERE prev IS NOT NULL
+      GROUP BY doc_id
+    )
+    SELECT f.doc_id AS media_id, f.n_samples, 8000 AS sample_rate,
+           round(f.rms_raw, 6) AS rms,
+           round(coalesce(z.zcr_raw, 0), 6) AS zcr,
+           f.peak
+    FROM feat f LEFT JOIN z ON f.doc_id = z.doc_id
+"""
+
+
+@register("audio_adpcm_features", _ADPCM_SQL)
+def audio_adpcm_features(spark, sf_dir):
+    """Compressed-audio decode, value-checked: 8 per-char block
+    values become a block-constant int16 signal, IMA-ADPCM-encoded
+    (format 0x11, a REAL 4-bit adaptive-delta codec) and decoded back
+    by the sequential block decoder in ``parse_wav``; block-constant
+    signals round-trip exactly, so the DuckDB oracle recomputes every
+    decoded sample from the text. One wrong table entry, nibble
+    order, or state update anywhere in the decoder flips the hash."""
+    from spark_tsne_spark.shipping import ship_package
+    from spark_tsne_spark.sources.multimodal import extract_audio_features
+
+    ship_package(spark)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from spark_tsne_spark.sources.multimodal import make_adpcm_wav
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                codes = [ord(c) for c in text if ord(c) < 128][:8]
+                vals = np.full(8, 64, dtype=np.int64)
+                vals[: len(codes)] = codes
+                sig = np.repeat(((vals - 64) * 256).astype(np.int16), 17)
+                payloads.append(make_adpcm_wav(sig, 8000, block_align=12))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(encode, "media_id long, payload binary")
+    )
+    out = extract_audio_features(media)
+    return out.select(
+        "media_id", "n_samples", "sample_rate",
+        F.round("rms", 6).alias("rms"), F.round("zcr", 6).alias("zcr"), "peak",
+    )
+
+
 _X2P_GOLDEN = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "tests", "golden", "x2p_affinities_sf001.parquet",

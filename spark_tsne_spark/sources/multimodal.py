@@ -12,9 +12,11 @@ uncompressed and a genuinely compressed image format are exercised
 end-to-end (container walk → pixel grid → resample / histogram
 features). **Baseline JPEG also decodes for real** — a full T.81
 Huffman decoder with 4:2:0 support in `sources/jpeg.py`
-(`parse_jpeg`), pure numpy + stdlib. Only compressed audio beyond
-G.711 remains STUBBED (`_decode_stub`); a production deployment
-swaps that for an ffmpeg call without touching the plan.
+(`parse_jpeg`), pure numpy + stdlib. Audio covers PCM16, G.711
+μ-law, and IMA ADPCM (format 0x11 — a real 4-bit adaptive-delta
+codec, sequential block decode). Only ffmpeg-class codecs
+(MP3/AAC/H.264) remain STUBBED (`_decode_stub`); a production
+deployment swaps that for an ffmpeg call without touching the plan.
 
 Scale notes: binary payloads stay columnar through Arrow; per-batch
 numpy work avoids per-row Python. Feature extraction is a narrow map
@@ -452,15 +454,140 @@ def _build_ulaw_table() -> np.ndarray:
 _ULAW_TABLE = _build_ulaw_table()
 
 
+# IMA ADPCM (WAV format 0x11) — public IMA/DVI spec tables.
+IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int) -> np.ndarray:
+    """Decode mono IMA ADPCM blocks to int16 samples.
+
+    Block layout (IMA/DVI WAV): 4-byte state header (int16 LE
+    predictor = sample 0, uint8 step index, reserved), then data
+    bytes carrying two 4-bit samples each, LOW nibble first. The
+    nibble loop is inherently sequential (each sample's step size
+    depends on the previous decode) — pure Python per nibble, fine
+    for the fixture sizes; a production hot path would batch blocks
+    across rows (blocks are independent by design — that is the
+    format's parallelism seam)."""
+    out: list[int] = []
+    for at in range(0, len(data), block_align):
+        block = data[at : at + block_align]
+        if len(block) < 4:
+            break
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        idx = min(88, max(0, block[2]))
+        out.append(pred)
+        for b in block[4:]:
+            for nib in (b & 0x0F, b >> 4):
+                step = int(IMA_STEP_TABLE[idx])
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(IMA_INDEX_TABLE[nib & 7])))
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+def make_adpcm_wav(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 12
+) -> bytes:
+    """Encode int16 samples as a mono IMA ADPCM WAV (format 0x11).
+
+    Standard IMA encoder: per block, header carries the first sample
+    verbatim + the running step index; each further sample quantizes
+    its delta to a 4-bit code and updates state with the DECODER's
+    arithmetic (so encoder and decoder predictors never drift). A
+    signal CONSTANT within each block encodes as all-zero nibbles at
+    step 7 (diff = 7>>3 = 0) and round-trips exactly — the property
+    the ``audio_adpcm_features`` SQL oracle stands on.
+    """
+    samples = np.asarray(samples, dtype=np.int16)
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    body = bytearray()
+    idx = 0
+    for at in range(0, len(samples), spb):
+        blk = samples[at : at + spb]
+        pred = int(blk[0])
+        body += int(pred).to_bytes(2, "little", signed=True)
+        body += bytes([idx, 0])
+        nibs: list[int] = []
+        for s in blk[1:]:
+            step = int(IMA_STEP_TABLE[idx])
+            delta = int(s) - pred
+            nib = 0
+            if delta < 0:
+                nib = 8
+                delta = -delta
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            # update state with decoder arithmetic
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(IMA_INDEX_TABLE[nib & 7])))
+            nibs.append(nib)
+        # pad the block's nibble stream to full data bytes
+        while len(nibs) < (block_align - 4) * 2:
+            nibs.append(0)
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            body.append(lo | (hi << 4))
+    spb_total = spb
+    hdr = bytearray()
+    hdr += b"RIFF" + (4 + 8 + 20 + 8 + len(body)).to_bytes(4, "little") + b"WAVE"
+    hdr += b"fmt " + (20).to_bytes(4, "little")
+    hdr += (0x11).to_bytes(2, "little")  # wFormatTag
+    hdr += (1).to_bytes(2, "little")  # channels
+    hdr += int(sample_rate).to_bytes(4, "little")
+    byte_rate = sample_rate * block_align // spb_total
+    hdr += int(byte_rate).to_bytes(4, "little")
+    hdr += int(block_align).to_bytes(2, "little")
+    hdr += (4).to_bytes(2, "little")  # bits per sample
+    hdr += (2).to_bytes(2, "little") + int(spb_total).to_bytes(2, "little")  # cbSize + samples/block
+    hdr += b"data" + len(body).to_bytes(4, "little")
+    return bytes(hdr + body)
+
+
 def parse_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
     """Pure-numpy decoder for mono WAV: proper RIFF chunk walk
     (fmt before data, unknown chunks skipped, odd sizes padded per
-    spec). Handles uncompressed PCM16 (format 1, 16-bit) and G.711
+    spec). Handles uncompressed PCM16 (format 1, 16-bit), G.711
     μ-law (format 7, 8-bit — decoded through the 256-entry CCITT
-    table to int16). Returns ``(sample_rate, int16 samples)`` or
-    ``None`` for anything else (caller falls back to the stub).
-    Truncated data chunks are clamped to the bytes present. Total
-    over arbitrary bytes — never raises.
+    table to int16), and IMA ADPCM (format 0x11, 4-bit — sequential
+    block decode per the IMA/DVI spec). Returns ``(sample_rate,
+    int16 samples)`` or ``None`` for anything else (caller falls
+    back to the stub). Truncated data chunks are clamped to the
+    bytes present. Total over arbitrary bytes — never raises.
     """
     n = len(payload)
     if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -479,18 +606,25 @@ def parse_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
             audio_format = int.from_bytes(fmt[0:2], "little")
             channels = int.from_bytes(fmt[2:4], "little")
             sample_rate = int.from_bytes(fmt[4:8], "little")
+            block_align = int.from_bytes(fmt[12:14], "little")
             bits = int.from_bytes(fmt[14:16], "little")
             if channels != 1:
                 return None
             if not (
                 (audio_format == 1 and bits == 16)
                 or (audio_format == 7 and bits == 8)
+                or (audio_format == 0x11 and bits == 4 and block_align >= 5)
             ):
                 return None
         elif cid == b"data":
             if sample_rate is None:
                 return None
             avail = max(0, n - body_start)
+            if audio_format == 0x11:
+                take = min(size, avail)
+                return sample_rate, _decode_ima_adpcm(
+                    payload[body_start : body_start + take], block_align
+                )
             if audio_format == 7:
                 take = min(size, avail)
                 codes = np.frombuffer(

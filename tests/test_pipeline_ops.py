@@ -1270,3 +1270,52 @@ def test_ivf_index_build_query_equals_direct(spark, embeddings, tmp_path):
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell" in pf[0], plan
+
+
+def test_adpcm_hand_computed_nibbles():
+    """Spec-level pin independent of the encoder: from (pred=0,
+    idx=0), nibble 5 gives step=7, diff = 0 + 7 + (7>>2) = 8,
+    pred=8, idx += INDEX[5]=4; the padding nibble 0 then gives
+    step=11, diff = 11>>3 = 1, pred=9, idx 4-1=3."""
+    from spark_tsne_spark.sources.multimodal import _decode_ima_adpcm
+
+    blk = (0).to_bytes(2, "little", signed=True) + bytes([0, 0, 0x05])
+    assert _decode_ima_adpcm(blk, 5).tolist() == [0, 8, 9]
+
+
+def test_adpcm_block_constant_roundtrip_exact():
+    import numpy as np
+
+    from spark_tsne_spark.sources.multimodal import make_adpcm_wav, parse_wav
+
+    rng = np.random.default_rng(3)
+    vals = ((rng.integers(0, 128, 8) - 64) * 256).astype(np.int16)
+    sig = np.repeat(vals, 17)
+    rate, dec = parse_wav(make_adpcm_wav(sig))
+    assert rate == 8000 and len(dec) == len(sig)
+    assert (dec == sig).all()
+
+
+def test_adpcm_tracks_smooth_signal():
+    """Lossy path: the adaptive step must track a sine — bounded
+    error after the first block's step adaptation."""
+    import numpy as np
+
+    from spark_tsne_spark.sources.multimodal import make_adpcm_wav, parse_wav
+
+    t = np.arange(17 * 20)
+    sine = (8000 * np.sin(2 * np.pi * t / 50)).astype(np.int16)
+    _, dec = parse_wav(make_adpcm_wav(sine))
+    err = np.abs(dec[: len(sine)].astype(int) - sine.astype(int))
+    assert err[17:].max() < 2500 and err.mean() < 300
+
+
+def test_adpcm_truncation_total():
+    import numpy as np
+
+    from spark_tsne_spark.sources.multimodal import make_adpcm_wav, parse_wav
+
+    buf = make_adpcm_wav(np.full(34, 1000, dtype=np.int16))
+    for k in range(0, len(buf), 5):
+        r = parse_wav(buf[:k])
+        assert r is None or isinstance(r[1], np.ndarray)  # never raises
