@@ -206,3 +206,50 @@ def test_distinct_users_two_stage_with_partials(spark, sf_dir):
     plan = plan_of(Q.events_distinct_users(spark, sf_dir))
     assert plan.count("Exchange") == 2, plan
     assert plan.count("partial") >= 2, plan
+
+
+def test_catalog_wide_no_accidental_cartesians(spark):
+    """Blanket plan sweep over EVERY catalog entry: no CartesianProduct
+    and no row-at-a-time Python anywhere, and BroadcastNestedLoopJoin
+    only where it is the intended physical op — either a
+    contract-quadratic oracle (the reference's own all-pairs
+    semantics / a brute-force baseline) or a benign 1-row
+    scalar-broadcast crossJoin. A new entry that accidentally plans a
+    cartesian fails here before it ever reaches a big cluster."""
+    from spark_tsne_spark.plans.queries import catalog
+
+    # these entries RUN heavy driver work on invocation, not lazily
+    skip = {
+        "tsne_embedding",
+        "streaming_windowed_counts",
+        "streaming_interval_join",
+        "ann_ivf_index_query",  # builds the on-disk index
+    }
+    # BroadcastNestedLoopJoin intended:
+    bnlj_ok = {
+        # contract-quadratic (X2P relational oracle stages / brute force)
+        "x3_x5_pairwise_sqdist",
+        "x6_knn_topk",
+        "y1_symmetrize",
+        "ann_topk_cosine",
+        "dedup_embedding_cosine",
+        # 1-row scalar-broadcast crossJoin (stats / grid bounds)
+        "bm25_search",
+        "events_gapfill_locf",
+        "events_gapfill_interp",
+    }
+    offenders = {}
+    for name, q in sorted(catalog().items()):
+        if name in skip:
+            continue
+        plan = plan_of(q.fn(spark, "/root/testdata/sf0.001"))
+        marks = [
+            m
+            for m in ("CartesianProduct", "BatchEvalPython")
+            if m in plan
+        ]
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            marks.append("BroadcastNestedLoopJoin")
+        if marks:
+            offenders[name] = marks
+    assert not offenders, offenders
