@@ -2238,6 +2238,57 @@ def streaming_interval_join(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_incremental_dedup",
+    r"""
+    WITH all_docs AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text FROM documents WHERE doc_id < 20
+    )
+    SELECT DISTINCT
+      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      1 AS n_kept
+    FROM all_docs
+""",
+)
+def streaming_incremental_dedup(spark, sf_dir):
+    """Streaming ingestion dedup end-to-end: documents (plus
+    re-crawled copies of docs 0-19) land as multiple files, a
+    foreachBatch query drains them one file per micro-batch, flagging
+    each batch against the PERSISTED fingerprint index and appending
+    only never-seen docs. Every fingerprint must come out exactly
+    once regardless of which batch carried which copy — the oracle is
+    the batch-global distinct fingerprint set."""
+    import re as _re
+    import shutil
+
+    from spark_tsne_spark.streaming.incremental import dedup_ingest
+
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    root = f"/tmp/spark_graft_incdedup_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = docs.unionAll(
+        docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    ingest.repartition(4).write.parquet(f"{root}/in")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in")
+    )
+    q = dedup_ingest(stream, f"{root}/index", f"{root}/out")
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{root}/out")
+        .groupBy("fp")
+        .agg(F.count("*").cast("int").alias("n_kept"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible ops: rows-only checks (perplexity bisection,
 # t-SNE gradient descent)

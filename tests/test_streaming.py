@@ -216,3 +216,47 @@ def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == want_n
     # one emitted row per fingerprint, each a real ingested row
     assert got.select("fp").distinct().count() == want_n
+
+
+def test_incremental_dedup_replay_is_self_cleaning(spark, tmp_path):
+    """The fingerprint index makes reprocessing idempotent: draining
+    the SAME files again (fresh stream, same index) emits zero new
+    rows, and the first drain kept each fingerprint exactly once."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.streaming.incremental import dedup_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    with_dups = docs.unionAll(
+        docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 5000).alias("doc_id"), "text"
+        )
+    )
+    root = str(tmp_path)
+    with_dups.repartition(3).write.parquet(f"{root}/in")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/in")
+        )
+        q = dedup_ingest(stream, f"{root}/index", f"{root}/out")
+        q.awaitTermination()
+
+    drain()
+    out = spark.read.parquet(f"{root}/out")
+    n_first = out.count()
+    # each fingerprint exactly once, set == batch-global distinct
+    assert out.groupBy("fp").count().agg(F.max("count")).first()[0] == 1
+    expected = with_dups.select(
+        F.md5(
+            F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+        ).alias("fp")
+    ).distinct()
+    assert n_first == expected.count()
+
+    drain()  # full replay of the same files
+    assert spark.read.parquet(f"{root}/out").count() == n_first
