@@ -171,6 +171,10 @@ def bench_queries():
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,
         "events_gapfill_locf": Q.events_gapfill_locf,
+        "events_hopping_agg": Q.events_hopping_agg,
+        "corpus_curation": Q.corpus_curation,
+        "text_char_entropy": Q.text_char_entropy,
+        "multimodal_jpeg": Q.multimodal_jpeg,
         "dedup_exact": b_exact_dedup,
         "dedup_clusters": b_dedup_clusters,
         "dedup_minhash_lsh": b_minhash_full,
