@@ -207,3 +207,38 @@ def test_netpbm_parser_total(payload):
         assert out.ndim == 2
         assert out.dtype == np.uint8
         assert out.shape[0] > 0 and out.shape[1] > 0
+
+
+_jpeg_payloads = st.one_of(
+    st.binary(max_size=300),
+    # SOI + arbitrary marker soup
+    st.tuples(st.binary(max_size=200)).map(lambda t: b"\xff\xd8" + t[0]),
+    # a real encoded JPEG with an arbitrary truncation/corruption point
+    st.tuples(
+        st.integers(min_value=0, max_value=400),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=400),
+    ).map(
+        lambda t: (lambda buf: buf[: t[2]] + bytes([t[1]]) + buf[t[2] + 1 :])(
+            __import__(
+                "spark_tsne_spark.sources.jpeg", fromlist=["make_jpeg"]
+            ).make_jpeg(
+                np.full((16, 16), t[0] % 256, dtype=np.uint8)
+            )
+        )
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_jpeg_payloads)
+def test_jpeg_parser_total(payload):
+    """parse_jpeg is TOTAL over arbitrary bytes — including real
+    streams with one corrupted byte anywhere: well-shaped uint8 image
+    or None, never an exception inside a Spark task."""
+    from spark_tsne_spark.sources.jpeg import parse_jpeg
+
+    out = parse_jpeg(bytes(payload))
+    if out is not None:
+        assert out.dtype == np.uint8
+        assert out.ndim in (2, 3)

@@ -181,3 +181,43 @@ def test_gapfill_interp_midpoint_no_half_point_flip(spark):
     }
     # exact rational midpoint 0.12355 floors to 0.1235 on the 1e-4 grid
     assert out[1] == 0.1235
+
+
+def test_asof_equals_brute_force_with_heavy_ties(spark):
+    """Randomized cross-check against an independent brute-force
+    evaluation on data dense with equal timestamps (the tie-break
+    regime the fixtures rarely hit): coarse integer second grid so
+    many rows collide exactly."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 1, 1)
+        lrows = [
+            (i, rng.randrange(3), base + dt.timedelta(seconds=rng.randrange(8)))
+            for i in range(25)
+        ]
+        rrows = [
+            (100 + i, rng.randrange(3),
+             base + dt.timedelta(seconds=rng.randrange(8)), float(i))
+            for i in range(25)
+        ]
+        left = spark.createDataFrame(lrows, "lid long, sym long, ts timestamp")
+        right = spark.createDataFrame(
+            rrows, "rid long, sym long, ts timestamp, px double"
+        )
+        got = {
+            r["lid"]: r["r_rid"]
+            for r in asof_join(
+                left, right, by="sym", ts="ts",
+                right_cols=["rid"], right_order="rid",
+            ).collect()
+        }
+        # independent brute force: max rid among right rows at the
+        # latest ts <= left ts within the sym group
+        want = {}
+        for lid, sym, lts in lrows:
+            cands = [(rts, rid) for rid, rsym, rts, _ in rrows
+                     if rsym == sym and rts <= lts]
+            want[lid] = max(cands)[1] if cands else None
+        assert got == want, seed
