@@ -495,6 +495,274 @@ def _pq_codebooks(
     return books
 
 
+_CODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ]
+)
+_QFAN_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("qv", T.ArrayType(T.DoubleType())),
+    ]
+)
+_CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.LongType()),
+        T.StructField("j", T.LongType()),
+        T.StructField("adc_score", T.DoubleType()),
+    ]
+)
+
+
+def _make_pq_encode(b_C, b_books):
+    """mapInPandas kernel: (id, v) → (id, cell, m uint8-range codes) —
+    broadcast codebooks, vectorized per-subspace argmin, no shuffle."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_malloc
+
+        tune_malloc()
+        C_, B_ = b_C.value, b_books.value
+        m_, _, ds = B_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nr = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = np.divide(X, nr, out=np.zeros_like(X), where=nr > 0)
+            codes = np.empty((len(X), m_), dtype=np.int32)
+            for s in range(m_):
+                sub = Xn[:, s * ds : (s + 1) * ds]
+                d2 = -2.0 * (sub @ B_[s].T) + (B_[s] * B_[s]).sum(axis=1)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": np.argmax(Xn @ C_.T, axis=1).astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return encode
+
+
+def _make_pq_qfanout(b_C, n_probe: int):
+    """mapInPandas kernel: each query emits its n_probe nearest cells
+    with the normalized query vector riding along (d doubles — the
+    32×-smaller join payload; ADC tables rebuild per batch)."""
+
+    def q_fanout(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_ = b_C.value
+        probe = min(n_probe, len(C_))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nr = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = np.divide(X, nr, out=np.zeros_like(X), where=nr > 0)
+            sim = Xn @ C_.T
+            cells = np.argpartition(-sim, probe - 1, axis=1)[:, :probe]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["id"].to_numpy(), probe),
+                    "cell": cells.ravel().astype(np.int32),
+                    "qv": np.repeat(Xn, probe, axis=0).tolist(),
+                }
+            )
+
+    return q_fanout
+
+
+def _make_adc_score(b_books):
+    """Per-batch ADC: build each distinct query's lookup table ONCE
+    from its (d-dim) vector, then score every candidate by m table
+    lookups — amortized across the batch's candidates."""
+
+    def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B_ = b_books.value
+        m_, nc, ds = B_.shape
+        offs = np.arange(m_, dtype=np.int64) * nc
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            qids = pdf["qid"].to_numpy()
+            uq, first, inv = np.unique(
+                qids, return_index=True, return_inverse=True
+            )
+            Q = np.array(pdf["qv"].iloc[first].tolist(), dtype=np.float64)
+            tables = np.einsum(
+                "qsd,scd->qsc", Q.reshape(len(uq), m_, ds), B_
+            ).reshape(len(uq), m_ * nc)
+            score = np.take_along_axis(
+                tables[inv], codes + offs, axis=1
+            ).sum(axis=1)
+            yield pd.DataFrame(
+                {"i": qids, "j": pdf["id"].to_numpy(), "adc_score": score}
+            )
+
+    return adc_score
+
+
+def _pq_query_tail(
+    corpus_codes: DataFrame,
+    query_cells: DataFrame,
+    base: DataFrame,
+    qv: DataFrame,
+    k: int,
+    refine_factor: int,
+    b_books,
+) -> DataFrame:
+    """Shared IVF-PQ tail: ADC-score candidates within shared cells,
+    keep the k·refine shortlist, exact-cosine re-rank against the
+    original vectors. Used by the one-shot path and the persistent
+    index identically, so both are value-identical by construction."""
+    cands = (
+        corpus_codes.join(F.broadcast(query_cells), on="cell")
+        .where(F.col("qid") != F.col("id"))
+        .mapInPandas(_make_adc_score(b_books), _CAND_SCHEMA)
+    )
+    shortlist = max(k, k * max(1, refine_factor))
+    w_adc = Window.partitionBy("i").orderBy(
+        F.col("adc_score").desc(), F.col("j").asc()
+    )
+    top_cands = (
+        cands.withColumn("r", F.row_number().over(w_adc))
+        .where(F.col("r") <= shortlist)
+        .select("i", "j")
+    )
+    rerank = (
+        base.join(F.broadcast(top_cands), base["id"] == top_cands["j"])
+        .join(F.broadcast(qv), on="i")
+        .select("i", "j", cosine_sim(F.col("vi"), F.col("v")).alias("cosine"))
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("i", "j", "cosine", "rank")
+    )
+
+
+class IvfPqIndex:
+    """Persistent IVF-PQ index — the compressed production pattern.
+
+    Like :class:`IvfIndex` (train + encode once, query many), but the
+    corpus is stored as m uint8-range PQ codes per vector (64× smaller
+    than d=64 doubles) PARTITIONED BY cell, with the coarse quantizer,
+    the PQ codebooks, and the original vectors (for exact re-rank)
+    persisted beside it. Query batches partition-prune the code scan
+    to their probed cells and never touch the original vectors until
+    the k·refine re-rank join. Value-identical to :func:`ivf_pq_topk`
+    with the same parameters (shared kernels and tail).
+    """
+
+    def __init__(self, path: str, C: np.ndarray, books: np.ndarray):
+        self.path = path
+        self.C = C
+        self.books = books
+
+    @staticmethod
+    def build(
+        emb: DataFrame,
+        path: str,
+        n_cells: int = 16,
+        m: int = 8,
+        n_codes: int = 256,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+    ) -> "IvfPqIndex":
+        from spark_tsne_spark.shipping import ship_package
+
+        spark = emb.sparkSession
+        ship_package(spark)
+        base = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        C, n_corpus, Xs = _kmeans_centroids(base, n_cells, seed, return_sample=True)
+        books = _pq_codebooks(Xs, m, n_codes, seed)
+        sc = spark.sparkContext
+        b_C, b_books = sc.broadcast(C), sc.broadcast(books)
+        par = sc.defaultParallelism
+        parts = max(1, min(par, n_corpus // 4096 + 1))
+        (
+            base.repartition(parts)
+            .mapInPandas(_make_pq_encode(b_C, b_books), _CODE_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+        base.write.mode("overwrite").parquet(f"{path}/vectors")
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/quantizer")
+        spark.createDataFrame(
+            [
+                (int(s), int(c), [float(x) for x in books[s, c]])
+                for s in range(books.shape[0])
+                for c in range(books.shape[1])
+            ],
+            "sub int, code int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        return IvfPqIndex(path, C, books)
+
+    @staticmethod
+    def load(spark, path: str) -> "IvfPqIndex":
+        qrows = spark.read.parquet(f"{path}/quantizer").collect()
+        qrows.sort(key=lambda r: r["cell"])
+        C = np.array([r["centroid"] for r in qrows], dtype=np.float64)
+        brows = spark.read.parquet(f"{path}/codebooks").collect()
+        brows.sort(key=lambda r: (r["sub"], r["code"]))
+        n_sub = max(r["sub"] for r in brows) + 1
+        n_codes = max(r["code"] for r in brows) + 1
+        books = np.array([r["centroid"] for r in brows], dtype=np.float64).reshape(
+            n_sub, n_codes, -1
+        )
+        return IvfPqIndex(path, C, books)
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 4,
+        refine_factor: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        from spark_tsne_spark.shipping import ship_package
+
+        spark = queries.sparkSession
+        ship_package(spark)
+        sc = spark.sparkContext
+        b_C, b_books = sc.broadcast(self.C), sc.broadcast(self.books)
+        query_cells = queries.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).mapInPandas(_make_pq_qfanout(b_C, max(1, n_probe)), _QFAN_SCHEMA)
+        query_cells = query_cells.cache()
+        probed = [
+            r["cell"] for r in query_cells.select("cell").distinct().collect()
+        ]
+        codes = spark.read.parquet(f"{self.path}/codes").where(
+            F.col("cell").isin(probed)
+        )
+        base = spark.read.parquet(f"{self.path}/vectors")
+        qv = queries.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("vi"),
+        )
+        return _pq_query_tail(
+            codes, query_cells, base, qv, k, refine_factor, b_books
+        )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -543,152 +811,21 @@ def ivf_pq_topk(
     books = _pq_codebooks(Xs, m, n_codes, seed)
     sc = emb.sparkSession.sparkContext
     b_C, b_books = sc.broadcast(C), sc.broadcast(books)
-
-    code_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("cell", T.IntegerType()),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-        ]
-    )
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
-
-        tune_malloc()
-        C_, B_ = b_C.value, b_books.value
-        m_, _, ds = B_.shape
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
-            nr = np.linalg.norm(X, axis=1, keepdims=True)
-            Xn = np.divide(X, nr, out=np.zeros_like(X), where=nr > 0)
-            codes = np.empty((len(X), m_), dtype=np.int32)
-            for s in range(m_):
-                sub = Xn[:, s * ds : (s + 1) * ds]
-                d2 = -2.0 * (sub @ B_[s].T) + (B_[s] * B_[s]).sum(axis=1)
-                codes[:, s] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "cell": np.argmax(Xn @ C_.T, axis=1).astype(np.int32),
-                    "codes": list(codes),
-                }
-            )
-
     par = sc.defaultParallelism
     parts = max(1, min(par, n_corpus // 4096 + 1))
-    corpus_codes = base.repartition(parts).mapInPandas(encode, code_schema)
-
-    # Query side: n_probe cell fan-out + flattened ADC table per query
-    # (m·n_codes doubles ≈ 16 KB at the defaults — broadcastable for
-    # any realistic query batch).
-    q_schema = T.StructType(
-        [
-            T.StructField("qid", T.LongType()),
-            T.StructField("cell", T.IntegerType()),
-            T.StructField("qv", T.ArrayType(T.DoubleType())),
-        ]
+    corpus_codes = base.repartition(parts).mapInPandas(
+        _make_pq_encode(b_C, b_books), _CODE_SCHEMA
     )
-
-    def q_fanout(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C_ = b_C.value
-        probe = min(n_probe, len(C_))
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
-            nr = np.linalg.norm(X, axis=1, keepdims=True)
-            Xn = np.divide(X, nr, out=np.zeros_like(X), where=nr > 0)
-            sim = Xn @ C_.T
-            cells = np.argpartition(-sim, probe - 1, axis=1)[:, :probe]
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(pdf["id"].to_numpy(), probe),
-                    "cell": cells.ravel().astype(np.int32),
-                    "qv": np.repeat(Xn, probe, axis=0).tolist(),
-                }
-            )
-
+    # Query side: n_probe cell fan-out with the normalized query
+    # vector riding along (d doubles — 32× smaller than a
+    # materialized m·n_codes ADC table; tables rebuild per batch in
+    # the scoring kernel, amortized across candidates).
     query_cells = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).mapInPandas(q_fanout, q_schema)
-
-    cand_schema = T.StructType(
-        [
-            T.StructField("i", T.LongType()),
-            T.StructField("j", T.LongType()),
-            T.StructField("adc_score", T.DoubleType()),
-        ]
-    )
-
-    def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Per-batch ADC: build each distinct query's lookup table
-        ONCE from its (d-dim) vector, then score every candidate by
-        m table lookups. Carrying the query VECTOR (d doubles) through
-        the join instead of the materialized table (m·n_codes doubles)
-        keeps the join payload 32× smaller; the tables are
-        reconstructed per batch at m·n_codes·(d/m) flops per distinct
-        query — amortized across the batch's candidates."""
-        B_ = b_books.value
-        m_, nc, ds = B_.shape
-        offs = np.arange(m_, dtype=np.int64) * nc
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            qids = pdf["qid"].to_numpy()
-            # return order is fixed: (unique, index, inverse)
-            uq, first, inv = np.unique(
-                qids, return_index=True, return_inverse=True
-            )
-            Q = np.array(pdf["qv"].iloc[first].tolist(), dtype=np.float64)
-            tables = np.einsum(
-                "qsd,scd->qsc", Q.reshape(len(uq), m_, ds), B_
-            ).reshape(len(uq), m_ * nc)
-            score = np.take_along_axis(
-                tables[inv], codes + offs, axis=1
-            ).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "i": qids,
-                    "j": pdf["id"].to_numpy(),
-                    "adc_score": score,
-                }
-            )
-
-    cands = (
-        corpus_codes.join(F.broadcast(query_cells), on="cell")
-        .where(F.col("qid") != F.col("id"))
-        .mapInPandas(adc_score, cand_schema)
-    )
-    shortlist = max(k, k * max(1, refine_factor))
-    w_adc = Window.partitionBy("i").orderBy(
-        F.col("adc_score").desc(), F.col("j").asc()
-    )
-    top_cands = (
-        cands.withColumn("r", F.row_number().over(w_adc))
-        .where(F.col("r") <= shortlist)
-        .select("i", "j")
-    )
-    # Exact re-rank: candidates join back by id (q·k·refine rows — a
-    # broadcast join against the full corpus scan), then exact cosine.
+    ).mapInPandas(_make_pq_qfanout(b_C, max(1, n_probe)), _QFAN_SCHEMA)
     qv = queries.select(
         F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("vi")
     )
-    rerank = (
-        base.join(F.broadcast(top_cands), base["id"] == top_cands["j"])
-        .join(F.broadcast(qv), on="i")
-        .select(
-            "i",
-            "j",
-            cosine_sim(F.col("vi"), F.col("v")).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
-    return (
-        rerank.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("i", "j", "cosine", "rank")
+    return _pq_query_tail(
+        corpus_codes, query_cells, base, qv, k, refine_factor, b_books
     )

@@ -1319,3 +1319,27 @@ def test_adpcm_truncation_total():
     for k in range(0, len(buf), 5):
         r = parse_wav(buf[:k])
         assert r is None or isinstance(r[1], np.ndarray)  # never raises
+
+
+def test_ivf_pq_index_build_query_equals_direct(spark, embeddings, tmp_path):
+    """The persistent compressed index must reproduce ivf_pq_topk
+    bit-for-bit (shared kernels + tail), freshly built and reloaded,
+    and its code scan must partition-prune to the probed cells."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.operators.similarity import IvfPqIndex, ivf_pq_topk
+
+    qs = embeddings.where(F.col("vec_id") < 10)
+    direct = sorted(map(tuple, ivf_pq_topk(embeddings, qs, k=5).collect()))
+    IvfPqIndex.build(embeddings, str(tmp_path / "pq"))
+    idx = IvfPqIndex.load(spark, str(tmp_path / "pq"))
+    assert sorted(map(tuple, idx.query(qs, k=5).collect())) == direct
+    # a narrow query probes a strict subset of cells -> pruned scan
+    plan = (
+        idx.query(embeddings.where(F.col("vec_id") < 2), k=3, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "codes" in ln]
+    assert pf and "cell" in pf[0].split("PartitionFilters")[1][:60], plan
