@@ -104,6 +104,27 @@ def bench_queries():
         qs = e.where(F.col("vec_id") < 100)
         return ivf_pq_topk(e, qs, k=10, id_col="vec_id", vec_col="embedding")
 
+    _IDX_CACHE: dict = {}
+
+    def b_ivf_index_query(spark, sf_dir):
+        """The production ANN number: query against the PERSISTENT
+        index. The first repeat pays the one-time build; later repeats
+        reuse it, so the reported min is the query-only cost — exactly
+        the build-once/query-many contract."""
+        from spark_tsne_spark.operators.similarity import IvfIndex
+
+        idx = _IDX_CACHE.get(sf_dir)
+        if idx is None:
+            import re as _re
+
+            tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+            idx = IvfIndex.build(
+                emb(spark, sf_dir), f"/tmp/spark_graft_bench_ivf_{tag}"
+            )
+            _IDX_CACHE[sf_dir] = idx
+        qs = emb(spark, sf_dir).where(F.col("vec_id") < 100)
+        return idx.query(qs, k=10)
+
     def b_tsne_bh20(spark, sf_dir):
         from spark_tsne_spark.api import bh_tsne
 
@@ -189,6 +210,7 @@ def bench_queries():
         "ann_topk_cosine": b_ann_topk,
         "ann_ivf_topk": b_ivf_topk,
         "ann_ivf_pq_topk": b_ivf_pq,
+        "ann_ivf_index_query": b_ivf_index_query,
         "tsne_bh_20iter": b_tsne_bh20,
         "tsne_bh_distributed": b_tsne_bh_distributed,
     }
