@@ -46,6 +46,38 @@ def hash_sample(
     return df.where(hash_bucket(key, salt) < int(fraction * _HASH_SPACE))
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row gets priority
+    ``u^(1/w)`` — equivalently ``-ln(u)/w`` minimized — with ``u``
+    drawn from the row's own content hash, and the global top-``n``
+    priorities win. Inclusion probability is proportional to weight,
+    the draw is reproducible across runs/partitionings/engines (u is
+    the content hash, not an RNG), and the whole selection is one
+    ``TakeOrderedAndProject`` — per-partition top-n + driver merge,
+    no global sort shuffle.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    u = (hash_bucket(key, salt).cast("double") + F.lit(1.0)) / F.lit(
+        float(_HASH_SPACE)
+    )
+    w = _col(weight).cast("double")
+    pri = -F.log(u) / w
+    # smallest exponential variate wins (≡ largest u^(1/w));
+    # deterministic tie-break on the hash itself (coincidental float
+    # ties only — u is content-derived, never structural)
+    return df.withColumn("_pri", pri).orderBy(
+        F.col("_pri").asc(), hash_bucket(key, salt).asc()
+    ).limit(n).drop("_pri")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key: Column | str,

@@ -2070,6 +2070,35 @@ def events_distinct_users(spark, sf_dir):
 
 
 @register(
+    "corpus_weighted_sample",
+    f"""
+    WITH pri AS (
+      SELECT doc_id, length(text) AS n_chars,
+             -ln(({_BUCKET_SQL.format(salt="'w1'")} + 1.0)
+                 / {float(_HASH_SPACE)})
+               / length(text) AS p,
+             {_BUCKET_SQL.format(salt="'w1'")} AS h
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_chars FROM pri ORDER BY p ASC, h ASC LIMIT 50
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): longer documents proportionally more
+    likely, selection reproducible across engines because the uniform
+    draw is the row's own content hash. One TakeOrderedAndProject —
+    no global sort."""
+    from spark_tsne_spark.operators.sampling import weighted_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    out = weighted_hash_sample(
+        docs, key="text", weight=F.length("text"), n=50, salt="w1"
+    )
+    return out.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+@register(
     "corpus_hash_sample",
     f"""
     SELECT doc_id, length(text) AS n_chars

@@ -1343,3 +1343,47 @@ def test_ivf_pq_index_build_query_equals_direct(spark, embeddings, tmp_path):
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "codes" in ln]
     assert pf and "cell" in pf[0].split("PartitionFilters")[1][:60], plan
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    """A-ES weighted sampling: partition-invariant, deterministic,
+    and weight-sensitive (heavier rows are selected far above their
+    uniform share)."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.operators.sampling import weighted_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.length("text") > 0
+    )
+    pick = lambda d: sorted(
+        r["doc_id"]
+        for r in weighted_hash_sample(
+            d, key="text", weight=F.length("text"), n=40, salt="t"
+        ).collect()
+    )
+    a = pick(docs)
+    assert len(a) == 40 and pick(docs.repartition(13)) == a  # deterministic
+    # weight sensitivity: give docs 0-9 weight 1000x everything else;
+    # all ten must be selected
+    boosted = docs.withColumn(
+        "w",
+        F.when(F.col("doc_id") < 10, F.length("text") * 1000).otherwise(
+            F.lit(1)
+        ),
+    )
+    b = set(
+        r["doc_id"]
+        for r in weighted_hash_sample(
+            boosted, key="text", weight="w", n=40, salt="t"
+        ).collect()
+    )
+    assert set(range(10)) <= b
+    # the plan is a TakeOrdered, not a global sort
+    plan = (
+        weighted_hash_sample(docs, key="text", weight=F.length("text"), n=40)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
