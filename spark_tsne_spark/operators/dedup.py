@@ -782,3 +782,70 @@ def incremental_minhash_candidates(
         )
         .distinct()
     )
+
+
+def fuzzy_prefix_pairs(
+    docs: DataFrame,
+    prefix_len: int = 24,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs whose normalized ``prefix_len``-char prefix is
+    within edit distance 1 — fuzzy entity/title matching.
+
+    The naive plan is an all-pairs ``levenshtein`` theta join (O(n²)
+    string comparisons). This is the SymSpell deletion-neighborhood
+    form: every prefix emits itself plus its ≤``prefix_len``
+    single-char deletions (bounded fan-out, built with JVM array
+    expressions), two prefixes are within edit distance 1 iff their
+    variant sets intersect (equality shares the string itself; one
+    deletion shares the shorter string; one substitution shares the
+    common deletion), so the pair space collapses to an equi join on
+    the variant — work scales with variant-bucket occupancy, never
+    n². Shared variants can also join distance-2 pairs (different
+    deletion positions), so candidates are verified with ONE exact
+    ``levenshtein`` per distinct pair. ``max_bucket`` drops hot
+    variants (mega-clique cap, same contract as the MinHash path).
+
+    Returns ``(i, j, dist)`` with ``i < j`` and ``dist ≤ 1``.
+    """
+    pf = F.lower(F.substring(F.trim(F.col(text_col)), 1, prefix_len))
+    base = docs.select(
+        F.col(id_col).alias("id"), pf.alias("pf")
+    ).where(F.length("pf") >= 2)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("pf")),
+        lambda i: F.concat(
+            F.substring(F.col("pf"), F.lit(1), i - 1),
+            F.substring(F.col("pf"), i + 1, F.lit(prefix_len)),
+        ),
+    )
+    exploded = base.select(
+        "id",
+        "pf",
+        F.explode(F.array_union(F.array(F.col("pf")), dels)).alias("v"),
+    )
+    if max_bucket is not None:
+        counts = exploded.groupBy("v").agg(F.count("*").alias("_bw"))
+        exploded = exploded.join(
+            counts.where(F.col("_bw") <= max_bucket).drop("_bw"), "v"
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cands = (
+        a.join(b, on="v")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            F.col("a.pf").alias("pi"),
+            F.col("b.pf").alias("pj"),
+        )
+        .dropDuplicates(["i", "j"])
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("pi", "pj").cast("long"))
+        .where(F.col("dist") <= 1)
+        .select("i", "j", "dist")
+    )

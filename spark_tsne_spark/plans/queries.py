@@ -1974,6 +1974,30 @@ _HASH_SPACE = 1 << 60
 _BUCKET_SQL = "('0x' || substring(md5({salt} || text), 1, 15))::BIGINT"
 
 
+@register(
+    "fuzzy_prefix_pairs",
+    """
+    WITH p AS (
+      SELECT doc_id, lower(substr(trim(text), 1, 24)) AS pf
+      FROM documents
+      WHERE length(lower(substr(trim(text), 1, 24))) >= 2
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(levenshtein(a.pf, b.pf) AS BIGINT) AS dist
+    FROM p a JOIN p b
+      ON a.doc_id < b.doc_id AND levenshtein(a.pf, b.pf) <= 1
+    """,
+)
+def fuzzy_prefix_pairs_q(spark, sf_dir):
+    """Fuzzy entity/title matching: doc pairs whose 24-char prefix is
+    within edit distance 1, via SymSpell deletion-neighborhood
+    candidates + one exact levenshtein per distinct pair. The oracle
+    is the all-pairs theta join this operator exists to avoid."""
+    from spark_tsne_spark.operators.dedup import fuzzy_prefix_pairs
+
+    return fuzzy_prefix_pairs(_t(spark, sf_dir, "documents"))
+
+
 _CURATION_SQL = rf"""
     WITH fpd AS (
       SELECT doc_id, text, lang, source,

@@ -1387,3 +1387,50 @@ def test_weighted_sample_properties(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_fuzzy_prefix_pairs_semantics(spark):
+    """Deletion-neighborhood recall + exact verification: equal,
+    1-deletion, 1-substitution, and 1-insertion pairs all surface;
+    distance-2 pairs (which CAN share a variant) are filtered out."""
+    from spark_tsne_spark.operators.dedup import fuzzy_prefix_pairs
+
+    rows = [
+        (0, "alpha document one"),
+        (1, "alpha document one"),     # equal -> dist 0
+        (2, "alpha documnt one"),      # deletion of 'e' -> dist 1
+        (3, "alpha documxnt one"),     # substitution e->x -> dist 1
+        (4, "alpha documaent one"),    # insertion -> dist 1 vs 0
+        (5, "totally different text"),
+        (6, "abc"),
+        (7, "bca"),                    # shares deletion "bc" but dist 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["i"], r["j"]): r["dist"]
+        for r in fuzzy_prefix_pairs(df).collect()
+    }
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == 1 and got[(1, 2)] == 1
+    assert got[(0, 3)] == 1
+    assert got[(0, 4)] == 1
+    assert (6, 7) not in got  # distance-2 pair correctly rejected
+    assert all(j != 5 and i != 5 for i, j in got)
+
+
+def test_fuzzy_prefix_pairs_max_bucket_caps_hot_variant(spark):
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.operators.dedup import fuzzy_prefix_pairs
+
+    # 30 identical prefixes -> one hot variant bucket
+    rows = [(i, "the same exact prefix here") for i in range(30)] + [
+        (100, "completely other prefix"),
+        (101, "completely other prefix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["i"], r["j"]) for r in fuzzy_prefix_pairs(df, max_bucket=10).collect()
+    }
+    # the hot clique is dropped, the cold pair survives
+    assert capped == {(100, 101)}
