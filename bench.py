@@ -202,6 +202,7 @@ def bench_queries():
         "dedup_simhash": b_simhash_full,
         "dedup_ngram_jaccard": b_jaccard_full,
         "dedup_passages": Q.passage_dedup,
+        "fuzzy_prefix_pairs": Q.fuzzy_prefix_pairs_q,
         "dedup_semantic": b_semdedup,
         "text_quality_score": Q.text_quality_score,
         "text_winnow": Q.text_winnow_fingerprints,
