@@ -180,6 +180,25 @@ def bench_queries():
         )
         return res.to_df(spark)
 
+    def b_seq_packing(spark, sf_dir):
+        from spark_tsne_spark.operators.packing import pack_sequences
+
+        return pack_sequences(docs(spark, sf_dir), block_size=2048)
+
+    def b_token_budget(spark, sf_dir):
+        # Fixed per-source budget: partial keeps at every sf (each
+        # source holds ~14k tokens at sf0.1), so the boundary-bucket
+        # path is what gets timed.
+        from spark_tsne_spark.operators.packing import token_budget_sample
+
+        budgets = {f"src{i}": 5000 for i in range(20)}
+        return token_budget_sample(docs(spark, sf_dir), budgets, salt="b1")
+
+    def b_tfidf(spark, sf_dir):
+        from spark_tsne_spark.operators.search import tfidf_top_terms
+
+        return tfidf_top_terms(docs(spark, sf_dir), top=3)
+
     return {
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q3_top_orders": Q.q3_top_orders,
@@ -207,6 +226,9 @@ def bench_queries():
         "text_quality_score": Q.text_quality_score,
         "text_winnow": Q.text_winnow_fingerprints,
         "bm25_search": Q.bm25_search,
+        "tfidf_top_terms": b_tfidf,
+        "seq_packing": b_seq_packing,
+        "token_budget_mix": b_token_budget,
         "knn_exact_block": b_knn_block,
         "ann_topk_cosine": b_ann_topk,
         "ann_ivf_topk": b_ivf_topk,

@@ -115,6 +115,85 @@ def bm25_topk(
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    top: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top`` TF-IDF terms per document:
+    ``(doc_id, term, tf, score, rank)``.
+
+    ``score = tf * ln(N / df)`` with df = number of documents
+    containing the term. Plan shape: ONE explode → (doc, term) groupBy
+    (map-side partial agg on a high-cardinality uniform key), a
+    term-keyed equi-join against the document-frequency aggregate
+    (vocab-sized — AQE broadcasts it when small, hash-joins otherwise),
+    a 1-row stats broadcast, and a per-doc window over ≤ |doc's terms|
+    rows. No per-row Python, no full sort. Ranking orders by the
+    ROUNDED score with the term as tie-break (catalog hash-stability
+    rules)."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n_docs = docs.select(F.col(id_col)).agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= top
+    )
+
+
+def vocab_top_terms(
+    docs: DataFrame,
+    k: int = 100,
+    min_len: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the ``k`` terms with the
+    highest document frequency — ``(term, df, tf, rank)`` with tf the
+    total occurrence count. Two partial-aggregated groupBys (the
+    (doc, term) distinct then the term rollup) and one
+    TakeOrdered top-k: per-partition heaps + driver merge, never a
+    global sort. The exact counterpart of the count-min/top-k sketch
+    pass a corpus-stats job runs at 100 TB."""
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).where(F.length("term") >= min_len)
+    per_doc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    rolled = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("n").alias("tf")
+    )
+    ranked = rolled.orderBy(
+        F.col("df").desc(), F.col("tf").desc(), F.col("term").asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("term").asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def passage_windows(
     text: Column | str, width: int = 32
 ) -> Column:

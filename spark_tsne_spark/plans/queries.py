@@ -3069,3 +3069,152 @@ def audio_ulaw_features(spark, sf_dir):
         "media_id", "n_samples", "sample_rate",
         F.round("rms", 6).alias("rms"), F.round("zcr", 6).alias("zcr"), "peak",
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing + token-budget mixing + corpus IR stats
+# --------------------------------------------------------------------------
+
+_NTOK_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT"
+
+_PACK_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_NTOK_SQL} AS n_tok FROM documents
+    ), nz AS (SELECT * FROM t WHERE n_tok > 0),
+    o AS (
+      SELECT doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+      FROM nz
+    ),
+    x AS (
+      SELECT doc_id, n_tok, off,
+             unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS block
+      FROM o
+    )
+    SELECT doc_id, n_tok, off AS "offset", block,
+           greatest(off, block * 512) - block * 512 AS block_off,
+           least(off + n_tok, (block + 1) * 512) - greatest(off, block * 512)
+             AS seg_len
+    FROM x
+"""
+
+
+@register("seq_packing", _PACK_SQL)
+def seq_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk packing over `documents` (block =
+    512 BPE-ish tokens): each row is one document's slice of one
+    training block. The global token offset comes from the two-phase
+    distributed prefix sum (`operators/packing.py`) — per-partition
+    totals on the driver, partition-local Arrow scan — never a
+    single-partition global window; the oracle is DuckDB's window
+    cumsum over the same deterministic doc_id order."""
+    from spark_tsne_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), block_size=512)
+
+
+_BUDGETS = {"src0": 800, "src1": 1000, "src2": 600}
+_BUDGET_CASE = (
+    "CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1000 ELSE 600 END"
+)
+
+_MIX_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, source, {_NTOK_SQL} AS n_tok,
+             ('0x' || substring(md5('m1' || text), 1, 15))::BIGINT AS hb
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY hb, doc_id)::BIGINT
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, source AS stratum, n_tok, cum
+    FROM c WHERE cum <= {_BUDGET_CASE}
+"""
+
+
+@register("corpus_token_budget", _MIX_SQL)
+def corpus_token_budget(spark, sf_dir):
+    """Data mixing by token budget: keep each source's documents in
+    content-hash order while the running token sum stays within that
+    source's budget. The Spark plan never runs a per-source global
+    window — hash-range buckets are classified wholesale on the
+    driver and only the one boundary bucket per source (~1/256 of it)
+    enters a cumsum window (`operators/packing.py`,
+    token_budget_sample); the oracle IS the naive per-source window,
+    so the skew-safe plan is value-checked against the straight
+    semantics."""
+    from spark_tsne_spark.operators.packing import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents"), _BUDGETS, salt="m1"
+    )
+
+
+_TFIDF_SQL = f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(n.n_docs / dfq.df), 6) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC)::BIGINT AS "rank"
+      FROM scored
+    )
+    SELECT doc_id, term, tf, score, "rank" FROM r WHERE "rank" <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the per-doc keyword signal
+    next to BM25's query-time scoring. One explode, two
+    partial-aggregated groupBys, a term-keyed equi-join (AQE
+    broadcasts the vocab side when small), a per-doc window."""
+    from spark_tsne_spark.operators.search import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top=3)
+
+
+_VOCAB_SQL = f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    filt AS (SELECT * FROM terms WHERE length(term) >= 1),
+    pd AS (
+      SELECT doc_id, term, count(*)::BIGINT AS n FROM filt GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT term, count(*)::BIGINT AS df, sum(n)::BIGINT AS tf
+      FROM pd GROUP BY 1
+    ),
+    k AS (
+      SELECT *, row_number() OVER (
+        ORDER BY df DESC, tf DESC, term ASC)::BIGINT AS "rank"
+      FROM r
+    )
+    SELECT term, df, tf, "rank" FROM k WHERE "rank" <= 100
+"""
+
+
+@register("vocab_top_terms", _VOCAB_SQL)
+def vocab_top_terms_q(spark, sf_dir):
+    """Corpus vocabulary heavy hitters (top-100 by document
+    frequency): all-integer arithmetic, so the check is exact. The
+    plan is two map-side-combined groupBys + a TakeOrdered top-k —
+    per-partition heaps, no global sort."""
+    from spark_tsne_spark.operators.search import vocab_top_terms
+
+    return vocab_top_terms(_t(spark, sf_dir, "documents"), k=100)

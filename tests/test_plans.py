@@ -237,6 +237,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "bm25_search",
         "events_gapfill_locf",
         "events_gapfill_interp",
+        "tfidf_top_terms",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
