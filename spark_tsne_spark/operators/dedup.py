@@ -150,6 +150,94 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 5,
+    hash_fn: str = "md5",
+    min_estimate: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidates + similarity VERIFICATION from the signatures
+    themselves: ``(i, j, est)`` where ``est`` is the unbiased MinHash
+    Jaccard estimate — the fraction of signature rows on which the two
+    documents' minima agree (Broder 1997). The production near-dup
+    contract is exactly this two-step: banding proposes, the full
+    signature disposes — without a second pass over the shingle sets
+    (``ngram_jaccard_pairs`` is the exact-Jaccard alternative when the
+    corpus re-read is affordable).
+
+    Shape: signatures are computed ONCE and persisted (banding, the
+    i-side join, and the j-side join all read the persisted array);
+    candidates come from the bucket-grouped band join (never
+    all-pairs); the estimate is one ``zip_with`` per surviving pair.
+    ``est`` values lie on the k/num_hashes grid — exact in binary for
+    power-of-two ``num_hashes``, so the oracle comparison needs no
+    rounding.
+    """
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    n_bands = num_hashes // band_size
+    base = docs.where(F.length(F.col(text_col)) >= shingle_k)
+    sigs = (
+        widen_small_input(base)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            minhash_values(text_col, num_hashes, shingle_k, hash_fn).alias("mh"),
+        )
+        .persist()
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", F.slice("mh", b * band_size + 1, band_size)
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band"), F.col("bs.sig"))
+    grouped = bands.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    grouped = grouped.where(F.size("ds") >= 2)
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ds") <= max_bucket)
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, k) -> "
+        "transform(slice(ds, k + 2, size(ds)), y -> struct(x AS i, y AS j))))"
+    )
+    pairs = (
+        grouped.select(F.explode(pair_expr).alias("pr"))
+        .select(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("i"), F.col("mh").alias("mh_i"))
+    b = sigs.select(F.col("doc_id").alias("j"), F.col("mh").alias("mh_j"))
+    est = F.size(
+        F.filter(
+            F.zip_with("mh_i", "mh_j", lambda x, y: x == y), lambda t: t
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    out = (
+        pairs.join(a, "i")
+        .join(b, "j")
+        .select("i", "j", est.alias("est"))
+    )
+    if min_estimate > 0.0:
+        out = out.where(F.col("est") >= min_estimate)
+    return out
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -169,6 +169,63 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    width: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token chunks for retrieval/RAG ingestion:
+    ``(doc_id, chunk_id, chunk_off, n_chunk_tok, chunk_text)``.
+
+    Chunks start every ``stride`` tokens and span ``width`` tokens
+    (``width - stride`` tokens of overlap keep sentences split by a
+    boundary retrievable from both sides); the chunk count is
+    ``ceil((n - width)/stride) + 1`` so the final chunk always reaches
+    the document's end. A doc with ≤ ``width`` tokens is one chunk.
+
+    Shape: the chunk fan-out is a per-row ``sequence`` + ``slice`` —
+    narrow, JVM-side, no shuffle, no Python; all-integer bounds so
+    the DuckDB oracle replays it exactly.
+    """
+    if width <= 0 or stride <= 0:
+        raise ValueError(f"width/stride must be positive, got {width}/{stride}")
+    if stride > width:
+        raise ValueError(
+            f"stride {stride} > width {width} would skip tokens"
+        )
+    from spark_tsne_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).select("doc_id", "toks", F.size("toks").cast("long").alias("n_tok"))
+    W, S = F.lit(width).cast("long"), F.lit(stride).cast("long")
+    n_chunks = F.when(F.col("n_tok") <= W, F.lit(1).cast("long")).otherwise(
+        F.floor((F.col("n_tok") - W + S - 1) / S).cast("long") + 1
+    )
+    out = d.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * S).alias("chunk_off"),
+        F.least(W, F.col("n_tok") - F.col("chunk_id") * S).alias(
+            "n_chunk_tok"
+        ),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("chunk_id") * S + 1, width)
+        ).alias("chunk_text"),
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budgets: dict[str, int],

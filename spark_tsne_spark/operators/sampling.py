@@ -100,6 +100,74 @@ def stratified_hash_sample(
     return df.where(hash_bucket(key, salt) < threshold)
 
 
+def stratum_quantile_threshold(
+    scored: DataFrame,
+    q: float,
+    stratum_col: str = "stratum",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-stratum EXACT discrete q-quantile — ``(stratum, thr)``
+    where ``thr`` is the smallest value whose cumulative count reaches
+    ``ceil(q · n)`` within its stratum.
+
+    The trick that makes this exact AND scale-safe: the cumsum window
+    runs over the per-(stratum, value) HISTOGRAM, not the corpus — for
+    grid-valued inputs (e.g. a quality score rounded to 6 decimals)
+    the histogram is bounded by the grid size (≤ ~10⁶ rows/stratum)
+    regardless of corpus size, and the groupBy that builds it is
+    map-side combined. No interpolation anywhere, so there is no
+    engine-dependent half-point arithmetic — the threshold is always
+    an actual data value.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(stratum_col, value_col).agg(
+        F.count("*").alias("_cnt")
+    )
+    totals = hist.groupBy(stratum_col).agg(F.sum("_cnt").alias("_n"))
+    w = Window.partitionBy(stratum_col).orderBy(F.col(value_col).asc())
+    return (
+        hist.join(totals, stratum_col)
+        .withColumn("_cum", F.sum("_cnt").over(w))
+        .where(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+        .groupBy(stratum_col)
+        .agg(F.min(value_col).alias("thr"))
+    )
+
+
+def quality_gate_per_stratum(
+    docs: DataFrame,
+    q: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source quality gating (the FineWeb/CCNet pattern: a global
+    quality threshold over-prunes clean sources and under-prunes noisy
+    ones — gate each source against its OWN distribution): keep
+    documents whose rounded quality score is ≥ their source's exact
+    discrete q-quantile. Output ``(doc_id, stratum, quality, thr)``.
+
+    One histogram aggregate + a broadcast of |strata| thresholds back
+    onto a narrow scan — the corpus is never windowed by the skewed
+    source key."""
+    from spark_tsne_spark.functions.text import quality_score
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+    )
+    thr = stratum_quantile_threshold(
+        scored, q, stratum_col="stratum", value_col="quality"
+    )
+    return scored.join(F.broadcast(thr), "stratum").where(
+        F.col("quality") >= F.col("thr")
+    ).select("doc_id", "stratum", "quality", "thr")
+
+
 def train_test_split(
     df: DataFrame, key: Column | str, test_fraction: float, salt: str = ""
 ) -> tuple[DataFrame, DataFrame]:

@@ -3218,3 +3218,138 @@ def vocab_top_terms_q(spark, sf_dir):
     from spark_tsne_spark.operators.search import vocab_top_terms
 
     return vocab_top_terms(_t(spark, sf_dir, "documents"), k=100)
+
+
+_CHUNK_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    d AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tok FROM t),
+    c AS (
+      SELECT doc_id, toks, n_tok,
+             CASE WHEN n_tok <= 16 THEN 1
+                  ELSE (n_tok - 16 + 12 - 1) // 12 + 1 END AS n_chunks
+      FROM d
+    ),
+    x AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM c
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * 12 AS chunk_off,
+           least(16, n_tok - chunk_id * 12) AS n_chunk_tok,
+           array_to_string(
+             list_slice(toks, chunk_id * 12 + 1,
+                        least(chunk_id * 12 + 16, n_tok)), ' ')
+             AS chunk_text
+    FROM x
+"""
+
+
+@register("doc_chunks", _CHUNK_SQL)
+def doc_chunks(spark, sf_dir):
+    """Overlapping token chunks for retrieval/RAG ingestion (width 16,
+    stride 12 — 4 tokens of overlap): a per-row sequence+slice
+    fan-out, narrow and JVM-side, all-integer bounds. The oracle
+    replays chunk count, offsets, and the joined chunk text."""
+    from spark_tsne_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), width=16, stride=12
+    )
+
+
+_MINHASH_EST_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= 5
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+                                           i -> substr(text, i, 5))) AS s
+      FROM docs
+    ),
+    hx AS (
+      SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mh
+      FROM sh CROSS JOIN range(8) t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             string_agg(mh, '|' ORDER BY k) AS sig
+      FROM hx GROUP BY doc_id, CAST(k // 2 AS INT)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT p.i, p.j,
+           sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)::DOUBLE / 8 AS est
+    FROM pairs p
+    JOIN hx x ON x.doc_id = p.i
+    JOIN hx y ON y.doc_id = p.j AND y.k = x.k
+    GROUP BY p.i, p.j
+    HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)::DOUBLE / 8 >= 0.25
+"""
+
+
+@register("dedup_minhash_estimate", _MINHASH_EST_SQL)
+def dedup_minhash_estimate(spark, sf_dir):
+    """The two-step near-dup production contract in one pipeline:
+    banding proposes candidate pairs, the FULL MinHash signature
+    verifies them with the unbiased Jaccard estimate (agreement
+    fraction, Broder 1997) — no second pass over the shingles.
+    Signatures are computed once and persisted; est values lie on the
+    k/8 grid so the comparison is exact without rounding."""
+    from spark_tsne_spark.operators.dedup import minhash_estimate_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 5)
+    )
+    return minhash_estimate_pairs(
+        docs, num_hashes=8, band_size=2, shingle_k=5, min_estimate=0.25
+    )
+
+
+_QGATE_SQL = f"""
+    WITH scored AS (
+      SELECT doc_id, source AS stratum, round({_QUALITY_SQL}, 6) AS quality
+      FROM documents
+    ),
+    hist AS (
+      SELECT stratum, quality, count(*)::BIGINT AS cnt
+      FROM scored GROUP BY 1, 2
+    ),
+    tot AS (SELECT stratum, sum(cnt)::BIGINT AS n FROM hist GROUP BY 1),
+    cum AS (
+      SELECT h.stratum, h.quality, t.n,
+             sum(h.cnt) OVER (PARTITION BY h.stratum
+                              ORDER BY h.quality ASC) AS c
+      FROM hist h JOIN tot t USING (stratum)
+    ),
+    thr AS (
+      SELECT stratum, min(quality) AS thr
+      FROM cum WHERE c >= ceil(0.5 * n) GROUP BY 1
+    )
+    SELECT s.doc_id, s.stratum, s.quality, t.thr
+    FROM scored s JOIN thr t USING (stratum)
+    WHERE s.quality >= t.thr
+"""
+
+
+@register("quality_gate_per_source", _QGATE_SQL)
+def quality_gate_per_source(spark, sf_dir):
+    """Per-source quality gating (FineWeb/CCNet pattern): keep docs at
+    or above their source's own median quality — the exact discrete
+    quantile computed over the (source, rounded-quality) HISTOGRAM, so
+    the cumsum window is bounded by the 1e-6 score grid, never the
+    corpus, and the thresholds broadcast back onto a narrow scan. No
+    interpolation ⇒ no cross-engine half-point arithmetic."""
+    from spark_tsne_spark.operators.sampling import quality_gate_per_stratum
+
+    return quality_gate_per_stratum(
+        _t(spark, sf_dir, "documents"), q=0.5
+    )

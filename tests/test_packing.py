@@ -179,4 +179,143 @@ def test_tfidf_and_vocab_basic(spark):
     assert [r["term"] for r in sorted(vocab, key=lambda r: r["rank"])] == [
         "apple",
         "cherry",
-    ]  # both df=2; apple tf=3 > cherry tf=3? no: cherry tf=3 too -> term asc
+    ]  # apple and cherry both df=2 tf=3; banana df=2 tf=2 -> term asc picks apple, cherry
+
+
+def test_chunk_documents_covers_and_overlaps(spark, docs):
+    from spark_tsne_spark.operators.packing import chunk_documents
+    from spark_tsne_spark.functions.text import tokens
+
+    W, S = 16, 12
+    chunks = chunk_documents(docs, width=W, stride=S).cache()
+    base = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n")
+    )
+    # chunk count formula, one row per doc
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("c"), F.max("chunk_off").alias("last_off")
+    ).join(base, "doc_id")
+    import math
+
+    for r in per_doc.collect():
+        want = 1 if r["n"] <= W else math.ceil((r["n"] - W) / S) + 1
+        assert r["c"] == want, (r["doc_id"], r["n"], r["c"], want)
+        # the final chunk reaches the end of the document
+        assert r["last_off"] + W >= r["n"]
+
+    # chunk text is exactly the token slice
+    sample = (
+        chunks.join(docs.select("doc_id", "text"), "doc_id")
+        .where(F.col("doc_id") < 20)
+        .collect()
+    )
+    for r in sample:
+        toks = r["text"].split()
+        off = r["chunk_off"]
+        assert r["chunk_text"] == " ".join(toks[off : off + W])
+        assert r["n_chunk_tok"] == min(W, len(toks) - off)
+    chunks.unpersist()
+
+
+def test_chunk_documents_validation(spark, docs):
+    from spark_tsne_spark.operators.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, width=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, width=8, stride=9)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """The signature-agreement estimate must (a) equal 1 for exact
+    copies, (b) land within the k/num_hashes grid, and (c) broadly
+    track exact shingle Jaccard on near-dups."""
+    from spark_tsne_spark.operators.dedup import minhash_estimate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base),
+        (2, base),  # exact copy -> est 1.0
+        (3, base.replace("quick", "rapid")),  # near-dup
+        (4, "completely different text about spark catalyst optimizer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["i"], r["j"]): r["est"]
+        for r in minhash_estimate_pairs(
+            df, num_hashes=16, band_size=2
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    for est in got.values():
+        assert 0.0 <= est <= 1.0
+        assert abs(est * 16 - round(est * 16)) < 1e-12
+    if (1, 3) in got:
+        assert got[(1, 3)] >= 0.5  # heavy overlap
+    # unrelated docs should not reach a high estimate even if banded
+    assert got.get((1, 4), 0.0) < 0.5
+
+
+def test_quality_gate_per_stratum(spark, docs):
+    from spark_tsne_spark.operators.sampling import quality_gate_per_stratum
+    from spark_tsne_spark.functions.text import quality_score
+
+    kept = quality_gate_per_stratum(docs, q=0.5).cache()
+    # every kept row clears its own source's threshold
+    assert kept.where(F.col("quality") < F.col("thr")).count() == 0
+    # threshold is an actual data value of that source (discrete quantile)
+    scored = docs.select(
+        F.col("source").alias("stratum"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    bad_thr = (
+        kept.select("stratum", "thr")
+        .distinct()
+        .join(
+            scored.withColumnRenamed("quality", "thr").distinct(),
+            ["stratum", "thr"],
+            "left_anti",
+        )
+    )
+    assert bad_thr.count() == 0
+    # roughly the top half survives: at least 50% per source, and the
+    # sub-threshold docs (strictly below the median value) are gone
+    counts = (
+        kept.groupBy("stratum")
+        .agg(F.count("*").alias("k"))
+        .join(
+            docs.groupBy(F.col("source").alias("stratum")).agg(
+                F.count("*").alias("n")
+            ),
+            "stratum",
+        )
+        .collect()
+    )
+    assert len(counts) == 20
+    for r in counts:
+        assert r["k"] >= r["n"] // 2, (r["stratum"], r["k"], r["n"])
+        assert r["k"] <= r["n"]
+    kept.unpersist()
+
+
+def test_stratum_quantile_threshold_exactness(spark):
+    from spark_tsne_spark.operators.sampling import stratum_quantile_threshold
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [
+        ("b", 5.0),
+        ("b", 5.0),
+        ("b", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "stratum string, value double")
+    thr = {
+        r["stratum"]: r["thr"]
+        for r in stratum_quantile_threshold(df, 0.5).collect()
+    }
+    # a: ceil(0.5*10)=5 -> smallest value with cum>=5 is 5
+    assert thr["a"] == 5.0
+    # b: ceil(0.5*3)=2 -> value 5.0 (cum 2)
+    assert thr["b"] == 5.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratum_quantile_threshold(df, 0.0)
