@@ -194,6 +194,18 @@ def bench_queries():
         budgets = {f"src{i}": 5000 for i in range(20)}
         return token_budget_sample(docs(spark, sf_dir), budgets, salt="b1")
 
+    def b_graph_pagerank(spark, sf_dir):
+        # Full-corpus near-dup pair graph (capped buckets), 5 power
+        # iterations: the iterative join+agg loop at bench scale.
+        from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+        from spark_tsne_spark.operators.graph import canonical_by_pagerank
+
+        d = docs(spark, sf_dir).where(F.length("text") >= 5)
+        pairs = minhash_lsh_candidates(
+            d, num_hashes=16, band_size=4, hash_fn="xxhash64", max_bucket=512
+        )
+        return canonical_by_pagerank(pairs, num_iters=5)
+
     def b_tfidf(spark, sf_dir):
         from spark_tsne_spark.operators.search import tfidf_top_terms
 
@@ -223,6 +235,7 @@ def bench_queries():
         "dedup_passages": Q.passage_dedup,
         "fuzzy_prefix_pairs": Q.fuzzy_prefix_pairs_q,
         "dedup_semantic": b_semdedup,
+        "dedup_graph_rank": b_graph_pagerank,
         "text_quality_score": Q.text_quality_score,
         "text_winnow": Q.text_winnow_fingerprints,
         "bm25_search": Q.bm25_search,

@@ -49,7 +49,26 @@ def ops():
         "winnow": lambda d: d.select(
             "doc_id", F.explode(winnow_fingerprints("text", 5, 4)).alias("fp")
         ),
+        "seq_packing": _run_packing,
+        "token_budget": _run_token_budget,
     }
+
+
+def _run_packing(d):
+    from spark_tsne_spark.operators.packing import pack_sequences
+
+    return pack_sequences(d, block_size=2048)
+
+
+def _run_token_budget(d):
+    # 10x the corpus with 10x the budget: the kept set scales with the
+    # budget, the classification aggregate with sources x 256 buckets.
+    from spark_tsne_spark.operators.packing import token_budget_sample
+
+    n = d.count()
+    per_source = 500 * max(1, n // 5000)
+    budgets = {f"src{i}": per_source for i in range(20)}
+    return token_budget_sample(d, budgets, salt="sc")
 
 
 def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
@@ -76,6 +95,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             F.concat(
                 F.format_string("c%d ", F.col("copy")), F.col("text")
             ).alias("text"),
+            "source",
         )
         .repartition(int(cpus))
         .cache()

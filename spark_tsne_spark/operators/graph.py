@@ -1,0 +1,122 @@
+"""Graph analytics over candidate-pair edge sets.
+
+The dedup pipeline produces graphs (near-dup candidate pairs); beyond
+connected components (`operators/dedup.py::duplicate_clusters`), a
+training-data pipeline uses *centrality* on those graphs — e.g. pick
+the most-connected member of a duplicate cluster as its canonical
+representative, or score boilerplate hubs. `pagerank` here is the
+classic iterative power method expressed as DataFrame joins:
+
+- per iteration: ONE equi-join (ranks ⋈ edges on src — both sides
+  hash-partitioned on the node id, so consecutive iterations reuse
+  the shuffle layout) + ONE groupBy(dst) sum with map-side partial
+  aggregation;
+- a fixed iteration count keeps the computation a deterministic
+  function of the edge set (the DuckDB oracle replays the identical
+  recursion), and `localCheckpoint` every few rounds cuts lineage so
+  plan depth stays O(checkpoint interval), the same discipline as the
+  connected-components loop.
+
+Scale: each iteration's cost is |edges| join work + |nodes| aggregate
+rows — linear, shuffle-bounded, no driver state beyond the loop
+counter. At 100 TB the graph is the candidate-pair set (orders of
+magnitude smaller than the corpus by construction of the bucketed
+candidate generators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def symmetrize_edges(pairs: DataFrame, i: str = "i", j: str = "j") -> DataFrame:
+    """Undirected (i, j) candidate pairs → directed edge list with
+    both orientations, deduplicated."""
+    a = pairs.select(F.col(i).alias("src"), F.col(j).alias("dst"))
+    b = pairs.select(F.col(j).alias("src"), F.col(i).alias("dst"))
+    return a.unionByName(b).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    ``(node, rank)`` after ``num_iters`` power-method steps from the
+    uniform start, ranks summing to ~1 over the graph's nodes.
+
+    Nodes are the union of endpoints. Dangling nodes (no out-edges)
+    redistribute their mass uniformly each step — the standard
+    formulation — via one tiny scalar aggregate joined back as a
+    broadcast, so the result is the true power method, not the
+    leak-mass approximation. Deterministic given (edges, num_iters,
+    damping): the oracle replays the same recursion in SQL.
+    """
+    if num_iters < 1:
+        raise ValueError(f"num_iters must be >= 1, got {num_iters}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree per node (0 for dangling), partitioned once on the
+    # node id; every iteration's join reuses this layout.
+    nd = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .persist()
+    )
+    nd.count()
+
+    ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
+    for it in range(num_iters):
+        # mass leaving dangling nodes, redistributed uniformly
+        dangling = ranks.where(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contribs = (
+            ranks.where(F.col("deg") > 0)
+            .join(e, ranks["node"] == e["src"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nd.join(contribs, nd["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("s", F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < num_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
+
+
+def canonical_by_pagerank(
+    pairs: DataFrame,
+    num_iters: int = 10,
+    i: str = "i",
+    j: str = "j",
+) -> DataFrame:
+    """Centrality-based canonical selection over the near-dup pair
+    graph: ``(node, rank)`` where rank is PageRank on the symmetrized
+    pair graph — the highest-ranked member of each duplicate cluster
+    is the best-connected (most representative) document, a
+    cluster-aware alternative to min-id canonical selection."""
+    return pagerank(symmetrize_edges(pairs, i, j), num_iters=num_iters)

@@ -60,3 +60,37 @@ def pca_project(
         .withColumn(out_col, vector_to_array("_pca").cast("array<double>"))
         .drop("_v", "_pca")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroids: ``(label, n, centroid)`` with
+    the element-wise mean of every group's vectors — the building
+    block under cluster statistics, SemDeDup-style cluster summaries,
+    and class prototypes.
+
+    Shape: ``posexplode`` widens rows by d, but the (label, pos)
+    groupBy partial-aggregates map-side, so the shuffle carries
+    |labels|·d rows — independent of corpus size; the re-assembly
+    (``array_sort(collect_list(struct(pos, m)))``) runs over d rows
+    per label. Means are rounded so cross-engine summation-order
+    drift (~1e-12 relative) cannot leak into value hashes.
+    """
+    e = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    agg = e.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), decimals).alias("m"), F.count("*").alias("n")
+    )
+    return agg.groupBy("label").agg(
+        F.first("n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid"),
+    )

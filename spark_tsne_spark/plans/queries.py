@@ -3353,3 +3353,134 @@ def quality_gate_per_source(spark, sf_dir):
     return quality_gate_per_stratum(
         _t(spark, sf_dir, "documents"), q=0.5
     )
+
+
+_CENTROID_SQL = """
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    x AS (
+      SELECT label, i, v[i] AS val
+      FROM e, unnest(generate_series(1, len(v))) AS t(i)
+    )
+    SELECT label, (i - 1)::BIGINT AS c, round(avg(val), 6) AS m,
+           count(*)::BIGINT AS n
+    FROM x GROUP BY label, i
+"""
+
+
+@register("embedding_centroids", _CENTROID_SQL)
+def embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids (cluster prototypes), exploded to
+    (label, component, mean) scalars per the catalog's hash-stability
+    rules: the posexplode -> (label, pos) partial-agg shape keeps the
+    shuffle at |labels|*d rows regardless of corpus size; rounded
+    means so the value hash is engine-stable."""
+    from spark_tsne_spark.operators.preprocess import label_centroids
+
+    out = label_centroids(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "label",
+        F.posexplode("centroid").alias("c", "m"),
+        F.col("n"),
+    ).select("label", F.col("c").cast("long"), "m", "n")
+
+
+def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled PageRank oracle: the fixed-iteration power method as
+    ``num_iters`` chained CTEs (standard SQL forbids aggregating over
+    a recursive CTE's own reference, so the loop is unrolled — it is
+    a CONSTANT query for the catalog's fixed iteration count)."""
+    base = """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= 5
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+                                           i -> substr(text, i, 5))) AS s
+      FROM docs
+    ),
+    hx AS (
+      SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mh
+      FROM sh CROSS JOIN range(8) t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             string_agg(mh, '|' ORDER BY k) AS sig
+      FROM hx GROUP BY doc_id, CAST(k // 2 AS INT)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    e AS MATERIALIZED (
+      SELECT i AS src, j AS dst FROM pairs
+      UNION
+      SELECT j AS src, i AS dst FROM pairs
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+      )
+    ),
+    cnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS nn FROM nodes),
+    nd AS MATERIALIZED (
+      SELECT n.node, coalesce(d.deg, 0)::BIGINT AS deg
+      FROM nodes n LEFT JOIN (
+        SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src
+      ) d ON n.node = d.src
+    ),
+    r0 AS MATERIALIZED (
+      SELECT nd.node, nd.deg, 1.0 / cnt.nn AS rank
+      FROM nd CROSS JOIN cnt
+    )"""
+    steps = []
+    for k in range(1, num_iters + 1):
+        prev = f"r{k - 1}"
+        steps.append(f""",
+    r{k} AS MATERIALIZED (
+      SELECT nd.node, nd.deg,
+             ({1.0 - damping} / cnt.nn)
+               + {damping} * (coalesce(c.s, 0) + d.dm / cnt.nn) AS rank
+      FROM nd
+      CROSS JOIN cnt
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / r.deg) AS s
+        FROM {prev} r JOIN e ON r.node = e.src AND r.deg > 0
+        GROUP BY e.dst
+      ) c ON nd.node = c.node
+      CROSS JOIN (
+        SELECT coalesce(sum(rank), 0) AS dm FROM {prev} WHERE deg = 0
+      ) d
+    )""")
+    return (
+        base
+        + "".join(steps)
+        + f"""
+    SELECT node, round(rank, 6) AS rank FROM r{num_iters}
+    """
+    )
+
+
+@register("dedup_graph_pagerank", _pagerank_sql(10, 0.85))
+def dedup_graph_pagerank(spark, sf_dir):
+    """Centrality over the near-dup candidate graph: 10 power-method
+    PageRank iterations on the symmetrized MinHash-LSH pair graph —
+    the cluster-aware canonical-selection signal (the best-connected
+    member of a duplicate cluster represents it). Each Spark iteration
+    is one node-keyed equi-join + one map-side-combined groupBy;
+    lineage is cut mid-loop. The oracle unrolls the identical
+    recursion in SQL, so the iterative plan is value-checked
+    end-to-end."""
+    from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+    from spark_tsne_spark.operators.graph import canonical_by_pagerank
+
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 5)
+    )
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_k=5)
+    pr = canonical_by_pagerank(pairs, num_iters=10)
+    return pr.select("node", F.round("rank", 6).alias("rank"))

@@ -16,9 +16,14 @@ BLOCK = 128
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
+    # Unpersist on module teardown: a lingering cached `documents`
+    # relation would substitute into LATER tests' plans (cached
+    # full-schema InMemoryRelation instead of a pruned parquet scan)
+    # and break the plan-shape assertions in test_plans.py.
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     df.count()
-    return df
+    yield df
+    df.unpersist()
 
 
 def test_prefix_sum_matches_local_cumsum(spark):
@@ -319,3 +324,19 @@ def test_stratum_quantile_threshold_exactness(spark):
 
     with _pytest.raises(ValueError):
         stratum_quantile_threshold(df, 0.0)
+
+
+def test_label_centroids_small(spark):
+    from spark_tsne_spark.operators.preprocess import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),
+            (0, [3.0, 4.0]),
+            (1, [10.0, 20.0]),
+        ],
+        "label int, embedding array<double>",
+    )
+    got = {r["label"]: r for r in label_centroids(df).collect()}
+    assert got[0]["n"] == 2 and got[0]["centroid"] == [2.0, 3.0]
+    assert got[1]["n"] == 1 and got[1]["centroid"] == [10.0, 20.0]

@@ -238,6 +238,8 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "events_gapfill_locf",
         "events_gapfill_interp",
         "tfidf_top_terms",
+        # 1-row dangling-mass scalar broadcast per power iteration
+        "dedup_graph_pagerank",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
