@@ -94,3 +94,39 @@ def label_centroids(
             lambda s: s["m"],
         ).alias("centroid"),
     )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass data profile: ``(column, n_rows, n_null, n_distinct,
+    min_v, max_v)`` per requested column, min/max computed on the
+    NATIVE type then rendered as strings.
+
+    ONE aggregation job over the table: all columns' counts, exact
+    distincts, and extrema land in a single agg row (Spark plans the
+    multi-column exact distinct via one Expand + shuffle), then the
+    1-row result is melted to per-column rows with ``stack`` —
+    driver-side cost O(columns), table passes: exactly one. The
+    standard first job against any new 100 TB table.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nulls"
+            ),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_rows, n_null, n_distinct, min_v, max_v)"
+        )
+    )

@@ -3484,3 +3484,43 @@ def dedup_graph_pagerank(spark, sf_dir):
     pairs = minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_k=5)
     pr = canonical_by_pagerank(pairs, num_iters=10)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+_PROFILE_SQL = """
+    SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           count(DISTINCT doc_id)::BIGINT AS n_distinct,
+           min(doc_id)::VARCHAR AS min_v, max(doc_id)::VARCHAR AS max_v
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*)::BIGINT,
+           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT lang)::BIGINT, min(lang), max(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*)::BIGINT,
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT source)::BIGINT, min(source), max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*)::BIGINT,
+           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT n_chars)::BIGINT,
+           min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+    FROM documents
+"""
+
+
+@register("table_profile", _PROFILE_SQL)
+def table_profile(spark, sf_dir):
+    """Data profiling — per-column row/null/exact-distinct counts and
+    native-type extrema in ONE aggregation pass (multi-column exact
+    distinct via a single Expand + shuffle; the 1-row agg result melts
+    to per-column rows with stack). The oracle spells each column's
+    stats directly."""
+    from spark_tsne_spark.operators.preprocess import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "lang", "source", "n_chars"],
+    )

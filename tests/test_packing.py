@@ -340,3 +340,20 @@ def test_label_centroids_small(spark):
     got = {r["label"]: r for r in label_centroids(df).collect()}
     assert got[0]["n"] == 2 and got[0]["centroid"] == [2.0, 3.0]
     assert got[1]["n"] == 1 and got[1]["centroid"] == [10.0, 20.0]
+
+
+def test_profile_table_single_pass(spark):
+    from spark_tsne_spark.operators.preprocess import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "b")], "id long, v string"
+    )
+    got = {r["column"]: r for r in profile_table(df, ["id", "v"]).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+    assert got["id"]["n_distinct"] == 4
+    assert got["id"]["min_v"] == "1" and got["id"]["max_v"] == "4"
+    assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["v"]["min_v"] == "a" and got["v"]["max_v"] == "b"
+    # exactly ONE scan of the input in the plan
+    plan = profile_table(df, ["id", "v"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") <= 1
