@@ -58,7 +58,10 @@ def pagerank(
     """
     if num_iters < 1:
         raise ValueError(f"num_iters must be >= 1, got {num_iters}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge list once: every iteration's join reads the
+    # persisted edges instead of re-deriving them from their (possibly
+    # expensive — e.g. LSH candidate generation) upstream plan.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -77,12 +80,15 @@ def pagerank(
     )
     nd.count()
 
+    # Dangling fast path: a symmetrized pair graph has out-degree >= 1
+    # everywhere, so the per-iteration dangling-mass aggregate + scalar
+    # broadcast (2 extra stages x num_iters) can be skipped entirely —
+    # one driver-side count decides, like AQE deciding a join strategy
+    # from runtime stats.
+    has_dangling = nd.where(F.col("deg") == 0).count() > 0
+
     ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
     for it in range(num_iters):
-        # mass leaving dangling nodes, redistributed uniformly
-        dangling = ranks.where(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
         contribs = (
             ranks.where(F.col("deg") > 0)
             .join(e, ranks["node"] == e["src"])
@@ -90,19 +96,21 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nd.join(contribs, nd["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "deg",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce("s", F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
+        joined = nd.join(contribs, nd["node"] == contribs["dst"], "left")
+        if has_dangling:
+            # mass leaving dangling nodes, redistributed uniformly
+            dangling = ranks.where(F.col("deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
             )
-        )
+            rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                F.coalesce("s", F.lit(0.0)) + F.col("dm") / n
+            )
+            joined = joined.crossJoin(F.broadcast(dangling))
+        else:
+            rank_expr = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
+                "s", F.lit(0.0)
+            )
+        ranks = joined.select("node", "deg", rank_expr.alias("rank"))
         if (it + 1) % checkpoint_every == 0 and it + 1 < num_iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
