@@ -1641,9 +1641,13 @@ def multimodal_jpeg(spark, sf_dir):
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    # The documents table is one parquet split at bench scale — without
+    # the parallelism guard the encode+decode chain runs in ONE task
+    # (measured 5.6s single-task vs ~0.5s widened at sf0.1).
     media = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
+        widen_small_input(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .mapInPandas(encode, "media_id long, payload binary")
     )
     out = extract_features(media, dim=16)

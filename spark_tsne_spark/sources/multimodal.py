@@ -680,7 +680,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 out["peak"].append(int(np.max(np.abs(x))))
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "payload").mapInPandas(
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    return widen_small_input(media.select("media_id", "payload")).mapInPandas(
         run, AUDIO_FEATURES_SCHEMA
     )
 
@@ -745,7 +747,11 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     feats.append(list(_decode_stub(bytes(p), dim)))
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    return widen_small_input(media.select("media_id", "payload")).mapInPandas(
+        run, FEATURES_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -790,8 +796,12 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     out["frame"].append(payload[k * step : (k + 1) * step])
             yield pd.DataFrame(out)
 
-    flat = media.select(
-        "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    flat = widen_small_input(
+        media.select(
+            "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
+        )
     )
     return flat.mapInPandas(run, FRAME_SCHEMA)
 
@@ -883,4 +893,6 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.col("meta.n_frames").alias("n_frames"),
     )
-    return flat.mapInPandas(run, RESIZED_SCHEMA)
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    return widen_small_input(flat).mapInPandas(run, RESIZED_SCHEMA)
