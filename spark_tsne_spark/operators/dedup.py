@@ -937,3 +937,43 @@ def fuzzy_prefix_pairs(
         .where(F.col("dist") <= 1)
         .select("i", "j", "dist")
     )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.8,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC decontamination: flag training vectors
+    whose embedding cosine against ANY eval-set vector reaches
+    ``min_cosine`` — the embedding-space counterpart of
+    ``ngram_contamination`` (which catches verbatim/near-verbatim
+    leakage; this catches paraphrases). Returns
+    ``(train_id, eval_id, cosine)`` per offending pair.
+
+    Shape: the eval set is broadcast (benchmark suites are thousands
+    of rows — dimension-table-sized by construction) and the train
+    corpus streams through ONE narrow pass; no shuffle of the big
+    side, cost |train|·|eval|·d JVM-side flops. For eval sets beyond
+    broadcast size, route through ``similarity.ivf_topk`` with the
+    eval rows as queries instead.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).cast("array<double>").alias("tv"),
+    )
+    e = evalset.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).cast("array<double>").alias("ev"),
+    )
+    return (
+        t.join(F.broadcast(e))
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(cosine_sim(F.col("tv"), F.col("ev")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

@@ -3528,3 +3528,35 @@ def table_profile(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         ["doc_id", "lang", "source", "n_chars"],
     )
+
+
+_SEMCON_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+           round(list_dot_product(t.v, q.v) / (t.nrm * q.nrm), 6) AS cosine
+    FROM e t JOIN e q ON t.vec_id >= 50 AND q.vec_id < 50
+    WHERE round(list_dot_product(t.v, q.v) / (t.nrm * q.nrm), 6) >= 0.4
+"""
+
+
+@register("semantic_contamination", _SEMCON_SQL)
+def semantic_contamination_q(spark, sf_dir):
+    """Cross-corpus SEMANTIC decontamination: training vectors whose
+    embedding cosine against any eval-set vector reaches the
+    threshold — the paraphrase-catching complement of the 8-gram
+    `contamination_check`. The eval side is broadcast
+    (benchmark-suite-sized by construction); the train corpus streams
+    through one narrow pass, no shuffle of the big side."""
+    from spark_tsne_spark.operators.dedup import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.where(F.col("vec_id") >= 50),
+        emb.where(F.col("vec_id") < 50),
+        min_cosine=0.4,
+    )

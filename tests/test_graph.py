@@ -69,3 +69,25 @@ def test_pagerank_validation(spark):
         pagerank(df, num_iters=0)
     empty = df.where("src < 0")
     assert pagerank(empty).count() == 0
+
+
+def test_semantic_contamination_small(spark):
+    from spark_tsne_spark.operators.dedup import semantic_contamination
+
+    train = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0]), (102, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    evalset = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["cosine"]
+        for r in semantic_contamination(
+            train, evalset, min_cosine=0.5
+        ).collect()
+    }
+    # exact match hits cos=1; orthogonal misses; 45-degree hits ~0.707
+    assert got[(100, 1)] == 1.0
+    assert (101, 1) not in got
+    assert abs(got[(102, 1)] - 0.707107) < 1e-6

@@ -357,3 +357,44 @@ def test_profile_table_single_pass(spark):
     # exactly ONE scan of the input in the plan
     plan = profile_table(df, ["id", "v"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ExistingRDD") <= 1
+
+
+def test_chunk_documents_random_cross_check(spark):
+    """Randomized (seeded) cross-check vs a pure-python model,
+    including empty, single-token, unicode-whitespace, and longer
+    docs — one Spark job for the whole batch."""
+    import random
+
+    from spark_tsne_spark.operators.packing import chunk_documents
+
+    rng = random.Random(7)
+    words = ["alpha", "b", "ccc", "dd", "foo1", "x9"]
+    rows = [(0, ""), (1, "solo"), (2, "  padded   with\tspaces  ")]
+    for i in range(3, 60):
+        n = rng.randint(1, 40)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    W, S = 5, 3
+    got = {}
+    for r in chunk_documents(df, width=W, stride=S).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["chunk_off"], r["n_chunk_tok"], r["chunk_text"]
+        )
+
+    for doc_id, text in rows:
+        # model Spark's split(trim(t), '\s+'): empty text yields one
+        # empty token, not an empty array
+        toks = text.split() if text.strip() else [""]
+        n = len(toks)
+        if n <= W:
+            n_chunks = 1
+        else:
+            n_chunks = -(-(n - W) // S) + 1
+        chunks = got[doc_id]
+        assert len(chunks) == n_chunks, (doc_id, text)
+        for cid in range(n_chunks):
+            off = cid * S
+            want_toks = toks[off : off + W]
+            assert chunks[cid] == (
+                off, min(W, n - off), " ".join(want_toks)
+            ), (doc_id, cid, text)

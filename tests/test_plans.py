@@ -240,6 +240,9 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "tfidf_top_terms",
         # 1-row dangling-mass scalar broadcast per power iteration
         "dedup_graph_pagerank",
+        # eval-set broadcast threshold join (benchmark-sized small side
+        # by construction; the big side streams, no shuffle)
+        "semantic_contamination",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
