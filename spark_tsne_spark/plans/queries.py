@@ -3560,3 +3560,116 @@ def semantic_contamination_q(spark, sf_dir):
         emb.where(F.col("vec_id") < 50),
         min_cosine=0.4,
     )
+
+
+_Q7_SQL = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate)::BIGINT AS l_year,
+           sum(round(l.l_extendedprice * 100)::BIGINT
+               * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("q7_volume_shipping", _Q7_SQL)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H-Q7-shaped: revenue flow between a nation pair per ship
+    year. Both nation sides resolve through broadcast dim chains
+    (supplier→nation and customer→nation); the fact tables join on
+    their keys; the nation-pair predicate lands as a filter above the
+    broadcast joins; ONE shuffle for the final groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sd = s.join(F.broadcast(sn), s["s_nationkey"] == sn["sn_key"]).select(
+        "s_suppkey", "supp_nation"
+    )
+    cd = c.join(F.broadcast(cn), c["c_nationkey"] == cn["cn_key"]).select(
+        "c_custkey", "cust_nation"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cd), o["o_custkey"] == cd["c_custkey"])
+        .join(F.broadcast(sd), li["l_suppkey"] == sd["s_suppkey"])
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_revenue_e4().alias("revenue_e4"))
+    )
+
+
+def _revenue_e4():
+    """Exact-integer revenue in 1e-4 dollars: cents(price) x
+    (100 - pct(discount)) summed as BIGINT. Money aggregated as
+    integers is the production discipline AND removes the
+    cross-engine half-point rounding hazard a double sum + round(., 2)
+    carries (a sum landing on a .xx5 boundary rounds differently per
+    engine's accumulated 1e-9 drift — observed live on q10)."""
+    return F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("long")
+
+
+_Q10_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           sum(round(l.l_extendedprice * 100)::BIGINT
+               * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+    GROUP BY 1, 2
+    ORDER BY revenue_e4 DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_SQL)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H-Q10-shaped: top-20 customers by revenue lost to returns
+    in a quarter. Return-flag and date predicates push to the fact
+    scans; customer broadcasts; one aggregate shuffle; top-k as
+    TakeOrdered on the ROUNDED measure with the key tie-break."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(_revenue_e4().alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
