@@ -15,6 +15,10 @@ Stages (each is a catalog-verified operator; see COVERAGE.md):
                           across runs, partitionings, engines)
 6. ANN index              persistent IVF index over the embeddings
                           of what survived
+7. token-budget mixing    per-source token budgets in content-hash
+                          order (skew-safe bucket classification)
+8. sequence packing       concat-and-chunk into fixed 512-token
+                          training blocks (distributed prefix sum)
 """
 
 from __future__ import annotations
@@ -99,12 +103,34 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     idx = IvfIndex.build(kept_emb, idx_path, n_cells=8)
     probe = idx.query(kept_emb.limit(3), k=3)
 
+    # 7. token-budget mixing: cap every source at 300 tokens
+    from spark_tsne_spark.operators.packing import (
+        pack_sequences,
+        token_budget_sample,
+    )
+
+    sources = [r["source"] for r in sampled.select("source").distinct().collect()]
+    mixed_ids = token_budget_sample(
+        sampled, {s: 300 for s in sources}, salt="demo"
+    )
+    mixed = sampled.join(mixed_ids.select("doc_id"), "doc_id", "semi").cache()
+    n6 = mixed.count()
+
+    # 8. sequence packing: lay the surviving docs end-to-end, cut into
+    # fixed 512-token training blocks
+    packed = pack_sequences(mixed, block_size=512).cache()
+    n_blocks = packed.agg(F.countDistinct("block")).collect()[0][0]
+    n_tokens = packed.agg(F.sum("seg_len")).collect()[0][0]
+
     print(f"input docs:          {n0}")
     print(f"after exact dedup:   {n1}  (-{n0 - n1})")
     print(f"after near-dup:      {n2}  (-{n1 - n2})")
     print(f"after quality gates: {n3}  (-{n2 - n3})")
     print(f"after decontam:      {n4}  (-{n3 - n4})")
     print(f"after sampling:      {n5}  (-{n4 - n5})")
+    print(f"after token budget:  {n6}  (-{n5 - n6})")
+    print(f"packed:              {n_tokens} tokens into {n_blocks} "
+          f"blocks of 512")
     print(f"ivf index at {idx_path}; sample query:")
     probe.show(9, truncate=False)
     spark.stop()
