@@ -3673,3 +3673,53 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+_SQUOTA_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, source, {_NTOK_SQL} AS n_tok,
+             ('0x' || substring(md5('sq1' || text), 1, 15))::BIGINT AS hb
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY hb, doc_id)::BIGINT
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, source AS stratum, n_tok, cum
+    FROM c WHERE cum <= {_BUDGET_CASE}
+"""
+
+
+@register("streaming_token_budget", _SQUOTA_SQL)
+def streaming_token_budget(spark, sf_dir):
+    """STREAMING quota admission end-to-end: documents land as
+    parquet, a stateful applyInPandasWithState operator admits each
+    source's docs until its token budget is exhausted (per-stratum
+    consumed totals in checkpointed GroupState), and the availableNow
+    drain's admitted set must equal the BATCH token_budget_sample
+    semantics — the DuckDB per-source cumsum oracle. The streaming
+    plan is the oracle target, like streaming_windowed_counts."""
+    import re as _re
+    import shutil
+
+    from spark_tsne_spark.streaming.quota import (
+        run_quota_to_parquet,
+        token_quota_admit,
+    )
+
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    root = f"/tmp/spark_graft_squota_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).repartition(4).write.parquet(f"{root}/in")
+    stream = spark.readStream.schema("doc_id long, source string, text string").parquet(
+        f"{root}/in"
+    )
+    admitted = token_quota_admit(stream, _BUDGETS, salt="sq1")
+    run_quota_to_parquet(admitted, f"{root}/out", f"{root}/ckpt")
+    return spark.read.schema(
+        "doc_id long, stratum string, n_tok long, cum long"
+    ).parquet(f"{root}/out")

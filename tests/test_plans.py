@@ -223,6 +223,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "tsne_embedding",
         "streaming_windowed_counts",
         "streaming_interval_join",
+        "streaming_token_budget",
         "ann_ivf_index_query",  # builds the on-disk index
     }
     # BroadcastNestedLoopJoin intended:

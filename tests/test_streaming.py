@@ -260,3 +260,74 @@ def test_incremental_dedup_replay_is_self_cleaning(spark, tmp_path):
 
     drain()  # full replay of the same files
     assert spark.read.parquet(f"{root}/out").count() == n_first
+
+
+def test_streaming_quota_state_carries_across_drains(spark, tmp_path):
+    """Per-stratum consumed-token totals live in the checkpoint: a
+    second availableNow drain over NEW files resumes the budget where
+    the first stopped (never re-admitting beyond it), and a single
+    all-at-once drain equals the batch operator."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.operators.packing import token_budget_sample
+    from spark_tsne_spark.streaming.quota import (
+        run_quota_to_parquet,
+        token_quota_admit,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("source") == "src0"
+    )
+    budgets = {"src0": 400}
+    root = str(tmp_path)
+
+    # single-batch drain == batch operator
+    docs.select("doc_id", "source", "text").write.parquet(f"{root}/all")
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(f"{root}/all")
+    run_quota_to_parquet(
+        token_quota_admit(stream, budgets, salt="qt"),
+        f"{root}/out_all",
+        f"{root}/ck_all",
+    )
+    got = spark.read.schema(
+        "doc_id long, stratum string, n_tok long, cum long"
+    ).parquet(f"{root}/out_all")
+    want = token_budget_sample(docs, budgets, salt="qt")
+    key = lambda r: (r["doc_id"], r["n_tok"], r["cum"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    # two-drain restart: first half, then the rest against the SAME
+    # checkpoint — totals must carry (grand total admitted <= budget)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    half.select("doc_id", "source", "text").write.parquet(f"{root}/in2")
+
+    def drain():
+        s = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(f"{root}/in2")
+        run_quota_to_parquet(
+            token_quota_admit(s, budgets, salt="qt"),
+            f"{root}/out2",
+            f"{root}/ck2",
+        )
+
+    drain()
+    n_first = spark.read.schema(
+        "doc_id long, stratum string, n_tok long, cum long"
+    ).parquet(f"{root}/out2").agg(F.sum("n_tok")).collect()[0][0]
+    rest.select("doc_id", "source", "text").write.mode("append").parquet(
+        f"{root}/in2"
+    )
+    drain()
+    out2 = spark.read.schema(
+        "doc_id long, stratum string, n_tok long, cum long"
+    ).parquet(f"{root}/out2")
+    total = out2.agg(F.sum("n_tok")).collect()[0][0]
+    assert n_first is not None and n_first <= 400
+    assert total <= 400  # the second drain respected the carried state
+    assert out2.count() >= 1
+    # no doc admitted twice
+    assert out2.select("doc_id").distinct().count() == out2.count()
