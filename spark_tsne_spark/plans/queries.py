@@ -3723,3 +3723,106 @@ def streaming_token_budget(spark, sf_dir):
     return spark.read.schema(
         "doc_id long, stratum string, n_tok long, cum long"
     ).parquet(f"{root}/out")
+
+
+_UPSERT_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, 1::BIGINT AS version, md5(text) AS fp, 0 AS src
+      FROM documents
+    ),
+    changes AS (
+      SELECT doc_id, 2::BIGINT AS version, md5(text || ' v2') AS fp, 1 AS src
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 20000, 1::BIGINT, md5(text || ' new'), 1
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    u AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY version DESC, src DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT doc_id, version, fp FROM u WHERE rn = 1
+"""
+
+
+@register("corpus_upsert", _UPSERT_SQL)
+def corpus_upsert(spark, sf_dir):
+    """MERGE a re-crawl delta into the corpus snapshot, latest version
+    per key winning (Delta/Iceberg MERGE semantics as union + ONE
+    per-key window — one shuffle on the uniform document key;
+    changes-side wins version ties). The oracle replays the identical
+    union + row_number."""
+    from spark_tsne_spark.operators.maintenance import upsert_latest
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.lit(1).cast("long").alias("version"), F.md5("text").alias("fp")
+    )
+    changes = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.lit(2).cast("long").alias("version"),
+            F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("fp"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.lit(1).cast("long").alias("version"),
+                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+            )
+        )
+    )
+    return upsert_latest(base, changes)
+
+
+_SNAPDIFF_SQL = r"""
+    WITH old AS (SELECT doc_id AS k, md5(text) AS old_fp FROM documents),
+    new AS (
+      SELECT doc_id AS k,
+             CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+                  ELSE md5(text) END AS new_fp
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 20000, md5(text || ' new')
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT coalesce(o.k, n.k) AS doc_id,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+"""
+
+
+@register("corpus_snapshot_diff", _SNAPDIFF_SQL)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Release audit: classify every document key across two corpus
+    snapshots as added / removed / changed / unchanged with ONE
+    full-outer equi-join on the key + a fingerprint comparison — the
+    job run before promoting a corpus release."""
+    from spark_tsne_spark.operators.maintenance import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", F.md5("text").alias("fp"))
+    new = (
+        d.where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("fp"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+            )
+        )
+    )
+    return snapshot_diff(old, new)

@@ -398,3 +398,33 @@ def test_chunk_documents_random_cross_check(spark):
             assert chunks[cid] == (
                 off, min(W, n - off), " ".join(want_toks)
             ), (doc_id, cid, text)
+
+
+def test_upsert_and_snapshot_diff_small(spark):
+    from spark_tsne_spark.operators.maintenance import snapshot_diff, upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "doc_id long, version long, fp string"
+    )
+    changes = spark.createDataFrame(
+        [(2, 2, "b2"), (2, 1, "b-redelivery"), (4, 1, "d")],
+        "doc_id long, version long, fp string",
+    )
+    got = {r["doc_id"]: (r["version"], r["fp"]) for r in upsert_latest(base, changes).collect()}
+    assert got == {
+        1: (1, "a"),
+        2: (2, "b2"),  # higher version wins
+        3: (1, "c"),
+        4: (1, "d"),  # pure insert
+    }
+    # version tie: changes side supersedes the stored row
+    tie = upsert_latest(
+        spark.createDataFrame([(9, 1, "old")], "doc_id long, version long, fp string"),
+        spark.createDataFrame([(9, 1, "new")], "doc_id long, version long, fp string"),
+    ).collect()
+    assert tie[0]["fp"] == "new"
+
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string")
+    new = spark.createDataFrame([(2, "b"), (3, "c2"), (4, "d")], "doc_id long, fp string")
+    st = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert st == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
