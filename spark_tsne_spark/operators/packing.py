@@ -259,6 +259,8 @@ def token_budget_sample(
 
     Strata absent from ``budgets`` are dropped (budget 0).
     """
+    if not budgets:
+        raise ValueError("budgets must name at least one stratum")
     for s, t in budgets.items():
         if t < 0:
             raise ValueError(f"budget for {s!r} must be >= 0, got {t}")

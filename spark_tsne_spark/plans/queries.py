@@ -3826,3 +3826,42 @@ def corpus_snapshot_diff(spark, sf_dir):
         )
     )
     return snapshot_diff(old, new)
+
+
+_SALTED_SQL = """
+    WITH u AS (
+      SELECT user_id, round(avg(value), 6) AS u_avg
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, count(*)::BIGINT AS n,
+           round(sum(u.u_avg), 2) AS s
+    FROM events e JOIN u ON e.user_id = u.user_id
+    GROUP BY e.event_type
+"""
+
+
+@register("events_salted_join", _SALTED_SQL)
+def events_salted_join(spark, sf_dir):
+    """Skew-resilient equi-join, value-checked against the plain join
+    semantics: the big (events) side scatters each key over 16
+    deterministic sub-keys and the small per-user dim replicates 16x,
+    so a hot user spreads across 16 tasks instead of one straggler.
+    The oracle is the UNSALTED join — salting must be a pure physical
+    rewrite with identical results."""
+    from spark_tsne_spark.partitioning import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.round(F.avg("value"), 6).alias("u_avg"))
+    )
+    # event_id in the big side's row: the salt hashes the whole row,
+    # so a unique column is what spreads a hot key's rows over salts
+    joined = salted_join(
+        ev.select("event_id", "event_type", "user_id"), u, "user_id", n_salts=16
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("u_avg"), 2).alias("s")
+    )

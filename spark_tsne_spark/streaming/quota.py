@@ -48,6 +48,8 @@ def token_quota_admit(
     ``cum`` is the stratum's running token total at admission —
     matching the batch operator's output column for column.
     """
+    if not budgets:
+        raise ValueError("budgets must name at least one stratum")
     for s, t in budgets.items():
         if t < 0:
             raise ValueError(f"budget for {s!r} must be >= 0, got {t}")

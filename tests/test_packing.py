@@ -428,3 +428,13 @@ def test_upsert_and_snapshot_diff_small(spark):
     new = spark.createDataFrame([(2, "b"), (3, "c2"), (4, "d")], "doc_id long, fp string")
     st = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert st == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_quota_empty_budgets_rejected(spark, docs):
+    from spark_tsne_spark.operators.packing import token_budget_sample
+    from spark_tsne_spark.streaming.quota import token_quota_admit
+
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, {})
+    with pytest.raises(ValueError):
+        token_quota_admit(docs, {})
