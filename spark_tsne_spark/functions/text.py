@@ -536,3 +536,77 @@ def char_entropy(text: Column | str) -> Column:
     return F.when(
         n > 0, F.log2(n.cast("double")) - s_total / n.cast("double")
     ).otherwise(F.lit(0.0))
+
+
+# --- Char-trigram LM scoring (CCNet-style quality signal) -----------
+#
+# Documents are scored under the English trigram profile as a tiny
+# character language model: avg log2 P(gram), with unseen grams
+# floored at 1 ppm. Per-gram log values are precomputed as INTEGER
+# centibits (round(100*log2(w/1e6))) so the per-document sum is exact
+# integer arithmetic — the same number in Spark and the DuckDB oracle
+# in any summation order, like the LID scores.
+
+LM_UNSEEN_CENTIBITS = -1993  # round(100 * log2(1e-6))
+
+
+def _lm_centibit_table(lang: str = "en") -> dict[str, int]:
+    import math
+
+    return {
+        g: round(100 * math.log2(w / 1_000_000))
+        for g, w in LANG_TRIGRAM_PROFILES[lang].items()
+    }
+
+
+_LM_MAP_SQL: dict[str, str] = {}
+
+
+def _lm_centibit_map_sql(lang: str = "en") -> str:
+    """The centibit table as ONE first-char-bucketed SQL map literal
+    (same shape + rationale as :func:`_lang_weight_map_sql`)."""
+    if lang in _LM_MAP_SQL:
+        return _LM_MAP_SQL[lang]
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    by_first: dict[str, dict[str, int]] = {}
+    for g, cb in _lm_centibit_table(lang).items():
+        by_first.setdefault(g[0], {})[g] = cb
+    outer = []
+    for c in sorted(by_first):
+        inner = ", ".join(
+            f"{q(g)}, {by_first[c][g]}L" for g in sorted(by_first[c])
+        )
+        outer.append(f"{q(c)}, map({inner})")
+    _LM_MAP_SQL[lang] = f"map({', '.join(outer)})"
+    return _LM_MAP_SQL[lang]
+
+
+def lm_trigram_score(text: Column | str, lang: str = "en") -> Column:
+    """``struct(n_grams, cb_sum)``: trigram count and total integer
+    centibits of log2-probability under the ``lang`` profile — one
+    narrow ``F.aggregate`` pass, no shuffle, no UDF. Callers derive
+    ``avg_bits = cb_sum / (100 * n_grams)`` (≈ −20 for random bytes,
+    ≈ −9 to −12 for natural English — the CCNet-style filter signal).
+    """
+    wmap = F.expr(_lm_centibit_map_sql(lang))
+    grams = char_shingles(F.lower(_col(text)), 3)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n"), F.lit(0).cast("long").alias("s")
+    )
+
+    def merge(acc: Column, g: Column) -> Column:
+        cb = F.coalesce(
+            wmap[F.substring(g, 1, 1)][g], F.lit(LM_UNSEEN_CENTIBITS).cast("long")
+        )
+        return F.struct(
+            (acc["n"] + 1).cast("long").alias("n"),
+            (acc["s"] + cb).cast("long").alias("s"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(acc["n"].alias("n_grams"), acc["s"].alias("cb_sum"))
+
+    return F.aggregate(grams, zero, merge, finish)

@@ -3865,3 +3865,115 @@ def events_salted_join(spark, sf_dir):
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("u_avg"), 2).alias("s")
     )
+
+
+def _lm_score_sql(tbl: str) -> str:
+    """DuckDB twin of lm_trigram_score: per-gram integer centibits
+    from the SAME profile dict (single source of truth), unseen grams
+    floored via LEFT JOIN coalesce."""
+    from spark_tsne_spark.functions.text import (
+        LM_UNSEEN_CENTIBITS,
+        _lm_centibit_table,
+    )
+
+    vals = ",".join(
+        "('{}', {})".format(g.replace("'", "''"), cb)
+        for g, cb in sorted(_lm_centibit_table("en").items())
+    )
+    return f"""
+    WITH src AS (SELECT doc_id, lower(text) AS t FROM {tbl}),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+                     i -> substr(t, i, 3))) AS g
+      FROM src WHERE length(t) >= 3
+    ),
+    cb(g, v) AS (VALUES {vals}),
+    agg AS (
+      SELECT grams.doc_id, count(*)::BIGINT AS n_grams,
+             sum(coalesce(cb.v, {LM_UNSEEN_CENTIBITS}))::BIGINT AS cb_sum
+      FROM grams LEFT JOIN cb USING (g)
+      GROUP BY grams.doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.cb_sum, 0) AS cb_sum
+    FROM src s LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("text_lm_score", _lm_score_sql("documents"))
+def text_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal: average log2-probability of the
+    document's char trigrams under the English profile (a tiny
+    character LM), as EXACT integer centibit sums — one narrow
+    aggregate pass, no shuffle, no UDF; ≈ −20 bits/gram for random
+    bytes vs ≈ −9..−12 for natural English."""
+    from spark_tsne_spark.functions.text import lm_trigram_score
+
+    # output stays ALL-INTEGER (n_grams, cb_sum): the derived
+    # avg_bits = cb_sum/(100*n) lands on round-half boundaries for
+    # many documents (observed live at 4 decimals), so the float stays
+    # a consumer-side derivation and the oracle compares exact values.
+    sc = lm_trigram_score("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", sc.alias("_s")
+    ).select(
+        "doc_id",
+        F.col("_s.n_grams").alias("n_grams"),
+        F.col("_s.cb_sum").alias("cb_sum"),
+    )
+
+
+_OOV_SQL = f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    pd AS (SELECT doc_id, term, count(*)::BIGINT AS n FROM terms GROUP BY 1, 2),
+    r AS (
+      SELECT term, count(*)::BIGINT AS df, sum(n)::BIGINT AS tf
+      FROM pd GROUP BY 1
+    ),
+    vocab AS (
+      SELECT term FROM r
+      ORDER BY df DESC, tf DESC, term ASC LIMIT 200
+    ),
+    per_doc AS (
+      SELECT t.doc_id, count(*)::BIGINT AS n_tok,
+             sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      FROM terms t LEFT JOIN vocab v USING (term)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tok, n_oov,
+           round(n_oov / n_tok::DOUBLE, 6) AS oov_rate
+    FROM per_doc
+"""
+
+
+@register("text_oov_rate", _OOV_SQL)
+def text_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage signal: per-document out-of-vocabulary
+    token rate against the corpus's own top-200 vocabulary (df-ranked,
+    all-integer tie-break so the rank-200 boundary is deterministic in
+    both engines). Plan: the vocab is a tiny TakeOrdered aggregate
+    broadcast back onto one explode; one groupBy closes it."""
+    from spark_tsne_spark.operators.search import vocab_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = vocab_top_terms(d, k=200).select("term")
+    terms = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return (
+        terms.join(
+            F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tok"), 6).alias("oov_rate"),
+        )
+    )

@@ -438,3 +438,26 @@ def test_quota_empty_budgets_rejected(spark, docs):
         token_budget_sample(docs, {})
     with pytest.raises(ValueError):
         token_quota_admit(docs, {})
+
+
+def test_lm_score_separates_text_from_noise(spark):
+    """The CCNet-style signal: natural English scores far better
+    (higher avg log2 prob) than random-ish bytes."""
+    from spark_tsne_spark.functions.text import lm_trigram_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and then "
+                "the other animals gathered in the forest for a meeting"),
+            (2, "qzxv jkwq pzt vvkx qqj zzprw xkcv qpzm wvxk jjqz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", lm_trigram_score("text").alias("s")).collect()
+    }
+    bits = {k: v["cb_sum"] / (100.0 * v["n_grams"]) for k, v in got.items()}
+    assert bits[1] > -13.0, bits  # natural English
+    assert bits[2] < -17.0, bits  # noise
+    assert bits[1] - bits[2] > 4.0
