@@ -237,7 +237,9 @@ def bench_queries():
         "dedup_semantic": b_semdedup,
         "dedup_graph_rank": b_graph_pagerank,
         "text_quality_score": Q.text_quality_score,
+        "text_lm_score": Q.text_lm_score,
         "text_winnow": Q.text_winnow_fingerprints,
+        "corpus_upsert": Q.corpus_upsert,
         "bm25_search": Q.bm25_search,
         "tfidf_top_terms": b_tfidf,
         "seq_packing": b_seq_packing,
