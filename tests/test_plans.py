@@ -260,3 +260,19 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         if marks:
             offenders[name] = marks
     assert not offenders, offenders
+
+
+def test_packing_entries_prune_columns(spark, sf_dir):
+    """The packing/mixing/gating plans must read only the columns they
+    use (doc_id/text[/source]), not the full documents schema — at
+    100 TB the difference is the scan itself."""
+    for name, max_cols in [
+        ("seq_packing", 2),
+        ("corpus_token_budget", 3),
+        ("quality_gate_per_source", 3),
+    ]:
+        plan = plan_of(Q.catalog()[name].fn(spark, sf_dir))
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                schema = line.split("ReadSchema:")[1]
+                assert schema.count(":") <= max_cols, (name, schema)
