@@ -180,15 +180,25 @@ def minhash_estimate_pairs(
     """
     from spark_tsne_spark.partitioning import widen_small_input
 
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"band_size={band_size} must divide num_hashes={num_hashes}: "
+            "a remainder would silently drop trailing signature rows "
+            "from banding while still counting them in the Jaccard "
+            "estimate denominator"
+        )
     n_bands = num_hashes // band_size
     base = docs.where(F.length(F.col(text_col)) >= shingle_k)
+    # localCheckpoint (not persist): the signatures are reused by the
+    # band join and the estimate pass, but must not outlive this
+    # operator in the session CacheManager.
     sigs = (
         widen_small_input(base)
         .select(
             F.col(id_col).alias("doc_id"),
             minhash_values(text_col, num_hashes, shingle_k, hash_fn).alias("mh"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     bands = sigs.select(
         "doc_id",

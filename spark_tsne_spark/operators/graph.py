@@ -69,7 +69,10 @@ def pagerank(
     ).persist()
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        nodes.unpersist()
+        e.unpersist()
+        return out
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # out-degree per node (0 for dangling), partitioned once on the
     # node id; every iteration's join reuses this layout.
@@ -113,7 +116,13 @@ def pagerank(
         ranks = joined.select("node", "deg", rank_expr.alias("rank"))
         if (it + 1) % checkpoint_every == 0 and it + 1 < num_iters:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", "rank")
+    # Materialize the final ranks (cutting lineage back to the cached
+    # e/nodes/nd), then release the iteration caches — otherwise every
+    # pagerank call grows the session cache for its lifetime.
+    out = ranks.select("node", "rank").localCheckpoint(eager=True)
+    for cached in (nd, nodes, e):
+        cached.unpersist()
+    return out
 
 
 def canonical_by_pagerank(

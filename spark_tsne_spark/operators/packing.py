@@ -70,10 +70,15 @@ def exclusive_prefix_sum(
     """
     sc = df.sparkSession.sparkContext
     p = num_partitions or sc.defaultParallelism
+    # localCheckpoint, not persist: the materialized range-sorted rows
+    # are reused by the totals job and the scan pass, but are NOT
+    # registered in the CacheManager (a persist here leaks for the
+    # session lifetime and can plan-substitute an unpruned scan into
+    # later unrelated queries) — blocks are freed when the RDD is GC'd.
     rp = (
         df.repartitionByRange(p, F.col(order_col))
         .sortWithinPartitions(order_col)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     totals = {
         r["pid"]: r["tot"]
@@ -277,7 +282,10 @@ def token_budget_sample(
         n_tok.alias("n_tok"),
         h.alias("h"),
     ).where(F.col("stratum").isin(*budgets.keys()))
-    d = d.persist()
+    # Reused by the per-bucket totals job and the final filter join;
+    # localCheckpoint (not persist) so the blocks die with the RDD
+    # instead of leaking in the session CacheManager.
+    d = d.localCheckpoint(eager=False)
 
     bucket = F.shiftright(F.col("h"), _BUCKET_SHIFT).alias("bucket")
     per_bucket = (

@@ -88,7 +88,10 @@ def label_centroids(
         F.round(F.avg("v"), decimals).alias("m"), F.count("*").alias("n")
     )
     return agg.groupBy("label").agg(
-        F.first("n").alias("n"),
+        # max, not first: with ragged vectors or null components the
+        # per-position counts differ and first() is nondeterministic;
+        # max matches the oracle's per-(label, component) n.
+        F.max("n").alias("n"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))),
             lambda s: s["m"],

@@ -656,7 +656,8 @@ def events_sessionize(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
              AS avg_k
     FROM events GROUP BY event_type

@@ -266,6 +266,10 @@ def test_packing_entries_prune_columns(spark, sf_dir):
     """The packing/mixing/gating plans must read only the columns they
     use (doc_id/text[/source]), not the full documents schema — at
     100 TB the difference is the scan itself."""
+    # Plan pins must run against a clean cache: a persisted full-schema
+    # DataFrame leaked by an earlier test would plan-substitute into
+    # these queries and defeat the ReadSchema assertion.
+    spark.catalog.clearCache()
     for name, max_cols in [
         ("seq_packing", 2),
         ("corpus_token_budget", 3),
