@@ -174,6 +174,59 @@ _LANG_SAMPLES: dict[str, str] = {
 # this the best language is still a poor fit and the doc is 'other'.
 LANG_MIN_MEAN_WEIGHT = 400
 
+# --- Script-range pre-classifier (non-Latin coverage) --------------
+#
+# The trigram profiles above only separate Latin-script languages;
+# CJK/Cyrillic/Arabic/… text used to fall through to 'other'. A
+# Unicode-block character census is a cheap, exact-integer
+# pre-classifier: count codepoints per script class with ONE
+# regexp_replace length-diff per class (JVM codegen in Spark, RE2 in
+# DuckDB — the \\x{....} range syntax parses identically in both),
+# then a fixed-precedence per-mille threshold CASE. Script → language
+# is a documented approximation (Cyrillic → 'ru' also matches
+# Ukrainian/Bulgarian etc.); kana presence is checked BEFORE Han so
+# Japanese (mostly Han + ≥5% kana) doesn't read as Chinese. Both
+# engines render from this single spec.
+
+SCRIPT_RANGES: list[tuple[str, str, int, list[tuple[int, int]]]] = [
+    # (lang, class, min per-mille of chars, codepoint ranges)
+    ("ja", "kana", 50, [(0x3040, 0x309F), (0x30A0, 0x30FF)]),
+    ("ko", "hangul", 300, [(0xAC00, 0xD7AF), (0x1100, 0x11FF)]),
+    ("zh", "han", 300, [(0x4E00, 0x9FFF), (0x3400, 0x4DBF)]),
+    ("ru", "cyrillic", 300, [(0x0400, 0x04FF)]),
+    ("ar", "arabic", 300, [(0x0600, 0x06FF), (0x0750, 0x077F)]),
+    ("el", "greek", 300, [(0x0370, 0x03FF)]),
+    ("he", "hebrew", 300, [(0x0590, 0x05FF)]),
+    ("hi", "devanagari", 300, [(0x0900, 0x097F)]),
+    ("th", "thai", 300, [(0x0E00, 0x0E7F)]),
+]
+
+
+def _script_class_pattern(ranges: list[tuple[int, int]]) -> str:
+    """Character-class regex over codepoint ranges, in the \\x{....}
+    spelling that Java regex (Spark) and RE2 (DuckDB) share."""
+    return "[" + "".join(
+        "\\x{%04X}-\\x{%04X}" % (lo, hi) for lo, hi in ranges
+    ) + "]"
+
+
+def script_lang_case_sql(t_expr: str) -> str:
+    """The pre-classifier as SQL CASE WHEN arms (no ELSE): rendered
+    for DuckDB from :data:`SCRIPT_RANGES` so the oracle and the Spark
+    expression share one spec. ``t_expr`` names the (lowered) text."""
+    arms = []
+    for lang, _cls, permille, ranges in SCRIPT_RANGES:
+        pat = _script_class_pattern(ranges)
+        cnt = (
+            f"(length({t_expr}) - "
+            f"length(regexp_replace({t_expr}, '{pat}', '', 'g')))"
+        )
+        arms.append(
+            f"WHEN {cnt} > 0 AND {cnt} * 1000 >= length({t_expr}) * {permille} "
+            f"THEN '{lang}'"
+        )
+    return "\n          ".join(arms)
+
 
 def _trigram_profile(sample: str, top: int = 300) -> dict[str, int]:
     """Integer-ppm trigram frequency profile of a training sample."""
@@ -285,8 +338,25 @@ def lang_id(text: Column | str) -> Column:
             (n > 0) & (best >= F.lit(LANG_MIN_MEAN_WEIGHT) * n), pred
         ).otherwise(F.lit("other"))
 
-    grams = char_shingles(F.lower(_col(text)), 3)
-    return F.coalesce(F.aggregate(grams, acc0, merge, finish), F.lit("other"))
+    t = F.lower(_col(text))
+    grams = char_shingles(t, 3)
+    trigram_pred = F.coalesce(
+        F.aggregate(grams, acc0, merge, finish), F.lit("other")
+    )
+    # Script-range pre-classifier (see SCRIPT_RANGES): non-Latin
+    # scripts are decided by a codepoint census BEFORE the Latin
+    # trigram argmax; CASE arms evaluate in spec order so kana
+    # precedes Han. The regexp length-diffs are plain JVM codegen —
+    # on ASCII text every census is 0 and the row falls through.
+    n = F.length(t)
+    pred = trigram_pred
+    for lang, _cls, permille, ranges in reversed(SCRIPT_RANGES):
+        pat = _script_class_pattern(ranges)
+        cnt = n - F.length(F.regexp_replace(t, pat, ""))
+        pred = F.when(
+            (cnt > 0) & (cnt * 1000 >= n * permille), F.lit(lang)
+        ).otherwise(pred)
+    return pred
 
 
 def multiplicity_stats(arr: Column) -> Column:

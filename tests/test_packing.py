@@ -51,6 +51,37 @@ def test_prefix_sum_partition_invariant(spark):
     )
 
 
+def test_prefix_sum_property_fuzz(spark):
+    """Property fuzz of the two-phase distributed prefix scan (it
+    underpins packing AND mixing): randomized value distributions,
+    input orderings, pre-shuffles, and output partition counts must
+    all reproduce the single-partition cumulative sum exactly — this
+    locks the TaskContext partition-id/range-partition-order
+    assumption against every layout the planner might pick."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(8):
+        n = rng.randint(1, 400)
+        keys = rng.sample(range(10_000), n)
+        rows = [(k, rng.randint(0, 50)) for k in keys]
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        df = spark.createDataFrame(shuffled, "k long, v long")
+        if rng.random() < 0.5:
+            df = df.repartition(rng.randint(1, 17))
+        p = rng.randint(1, 40)  # may exceed n: empty partitions
+        out = {
+            r["k"]: r["offset"]
+            for r in exclusive_prefix_sum(df, "k", "v", num_partitions=p).collect()
+        }
+        acc = 0
+        for k, v in sorted(rows):
+            assert out[k] == acc, (trial, n, p, k)
+            acc += v
+        assert len(out) == n, (trial, n, p)
+
+
 def test_pack_covers_every_token_exactly_once(spark, docs):
     packed = pack_sequences(docs, block_size=BLOCK).cache()
     n_tok = docs.select(

@@ -877,6 +877,82 @@ def test_lang_id_trigram_model_accuracy(spark):
     assert not wrong, f"misclassified: {wrong}"
 
 
+def test_lang_id_script_range_non_latin(spark):
+    """Non-Latin scripts are classified by the Unicode-block census
+    (SCRIPT_RANGES) instead of falling to 'other': CJK (Japanese kana
+    precedence over Han), Hangul, Cyrillic, Arabic, Greek, Hebrew,
+    Devanagari, Thai — and mixed mostly-Latin text with a stray
+    non-Latin char still goes through the trigram path."""
+    fixtures = [
+        ("zh", "今天天气很好我们一起去公园散步然后喝茶聊天看书写字"),
+        # Japanese: Han + >5% kana — kana arm must fire before Han
+        ("ja", "今日はとても良い天気なので公園へ散歩に行きましょう"),
+        ("ko", "오늘은 날씨가 좋아서 우리는 공원에 산책하러 갑니다"),
+        ("ru", "сегодня хорошая погода и мы идем гулять в парк вместе"),
+        ("ar", "الطقس جميل اليوم ونحن ذاهبون الى الحديقة معا للنزهة"),
+        ("el", "ο καιρος ειναι ωραιος σημερα και παμε μια βολτα στο παρκο"),
+        ("he", "מזג האוויר יפה היום ואנחנו הולכים לטייל בפארק יחד"),
+        ("hi", "आज मौसम अच्छा है और हम साथ में पार्क घूमने जा रहे हैं"),
+        ("th", "วันนี้อากาศดีมากเราจะไปเดินเล่นที่สวนสาธารณะด้วยกัน"),
+        # one Cyrillic char in English text: census below threshold,
+        # trigram argmax still decides
+        ("en", "the weather is nice today so we went to the park д and "
+               "had a long walk together before the sun went down"),
+        ("other", ""),
+    ]
+    from spark_tsne_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(fixtures)],
+        "i long, want string, text string",
+    )
+    rows = df.select("i", "want", lang_id("text").alias("got")).collect()
+    wrong = [(r["want"], r["got"]) for r in rows if r["want"] != r["got"]]
+    assert not wrong, f"misclassified: {wrong}"
+
+
+def test_lang_id_script_census_matches_duckdb_oracle(spark):
+    """The Spark script-census CASE and the DuckDB rendering of the
+    SAME spec (script_lang_case_sql) agree row-for-row on non-Latin
+    fixtures — the cross-engine pin for the pre-classifier."""
+    import duckdb
+
+    from spark_tsne_spark.functions.text import lang_id, script_lang_case_sql
+
+    fixtures = [
+        "今天天气很好我们一起去公园散步",
+        "今日はとても良い天気なので散歩に行きます",
+        "오늘은 날씨가 좋습니다",
+        "сегодня хорошая погода",
+        "الطقس جميل اليوم",
+        "plain ascii text only here",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fixtures)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["lang"]
+        for r in df.select("i", lang_id("text").alias("lang")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in enumerate(fixtures))
+        + ") v(i, text)"
+    )
+    arms = script_lang_case_sql("d.t")
+    want = dict(
+        con.execute(
+            f"SELECT i, CASE {arms} ELSE 'latin-or-other' END "
+            f"FROM (SELECT i, lower(text) AS t FROM d) d"
+        ).fetchall()
+    )
+    for i in got:
+        if want[i] != "latin-or-other":
+            assert got[i] == want[i], (i, fixtures[i], got[i], want[i])
+
+
 # --------------------------------------------------------------------------
 # BM25 search + passage dedup (operators/search.py)
 # --------------------------------------------------------------------------
