@@ -233,6 +233,9 @@ def bench_queries():
         "dedup_simhash": b_simhash_full,
         "dedup_ngram_jaccard": b_jaccard_full,
         "dedup_passages": Q.passage_dedup,
+        "text_normalize": Q.text_normalize,
+        "dedup_boilerplate": Q.dedup_boilerplate_lines,
+        "dedup_bloom_incremental": Q.dedup_bloom_incremental,
         "fuzzy_prefix_pairs": Q.fuzzy_prefix_pairs_q,
         "dedup_semantic": b_semdedup,
         "dedup_graph_rank": b_graph_pagerank,

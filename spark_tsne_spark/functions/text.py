@@ -416,6 +416,57 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(_col(text)), r"\s+", " ")))
 
 
+# Unicode cleanup rules, applied in order — ONE spec rendered as both
+# the Spark expression chain (normalize_text) and the DuckDB oracle
+# chain (normalize_text_sql). Patterns stay inside the regex subset
+# Java regex and RE2 share (literal chars + char classes + bounded
+# quantifiers; no lookaround, no backrefs).
+NORMALIZE_RULES: list[tuple[str, str]] = [
+    # C0/C1-ish control chars except \t \n (DEL included)
+    ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+    # exotic spaces -> plain space (NBSP, en/em/thin/zw, narrow
+    # no-break, ideographic)
+    ("[  -​ 　]", " "),
+    # curly single quotes -> apostrophe
+    ("[‘’‚‛]", "'"),
+    # curly double quotes -> straight quote
+    ("[“”„‟]", '"'),
+    # hyphen/dash family + minus sign -> ASCII hyphen
+    ("[‐-―−]", "-"),
+    # ellipsis -> three dots
+    ("…", "..."),
+    # collapse horizontal whitespace runs
+    ("[ \\t]+", " "),
+    # strip spaces around newlines, then cap blank-line runs at one
+    (" ?\\n ?", "\n"),
+    ("\\n{3,}", "\n\n"),
+]
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Unicode text normalization for corpus curation: control-char
+    strip, space/quote/dash unification, whitespace collapse — the
+    standard pre-tokenization cleanup pass. Pure JVM regexp chain
+    (whole-stage codegen, no Python); same :data:`NORMALIZE_RULES`
+    spec as the DuckDB oracle rendering."""
+    c = _col(text)
+    for pat, repl in NORMALIZE_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return F.trim(c)
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB rendering of :data:`NORMALIZE_RULES` over ``expr``."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    out = expr
+    for pat, repl in NORMALIZE_RULES:
+        out = f"regexp_replace({out}, {q(pat)}, {q(repl)}, 'g')"
+    return f"trim({out})"
+
+
 def shingle_hashes(text: Column | str, k: int = 5) -> Column:
     """md5 of every character k-gram (DuckDB-portable hash order)."""
     return F.transform(char_shingles(_col(text), k), lambda s: F.md5(s))

@@ -987,3 +987,171 @@ def semantic_contamination(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_df: int = 2,
+    min_chars: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/CCNet-style boilerplate line removal: drop every line whose
+    normalized form (lowercased, whitespace-trimmed) appears in more
+    than ``max_df`` distinct documents — headers, footers, cookie
+    banners, navigation chrome — and reassemble each document from
+    its surviving lines in original order.
+
+    Lines shorter than ``min_chars`` after trimming are never removal
+    candidates (blank separators and one-word lines would otherwise
+    dominate the frequent set and merge unrelated paragraphs).
+
+    Output: ``(doc_id, text, n_lines, n_removed)`` — ``text`` is the
+    cleaned document ('' if every line was boilerplate).
+
+    Shape at 100 TB: ONE posexplode (narrow), ONE line-key groupBy
+    with map-side partial ``count(distinct doc)`` (uniform md5 keys —
+    no skew), and the join back is against only the FREQUENT keys —
+    a set that is small by construction (each member costs > max_df
+    documents of evidence), so AQE turns it into a broadcast hash
+    join; reassembly is one per-doc groupBy. No driver loops, no
+    collect.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "lk",
+        F.when(
+            F.length(F.trim("line")) >= min_chars,
+            F.md5(F.lower(F.trim("line"))),
+        ),
+    )
+    frequent = (
+        lines.where(F.col("lk").isNotNull())
+        .groupBy("lk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("lk")
+    )
+    kept = lines.join(
+        F.broadcast(frequent.withColumn("_hit", F.lit(True))), on="lk", how="left"
+    ).withColumn("_drop", F.coalesce("_hit", F.lit(False)))
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(
+                            F.struct(
+                                "pos", "line", F.col("_drop").alias("d")
+                            )
+                        ),
+                        lambda s: ~s["d"],
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+    )
+
+
+def bloom_incremental_flags(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Incremental dedup against a corpus via a DISTRIBUTED Bloom
+    filter prefilter + exact confirmation join. Returns
+    ``(doc_id, is_new)`` for every batch row — exactly the anti-join
+    of batch fingerprints against corpus fingerprints (the Bloom
+    stage only prunes; false positives are re-checked, and a Bloom
+    filter has no false negatives by construction, which the oracle
+    comparison enforces end-to-end).
+
+    Build (pure DataFrame ops, exact integer arithmetic):
+
+    1. each corpus fingerprint sets ``num_hashes`` bit positions
+       ``md5("bf{i}" || fp) mod num_bits`` (the catalog's portable
+       60-bit md5 bucket primitive);
+    2. positions pack into 64-bit words via ``groupBy(word_idx) →
+       bit_or(mask)`` — the filter IS a DataFrame of at most
+       ``num_bits/64`` rows, built with one uniform-key shuffle and
+       map-side partial OR; it is never collected to the driver.
+    3. batch probes join the words table on ``word_idx`` (the words
+       side is ≤ 16 K rows at the default sizing — AQE broadcasts
+       it); a row is a duplicate CANDIDATE iff all ``num_hashes``
+       probed bits are set;
+    4. only candidates (true dups + the ~(1-e^{-kn/m})^k false
+       positives) pay the exact fingerprint semi-join against the
+       corpus; everything else is new without touching the corpus.
+
+    At 100 TB the win is step 4's join shrinking from |batch| to
+    |dups| + ε: with a mostly-novel batch the corpus-side shuffle
+    disappears. Size ``num_bits`` ≈ 10 bits/corpus key for ~1% FP.
+    """
+    from spark_tsne_spark.operators.sampling import hash_bucket
+
+    if num_bits <= 0 or num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+
+    def positions(fp_col):
+        return F.array(
+            *[
+                F.pmod(hash_bucket(fp_col, f"bf{i}"), F.lit(num_bits))
+                for i in range(num_hashes)
+            ]
+        )
+
+    corpus_fp = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    words = (
+        corpus_fp.select(F.explode(positions(F.col("fp"))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+    b = batch.select(
+        F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp")
+    )
+    probes = b.select("doc_id", F.explode(positions(F.col("fp"))).alias("pos")).select(
+        "doc_id",
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+            "mask"
+        ),
+    )
+    candidates = (
+        probes.join(words, on="word_idx", how="left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.col("word").bitwiseAND(F.col("mask")) != 0, F.lit(False)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("hit").alias("all_hit"))  # bool AND over the k probes
+        .where(F.col("all_hit"))
+        .select("doc_id")
+    )
+    confirmed = (
+        b.join(candidates, on="doc_id", how="leftsemi")
+        .join(corpus_fp, on="fp", how="leftsemi")
+        .select("doc_id", F.lit(False).alias("is_new"))
+    )
+    return b.select("doc_id").join(confirmed, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("is_new", F.lit(True)).alias("is_new")
+    )

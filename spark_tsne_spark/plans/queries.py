@@ -71,6 +71,7 @@ def register(name: str, sql: Optional[str]):
 # each has a driver-verified hash; everything behind them is already
 # green in some round's CORRECTNESS file.
 _DRIVER_PRIORITY = [
+    "text_normalize", "dedup_boilerplate_lines", "dedup_bloom_incremental",
     "events_distinct_users", "corpus_weighted_sample",
     "streaming_interval_join", "streaming_incremental_dedup",
     "audio_adpcm_features", "bm25_search", "passage_dedup",
@@ -2860,6 +2861,115 @@ def passage_dedup(spark, sf_dir):
     from spark_tsne_spark.operators.search import passage_stats
 
     return passage_stats(_t(spark, sf_dir, "documents"), width=32)
+
+
+# Shared by the normalize entry: the DuckDB chain is rendered from the
+# SAME NORMALIZE_RULES spec the Spark expression folds (functions/
+# text.py), so both engines transform byte-identically.
+def _normalize_sql() -> str:
+    from spark_tsne_spark.functions.text import normalize_text_sql
+
+    return normalize_text_sql("text")
+
+
+@register(
+    "text_normalize",
+    f"""
+    SELECT doc_id,
+           {_normalize_sql()} AS norm_text,
+           ({_normalize_sql()} <> text) AS changed
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Pre-tokenization Unicode cleanup (control-char strip, exotic
+    space/quote/dash unification, whitespace collapse) as one JVM
+    regexp_replace chain — whole-stage codegen, no Python, no
+    shuffle; the cheapest possible first pass over 100 TB of raw
+    text."""
+    from spark_tsne_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
+_BOILERPLATE_SQL = r"""
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS a FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos, a[i] AS line,
+             CASE WHEN length(trim(a[i])) >= 4
+                  THEN md5(lower(trim(a[i]))) END AS lk
+      FROM ls, unnest(range(1, len(a) + 1)) AS u(i)
+    ),
+    freq AS (
+      SELECT lk FROM lines WHERE lk IS NOT NULL
+      GROUP BY lk HAVING count(DISTINCT doc_id) > 2
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (f.lk IS NOT NULL) AS drp
+      FROM lines l LEFT JOIN freq f USING (lk)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT drp THEN line END, chr(10)
+                               ORDER BY pos), '') AS text,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN drp THEN 1 ELSE 0 END)::BIGINT AS n_removed
+    FROM flagged GROUP BY doc_id
+"""
+
+
+@register("dedup_boilerplate_lines", _BOILERPLATE_SQL)
+def dedup_boilerplate_lines(spark, sf_dir):
+    """C4-style boilerplate line removal: lines whose normalized form
+    appears in >2 distinct documents are dropped and each document is
+    reassembled in original line order. One posexplode, one uniform
+    line-key groupBy, a broadcast join against the (small by
+    construction) frequent set, one per-doc reassembly groupBy."""
+    from spark_tsne_spark.operators.dedup import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(
+        _t(spark, sf_dir, "documents"), max_df=2, min_chars=4
+    )
+
+
+_BLOOM_SQL = r"""
+    WITH b AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    c AS (
+      SELECT DISTINCT
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT b.doc_id, (c.fp IS NULL) AS is_new
+    FROM b LEFT JOIN c USING (fp)
+"""
+
+
+@register("dedup_bloom_incremental", _BLOOM_SQL)
+def dedup_bloom_incremental(spark, sf_dir):
+    """Incremental dedup of a batch against a corpus behind a
+    DISTRIBUTED Bloom-filter prefilter (built as a DataFrame of
+    bit-or'd 64-bit words, never collected) with an exact
+    fingerprint confirm join for candidates only. The oracle is the
+    plain anti-join — the Bloom stage must be result-invisible
+    (no false negatives), which this comparison enforces."""
+    from spark_tsne_spark.operators.dedup import bloom_incremental_flags
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    return bloom_incremental_flags(batch, corpus)
 
 
 # --------------------------------------------------------------------------

@@ -1510,3 +1510,116 @@ def test_fuzzy_prefix_pairs_max_bucket_caps_hot_variant(spark):
     }
     # the hot clique is dropped, the cold pair survives
     assert capped == {(100, 101)}
+
+
+# --------------------------------------------------------------------------
+# round-5 extensions: normalize / boilerplate lines / bloom incremental
+# --------------------------------------------------------------------------
+
+
+def test_normalize_text_rules(spark):
+    """Each NORMALIZE_RULES class: control strip, exotic spaces,
+    curly quotes, dash family, ellipsis, whitespace collapse, blank
+    line capping — plus idempotence (normalizing twice = once)."""
+    from spark_tsne_spark.functions.text import normalize_text
+
+    cases = [
+        ("a\x00b\x1fc\x7fd", "abcd"),
+        ("a b c​d　e", "a b c d e"),
+        ("‘quote’ “double”", "'quote' \"double\""),
+        ("en–dash em—dash minus−sign", "en-dash em-dash minus-sign"),
+        ("wait… what", "wait... what"),
+        ("a  \t b\t\tc", "a b c"),
+        ("line1 \n line2\n\n\n\n\nline3", "line1\nline2\n\nline3"),
+        ("  trimmed  ", "trimmed"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text("text").alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+    # idempotence
+    again = {
+        r["i"]: r["n2"]
+        for r in df.select(
+            "i", normalize_text(normalize_text("text")).alias("n2")
+        ).collect()
+    }
+    assert again == got
+
+
+def test_remove_boilerplate_lines(spark):
+    """The frequent header/footer lines (df > max_df) vanish, unique
+    content and short separator lines survive in original order, and
+    an all-boilerplate document collapses to ''."""
+    from spark_tsne_spark.operators.dedup import remove_boilerplate_lines
+
+    header = "COOKIE BANNER ACCEPT ALL"
+    footer = "copyright example inc"
+    rows = [
+        (1, f"{header}\nunique story one\n--\n{footer}"),
+        (2, f"{header}\nanother unique text\n--\n{footer}"),
+        (3, f"{header}\nthird body line\n--\n{footer}"),
+        (4, f"{header}\n{footer}"),  # all boilerplate
+        (5, "standalone document with no chrome"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, max_df=2, min_chars=4).collect()
+    }
+    assert out[1]["text"] == "unique story one\n--"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+    assert out[2]["text"] == "another unique text\n--"
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 2
+    assert out[5]["text"] == rows[4][1] and out[5]["n_removed"] == 0
+    # '--' is under min_chars: kept even though it appears in 3 docs
+    assert all("--" in out[i]["text"] for i in (1, 2, 3))
+
+
+def test_bloom_incremental_matches_exact_antijoin(spark):
+    """The Bloom prefilter is result-invisible: flags equal the exact
+    fingerprint anti-join on a batch with true dups (including
+    whitespace-variant dups the fingerprint canonicalizes), true
+    novelties, and a tiny undersized filter (forcing false positives
+    through the confirm join)."""
+    from spark_tsne_spark.operators.dedup import bloom_incremental_flags
+
+    corpus = spark.createDataFrame(
+        [(100 + i, f"corpus document number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "corpus document number 7"),        # exact dup
+            (2, "  Corpus   Document Number 8  "),  # canonicalized dup
+            (3, "a brand new document"),
+            (4, "another novel document"),
+            (5, "corpus document number 49"),
+        ],
+        "doc_id long, text string",
+    )
+    want = {1: False, 2: False, 3: True, 4: True, 5: False}
+    for num_bits in (1 << 16, 64):  # healthy and pathologically small
+        got = {
+            r["doc_id"]: r["is_new"]
+            for r in bloom_incremental_flags(
+                batch, corpus, num_bits=num_bits
+            ).collect()
+        }
+        assert got == want, (num_bits, got)
+
+
+def test_bloom_incremental_validation(spark):
+    from spark_tsne_spark.operators.dedup import bloom_incremental_flags
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bloom_incremental_flags(df, df, num_bits=100)  # not multiple of 64
+    with pytest.raises(ValueError):
+        bloom_incremental_flags(df, df, num_hashes=0)
