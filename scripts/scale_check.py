@@ -51,7 +51,30 @@ def ops():
         ),
         "seq_packing": _run_packing,
         "token_budget": _run_token_budget,
+        "normalize": _run_normalize,
+        "boilerplate_lines": _run_boilerplate,
+        "bloom_incremental": _run_bloom,
     }
+
+
+def _run_normalize(d):
+    from spark_tsne_spark.functions.text import normalize_text
+
+    return d.select("doc_id", normalize_text("text").alias("t"))
+
+
+def _run_boilerplate(d):
+    from spark_tsne_spark.operators.dedup import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(d, max_df=2, min_chars=4)
+
+
+def _run_bloom(d):
+    from spark_tsne_spark.operators.dedup import bloom_incremental_flags
+
+    return bloom_incremental_flags(
+        d.where(F.col("doc_id") % 5 == 0), d.where(F.col("doc_id") % 5 != 0)
+    )
 
 
 def _run_packing(d):

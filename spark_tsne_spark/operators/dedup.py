@@ -70,6 +70,12 @@ def minhash_bands(
     """
     from spark_tsne_spark.partitioning import widen_small_input
 
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"band_size={band_size} must divide num_hashes={num_hashes}: "
+            "a remainder would silently exclude trailing signature rows "
+            "from every band"
+        )
     n_bands = num_hashes // band_size
     docs = docs.where(F.length(F.col(text_col)) >= shingle_k)
     sig = widen_small_input(docs).select(

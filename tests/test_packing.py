@@ -492,3 +492,20 @@ def test_lm_score_separates_text_from_noise(spark):
     assert bits[1] > -13.0, bits  # natural English
     assert bits[2] < -17.0, bits  # noise
     assert bits[1] - bits[2] > 4.0
+
+
+def test_minhash_band_size_must_divide(spark):
+    """A band_size that doesn't divide num_hashes would silently drop
+    trailing signature rows from banding while still counting them in
+    the estimate denominator — rejected up front, in both the
+    estimate and the banding entry points."""
+    from spark_tsne_spark.operators.dedup import (
+        minhash_bands,
+        minhash_estimate_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_estimate_pairs(df, num_hashes=16, band_size=5)
+    with pytest.raises(ValueError):
+        minhash_bands(df, num_hashes=16, band_size=3)
