@@ -234,6 +234,7 @@ def bench_queries():
         "dedup_ngram_jaccard": b_jaccard_full,
         "dedup_passages": Q.passage_dedup,
         "text_normalize": Q.text_normalize,
+        "dedup_duplicate_spans": Q.dedup_duplicate_spans,
         "dedup_boilerplate": Q.dedup_boilerplate_lines,
         "dedup_bloom_incremental": Q.dedup_bloom_incremental,
         "fuzzy_prefix_pairs": Q.fuzzy_prefix_pairs_q,

@@ -240,3 +240,114 @@ def passage_stats(
             F.round(F.col("n_dup") / F.col("n_passages"), 6).alias("dup_ratio"),
         )
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    width: int = 16,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplicate-span signal (the sliding-window form
+    of Lee et al. 2022's exact-substring dedup): what fraction of each
+    document's tokens lies inside a ``width``-token window that also
+    occurs in ANOTHER document.
+
+    Windows start every ``stride`` tokens (stride 1 = the exact
+    suffix-array semantics at explode cost n_tokens rows/doc; larger
+    strides trade recall for a 1/stride row count — the knob that
+    sets the 100 TB price). A window is duplicated when its md5 is
+    held by >= 2 distinct documents; per-document coverage merges the
+    overlapping duplicated intervals exactly (running-max window
+    sweep), so tokens under several windows count once.
+
+    Output: ``(doc_id, n_tokens, n_windows, n_dup_windows,
+    dup_tokens, dup_frac)`` — one row per input document (docs
+    shorter than ``width`` tokens have zero windows).
+
+    Shape: ONE explode (n_tokens/stride rows, narrow), ONE uniform
+    md5-key groupBy for the distinct-doc count, the join back on the
+    same key, then per-doc windows bounded by document length. No
+    driver state, no collect.
+    """
+    from pyspark.sql import Window
+
+    if width < 1 or stride < 1:
+        raise ValueError(f"width and stride must be >= 1, got {width}, {stride}")
+    t = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), t.alias("toks")
+    ).select("doc_id", F.size("toks").alias("n_tokens"), "toks")
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= width,
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.size("toks") - width + 1,
+                        F.lit(stride),
+                    ),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.md5(
+                            F.lower(F.concat_ws(" ", F.slice("toks", i, width)))
+                        ).alias("wh"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("w"),
+    ).select("doc_id", F.col("w.s").alias("s"), F.col("w.wh").alias("wh"))
+
+    dup_keys = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh")
+    )
+    dups = wins.join(dup_keys, on="wh").select(
+        "doc_id", "s", (F.col("s") + width).alias("e")
+    )
+    # Exact interval union per doc: sorted by start, a window's new
+    # coverage is e - max(s, max-end-so-far), clamped at 0.
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_doc_dup = (
+        dups.withColumn("pm", F.max("e").over(w_prev))
+        .withColumn(
+            "contrib",
+            F.greatest(
+                F.lit(0),
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce("pm", F.col("s"))),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sum("contrib").cast("long").alias("dup_tokens"),
+        )
+    )
+    per_doc_win = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc_win, on="doc_id", how="left")
+        .join(per_doc_dup, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -72,6 +72,7 @@ def register(name: str, sql: Optional[str]):
 # green in some round's CORRECTNESS file.
 _DRIVER_PRIORITY = [
     "text_normalize", "dedup_boilerplate_lines", "dedup_bloom_incremental",
+    "dedup_duplicate_spans",
     "events_distinct_users", "corpus_weighted_sample",
     "streaming_interval_join", "streaming_incremental_dedup",
     "audio_adpcm_features", "bm25_search", "passage_dedup",
@@ -2937,6 +2938,64 @@ def dedup_boilerplate_lines(spark, sf_dir):
 
     return remove_boilerplate_lines(
         _t(spark, sf_dir, "documents"), max_df=2, min_chars=4
+    )
+
+
+_DUP_SPAN_W, _DUP_SPAN_S = 16, 4
+_DUP_SPANS_SQL = rf"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS s, i + {_DUP_SPAN_W} AS e,
+             md5(lower(array_to_string(
+               list_slice(t, i, i + {_DUP_SPAN_W} - 1), ' '))) AS wh
+      FROM d, unnest(range(1, len(t) - {_DUP_SPAN_W} + 2, {_DUP_SPAN_S}))
+             AS u(i)
+      WHERE len(t) >= {_DUP_SPAN_W}
+    ),
+    dup_keys AS (
+      SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dups AS (SELECT w.doc_id, w.s, w.e FROM wins w JOIN dup_keys USING (wh)),
+    merged AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pm
+      FROM dups
+    ),
+    per_dup AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+             sum(greatest(0, e - greatest(s, coalesce(pm, s))))::BIGINT
+               AS dup_tokens
+      FROM merged GROUP BY doc_id
+    ),
+    per_win AS (
+      SELECT doc_id, count(*)::BIGINT AS n_windows FROM wins GROUP BY doc_id
+    )
+    SELECT d.doc_id, len(d.t)::BIGINT AS n_tokens,
+           coalesce(w.n_windows, 0)::BIGINT AS n_windows,
+           coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+           round(coalesce(p.dup_tokens, 0)::DOUBLE / len(d.t), 6) AS dup_frac
+    FROM d LEFT JOIN per_win w USING (doc_id)
+           LEFT JOIN per_dup p USING (doc_id)
+"""
+
+
+@register("dedup_duplicate_spans", _DUP_SPANS_SQL)
+def dedup_duplicate_spans(spark, sf_dir):
+    """Substring-level duplicate-span coverage (sliding-window form of
+    Lee et al. 2022 exact-substring dedup): fraction of each doc's
+    tokens inside a 16-token window shared with another document,
+    stride 4, overlapping intervals merged exactly. One explode, one
+    uniform md5-key groupBy, per-doc windows bounded by doc length."""
+    from spark_tsne_spark.operators.search import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), width=_DUP_SPAN_W, stride=_DUP_SPAN_S
     )
 
 

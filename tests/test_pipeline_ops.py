@@ -1623,3 +1623,48 @@ def test_bloom_incremental_validation(spark):
         bloom_incremental_flags(df, df, num_bits=100)  # not multiple of 64
     with pytest.raises(ValueError):
         bloom_incremental_flags(df, df, num_hashes=0)
+
+
+def test_duplicate_span_stats_interval_merge(spark):
+    """Planted shared substrings: coverage counts each token once even
+    under overlapping duplicated windows; docs without cross-doc spans
+    score zero; short docs emit zero windows."""
+    from spark_tsne_spark.operators.search import duplicate_span_stats
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        # doc 1: shared block at tokens 1-8 of 12
+        (1, shared + " aa bb cc dd"),
+        # doc 2: same block at tokens 5-12 of 12
+        (2, "pp qq rr ss " + shared),
+        # doc 3: unique content, same length
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+        # doc 4: too short for any window
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(df, width=4, stride=1).collect()
+    }
+    # doc 1 and 2 share five 4-token windows (starts 1..5 within the
+    # 8-token block) -> merged coverage = tokens 1..8 = 8 tokens
+    assert out[1]["dup_tokens"] == 8 and out[1]["n_dup_windows"] == 5
+    assert out[2]["dup_tokens"] == 8 and out[2]["n_dup_windows"] == 5
+    assert out[1]["n_windows"] == 9  # 12 - 4 + 1
+    assert abs(out[1]["dup_frac"] - 8 / 12) < 1e-6  # rounded to 6 dp
+    assert out[3]["dup_tokens"] == 0 and out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
+    # stride 2 halves the window count but the merged coverage of the
+    # shared block still reaches every token it can express
+    out2 = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(df, width=4, stride=2).collect()
+    }
+    assert out2[1]["n_windows"] == 5
+    assert 0 < out2[1]["dup_tokens"] <= 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicate_span_stats(df, width=0)
