@@ -235,6 +235,8 @@ def bench_queries():
         "dedup_passages": Q.passage_dedup,
         "text_normalize": Q.text_normalize,
         "dedup_duplicate_spans": Q.dedup_duplicate_spans,
+        "shard_plan": Q.shard_plan,
+        "source_overlap": Q.source_overlap,
         "dedup_boilerplate": Q.dedup_boilerplate_lines,
         "dedup_bloom_incremental": Q.dedup_bloom_incremental,
         "fuzzy_prefix_pairs": Q.fuzzy_prefix_pairs_q,

@@ -1161,3 +1161,40 @@ def bloom_incremental_flags(
     return b.select("doc_id").join(confirmed, on="doc_id", how="left").select(
         "doc_id", F.coalesce("is_new", F.lit(True)).alias("is_new")
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate contamination matrix: for every pair of
+    sources (crawls, dumps, vendors), how many distinct canonical
+    documents appear in BOTH — the first report a curation run pulls
+    when deciding which overlapping sources to keep.
+
+    Returns ``(src_a, src_b, n_shared)`` with ``src_a < src_b``.
+
+    Shape: ONE (source, fp) distinct (map-side partial), ONE fp
+    groupBy collecting the ≤ |sources| distinct sources per
+    fingerprint, then JVM-side i<j pair expansion and a pair groupBy
+    — the md5 key is uniform so neither shuffle skews, and no
+    fp-keyed self-join ever materializes (a fingerprint shared by all
+    S sources costs S²/2 emitted pairs, bounded by the source count,
+    not the corpus)."""
+    fps = docs.select(
+        F.col(source_col).alias("src"), fingerprint(text_col).alias("fp")
+    ).distinct()
+    grouped = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_set("src")).alias("ss")
+    ).where(F.size("ss") >= 2)
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, k) -> "
+        "transform(slice(ss, k + 2, size(ss)), y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -341,3 +341,43 @@ def token_budget_sample(
     return scored.where(
         (F.col("kind") == 1) | (F.col("cum") <= budget_expr)
     ).select("doc_id", "stratum", "n_tok", "cum")
+
+
+def plan_shards(
+    docs: DataFrame,
+    shard_tokens: int = 1 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Token-balanced output sharding: assign each document to a
+    training shard of ~``shard_tokens`` tokens, contiguous in
+    ``id_col`` order — the planning step before writing uniform
+    training files (a shard = one output file / tar / webdataset
+    piece).
+
+    ``shard = global_token_offset div shard_tokens`` over the same
+    two-phase distributed prefix scan that powers sequence packing
+    (:func:`exclusive_prefix_sum` — per-partition totals on the
+    driver, partition-local Arrow cumsum; never a global
+    single-partition window). A document straddling a boundary is
+    assigned to the shard its FIRST token lands in, so shards spill
+    by at most one document — the standard contract.
+
+    Output: ``(doc_id, n_tok, offset, shard)``.
+    """
+    if shard_tokens < 1:
+        raise ValueError(f"shard_tokens must be >= 1, got {shard_tokens}")
+    from spark_tsne_spark.functions.text import bpe_ish_token_count
+
+    n_tok = (
+        F.col(n_tokens_col) if n_tokens_col else bpe_ish_token_count(text_col)
+    ).cast("long")
+    d = docs.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tok"))
+    with_off = exclusive_prefix_sum(d, "doc_id", "n_tok", out_col="offset")
+    return with_off.select(
+        "doc_id",
+        "n_tok",
+        "offset",
+        F.floor(F.col("offset") / shard_tokens).cast("long").alias("shard"),
+    )

@@ -72,7 +72,7 @@ def register(name: str, sql: Optional[str]):
 # green in some round's CORRECTNESS file.
 _DRIVER_PRIORITY = [
     "text_normalize", "dedup_boilerplate_lines", "dedup_bloom_incremental",
-    "dedup_duplicate_spans",
+    "dedup_duplicate_spans", "shard_plan", "source_overlap",
     "events_distinct_users", "corpus_weighted_sample",
     "streaming_interval_join", "streaming_incremental_dedup",
     "audio_adpcm_features", "bm25_search", "passage_dedup",
@@ -3297,6 +3297,58 @@ _PACK_SQL = f"""
              AS seg_len
     FROM x
 """
+
+
+_SHARD_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_NTOK_SQL} AS n_tok FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS "offset"
+      FROM t
+    )
+    SELECT doc_id, n_tok, "offset",
+           ("offset" // 4096)::BIGINT AS shard
+    FROM o
+"""
+
+
+@register("shard_plan", _SHARD_SQL)
+def shard_plan(spark, sf_dir):
+    """Token-balanced output sharding (~4096 tokens per training
+    shard, contiguous in doc_id order): shard = global token offset
+    div shard size, over the same two-phase distributed prefix scan
+    as seq_packing — never a single-partition global window."""
+    from spark_tsne_spark.operators.packing import plan_shards
+
+    return plan_shards(_t(spark, sf_dir, "documents"), shard_tokens=4096)
+
+
+_SRC_OVERLAP_SQL = r"""
+    WITH f AS (
+      SELECT DISTINCT source AS src,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.src < b.src
+    GROUP BY a.src, b.src
+"""
+
+
+@register("source_overlap", _SRC_OVERLAP_SQL)
+def source_overlap(spark, sf_dir):
+    """Cross-source duplicate contamination matrix: distinct shared
+    canonical documents per source pair. One (source, fp) distinct,
+    one fp groupBy with JVM-side i<j pair expansion (bounded by the
+    source count, not the corpus), one pair groupBy — no fp-keyed
+    self-join materializes."""
+    from spark_tsne_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"))
 
 
 @register("seq_packing", _PACK_SQL)

@@ -509,3 +509,59 @@ def test_minhash_band_size_must_divide(spark):
         minhash_estimate_pairs(df, num_hashes=16, band_size=5)
     with pytest.raises(ValueError):
         minhash_bands(df, num_hashes=16, band_size=3)
+
+
+def test_plan_shards_contiguous_and_balanced(spark, docs):
+    """Shards are contiguous in doc order, each holds ~shard_tokens
+    (spilling by at most one document), and every doc is assigned."""
+    from spark_tsne_spark.operators.packing import plan_shards
+
+    S = 500
+    out = plan_shards(docs, shard_tokens=S).collect()
+    assert len(out) == docs.count()
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    # offsets are the running sum in doc_id order
+    acc = 0
+    for r in rows:
+        assert r["offset"] == acc
+        assert r["shard"] == acc // S
+        acc += r["n_tok"]
+    # shard ids are non-decreasing in doc order and start at 0
+    shards = [r["shard"] for r in rows]
+    assert shards == sorted(shards) and shards[0] == 0
+    # each shard's first-token span stays within one shard width plus
+    # the one straddling doc
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for s, rs in by_shard.items():
+        tot = sum(r["n_tok"] for r in rs)
+        assert tot >= 1
+        # all but the straddler start inside the shard window
+        assert all(s * S <= r["offset"] < (s + 1) * S for r in rs)
+
+    with pytest.raises(ValueError):
+        plan_shards(docs, shard_tokens=0)
+
+
+def test_source_overlap_matrix_counts(spark):
+    """Planted cross-source duplicates: the matrix counts DISTINCT
+    shared canonical docs per source pair (whitespace/case variants
+    collapse; within-source dups don't create pairs)."""
+    from spark_tsne_spark.operators.dedup import source_overlap_matrix
+
+    rows = [
+        (1, "shared alpha", "s1"),
+        (2, "Shared   ALPHA ", "s2"),   # canonical dup of 1, other source
+        (3, "shared beta", "s1"),
+        (4, "shared beta", "s2"),
+        (5, "shared beta", "s3"),       # beta spans three sources
+        (6, "only in s1", "s1"),
+        (7, "only in s1", "s1"),        # within-source dup: no pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in source_overlap_matrix(df).collect()
+    }
+    assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
