@@ -224,6 +224,8 @@ def bench_queries():
         "events_range_join": Q.events_range_join,
         "events_gapfill_locf": Q.events_gapfill_locf,
         "events_hopping_agg": Q.events_hopping_agg,
+        "events_funnel": Q.events_funnel,
+        "events_cohort_retention": Q.events_cohort_retention,
         "corpus_curation": Q.corpus_curation,
         "text_char_entropy": Q.text_char_entropy,
         "multimodal_jpeg": Q.multimodal_jpeg,

@@ -168,6 +168,26 @@ _LANG_SAMPLES: dict[str, str] = {
         "piccolo bosco gli uni con gli altri e con tutti i loro amici "
         "che preferiscono lavorare in gruppo piuttosto che lottare soli"
     ),
+    "pt": (
+        "a raposa marrom pula sobre o cachorro preguicoso e depois corre "
+        "para a floresta onde descobre que os outros animais se reuniram "
+        "para uma assembleia sobre o inverno que vem esta e a epoca do "
+        "ano em que a comida e dificil de encontrar e os dias sao curtos "
+        "entao eles fazem planos juntos e compartilham o que tem porque "
+        "e isso que os bons vizinhos fazem numa floresta pequena uns com "
+        "os outros e com todos os seus amigos que preferem trabalhar em "
+        "grupo em vez de lutar sozinhos durante os meses frios"
+    ),
+    "nl": (
+        "de bruine vos springt over de luie hond en rent dan het bos in "
+        "waar hij ontdekt dat de andere dieren zijn samengekomen voor "
+        "een vergadering over de komende winter dit is de tijd van het "
+        "jaar waarin voedsel moeilijk te vinden is en de dagen kort zijn "
+        "dus maken ze samen plannen en delen wat ze hebben omdat goede "
+        "buren dat zo doen in een klein bos met elkaar en met al hun "
+        "vrienden die liever als groep werken dan alleen door de koude "
+        "maanden van de lange winter te worstelen"
+    ),
 }
 
 # Minimum mean per-trigram weight (ppm) for a positive call: below

@@ -73,6 +73,7 @@ def register(name: str, sql: Optional[str]):
 _DRIVER_PRIORITY = [
     "text_normalize", "dedup_boilerplate_lines", "dedup_bloom_incremental",
     "dedup_duplicate_spans", "shard_plan", "source_overlap",
+    "events_funnel", "events_cohort_retention",
     "events_distinct_users", "corpus_weighted_sample",
     "streaming_interval_join", "streaming_incremental_dedup",
     "audio_adpcm_features", "bm25_search", "passage_dedup",
@@ -764,6 +765,109 @@ def events_pivot(spark, sf_dir):
             ).alias(f"n_{t}")
             for t in types
         ]
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1::BIGINT AS step, 'view' AS step_name,
+           (SELECT count(*) FROM v)::BIGINT AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): a user
+    counts at step k only with a step-k event strictly after their
+    step-(k-1) time. Each stage is a type-filtered scan (predicate
+    pushed to parquet) aggregated to |users| rows, then a user-keyed
+    equi-join — the per-step state is one row per surviving user, so
+    at 100 TB each stage's shuffle shrinks monotonically down the
+    funnel. No window over the raw event stream."""
+    ev = _t(spark, sf_dir, "events")
+
+    def step_min(etype, prev, prev_t):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            e.join(prev.withColumnRenamed("t", prev_t), on="user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v = step_min("view", None, "")
+    c = step_min("click", v, "t1")
+    p = step_min("purchase", c, "t2")
+    counts = [v.count(), c.count(), p.count()]
+    names = ["view", "click", "purchase"]
+    return spark.createDataFrame(
+        [(i + 1, names[i], counts[i]) for i in range(3)],
+        "step long, step_name string, n_users long",
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_w
+      FROM events
+    )
+    SELECT f.cohort_w,
+           (date_diff('day', f.cohort_w, a.active_w) / 7)::BIGINT
+             AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted per active week offset. Two aggregations (first-seen per
+    user, distinct user-week activity) and one user-keyed equi-join —
+    both aggs partial map-side; the joined table is |users|·|weeks|
+    rows max, tiny next to the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_w")
+    ).distinct()
+    return (
+        activity.join(first_seen, on="user_id")
+        .groupBy(
+            "cohort_w",
+            (
+                F.datediff(F.to_date("active_w"), F.to_date("cohort_w")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
     )
 
 

@@ -221,3 +221,44 @@ def test_asof_equals_brute_force_with_heavy_ties(spark):
                      if rsym == sym and rts <= lts]
             want[lid] = max(cands)[1] if cands else None
         assert got == want, seed
+
+
+def test_events_funnel_ordering_semantics(spark, tmp_path):
+    """A user only advances a funnel step with an event STRICTLY after
+    the previous step's first event: click-before-view doesn't count,
+    purchase-without-click doesn't count."""
+    import datetime as dt
+
+    from spark_tsne_spark.plans.queries import events_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: full ordered funnel
+        (1, ts(0), 1, "view", 0.0, "{}"),
+        (2, ts(1), 1, "click", 0.0, "{}"),
+        (3, ts(2), 1, "purchase", 0.0, "{}"),
+        # u2: click BEFORE first view -> stops at step 1
+        (4, ts(0), 2, "click", 0.0, "{}"),
+        (5, ts(1), 2, "view", 0.0, "{}"),
+        # u3: view then purchase, no click -> stops at step 1
+        (6, ts(0), 3, "view", 0.0, "{}"),
+        (7, ts(1), 3, "purchase", 0.0, "{}"),
+        # u4: never views -> not even step 1
+        (8, ts(0), 4, "signup", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    out = {
+        r["step"]: (r["step_name"], r["n_users"])
+        for r in events_funnel(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: ("view", 3), 2: ("click", 1), 3: ("purchase", 1)}
