@@ -442,7 +442,12 @@ def fingerprint(text: Column | str) -> Column:
 # Java regex and RE2 share (literal chars + char classes + bounded
 # quantifiers; no lookaround, no backrefs).
 NORMALIZE_RULES: list[tuple[str, str]] = [
-    # C0/C1-ish control chars except \t \n (DEL included)
+    # line-ending unification FIRST: CRLF and bare CR -> LF, so CRLF
+    # documents hit the whitespace-collapse and blank-line-cap rules
+    # below and no \r survives to the output
+    ("\\r\\n?", "\n"),
+    # C0/C1-ish control chars except \t \n (DEL included; \r already
+    # rewritten to \n by the rule above)
     ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
     # exotic spaces -> plain space (NBSP, en/em/thin/zw, narrow
     # no-break, ideographic)

@@ -197,7 +197,11 @@ def minhash_estimate_pairs(
     base = docs.where(F.length(F.col(text_col)) >= shingle_k)
     # localCheckpoint (not persist): the signatures are reused by the
     # band join and the estimate pass, but must not outlive this
-    # operator in the session CacheManager.
+    # operator in the session CacheManager. Durability caveat: the
+    # truncated lineage lives on unreplicated executor blocks, so on
+    # a real cluster an executor loss mid-operator fails the job
+    # (nothing left to recompute from) — prefer reliable
+    # checkpointing there if restartability matters.
     sigs = (
         widen_small_input(base)
         .select(
@@ -1018,10 +1022,11 @@ def remove_boilerplate_lines(
     Shape at 100 TB: ONE posexplode (narrow), ONE line-key groupBy
     with map-side partial ``count(distinct doc)`` (uniform md5 keys —
     no skew), and the join back is against only the FREQUENT keys —
-    a set that is small by construction (each member costs > max_df
-    documents of evidence), so AQE turns it into a broadcast hash
-    join; reassembly is one per-doc groupBy. No driver loops, no
-    collect.
+    typically small (each member costs > max_df documents of
+    evidence) but not bounded, so the join carries no broadcast hint:
+    AQE picks broadcast when the measured set fits and falls back to
+    a shuffle join when web-scale boilerplate blows it up. Reassembly
+    is one per-doc groupBy. No driver loops, no collect.
     """
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -1040,8 +1045,14 @@ def remove_boilerplate_lines(
         .where(F.col("df") > max_df)
         .select("lk")
     )
+    # No explicit broadcast hint: the frequent set is *usually* tiny
+    # (each member costs > max_df documents of evidence) but is not
+    # bounded — a permissive max_df over web-scale boilerplate can
+    # yield millions of rows, and a forced F.broadcast would bypass
+    # AQE's size threshold and OOM the driver. Let AQE pick broadcast
+    # vs shuffle from the measured size at runtime.
     kept = lines.join(
-        F.broadcast(frequent.withColumn("_hit", F.lit(True))), on="lk", how="left"
+        frequent.withColumn("_hit", F.lit(True)), on="lk", how="left"
     ).withColumn("_drop", F.coalesce("_hit", F.lit(False)))
     return kept.groupBy("doc_id").agg(
         F.concat_ws(

@@ -75,6 +75,13 @@ def exclusive_prefix_sum(
     # registered in the CacheManager (a persist here leaks for the
     # session lifetime and can plan-substitute an unpruned scan into
     # later unrelated queries) — blocks are freed when the RDD is GC'd.
+    # Durability trade-off: localCheckpoint TRUNCATES lineage onto
+    # unreplicated executor blocks, so on a real cluster losing an
+    # executor after materialization makes this job unrecoverable
+    # (no lineage left to recompute). For long-running cluster
+    # deployments where recomputation matters, swap in reliable
+    # checkpointing (sc.setCheckpointDir + .checkpoint()) or
+    # persist(DISK_ONLY_2) with an explicit unpersist.
     rp = (
         df.repartitionByRange(p, F.col(order_col))
         .sortWithinPartitions(order_col)
@@ -284,7 +291,11 @@ def token_budget_sample(
     ).where(F.col("stratum").isin(*budgets.keys()))
     # Reused by the per-bucket totals job and the final filter join;
     # localCheckpoint (not persist) so the blocks die with the RDD
-    # instead of leaking in the session CacheManager.
+    # instead of leaking in the session CacheManager. Same durability
+    # caveat as exclusive_prefix_sum: lineage is truncated onto
+    # unreplicated executor blocks, so executor loss after
+    # materialization is unrecoverable — use reliable checkpointing
+    # on cluster deployments where that matters.
     d = d.localCheckpoint(eager=False)
 
     bucket = F.shiftright(F.col("h"), _BUCKET_SHIFT).alias("bucket")

@@ -68,10 +68,13 @@ def label_centroids(
     vec_col: str = "embedding",
     decimals: int = 6,
 ) -> DataFrame:
-    """Per-group embedding centroids: ``(label, n, centroid)`` with
-    the element-wise mean of every group's vectors — the building
-    block under cluster statistics, SemDeDup-style cluster summaries,
-    and class prototypes.
+    """Per-group embedding centroids: ``(label, n, centroid, counts)``
+    with the element-wise mean of every group's vectors and the exact
+    per-position support (``counts[i]`` = rows contributing to
+    component i — differs across i for ragged vectors / null
+    components; ``n = max(counts)``) — the building block under
+    cluster statistics, SemDeDup-style cluster summaries, and class
+    prototypes.
 
     Shape: ``posexplode`` widens rows by d, but the (label, pos)
     groupBy partial-aggregates map-side, so the shuffle carries
@@ -87,15 +90,18 @@ def label_centroids(
     agg = e.groupBy("label", "pos").agg(
         F.round(F.avg("v"), decimals).alias("m"), F.count("*").alias("n")
     )
-    return agg.groupBy("label").agg(
-        # max, not first: with ragged vectors or null components the
-        # per-position counts differ and first() is nondeterministic;
-        # max matches the oracle's per-(label, component) n.
-        F.max("n").alias("n"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))),
-            lambda s: s["m"],
-        ).alias("centroid"),
+    # The per-(label, pos) count rides through the collect inside the
+    # struct, so `counts[i]` is exact even for ragged vectors or null
+    # components (where positions have different support); `n` keeps
+    # the scalar convenience as the max over positions.
+    rolled = agg.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m", "n"))).alias("s")
+    )
+    return rolled.select(
+        "label",
+        F.array_max(F.transform("s", lambda s: s["n"])).alias("n"),
+        F.transform("s", lambda s: s["m"]).alias("centroid"),
+        F.transform("s", lambda s: s["n"]).alias("counts"),
     )
 
 

@@ -89,7 +89,14 @@ _DRIVER_PRIORITY = [
 
 
 def catalog() -> dict[str, CatalogQuery]:
-    first = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
+    # Fail fast on drift: a misspelled or renamed priority entry must
+    # break loudly here, not silently fall out of the ordering.
+    missing = [n for n in _DRIVER_PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise KeyError(
+            f"_DRIVER_PRIORITY names not in the registry: {missing}"
+        )
+    first = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY}
     rest = {n: q for n, q in _REGISTRY.items() if n not in first}
     return {**first, **rest}
 
@@ -3734,11 +3741,18 @@ def embedding_centroids(spark, sf_dir):
     from spark_tsne_spark.operators.preprocess import label_centroids
 
     out = label_centroids(_t(spark, sf_dir, "embeddings"))
+    # zip centroid with the per-position counts so n is the TRUE
+    # per-(label, component) support, matching the oracle's count(*)
+    # per (label, i) even on ragged inputs.
     return out.select(
         "label",
-        F.posexplode("centroid").alias("c", "m"),
-        F.col("n"),
-    ).select("label", F.col("c").cast("long"), "m", "n")
+        F.posexplode(F.arrays_zip("centroid", "counts")).alias("c", "z"),
+    ).select(
+        "label",
+        F.col("c").cast("long"),
+        F.col("z.centroid").alias("m"),
+        F.col("z.counts").alias("n"),
+    )
 
 
 def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:

@@ -371,6 +371,23 @@ def test_label_centroids_small(spark):
     got = {r["label"]: r for r in label_centroids(df).collect()}
     assert got[0]["n"] == 2 and got[0]["centroid"] == [2.0, 3.0]
     assert got[1]["n"] == 1 and got[1]["centroid"] == [10.0, 20.0]
+    assert got[0]["counts"] == [2, 2] and got[1]["counts"] == [1, 1]
+
+
+def test_label_centroids_ragged(spark):
+    """Ragged vectors: per-position counts differ across components —
+    counts[i] is the exact support of component i, and the mean at a
+    position only averages the rows that HAVE that position."""
+    from spark_tsne_spark.operators.preprocess import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (0, [5.0, 6.0]), (0, [9.0])],
+        "label int, embedding array<double>",
+    )
+    r = label_centroids(df).collect()[0]
+    assert r["counts"] == [3, 2, 1]
+    assert r["centroid"] == [5.0, 4.0, 3.0]
+    assert r["n"] == 3
 
 
 def test_profile_table_single_pass(spark):

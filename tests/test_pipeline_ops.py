@@ -1533,6 +1533,11 @@ def test_normalize_text_rules(spark):
         ("line1 \n line2\n\n\n\n\nline3", "line1\nline2\n\nline3"),
         ("  trimmed  ", "trimmed"),
         ("", ""),
+        # CRLF and bare CR unify to LF before every downstream rule:
+        # the blank-line cap fires on \r\n runs, the horizontal
+        # collapse sees no stray \r, and no \r reaches the output
+        ("crlf\r\nline\r\r\nmac", "crlf\nline\n\nmac"),
+        ("a\r\n\r\n\r\n\r\nb", "a\n\nb"),
     ]
     df = spark.createDataFrame(
         [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, text string"
