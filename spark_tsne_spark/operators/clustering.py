@@ -1,0 +1,141 @@
+"""Distributed k-means clustering (Lloyd's algorithm) over an
+embedding column.
+
+The reference engine ships no clustering operator, but its kNN /
+affinity stack (saurfang/spark-tsne: X2P.scala, TSNEHelper.scala)
+is exactly the substrate users reach for when they want corpus
+clustering — and the IVF index in ``operators/similarity.py`` already
+trains a private quantizer. This module promotes k-means to a
+first-class, deterministic, oracle-checkable operator.
+
+Scale shape (the only one that survives 100 TB):
+
+- centroids live on the DRIVER (k x d doubles — KBs), shipped to
+  executors as a literal expression each iteration: no join, no
+  shuffle for the assignment step, ONE narrow whole-stage-codegen
+  pass over the corpus.
+- the update step shuffles k x d partial sums (``posexplode`` +
+  map-side partial ``groupBy(cluster, pos)``): shuffle volume is
+  independent of corpus size, same as ``label_centroids``.
+- per iteration: 1 narrow pass + 1 tiny shuffle + 1 k*d-row driver
+  collect. Iterations on a driver loop, exactly like the reference's
+  t-SNE iteration loop and our PageRank.
+
+Determinism contract (mirrored by the DuckDB oracle in
+``plans/queries._kmeans_sql``):
+
+- init = the vectors of the k smallest ids (no RNG);
+- nearest-centroid ties break on the smaller centroid id (argmin
+  over ``struct(dist, cid)``);
+- centroid means are rounded to ``decimals`` each update, so
+  cross-engine summation-order drift (~1e-15) cannot accumulate
+  across iterations or flip a later assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(v: Column, c: Column) -> Column:
+    """Squared L2 distance between two equal-length double arrays,
+    summed left-to-right in position order (both engines fold the
+    same way, so only ~1e-16 libm drift remains on ties)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    """k centroids as one literal array<struct<cid, c>> — constant-
+    folded into the task binary, no broadcast variable, no join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def _assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(id, v, cluster): nearest centroid per row, ties to the
+    smallest cid via array_min over struct(dist, cid) — one narrow
+    JVM pass, no shuffle."""
+    lit = _centroid_literal(cents)
+    best = F.array_min(
+        F.transform(
+            lit,
+            lambda s: F.struct(
+                _sq_dist(F.col("v"), s["c"]).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+    return vecs.select("id", "v", best.alias("cluster"))
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    num_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 9,
+) -> DataFrame:
+    """``num_iters`` Lloyd steps from the deterministic smallest-id
+    init, then one final assignment against the updated centroids.
+    Returns ``(id, cluster)``.
+
+    Empty clusters keep their previous centroid (the standard
+    fixed-k convention; the oracle coalesces identically).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if num_iters < 0:
+        raise ValueError(f"num_iters must be >= 0, got {num_iters}")
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # Reused num_iters + 1 times; localCheckpoint (not persist) so the
+    # blocks die with this operator instead of leaking in the session
+    # CacheManager. Same executor-loss durability caveat as
+    # exclusive_prefix_sum — use reliable checkpointing on clusters
+    # where restartability matters.
+    vecs = vecs.localCheckpoint(eager=False)
+    init_rows = vecs.orderBy("id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["v"])) for i, r in enumerate(init_rows)
+    ]
+    for _ in range(num_iters):
+        assigned = _assign(vecs, cents)
+        # k*d-row shuffle + k*d-row collect: independent of corpus
+        # size. Rounded means keep the two engines' centroid
+        # trajectories bit-identical across iterations.
+        parts = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), decimals).alias("m"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in parts:
+            new.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [
+            (
+                cid,
+                [new[cid][p] for p in range(len(old))]
+                if cid in new
+                else old,  # empty cluster: keep previous centroid
+            )
+            for cid, old in cents
+        ]
+    return _assign(vecs, cents).select(
+        F.col("id"), F.col("cluster").cast("int").alias("cluster")
+    )

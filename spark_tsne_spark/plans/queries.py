@@ -3755,6 +3755,65 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3, decimals: int = 9) -> str:
+    """Unrolled Lloyd's k-means oracle: the same deterministic
+    recursion as ``operators.clustering.kmeans_assign`` — smallest-id
+    init, argmin ties to the smaller cid, per-iteration means rounded
+    at ``decimals``, empty clusters keeping their previous centroid —
+    expressed as an ``iters``-deep CTE chain DuckDB can run."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        f" v AS c FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})),",
+    ]
+    for t in range(iters + 1):
+        last = t == iters
+        parts.append(
+            f"a{t} AS (SELECT vec_id, v, cid FROM ("
+            f" SELECT e.vec_id, e.v, c.cid,"
+            f" row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {dist}, c.cid) AS rn"
+            f" FROM e, c{t} c) WHERE rn = 1)" + ("" if last else ",")
+        )
+        if last:
+            break
+        parts.append(
+            f"u{t} AS (SELECT cid, i, round(avg(v[i]), {decimals}) AS m"
+            f" FROM a{t}, unnest(generate_series(1, len(v))) AS t(i)"
+            f" GROUP BY cid, i),"
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT c.cid, coalesce(n.c, c.c) AS c"
+            f" FROM c{t} c LEFT JOIN"
+            f" (SELECT cid, list(m ORDER BY i) AS c FROM u{t} GROUP BY cid) n"
+            f" ON c.cid = n.cid),"
+        )
+    parts.append(
+        f"SELECT vec_id AS id, cid::INT AS cluster FROM a{iters}"
+    )
+    return "\n".join(parts)
+
+
+@register("embedding_kmeans", _kmeans_sql(k=8, iters=3))
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings table: k=8,
+    3 update steps + final assignment. Driver-resident centroids
+    shipped as a literal (no join/shuffle in the assignment pass);
+    the update shuffle carries k*d rows regardless of corpus size.
+    Deterministic by construction — the oracle unrolls the identical
+    recursion in SQL."""
+    from spark_tsne_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=8, num_iters=3
+    )
+
+
 def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:
     """Unrolled PageRank oracle: the fixed-iteration power method as
     ``num_iters`` chained CTEs (standard SQL forbids aggregating over
