@@ -139,3 +139,76 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
             "(column, n_rows, n_null, n_distinct, min_v, max_v)"
         )
     )
+
+
+def length_histogram(
+    df: DataFrame, length_col: str, count_weight: str | None = None
+) -> DataFrame:
+    """Log2-bucket histogram of a nonnegative integer column:
+    ``(bucket, n, total)`` where ``bucket`` is the number of binary
+    digits of the value (0 -> 1, 1 -> 1, 2-3 -> 2, 4-7 -> 3, ...) —
+    the standard first diagnostic over a corpus's length
+    distribution (tokenizer budget planning, truncation policy,
+    outlier hunting).
+
+    The bucket id is EXACT-INTEGER (digits of the base-2 rendering),
+    not ``floor(log2(x))`` — float log drift at power-of-two
+    boundaries can differ between engines' libm; string length of
+    the binary rendering cannot. One map-side-combined groupBy over
+    at most ~64 buckets: aggregation output is O(1) regardless of
+    corpus size.
+    """
+    v = F.col(length_col).cast("long")
+    bucket = F.length(F.bin(v)).alias("bucket")
+    w = F.col(count_weight) if count_weight else v
+    return (
+        df.where(v >= 0)
+        .groupBy(bucket)
+        .agg(F.count("*").alias("n"), F.sum(w).alias("total"))
+    )
+
+
+def centroid_similarity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids:
+    ``(label_a, label_b, cos)`` for ``label_a < label_b`` — the
+    cluster-confusability diagnostic (which classes/clusters sit close
+    in embedding space, which sources duplicate each other's manifold).
+
+    Composes :func:`label_centroids` (shuffle bounded at |labels|*d
+    rows) with a |labels|^2/2 self-join of the TINY centroid table —
+    the pair space never touches corpus-sized data, so this runs
+    identically at 500 rows and 100 TB.
+    """
+    cents = label_centroids(emb, label_col=label_col, vec_col=vec_col)
+    a = cents.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(dot / (nrm(F.col("ca")) * nrm(F.col("cb"))), decimals).alias(
+                "cos"
+            ),
+        )
+    )

@@ -301,3 +301,138 @@ def gapfill_interp(
         F.col("n_events").isNull().alias("gap_filled"),
         (interp_fp / scale).alias("sum_value_interp"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    by: str,
+    ts: str,
+    value: str,
+    tiebreak: str,
+    window: int = 16,
+    alpha: float = 0.2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Windowed exponential smoothing per series: for each row, the
+    exponentially weighted mean of the trailing ``window`` values in
+    (``ts``, ``tiebreak``) order — weight ``(1-alpha)^age``,
+    normalized over the weights actually present (so early rows with
+    short history are means of what exists, not biased toward an
+    arbitrary zero init).
+
+    The *finite* window is deliberate: the textbook recursive EWMA
+    needs running state per series (a window cumsum of
+    ``x_j*(1-a)^-j`` overflows for long series), while a bounded
+    window is ONE window-function pass — fully declarative, engine-
+    parallel over series, and expressible in plain SQL for the
+    oracle. ``window`` in the dozens captures >99% of the recursive
+    EWMA's mass at typical alphas.
+
+    Scale: one shuffle on ``by``; frame is ROWS-bounded, so state per
+    row is O(window) — no unbounded-preceding scan, no skew beyond
+    the series-size distribution itself.
+
+    Output: ``(by, tiebreak, ewma)``.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    keep = 1.0 - alpha
+    w = (
+        Window.partitionBy(by)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(-(window - 1), 0)
+    )
+    vals = F.collect_list(value).over(w)
+    d = df.select(
+        F.col(by), F.col(tiebreak), vals.alias("_w")
+    )
+    n = F.size("_w")
+    idx = F.sequence(F.lit(1), n)
+    # weight for slot i (1-based, oldest first): keep^(n - i)
+    num = F.aggregate(
+        F.zip_with(
+            F.col("_w"),
+            idx,
+            lambda v, i: v * F.pow(F.lit(keep), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(idx, lambda i: F.pow(F.lit(keep), (n - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        by, tiebreak, F.round(num / den, decimals).alias("ewma")
+    )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_id: str,
+    left_ts: str,
+    right_id: str,
+    right_ts: str,
+    tolerance_s: float,
+) -> DataFrame:
+    """Nearest-event temporal join: for each left row, the single
+    right row in the same ``by`` group minimizing ``|right.ts -
+    left.ts|`` within ``±tolerance_s`` — the two-sided sibling of
+    ``asof_join`` (which only looks backward). Ties break on the
+    earlier right timestamp, then the smaller ``right_id``.
+
+    Plan shape: left rows explode to the ≤3 tolerance-width time
+    buckets their window touches, the right side computes its single
+    bucket, and the pair space collapses to an equi join on
+    ``(by, bucket)`` + an exact microsecond residual filter — never a
+    per-key cartesian. The best candidate per left row is one
+    ROW_NUMBER window over the (bounded) candidate set.
+
+    Output: ``(by, left_id, right_id, dt_s)`` with ``dt_s`` the
+    signed right-minus-left offset in seconds (exact: integer
+    microseconds over 10^6).
+    """
+    if tolerance_s <= 0:
+        raise ValueError(f"tolerance_s must be > 0, got {tolerance_s}")
+    tol_us = int(tolerance_s * 1_000_000)
+    l = left.select(
+        F.col(by).alias("_by"),
+        F.col(left_id).alias("_lid"),
+        _micros(left_ts).alias("_lus"),
+    )
+    r = right.select(
+        F.col(by).alias("_by"),
+        F.col(right_id).alias("_rid"),
+        _micros(right_ts).alias("_rus"),
+    )
+    l_exp = l.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("_lus") - F.lit(tol_us)) / F.lit(tol_us)),
+                F.floor((F.col("_lus") + F.lit(tol_us)) / F.lit(tol_us)),
+            )
+        ),
+    )
+    r_b = r.withColumn("_bkt", F.floor(F.col("_rus") / F.lit(tol_us)))
+    cand = l_exp.join(r_b, on=["_by", "_bkt"]).where(
+        F.abs(F.col("_rus") - F.col("_lus")) <= F.lit(tol_us)
+    )
+    pick = Window.partitionBy("_by", "_lid").orderBy(
+        F.abs(F.col("_rus") - F.col("_lus")), F.col("_rus"), F.col("_rid")
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+    )
+    return best.select(
+        F.col("_by").alias(by),
+        F.col("_lid").alias(left_id),
+        F.col("_rid").alias(right_id),
+        ((F.col("_rus") - F.col("_lus")) / F.lit(1_000_000.0)).alias("dt_s"),
+    )

@@ -63,6 +63,22 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar alternative to parquet; built into Spark).
+
+    ORC interops with Hive/Trino/Presto warehouses where it is the
+    incumbent layout — a 100 TB pipeline that feeds one reads and
+    writes it natively, with the same predicate-pushdown and
+    column-pruning story as parquet (ORC carries min/max/bloom
+    indexes per stripe)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — schema and stats come from the file footers."""
+    return spark.read.orc(path)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

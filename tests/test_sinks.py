@@ -139,3 +139,19 @@ def test_zordered_write_skips_files_on_both_dims(spark, tmpdir):
         spark.read.parquet(zpath).orderBy("event_id").collect()
         == ev.orderBy("event_id").collect()
     )
+
+
+def test_orc_roundtrip_fidelity(spark, tmp_path):
+    """ORC write -> read preserves every row, column, and type."""
+    from spark_tsne_spark.sources.sinks import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a\nb", 3.5, [1.0, 2.0]), (2, None, -0.0, []), (3, "x", 7.25, None)],
+        "id long, s string, v double, arr array<double>",
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    key = lambda r: r["id"]
+    assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)

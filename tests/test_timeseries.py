@@ -262,3 +262,98 @@ def test_events_funnel_ordering_semantics(spark, tmp_path):
         for r in events_funnel(spark, str(tmp_path)).collect()
     }
     assert out == {1: ("view", 3), 2: ("click", 1), 3: ("purchase", 1)}
+
+
+# --------------------------------------------------------------------------
+# round-6: windowed EWMA + nearest-event join
+# --------------------------------------------------------------------------
+
+
+def test_ewma_smooth_small(spark):
+    """Hand-checked weights: alpha=0.5 over window 3 — each row's
+    value is the (0.25, 0.5, 1)-weighted mean of its trailing
+    history, normalized over the weights present."""
+    from spark_tsne_spark.operators.timeseries import ewma_smooth
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, 8.0),
+        (1, "2024-01-01 00:00:01", 11, 4.0),
+        (1, "2024-01-01 00:00:02", 12, 2.0),
+        (1, "2024-01-01 00:00:03", 13, 6.0),
+        (2, "2024-01-01 00:00:00", 20, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_smooth(
+            df, "user_id", "ts", "value", "event_id", window=3, alpha=0.5
+        ).collect()
+    }
+    # row 10: 8
+    # row 11: (0.5*8 + 1*4) / 1.5 = 16/3
+    # row 12: (0.25*8 + 0.5*4 + 1*2) / 1.75 = 6/1.75
+    # row 13: (0.25*4 + 0.5*2 + 1*6) / 1.75 = 8/1.75
+    assert got[10] == 8.0
+    assert got[11] == round(16 / 3, 6)
+    assert got[12] == round(6 / 1.75, 6)
+    assert got[13] == round(8 / 1.75, 6)
+    assert got[20] == 5.0
+
+
+def test_ewma_validates_params(spark):
+    import pytest as _pytest
+
+    from spark_tsne_spark.operators.timeseries import ewma_smooth
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, 1.0)],
+        "user_id long, ts string, event_id long, value double",
+    )
+    with _pytest.raises(ValueError):
+        ewma_smooth(df, "user_id", "ts", "value", "event_id", window=0)
+    with _pytest.raises(ValueError):
+        ewma_smooth(df, "user_id", "ts", "value", "event_id", alpha=0.0)
+
+
+def test_nearest_join_two_sided_and_ties(spark):
+    """Nearest looks BOTH ways (unlike as-of), respects the
+    tolerance, and breaks exact-|dt| ties toward the earlier right
+    row; left rows with no candidate in range drop out."""
+    from spark_tsne_spark.operators.timeseries import nearest_join
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, eid long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    left = ev(
+        [
+            (1, 100, "2024-01-01 00:10:00"),  # nearest is AFTER it
+            (1, 101, "2024-01-01 00:40:00"),  # equidistant tie
+            (2, 200, "2024-01-01 09:00:00"),  # nothing within 15 min
+        ]
+    )
+    right = ev(
+        [
+            (1, 1, "2024-01-01 00:02:00"),   # 8 min before 100
+            (1, 2, "2024-01-01 00:13:00"),   # 3 min after 100
+            (1, 3, "2024-01-01 00:35:00"),   # 5 min before 101
+            (1, 4, "2024-01-01 00:45:00"),   # 5 min after 101 (tie)
+            (2, 5, "2024-01-01 10:00:00"),
+        ]
+    )
+    out = {
+        r["eid"]: (r["eid_r"], r["dt_s"])
+        for r in nearest_join(
+            left.select("user_id", F.col("eid"), "ts"),
+            right.select("user_id", F.col("eid").alias("eid_r"), "ts"),
+            by="user_id", left_id="eid", left_ts="ts",
+            right_id="eid_r", right_ts="ts", tolerance_s=900.0,
+        ).collect()
+    }
+    assert out[100] == (2, 180.0)       # forward match beats farther backward
+    assert out[101] == (3, -300.0)      # tie -> earlier right row
+    assert 200 not in out               # out of tolerance
+    assert len(out) == 2
