@@ -226,6 +226,12 @@ def bench_queries():
         "events_hopping_agg": Q.events_hopping_agg,
         "events_funnel": Q.events_funnel,
         "events_cohort_retention": Q.events_cohort_retention,
+        "events_ewma": Q.events_ewma,
+        "events_nearest_join": Q.events_nearest_join,
+        "q18_large_orders": Q.q18_large_orders,
+        "cube_revenue": Q.cube_revenue,
+        "orc_roundtrip": Q.orc_roundtrip,
+        "embedding_kmeans": Q.embedding_kmeans,
         "corpus_curation": Q.corpus_curation,
         "text_char_entropy": Q.text_char_entropy,
         "multimodal_jpeg": Q.multimodal_jpeg,

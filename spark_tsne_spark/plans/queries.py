@@ -71,8 +71,12 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
+    "streaming_enrich_join", "orders_price_bands", "doc_sentences",
+    "partitioned_prune_roundtrip",
     "embedding_kmeans", "orc_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
+    "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
+    "q18_large_orders", "q19_disjunctive", "cube_revenue",
     "events_json_extract", "tsne_embedding", "corpus_hash_sample",
     "corpus_stratified_sample", "text_fingerprint",
     "text_winnow_fingerprints", "streaming_windowed_counts",
@@ -4588,3 +4592,445 @@ def centroid_similarity_q(spark, sf_dir):
     from spark_tsne_spark.operators.preprocess import centroid_similarity
 
     return centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# round-6 extensions: TPC-H-shaped anchors Q4/Q12/Q14/Q18/Q19 + CUBE
+# (adapted to the synthetic schema: no commit/receipt dates, no
+# shipmode/container columns — the PLAN SHAPES are the point: semi
+# join without fanout, CASE-bucketed aggregation, conditional ratio,
+# group-filter-join-back, OR-of-ANDs pushdown, grouping sets.)
+# --------------------------------------------------------------------------
+
+_Q4_SQL = """
+    SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_discount > 0.05
+          AND l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY 1
+"""
+
+
+@register("q4_priority_exists", _Q4_SQL)
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H-Q4-shaped: orders per priority having at least one
+    qualifying lineitem (EXISTS). The LEFT SEMI join is the load-
+    bearing choice: it dedups multi-match orders inside the join
+    (no post-join distinct) and never fans out the probe side — at
+    100 TB the fanout-then-distinct spelling shuffles the multiplied
+    rows; the semi join shuffles each side once."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    cond = (
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] >= o["o_orderdate"])
+        & (li["l_shipdate"] < o["o_orderdate"] + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_Q12_SQL = """
+    SELECT CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_bucket,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+"""
+
+
+@register("q12_late_shipments", _Q12_SQL)
+def q12_late_shipments(spark, sf_dir):
+    """TPC-H-Q12-shaped: high/low-priority line counts per lateness
+    bucket (shipped ≥60 days after order). The date predicate pushes
+    to the lineitem scan; the CASE buckets ride the single join
+    shuffle as map-side partial counts — output is 2 rows however
+    big the fact tables are."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.when(
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                "late",
+            )
+            .otherwise("ontime")
+            .alias("ship_bucket"),
+            high.alias("_hi"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("_hi"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("_hi"), 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q14_SQL = """
+    SELECT sum(CASE WHEN p.p_type = 'PROMO' THEN
+                 round(l.l_extendedprice * 100)::BIGINT
+                 * (100 - round(l.l_discount * 100)::BIGINT)
+               ELSE 0 END)::BIGINT AS promo_rev_e4,
+           sum(round(l.l_extendedprice * 100)::BIGINT
+               * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             AS total_rev_e4,
+           round(100.0
+                 * sum(CASE WHEN p.p_type = 'PROMO' THEN
+                     round(l.l_extendedprice * 100)::BIGINT
+                     * (100 - round(l.l_discount * 100)::BIGINT)
+                   ELSE 0 END)
+                 / sum(round(l.l_extendedprice * 100)::BIGINT
+                       * (100 - round(l.l_discount * 100)::BIGINT)),
+           6) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1996-02-01'
+"""
+
+
+@register("q14_promo_revenue", _Q14_SQL)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H-Q14-shaped: promo revenue share in one month. The part
+    dim BROADCASTS onto the date-pruned lineitem scan (no fact
+    shuffle at all — the aggregation is a scalar), and the ratio is
+    computed from exact-integer e4 sums so both engines divide the
+    SAME two integers."""
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            .cast("long")
+            .alias("promo_rev_e4"),
+            F.sum(rev).cast("long").alias("total_rev_e4"),
+        )
+        .select(
+            "promo_rev_e4",
+            "total_rev_e4",
+            F.round(
+                100.0 * F.col("promo_rev_e4") / F.col("total_rev_e4"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_Q18_SQL = """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("q18_large_orders", _Q18_SQL)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H-Q18-shaped: customers behind the largest orders. The
+    group-filter runs FIRST (map-side partial sums; the HAVING prunes
+    to a tiny key set), and only the survivors join back — at scale
+    the join probes a filtered fraction of orders instead of
+    shuffling the whole fact table through the three-way join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 300)
+        .select("l_orderkey", F.col("_q").cast("long").alias("sum_qty"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "sum_qty")
+    )
+
+
+_Q19_SQL = """
+    SELECT sum(round(l.l_extendedprice * 100)::BIGINT
+               * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+             AS revenue_e4,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_disjunctive", _Q19_SQL)
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H-Q19-shaped: OR-of-ANDs over a dim×fact join. The
+    derivable single-side conjuncts (brand ∈ {...}, size ≤ 15,
+    qty ≤ 30) push to the scans as bloom/min-max-prunable filters
+    while the full disjunction evaluates above the broadcast join —
+    Catalyst extracts the common filters automatically; the explicit
+    .where mirrors the SQL for parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    b = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 10)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return j.where(b).agg(
+        F.sum(rev).cast("long").alias("revenue_e4"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_CUBE_SQL = """
+    SELECT GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+           l_returnflag, l_linestatus,
+           sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_cents,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_revenue", _CUBE_SQL)
+def cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) with the grouping-id bit
+    vector (completes the grouping-sets family next to
+    rollup_revenue). All 2^2 grouping sets come out of ONE Expand +
+    one shuffle — not four scans; money in exact integer cents."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "sum_cents", "n_rows")
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6 extensions: stream-static enrichment / interval-band join /
+# sentence stats / partitioned-prune roundtrip
+# --------------------------------------------------------------------------
+
+_ENRICH_SQL = """
+    WITH prof AS (
+      SELECT user_id, round(avg(value), 6) AS user_avg
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value, p.user_avg,
+           round(e.value - p.user_avg, 6) AS delta
+    FROM events e JOIN prof p ON e.user_id = p.user_id
+"""
+
+
+@register("streaming_enrich_join", _ENRICH_SQL)
+def streaming_enrich_join(spark, sf_dir):
+    """Stream-static enrichment end-to-end: land events as parquet,
+    precompute the per-user mean profile as a STATIC DataFrame, and
+    drain the stream joined against it (stateless, re-planned and
+    broadcast per micro-batch) into an append-mode memory sink. Must
+    equal the batch join (DuckDB) — the streaming plan IS the oracle
+    target."""
+    import re as _re
+
+    from spark_tsne_spark.streaming.windows import (
+        enrich_with_profile,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    path = f"/tmp/spark_graft_events_{tag}"
+    ev = _t(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    profile = ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("user_avg")
+    )
+    spark.catalog.dropTempView("sgq_enrich_join")
+    stream = enrich_with_profile(read_events_stream(spark, path), profile)
+    run_to_memory(stream, "sgq_enrich_join", mode="append")
+    return spark.table("sgq_enrich_join").select(
+        "event_id", "user_id", "value", "user_avg", "delta"
+    )
+
+
+_BANDS_SQL = """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 50000.0),
+             ('mid', 50000.0, 150000.0),
+             ('premium', 150000.0, 1e18)
+    )
+    SELECT b.band, count(*)::BIGINT AS n_orders,
+           sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY 1
+"""
+
+
+@register("orders_price_bands", _BANDS_SQL)
+def orders_price_bands(spark, sf_dir):
+    """Point-in-interval banding join: each order matched to the one
+    price band containing its total — the generic interval-lookup
+    (IP-range/tariff/tier table) where the bands are DATA, not a
+    hardcoded CASE. The band table broadcasts and the non-equi
+    condition runs as a BroadcastNestedLoopJoin: with a small
+    interval side that IS the right plan at any fact scale — each
+    fact row scans k intervals in memory, no shuffle, no fanout
+    (intervals are disjoint)."""
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50000.0),
+            ("mid", 50000.0, 150000.0),
+            ("premium", 150000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o["o_totalprice"] >= bands["lo"]) & (o["o_totalprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+
+
+_SENTENCES_SQL = r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split_regex(text, '[.!?]+\s+'),
+                 x -> trim(regexp_replace(x, '[.!?]+$', ''))
+               ),
+               x -> length(x) > 0
+             ) AS sents
+      FROM documents
+    )
+    SELECT doc_id, len(sents)::BIGINT AS n_sentences,
+           round(CASE WHEN len(sents) > 0 THEN
+             list_sum(list_transform(sents, x -> length(x)))::DOUBLE
+               / len(sents)
+           ELSE 0.0 END, 4) AS mean_sentence_len
+    FROM s
+"""
+
+
+@register("doc_sentences", _SENTENCES_SQL)
+def doc_sentences(spark, sf_dir):
+    """Per-document sentence statistics (count + mean length after
+    stripping terminal punctuation): pure JVM split/transform/filter
+    chain — whole-stage codegen, no Python, no shuffle at all (the
+    aggregate is per-row over the split array)."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+\s+"),
+            lambda x: F.trim(F.regexp_replace(x, r"[.!?]+$", "")),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", sents.alias("sents"))
+    n = F.size("sents")
+    total = F.aggregate(
+        F.transform("sents", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_sentences"),
+        F.round(
+            F.when(n > 0, total.cast("double") / n).otherwise(0.0), 4
+        ).alias("mean_sentence_len"),
+    )
+
+
+_PRUNE_RT_SQL = """
+    SELECT lang, count(*)::BIGINT AS n,
+           sum(n_chars)::BIGINT AS sum_chars,
+           count(DISTINCT md5(text))::BIGINT AS n_distinct_text
+    FROM documents WHERE source = 'src1'
+    GROUP BY lang
+"""
+
+
+@register("partitioned_prune_roundtrip", _PRUNE_RT_SQL)
+def partitioned_prune_roundtrip(spark, sf_dir):
+    """Hive-partitioned sink + partition-pruned source roundtrip:
+    write `documents` partitioned by source, read it back filtered to
+    ONE source — the filter prunes to a single directory at plan time
+    (the scan never opens other partitions; pruning is pinned in
+    test_sinks) — and prove fidelity through the layout with a
+    distinct-md5 census vs the original parquet."""
+    import hashlib
+    import tempfile
+
+    from spark_tsne_spark.sources.sinks import write_partitioned
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_tsne_part_{tag}")
+    write_partitioned(_t(spark, sf_dir, "documents"), path, "source")
+    back = spark.read.parquet(path).where(F.col("source") == "src1")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+    )

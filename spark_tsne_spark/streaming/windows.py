@@ -148,3 +148,26 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> No
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_with_profile(
+    stream: DataFrame, profile: DataFrame, decimals: int = 6
+) -> DataFrame:
+    """Stream-static enrichment join: each incoming event against a
+    precomputed per-user profile table (historical mean value) —
+    the standard realtime feature-lookup/anomaly shape.
+
+    The static side is a plain DataFrame: Spark re-plans it per
+    micro-batch (picking up table updates between batches) and
+    broadcasts it when small — stream-static joins are STATELESS
+    (no watermark, no buffered state), so this scales with the
+    micro-batch size, not the stream history. Output appends
+    ``(event_id, user_id, value, user_avg, delta)``.
+    """
+    return stream.join(profile, "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        "user_avg",
+        F.round(F.col("value") - F.col("user_avg"), decimals).alias("delta"),
+    )

@@ -224,7 +224,10 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "streaming_windowed_counts",
         "streaming_interval_join",
         "streaming_token_budget",
+        "streaming_enrich_join",
         "ann_ivf_index_query",  # builds the on-disk index
+        "orc_roundtrip",  # writes the ORC copy on invocation
+        "partitioned_prune_roundtrip",  # writes the partitioned copy
     }
     # BroadcastNestedLoopJoin intended:
     bnlj_ok = {
@@ -244,6 +247,13 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # eval-set broadcast threshold join (benchmark-sized small side
         # by construction; the big side streams, no shuffle)
         "semantic_contamination",
+        # |labels|^2/2 self-join of the TINY centroid table (the
+        # corpus-sized scan happens before, in the bounded-shuffle agg)
+        "centroid_similarity",
+        # point-in-interval lookup against a k-row band table: each
+        # fact row scans k broadcast intervals in memory — BNLJ IS the
+        # right plan for a non-equi join with a tiny build side
+        "orders_price_bands",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
