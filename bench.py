@@ -206,6 +206,25 @@ def bench_queries():
         )
         return canonical_by_pagerank(pairs, num_iters=5)
 
+    def b_triangles(spark, sf_dir):
+        # Full-corpus near-dup graph (tighter bucket cap than the
+        # pagerank entry: triangle volume grows with clique density,
+        # and a 512-clique alone holds 22M triangles — the cap is the
+        # production contract for clique-heavy dup graphs).
+        from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+        from spark_tsne_spark.operators.graph import triangle_counts
+
+        d = docs(spark, sf_dir).where(F.length("text") >= 5)
+        pairs = minhash_lsh_candidates(
+            d, num_hashes=16, band_size=4, hash_fn="xxhash64", max_bucket=128
+        )
+        return triangle_counts(pairs)
+
+    def b_term_pmi(spark, sf_dir):
+        from spark_tsne_spark.operators.search import term_pmi_pairs
+
+        return term_pmi_pairs(docs(spark, sf_dir))
+
     def b_tfidf(spark, sf_dir):
         from spark_tsne_spark.operators.search import tfidf_top_terms
 
@@ -255,6 +274,8 @@ def bench_queries():
         "text_winnow": Q.text_winnow_fingerprints,
         "corpus_upsert": Q.corpus_upsert,
         "bm25_search": Q.bm25_search,
+        "dedup_graph_triangles": b_triangles,
+        "term_pmi": b_term_pmi,
         "tfidf_top_terms": b_tfidf,
         "seq_packing": b_seq_packing,
         "token_budget_mix": b_token_budget,

@@ -137,3 +137,66 @@ def canonical_by_pagerank(
     is the best-connected (most representative) document, a
     cluster-aware alternative to min-id canonical selection."""
     return pagerank(symmetrize_edges(pairs, i, j), num_iters=num_iters)
+
+
+def triangle_counts(pairs: DataFrame, src: str = "i", dst: str = "j") -> DataFrame:
+    """Per-node triangle counts over an undirected pair list:
+    ``(node, n_triangles)`` for every node in at least one triangle —
+    the local clustering signal over the near-dup graph (a node whose
+    neighbors also match *each other* sits inside a dense duplicate
+    clique; a high-degree node with zero triangles is a hub/template
+    artifact).
+
+    Scale shape — DEGREE-ORIENTED enumeration, not the naive wedge
+    join: every edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, so each triangle is generated from exactly one
+    node (its lowest-rank corner) and the wedge fan-out per node is
+    bounded by its OUT-degree in the orientation — O(sqrt(m)) even
+    for a star's center, making the wedge volume O(m^1.5) worst-case
+    instead of sum(deg^2). The naive self-join explodes on exactly
+    the hot nodes a dedup graph has (mega-clique templates). Three
+    node-keyed equi-joins + one map-side-combined groupBy; no driver
+    state.
+    """
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # rank = (degree, id): total order; orient edges low -> high
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ranked.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    # wedges from each source's out-neighborhood (t1 < t2 by id to
+    # emit each unordered wedge once), closed by the edge between the
+    # two tips IN EITHER orientation
+    w1 = o.select(F.col("s"), F.col("t").alias("t1"))
+    w2 = o.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = w1.join(w2, "s").where(F.col("t1") < F.col("t2"))
+    closing = o.select(
+        F.least("s", "t").alias("t1"), F.greatest("s", "t").alias("t2")
+    ).distinct()
+    tris = wedges.join(closing, ["t1", "t2"])
+    return (
+        tris.select(
+            F.explode(F.array("s", "t1", "t2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -351,3 +351,84 @@ def duplicate_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def term_pmi_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    max_df_frac: float = 0.9,
+    min_pair: int = 3,
+    top: int = 50,
+    decimals: int = 6,
+) -> DataFrame:
+    """Top term-pair collocations by pointwise mutual information:
+    ``(t1, t2, n_pair, pmi)`` with ``pmi = ln(n_pair * D /
+    (df1 * df2))`` over document-level co-occurrence — the standard
+    phrase/topic-structure probe over a corpus.
+
+    Scale shape: the vocabulary is DF-bounded on BOTH ends before any
+    pair forms — terms in fewer than ``min_df`` docs (noise) or more
+    than ``max_df`` docs (stopword-like; they would pair with
+    everything and dominate the join) never enter the inverted
+    index; the stopword cap is RELATIVE (``max_df_frac`` of the
+    corpus) so the same contract holds at any scale — an absolute
+    cap silently empties the vocabulary as the corpus grows past it.
+    The pair space is then the per-doc self-join of the
+    SURVIVING postings (the same bounded inverted-index shape as
+    ``ngram_jaccard_pairs``): fan-out per doc is quadratic only in
+    its number of *mid-frequency distinct* terms. One groupBy closes
+    pair counts; df and D ride in as one broadcast-size table and a
+    scalar. Ranking orders by rounded PMI with the (t1, t2) text
+    tie-break, so near-equal doubles can't flip ranks cross-engine.
+    """
+    t = (
+        docs.select(
+            F.col(id_col).alias("d"), F.explode(tokens(text_col)).alias("term")
+        )
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    # Reused by df filter + the pair join; cheap to keep lazy (two
+    # scans of a narrow distinct) — no persist needed for two uses
+    # of an already-shuffled intermediate.
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    # integer arithmetic (frac on the 1e-3 grid) so the cap cannot
+    # drift from the SQL oracle's exact-integer rendering
+    max_df = (n_docs * int(round(max_df_frac * 1000))) // 1000
+    df_counts = t.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = df_counts.where(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+    )
+    postings = t.join(vocab, "term").select("d", "term", "df")
+    p1 = postings.select(
+        "d", F.col("term").alias("t1"), F.col("df").alias("df1")
+    )
+    p2 = postings.select(
+        "d", F.col("term").alias("t2"), F.col("df").alias("df2")
+    )
+    pairs = (
+        p1.join(p2, "d")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count("*").alias("n_pair"),
+            F.first("df1").alias("df1"),
+            F.first("df2").alias("df2"),
+        )
+        .where(F.col("n_pair") >= min_pair)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_pair").cast("double")
+            * F.lit(float(n_docs))
+            / (F.col("df1") * F.col("df2")).cast("double")
+        ),
+        decimals,
+    )
+    return (
+        pairs.select("t1", "t2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(top)
+    )

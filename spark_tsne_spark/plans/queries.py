@@ -72,7 +72,8 @@ def register(name: str, sql: Optional[str]):
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
     "streaming_enrich_join", "orders_price_bands", "doc_sentences",
-    "partitioned_prune_roundtrip",
+    "partitioned_prune_roundtrip", "dedup_graph_triangles", "term_pmi",
+    "source_percent_rank", "events_interarrival",
     "embedding_kmeans", "orc_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
@@ -5033,4 +5034,181 @@ def partitioned_prune_roundtrip(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("n_chars").alias("sum_chars"),
         F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6 extensions: graph triangles / PMI collocations / percent-rank
+# normalization / inter-arrival stats
+# --------------------------------------------------------------------------
+
+_TRIANGLES_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= 5
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+                                           i -> substr(text, i, 5))) AS s
+      FROM docs
+    ),
+    hx AS (
+      SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mh
+      FROM sh CROSS JOIN range(8) t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             string_agg(mh, '|' ORDER BY k) AS sig
+      FROM hx GROUP BY doc_id, CAST(k // 2 AS INT)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    tri AS (
+      SELECT p1.i AS a, p1.j AS b, p2.j AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p1.j = p2.i
+      JOIN pairs p3 ON p3.i = p1.i AND p3.j = p2.j
+    )
+    SELECT node, count(*)::BIGINT AS n_triangles FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+"""
+
+
+@register("dedup_graph_triangles", _TRIANGLES_SQL)
+def dedup_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the MinHash-LSH near-dup graph
+    (same capped pair source as dedup_graph_pagerank). The Spark side
+    runs the DEGREE-ORIENTED enumeration — wedge fan-out bounded by
+    orientation out-degree, O(m^1.5) worst case instead of
+    sum(deg^2) — while the oracle counts the same triangles with the
+    naive i<j<k three-way join (identical result, quadratic plan:
+    semantics, not shape)."""
+    from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+    from spark_tsne_spark.operators.graph import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 5)
+    )
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_k=5)
+    return triangle_counts(pairs)
+
+
+_PMI_SQL = r"""
+    WITH t AS (
+      SELECT DISTINCT doc_id AS d, tok AS term FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    dfc AS (SELECT term, count(*)::BIGINT AS df FROM t GROUP BY term),
+    v AS (SELECT term, df FROM dfc
+          WHERE df >= 5
+            AND df <= (SELECT (count(DISTINCT doc_id) * 9) // 10
+                       FROM documents)),
+    p AS (SELECT t.d, t.term, v.df FROM t JOIN v USING (term)),
+    pr AS (
+      SELECT a.term AS t1, b.term AS t2, count(*)::BIGINT AS n_pair,
+             max(a.df) AS df1, max(b.df) AS df2
+      FROM p a JOIN p b ON a.d = b.d AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS dd FROM documents)
+    SELECT t1, t2, n_pair,
+           round(ln(n_pair::DOUBLE * nd.dd / (df1 * df2)::DOUBLE), 6) AS pmi
+    FROM pr, nd
+    ORDER BY pmi DESC, t1, t2 LIMIT 50
+"""
+
+
+@register("term_pmi", _PMI_SQL)
+def term_pmi(spark, sf_dir):
+    """Top-50 term collocations by PMI over document co-occurrence.
+    DF-bounded on both ends BEFORE the pair join (low-df noise and
+    stopword-like high-df terms never enter the inverted index), so
+    per-doc fan-out is quadratic only in mid-frequency distinct
+    terms; rank by rounded PMI with text tie-breaks."""
+    from spark_tsne_spark.operators.search import term_pmi_pairs
+
+    return term_pmi_pairs(_t(spark, sf_dir, "documents"))
+
+
+_PRANK_SQL = """
+    SELECT doc_id, source,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY n_chars, doc_id
+           ), 6) AS pr
+    FROM documents
+"""
+
+
+@register("source_percent_rank", _PRANK_SQL)
+def source_percent_rank(spark, sf_dir):
+    """Rank-normalization per stratum: each doc's percent_rank of
+    length within its source — the distribution-free way to compare
+    quality signals ACROSS sources whose raw scales differ (FineWeb-
+    style per-source gating without assuming score comparability).
+    One window pass; (rank-1)/(n-1) is exact integer arithmetic in
+    both engines, the doc_id tie-break makes ranks total."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+_INTERARRIVAL_SQL = """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT user_id, count(*)::BIGINT AS n_gaps,
+           sum(gap_us)::BIGINT AS sum_gap_us,
+           max(gap_us)::BIGINT AS max_gap_us,
+           round(sum(gap_us) / count(*) / 1000000.0, 4) AS mean_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@register("events_interarrival", _INTERARRIVAL_SQL)
+def events_interarrival(spark, sf_dir):
+    """Per-user inter-arrival statistics (burst/cadence profile):
+    gaps via one LAG window, then one groupBy. Sums stay in exact
+    integer microseconds; the mean divides the SAME two integers in
+    both engines, so the only float op is one deterministic
+    division."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    agg = g.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        "sum_gap_us",
+        "max_gap_us",
+        F.round(
+            F.col("sum_gap_us").cast("double")
+            / F.col("n_gaps")
+            / F.lit(1_000_000.0),
+            4,
+        ).alias("mean_gap_s"),
     )

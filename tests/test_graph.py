@@ -91,3 +91,51 @@ def test_semantic_contamination_small(spark):
     assert got[(100, 1)] == 1.0
     assert (101, 1) not in got
     assert abs(got[(102, 1)] - 0.707107) < 1e-6
+
+
+def test_triangle_counts_vs_naive(spark):
+    """Degree-oriented enumeration must equal the naive per-node
+    count on a graph with a hot hub + cliques + a triangle-free
+    star."""
+    import itertools
+
+    edges = set()
+    # K4 on 0-3 (each node in 3 triangles)
+    edges |= {(a, b) for a, b in itertools.combinations([0, 1, 2, 3], 2)}
+    # separate triangle 10-11-12
+    edges |= {(10, 11), (11, 12), (10, 12)}
+    # star center 20 with leaves 21..26: no triangles
+    edges |= {(20, x) for x in range(21, 27)}
+    # bridge connecting star leaf to clique (still no new triangle)
+    edges.add((21, 0))
+    from spark_tsne_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(sorted(edges), "i long, j long")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    # naive reference
+    nodes = {n for e in edges for n in e}
+    und = edges | {(b, a) for a, b in edges}
+    want = {}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+    assert got[0] == 3 and got[10] == 1 and 20 not in got
+
+
+def test_triangle_counts_input_normalization(spark):
+    """Self-loops, duplicate and reversed edges collapse before
+    counting."""
+    from spark_tsne_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)],
+        "i long, j long",
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -1673,3 +1673,34 @@ def test_duplicate_span_stats_interval_merge(spark):
 
     with _pytest.raises(ValueError):
         duplicate_span_stats(df, width=0)
+
+
+def test_term_pmi_pairs_collocation(spark):
+    """A planted collocation (terms always together) outranks a pair
+    of independent frequent terms; df bounds exclude rare and
+    ubiquitous terms from the pair space."""
+    from spark_tsne_spark.operators.search import term_pmi_pairs
+
+    rows = []
+    # 'alpha beta' co-occur in 6 docs; 'gamma' and 'delta' each in 6
+    # docs but only 3 together; 'stop' in every doc (df cap kicks it
+    # out); 'rare' once (min_df kicks it out)
+    for i in range(6):
+        rows.append((i, "alpha beta stop filler%d" % i))
+    for i in range(6, 9):
+        rows.append((i, "gamma delta stop"))
+    for i in range(9, 12):
+        rows.append((i, "gamma stop"))
+    for i in range(12, 15):
+        rows.append((i, "delta stop"))
+    rows.append((15, "rare stop"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = term_pmi_pairs(
+        df, min_df=3, max_df_frac=0.5, min_pair=3, top=10
+    ).collect()
+    pairs = {(r["t1"], r["t2"]): r for r in out}
+    assert ("alpha", "beta") in pairs and ("delta", "gamma") in pairs
+    assert all("stop" not in p and "rare" not in p for p in pairs)
+    # perfect collocation (6/6·6 vs 3/6·6) ranks strictly higher
+    assert pairs[("alpha", "beta")]["pmi"] > pairs[("delta", "gamma")]["pmi"]
+    assert pairs[("alpha", "beta")]["n_pair"] == 6
