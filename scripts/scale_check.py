@@ -49,12 +49,31 @@ def ops():
         "winnow": lambda d: d.select(
             "doc_id", F.explode(winnow_fingerprints("text", 5, 4)).alias("fp")
         ),
+        "triangles": _run_triangles,
+        "term_pmi": _run_pmi,
         "seq_packing": _run_packing,
         "token_budget": _run_token_budget,
         "normalize": _run_normalize,
         "boilerplate_lines": _run_boilerplate,
         "bloom_incremental": _run_bloom,
     }
+
+
+def _run_triangles(d):
+    from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+    from spark_tsne_spark.operators.graph import triangle_counts
+
+    pairs = minhash_lsh_candidates(
+        d.where(F.length("text") >= 5), num_hashes=16, band_size=4,
+        hash_fn="xxhash64", max_bucket=128,
+    )
+    return triangle_counts(pairs)
+
+
+def _run_pmi(d):
+    from spark_tsne_spark.operators.search import term_pmi_pairs
+
+    return term_pmi_pairs(d)
 
 
 def _run_normalize(d):
@@ -178,7 +197,34 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
                 err, nbr, "err_ts", "nbr_ts", lower_s=-60.0, upper_s=60.0
             ).select("err_id", "nbr_id")
 
-        return {"asof_join": run_asof, "range_join": run_range}
+        def run_ewma(ev):
+            from spark_tsne_spark.operators.timeseries import ewma_smooth
+
+            return ewma_smooth(
+                ev, by="user_id", ts="ts", value="value",
+                tiebreak="event_id", window=16, alpha=0.2,
+            )
+
+        def run_nearest(ev):
+            from spark_tsne_spark.operators.timeseries import nearest_join
+
+            return nearest_join(
+                ev.where(F.col("event_type") == "purchase").select(
+                    "user_id", F.col("event_id").alias("purchase_id"), "ts"
+                ),
+                ev.where(F.col("event_type") == "click").select(
+                    "user_id", F.col("event_id").alias("click_id"), "ts"
+                ),
+                by="user_id", left_id="purchase_id", left_ts="ts",
+                right_id="click_id", right_ts="ts", tolerance_s=3600.0,
+            )
+
+        return {
+            "asof_join": run_asof,
+            "range_join": run_range,
+            "ewma": run_ewma,
+            "nearest_join": run_nearest,
+        }
 
     results = {}
     for name, fn in ops().items():
@@ -195,6 +241,38 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
         for d in (ev1, ev10):
             t0 = time.time()
             fn(d).write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        results[name] = ts
+        print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
+              f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
+
+    # Embeddings 10x: jittered copies (distinct vectors, same
+    # distribution — k-means work scales with rows, not k).
+    emb1 = load_table(spark, "embeddings", sf_dir).cache()
+    emb1.count()
+    emb10 = (
+        emb1.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.col("copy").cast("double") * 1e-3,
+            ).alias("embedding"),
+        )
+        .repartition(int(cpus))
+        .cache()
+    )
+    emb10.count()
+
+    from spark_tsne_spark.operators.clustering import kmeans_assign
+
+    for name, pair in {"kmeans": (emb1, emb10)}.items():
+        ts = []
+        for d in pair:
+            t0 = time.time()
+            kmeans_assign(d, k=8, num_iters=3).write.format("noop").mode(
+                "overwrite"
+            ).save()
             ts.append(time.time() - t0)
         results[name] = ts
         print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "

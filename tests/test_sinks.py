@@ -155,3 +155,29 @@ def test_orc_roundtrip_fidelity(spark, tmp_path):
     assert back.schema == df.schema
     key = lambda r: r["id"]
     assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)
+
+
+def test_dynamic_partition_pruning_plan(spark, sf_dir, tmpdir):
+    """Fact partitioned by year joined to a filtered dim: the plan
+    must carry a DynamicPruningExpression on the fact scan — at 100 TB
+    DPP skips whole partition directories based on the dim filter's
+    RUNTIME result (the broadcast result is reused as the pruning
+    subquery), which static pruning cannot do because the years only
+    exist in the dim."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = f"{tmpdir}/orders_by_year"
+    orders.withColumn("oyear", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("oyear").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1995, "a"), (1996, "b"), (1997, "c"), (1998, "d"), (1999, "e")],
+        "y int, tag string",
+    ).where(F.col("tag") == "b")
+    j = fact.join(dim, fact["oyear"] == dim["y"]).agg(
+        F.count("*").alias("n")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = orders.where(F.year("o_orderdate") == 1996).count()
+    assert j.collect()[0]["n"] == want
