@@ -62,6 +62,38 @@ def pagerank(
     # persisted edges instead of re-deriving them from their (possibly
     # expensive — e.g. LSH candidate generation) upstream plan.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    m = e.count()
+    # Size the LOOP's shuffle width to the graph, not the session
+    # default: every iteration runs 2-3 shuffles, and on a small
+    # graph a 32-wide session spends more wall-clock dispatching
+    # tasks than computing (measured 2x at sf0.1's 232k edges; AQE
+    # coalesces reducers but not the per-stage planning/dispatch).
+    # ~500k edges per partition, clamped to the session's
+    # parallelism, so a billion-edge graph still fans out fully.
+    spark = edges.sparkSession
+    width = max(
+        4,
+        min(
+            spark.sparkContext.defaultParallelism,
+            int(m // 500_000) + 4,
+        ),
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        return _pagerank_loop(
+            e, num_iters, damping, checkpoint_every
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _pagerank_loop(
+    e: DataFrame,
+    num_iters: int,
+    damping: float,
+    checkpoint_every: int,
+) -> DataFrame:
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -73,7 +73,8 @@ def register(name: str, sql: Optional[str]):
 _DRIVER_PRIORITY = [
     "streaming_enrich_join", "orders_price_bands", "doc_sentences",
     "partitioned_prune_roundtrip", "dedup_graph_triangles", "term_pmi",
-    "source_percent_rank", "events_interarrival",
+    "source_percent_rank", "events_interarrival", "approx_distinct_users",
+    "scd2_history",
     "embedding_kmeans", "orc_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
@@ -5211,4 +5212,71 @@ def events_interarrival(spark, sf_dir):
             / F.lit(1_000_000.0),
             4,
         ).alias("mean_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6 extensions: approx-distinct accuracy contract / SCD2 history
+# --------------------------------------------------------------------------
+
+_APPROX_DISTINCT_SQL = """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+"""
+
+
+@register("approx_distinct_users", _APPROX_DISTINCT_SQL)
+def approx_distinct_users(spark, sf_dir):
+    """Approximate distinct users per event type — the production
+    path for COUNT DISTINCT at 100 TB (HyperLogLog++ partial
+    aggregates merge map-side; exact distinct needs an Expand +
+    full shuffle of the distinct pairs). The oracle pins BOTH the
+    exact count and the accuracy contract: the Spark side emits
+    `approx_within_5pct` computed from its own HLL estimate vs the
+    exact count, and the oracle emits literal TRUE — if the sketch
+    ever drifts past 5% the value hash breaks. (HLL++ at rsd=0.01
+    is deterministic given the data, so the bool is stable.)"""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+_SCD2_SQL = """
+    SELECT user_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to
+    FROM events WHERE event_type = 'signup'
+"""
+
+
+@register("scd2_history", _SCD2_SQL)
+def scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build: each update
+    becomes a versioned row valid from its own timestamp until the
+    next update for the same key (NULL = current) — the standard
+    warehouse pattern for reconstructing point-in-time state from a
+    change stream. ONE LEAD window pass, shuffle on the key only."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
     )

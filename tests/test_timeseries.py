@@ -357,3 +357,100 @@ def test_nearest_join_two_sided_and_ties(spark):
     assert out[101] == (3, -300.0)      # tie -> earlier right row
     assert 200 not in out               # out of tolerance
     assert len(out) == 2
+
+
+def test_ewma_randomized_vs_pandas_reference(spark):
+    """Randomized series (duplicate timestamps, many users, several
+    partitionings) against an independent pandas implementation of
+    the same finite-window normalized EWMA."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_tsne_spark.operators.timeseries import ewma_smooth
+
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 7, n),
+            "ts_s": rng.integers(0, 50, n),  # heavy ts collisions
+            "event_id": np.arange(n),
+            "value": np.round(rng.normal(size=n), 3),
+        }
+    )
+    window, alpha = 5, 0.3
+
+    def ref(g):
+        g = g.sort_values(["ts_s", "event_id"])
+        out = {}
+        vals = g["value"].tolist()
+        ids = g["event_id"].tolist()
+        for i in range(len(vals)):
+            w = vals[max(0, i - window + 1) : i + 1]
+            wts = [(1 - alpha) ** (len(w) - 1 - j) for j in range(len(w))]
+            out[ids[i]] = round(
+                sum(v * t for v, t in zip(w, wts)) / sum(wts), 6
+            )
+        return out
+
+    want = {}
+    for _, g in pdf.groupby("user_id"):
+        want.update(ref(g))
+
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts_s"))
+    )
+    for parts in (1, 7, 32):
+        got = {
+            r["event_id"]: r["ewma"]
+            for r in ewma_smooth(
+                df.repartition(parts), "user_id", "ts", "value",
+                "event_id", window=window, alpha=alpha,
+            ).collect()
+        }
+        assert got == want, parts
+
+
+def test_nearest_join_randomized_vs_bruteforce(spark):
+    """Randomized event sets vs an exact brute-force nearest
+    computation with the same tie contract."""
+    import numpy as np
+
+    from spark_tsne_spark.operators.timeseries import nearest_join
+
+    rng = np.random.default_rng(23)
+    nl, nr, tol = 120, 150, 40.0
+    lrows = [
+        (int(rng.integers(0, 5)), 1000 + i, int(rng.integers(0, 600)))
+        for i in range(nl)
+    ]
+    rrows = [
+        (int(rng.integers(0, 5)), 2000 + i, int(rng.integers(0, 600)))
+        for i in range(nr)
+    ]
+
+    want = {}
+    for bu, lid, lt in lrows:
+        cands = [
+            (abs(rt - lt), rt, rid, rt - lt)
+            for bu2, rid, rt in rrows
+            if bu2 == bu and abs(rt - lt) <= tol
+        ]
+        if cands:
+            _, _, rid, dt = min(cands)
+            want[lid] = (rid, float(dt))
+
+    def mk(rows, idc):
+        return spark.createDataFrame(
+            rows, f"user_id long, {idc} long, ts_s long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+
+    got = {
+        r["lid"]: (r["rid"], r["dt_s"])
+        for r in nearest_join(
+            mk(lrows, "lid"), mk(rrows, "rid"),
+            by="user_id", left_id="lid", left_ts="ts",
+            right_id="rid", right_ts="ts", tolerance_s=tol,
+        ).collect()
+    }
+    assert got == want
