@@ -15,7 +15,7 @@ preprocessing (``MNIST.scala:40-47``) re-expressed declaratively:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def global_stats(df: DataFrame, features: str = "features") -> tuple[float, float]:
@@ -210,5 +210,49 @@ def centroid_similarity(
             F.round(dot / (nrm(F.col("ca")) * nrm(F.col("cb"))), decimals).alias(
                 "cos"
             ),
+        )
+    )
+
+
+def key_skew_profile(df: DataFrame, cols: list[str], k: int = 5) -> DataFrame:
+    """Top-k heaviest keys per column with their corpus share:
+    ``(column, key, cnt, share, rnk)`` — the skew diagnostic run
+    BEFORE choosing join/aggregation strategies at 100 TB (a 30%-share
+    key means salting or AQE skew handling on any shuffle keyed by
+    that column; a flat profile means plain hash partitioning is
+    fine).
+
+    ONE scan: every column's key melts through a single ``explode``
+    of (name, value) structs, one map-side-combined groupBy counts
+    (|distinct keys| shuffle rows), and the top-k window runs per
+    column over the already-aggregated counts. Rank ties break on the
+    key text so the cut is deterministic.
+    """
+    kv = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("key"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.key")
+    counts = kv.groupBy("column", "key").agg(F.count("*").alias("cnt"))
+    w_tot = Window.partitionBy("column")
+    w_rnk = Window.partitionBy("column").orderBy(F.col("cnt").desc(), "key")
+    return (
+        counts.withColumn("tot", F.sum("cnt").over(w_tot))
+        .withColumn("rnk", F.row_number().over(w_rnk).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "column",
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("tot"), 6).alias("share"),
+            "rnk",
         )
     )

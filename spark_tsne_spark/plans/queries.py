@@ -74,7 +74,7 @@ _DRIVER_PRIORITY = [
     "streaming_enrich_join", "orders_price_bands", "doc_sentences",
     "partitioned_prune_roundtrip", "dedup_graph_triangles", "term_pmi",
     "source_percent_rank", "events_interarrival", "approx_distinct_users",
-    "scd2_history",
+    "scd2_history", "table_checksum", "key_skew_profile",
     "embedding_kmeans", "orc_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
@@ -5279,4 +5279,79 @@ def scd2_history(spark, sf_dir):
             F.col("ts").alias("valid_from"),
             F.lead("ts").over(w).alias("valid_to"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6 extensions: content checksum / key-skew profile
+# --------------------------------------------------------------------------
+
+_CHECKSUM_SQL = """
+    SELECT count(*)::BIGINT AS n_rows,
+           bit_xor(('0x' || substring(md5(doc_id::VARCHAR || '|' || text),
+                                      1, 15))::BIGINT)::BIGINT AS checksum
+    FROM documents
+"""
+
+
+@register("table_checksum", _CHECKSUM_SQL)
+def table_checksum(spark, sf_dir):
+    """Order-insensitive content checksum: row count + the SUM of a
+    60-bit md5 prefix over (key, payload) — the cross-cluster /
+    cross-format replication validation primitive (any lost,
+    or mutated row flips the value with probability 1 - 2^-60;
+    duplicated rows cancel in the XOR but move the count). XOR is
+    commutative, associative, and overflow-free — unlike a SUM, which
+    overflows BIGINT under ANSI semantics at scale — so it map-side
+    partial-aggregates with NO meaningful shuffle: one scalar per
+    partition. The oracle recomputes the identical checksum in
+    DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), "text")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return d.select(h.alias("h")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(h)").cast("long").alias("checksum"),
+    )
+
+
+_SKEW_SQL = """
+    WITH kv AS (
+      SELECT 'event_type' AS "column", event_type AS key FROM events
+      UNION ALL
+      SELECT 'user_id', user_id::VARCHAR FROM events
+    ),
+    c AS (SELECT "column", key, count(*)::BIGINT AS cnt
+          FROM kv GROUP BY 1, 2),
+    t AS (
+      SELECT "column", key, cnt,
+             sum(cnt) OVER (PARTITION BY "column")::BIGINT AS tot,
+             row_number() OVER (
+               PARTITION BY "column" ORDER BY cnt DESC, key
+             ) AS rnk
+      FROM c
+    )
+    SELECT "column", key, cnt, round(cnt / tot, 6) AS share,
+           rnk::BIGINT AS rnk
+    FROM t WHERE rnk <= 5
+"""
+
+
+@register("key_skew_profile", _SKEW_SQL)
+def key_skew_profile_q(spark, sf_dir):
+    """Top-5 heaviest keys per column with corpus share — the skew
+    diagnostic that decides salting/AQE-skew strategy before any big
+    shuffle. One scan melts all columns through a single explode;
+    the top-k window runs over already-aggregated counts."""
+    from spark_tsne_spark.operators.preprocess import key_skew_profile
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "events"), ["event_type", "user_id"], k=5
     )

@@ -1704,3 +1704,44 @@ def test_term_pmi_pairs_collocation(spark):
     # perfect collocation (6/6·6 vs 3/6·6) ranks strictly higher
     assert pairs[("alpha", "beta")]["pmi"] > pairs[("delta", "gamma")]["pmi"]
     assert pairs[("alpha", "beta")]["n_pair"] == 6
+
+
+def test_key_skew_profile(spark):
+    from spark_tsne_spark.operators.preprocess import key_skew_profile
+
+    rows = [("hot", i % 3) for i in range(60)] + [
+        (f"cold{i}", 99) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, g int")
+    out = key_skew_profile(df, ["k", "g"], k=2).collect()
+    by = {(r["column"], r["rnk"]): r for r in out}
+    assert by[("k", 1)]["key"] == "hot" and by[("k", 1)]["cnt"] == 60
+    assert by[("k", 1)]["share"] == round(60 / 70, 6)
+    assert by[("g", 1)]["cnt"] == 20  # 0/1/2 tie -> smallest key text
+    assert by[("g", 1)]["key"] == "0"
+    assert len(out) == 4
+
+
+def test_table_checksum_sensitivity(spark):
+    """Any single-row mutation, loss, or duplication changes the
+    (n_rows, checksum) pair."""
+    from spark_tsne_spark.plans.queries import _REGISTRY
+    import tempfile, os
+
+    base = [(i, f"text {i}") for i in range(50)]
+
+    def chk(rows):
+        d = tempfile.mkdtemp(prefix="chk_")
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "documents.parquet"))
+        r = _REGISTRY["table_checksum"].fn(spark, d).collect()[0]
+        return (r["n_rows"], r["checksum"])
+
+    ref = chk(base)
+    mutated = chk([(i, ("TEXT 7" if i == 7 else f"text {i}")) for i in range(50)])
+    dropped = chk(base[:-1])
+    dup = chk(base + [base[3]])
+    assert mutated != ref and dropped != ref and dup != ref
+    # XOR cancels the duplicated pair's hash but the count catches it
+    assert dup[0] == ref[0] + 1
