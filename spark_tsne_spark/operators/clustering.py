@@ -63,10 +63,14 @@ def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
     )
 
 
-def _assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """(id, v, cluster): nearest centroid per row, ties to the
-    smallest cid via array_min over struct(dist, cid) — one narrow
-    JVM pass, no shuffle."""
+def _assign(
+    vecs: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    with_dist: bool = False,
+) -> DataFrame:
+    """(id, v, cluster[, dist]): nearest centroid per row, ties to
+    the smallest cid via array_min over struct(dist, cid) — one
+    narrow JVM pass, no shuffle."""
     lit = _centroid_literal(cents)
     best = F.array_min(
         F.transform(
@@ -76,8 +80,11 @@ def _assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
                 s["cid"].alias("cid"),
             ),
         )
-    )["cid"]
-    return vecs.select("id", "v", best.alias("cluster"))
+    )
+    cols = ["id", "v", best["cid"].alias("cluster")]
+    if with_dist:
+        cols.append(best["d"].alias("dist"))
+    return vecs.select(*cols)
 
 
 def kmeans_assign(
@@ -87,10 +94,21 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 9,
+    init: str = "first",
+    seed: int = 42,
+    include_dist: bool = False,
 ) -> DataFrame:
-    """``num_iters`` Lloyd steps from the deterministic smallest-id
-    init, then one final assignment against the updated centroids.
-    Returns ``(id, cluster)``.
+    """``num_iters`` Lloyd steps from a deterministic init, then one
+    final assignment against the updated centroids. Returns
+    ``(id, cluster)`` — plus ``dist`` (squared L2 to the assigned
+    centroid) when ``include_dist`` is set.
+
+    ``init="first"`` seeds from the k smallest ids (the SQL-oracle
+    contract); ``init="hash"`` seeds from the k rows with the
+    smallest ``xxhash64(id, seed)`` — a deterministic uniform sample,
+    the right default when ids are correlated with position/content
+    (ingest order) and the first k rows would all sit in one region.
+    Both are ONE TakeOrdered job; no RNG state.
 
     Empty clusters keep their previous centroid (the standard
     fixed-k convention; the oracle coalesces identically).
@@ -99,6 +117,8 @@ def kmeans_assign(
         raise ValueError(f"k must be >= 1, got {k}")
     if num_iters < 0:
         raise ValueError(f"num_iters must be >= 0, got {num_iters}")
+    if init not in ("first", "hash"):
+        raise ValueError(f"init must be 'first' or 'hash', got {init!r}")
     vecs = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -109,7 +129,11 @@ def kmeans_assign(
     # exclusive_prefix_sum — use reliable checkpointing on clusters
     # where restartability matters.
     vecs = vecs.localCheckpoint(eager=False)
-    init_rows = vecs.orderBy("id").limit(k).collect()
+    if init == "hash":
+        order = F.xxhash64(F.col("id"), F.lit(seed))
+        init_rows = vecs.orderBy(order, "id").limit(k).collect()
+    else:
+        init_rows = vecs.orderBy("id").limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, list(r["v"])) for i, r in enumerate(init_rows)
     ]
@@ -136,6 +160,11 @@ def kmeans_assign(
             )
             for cid, old in cents
         ]
-    return _assign(vecs, cents).select(
+    final = _assign(vecs, cents, with_dist=include_dist)
+    if include_dist:
+        return final.select(
+            "id", F.col("cluster").cast("int").alias("cluster"), "dist"
+        )
+    return final.select(
         F.col("id"), F.col("cluster").cast("int").alias("cluster")
     )

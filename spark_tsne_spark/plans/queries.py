@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = [
     "partitioned_prune_roundtrip", "dedup_graph_triangles", "term_pmi",
     "source_percent_rank", "events_interarrival", "approx_distinct_users",
     "scd2_history", "table_checksum", "key_skew_profile",
+    "embedding_kmeans_inertia",
     "embedding_kmeans", "orc_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
@@ -3765,7 +3766,9 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, decimals: int = 9) -> str:
+def _kmeans_sql(
+    k: int = 8, iters: int = 3, decimals: int = 9, emit: str = "assign"
+) -> str:
     """Unrolled Lloyd's k-means oracle: the same deterministic
     recursion as ``operators.clustering.kmeans_assign`` — smallest-id
     init, argmin ties to the smaller cid, per-iteration means rounded
@@ -3784,8 +3787,8 @@ def _kmeans_sql(k: int = 8, iters: int = 3, decimals: int = 9) -> str:
     for t in range(iters + 1):
         last = t == iters
         parts.append(
-            f"a{t} AS (SELECT vec_id, v, cid FROM ("
-            f" SELECT e.vec_id, e.v, c.cid,"
+            f"a{t} AS (SELECT vec_id, v, cid, d FROM ("
+            f" SELECT e.vec_id, e.v, c.cid, {dist} AS d,"
             f" row_number() OVER (PARTITION BY e.vec_id"
             f" ORDER BY {dist}, c.cid) AS rn"
             f" FROM e, c{t} c) WHERE rn = 1)" + ("" if last else ",")
@@ -3803,9 +3806,16 @@ def _kmeans_sql(k: int = 8, iters: int = 3, decimals: int = 9) -> str:
             f" (SELECT cid, list(m ORDER BY i) AS c FROM u{t} GROUP BY cid) n"
             f" ON c.cid = n.cid),"
         )
-    parts.append(
-        f"SELECT vec_id AS id, cid::INT AS cluster FROM a{iters}"
-    )
+    if emit == "inertia":
+        parts.append(
+            f"SELECT cid::INT AS cluster, count(*)::BIGINT AS n,"
+            f" sum(round(d * 1000000))::BIGINT AS sse_e6"
+            f" FROM a{iters} GROUP BY cid"
+        )
+    else:
+        parts.append(
+            f"SELECT vec_id AS id, cid::INT AS cluster FROM a{iters}"
+        )
     return "\n".join(parts)
 
 
@@ -5354,4 +5364,24 @@ def key_skew_profile_q(spark, sf_dir):
 
     return key_skew_profile(
         _t(spark, sf_dir, "events"), ["event_type", "user_id"], k=5
+    )
+
+
+@register("embedding_kmeans_inertia", _kmeans_sql(k=8, iters=3, emit="inertia"))
+def embedding_kmeans_inertia(spark, sf_dir):
+    """Per-cluster k-means quality: size + within-cluster SSE after
+    the same 3 Lloyd steps as embedding_kmeans. Each row's squared
+    distance rounds onto the 1e-6 grid and sums as an exact integer,
+    so the cross-engine check is hash-stable without float-sum
+    drift."""
+    from spark_tsne_spark.operators.clustering import kmeans_assign
+
+    out = kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=8, num_iters=3, include_dist=True
+    )
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("dist") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("sse_e6"),
     )

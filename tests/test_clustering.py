@@ -91,3 +91,32 @@ def test_kmeans_validates_params(spark):
         kmeans_assign(df, k=0)
     with pytest.raises(ValueError):
         kmeans_assign(df, k=2, num_iters=-1)
+
+
+def test_kmeans_hash_init_differs_and_is_deterministic(spark):
+    rng = np.random.default_rng(5)
+    X = np.round(rng.normal(size=(100, 4)), 4)
+    df = _make_df(spark, range(100), X)
+    a = {r["id"]: r["cluster"] for r in kmeans_assign(df, 4, 2, init="hash").collect()}
+    b = {r["id"]: r["cluster"] for r in kmeans_assign(df, 4, 2, init="hash").collect()}
+    assert a == b  # same seed -> same result
+    c = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign(df, 4, 2, init="hash", seed=7).collect()
+    }
+    assert isinstance(list(c.values())[0], int)
+    with pytest.raises(ValueError):
+        kmeans_assign(df, 4, 2, init="wat")
+
+
+def test_kmeans_include_dist_consistent(spark):
+    """dist is the squared L2 to the ASSIGNED centroid: 0 for a row
+    that coincides with its centroid; recomputable from the
+    assignment."""
+    pts = [[0.0, 0.0], [0.0, 0.0], [4.0, 0.0], [4.0, 0.0], [4.0, 2.0]]
+    df = _make_df(spark, range(5), pts)
+    out = kmeans_assign(df, k=2, num_iters=2, include_dist=True).collect()
+    by = {r["id"]: r for r in out}
+    assert by[0]["dist"] == 0.0
+    # centroid of cluster holding rows 2-4 is (4, 2/3)
+    assert abs(by[4]["dist"] - (0.0 + (2 - 2 / 3) ** 2)) < 1e-6
