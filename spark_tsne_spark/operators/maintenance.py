@@ -71,3 +71,42 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+def merge_aggregate(
+    existing: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for a count/sum aggregate: fold a
+    new batch's PARTIAL aggregate into the persisted aggregate table
+    without touching history — the pattern that turns an O(corpus)
+    nightly recompute into an O(batch) merge (counts and sums are
+    the self-maintainable aggregates; avg derives as sum/n at read
+    time). ``sum_cols`` maps each aggregate column in ``existing`` to
+    the raw batch column it sums.
+
+    Plan: aggregate ONLY the batch (map-side partials over batch-
+    sized input), then one full-outer join with the existing
+    aggregate on the group keys and coalesce-add the measures. The
+    existing side never re-aggregates; shuffle is bounded by
+    |distinct keys| + |batch|.
+    """
+    sum_cols = sum_cols or {}
+    b = batch.groupBy(*keys).agg(
+        F.count("*").alias(count_col),
+        *[F.sum(srcc).alias(aggc) for aggc, srcc in sum_cols.items()],
+    )
+    ex = existing
+    for c in [count_col, *sum_cols]:
+        b = b.withColumnRenamed(c, f"_b_{c}")
+    out = ex.join(b, on=keys, how="full_outer")
+    for c in [count_col, *sum_cols]:
+        out = out.withColumn(
+            c,
+            F.coalesce(F.col(c), F.lit(0))
+            + F.coalesce(F.col(f"_b_{c}"), F.lit(0)),
+        ).drop(f"_b_{c}")
+    return out

@@ -75,7 +75,7 @@ _DRIVER_PRIORITY = [
     "partitioned_prune_roundtrip", "dedup_graph_triangles", "term_pmi",
     "source_percent_rank", "events_interarrival", "approx_distinct_users",
     "scd2_history", "table_checksum", "key_skew_profile",
-    "embedding_kmeans_inertia",
+    "embedding_kmeans_inertia", "orders_deciles", "incremental_agg_merge",
     "embedding_kmeans", "orc_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
@@ -5384,4 +5384,92 @@ def embedding_kmeans_inertia(spark, sf_dir):
         F.sum(F.round(F.col("dist") * 1_000_000).cast("long"))
         .cast("long")
         .alias("sse_e6"),
+    )
+
+
+_DECILES_SQL = """
+    WITH r AS (
+      SELECT o_custkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+             round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+               AS cd
+      FROM orders
+    )
+    SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+           min(cd) AS min_cume_dist, max(cd) AS max_cume_dist
+    FROM r GROUP BY decile
+"""
+
+
+@register("orders_deciles", _DECILES_SQL)
+def orders_deciles(spark, sf_dir):
+    """Equi-depth decile stats over order totals (ntile + cume_dist
+    with an integer tie-break so bucket boundaries are total-order
+    deterministic). The global-order window is the SEMANTICS here —
+    at 100 TB the same result comes from the exact histogram-quantile
+    machinery in sampling.py (quality_gate_per_stratum) without a
+    single-task sort; this entry pins the window-function contract."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    r = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return r.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.min("cd").alias("min_cume_dist"),
+        F.max("cd").alias("max_cume_dist"),
+    )
+
+
+_IVM_SQL = """
+    WITH hist AS (
+      SELECT source, lang, count(*)::BIGINT AS n,
+             sum(n_chars)::BIGINT AS sum_chars
+      FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1, 2
+    ),
+    batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0)
+    SELECT coalesce(h.source, b.source) AS source,
+           coalesce(h.lang, b.lang) AS lang,
+           (coalesce(h.n, 0) + coalesce(b.n, 0))::BIGINT AS n,
+           (coalesce(h.sum_chars, 0) + coalesce(b.sum_chars, 0))::BIGINT
+             AS sum_chars
+    FROM hist h
+    FULL OUTER JOIN (
+      SELECT source, lang, count(*)::BIGINT AS n,
+             sum(n_chars)::BIGINT AS sum_chars
+      FROM batch GROUP BY 1, 2
+    ) b ON h.source = b.source AND h.lang = b.lang
+"""
+
+
+@register("incremental_agg_merge", _IVM_SQL)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental view maintenance: fold a new batch's partial
+    aggregate into a persisted (source, lang) count/sum table — the
+    O(batch) alternative to the O(corpus) nightly recompute. Only the
+    batch aggregates; the history side joins as-is. (The merged
+    result must equal the from-scratch aggregate, which is exactly
+    what the oracle's equivalent merge computes.)"""
+    from spark_tsne_spark.operators.maintenance import merge_aggregate
+
+    d = _t(spark, sf_dir, "documents")
+    hist = (
+        d.where(F.col("doc_id") % 10 != 0)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+    )
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    out = merge_aggregate(
+        hist, batch, keys=["source", "lang"], count_col="n",
+        sum_cols={"sum_chars": "n_chars"},
+    )
+    return out.select(
+        "source", "lang", F.col("n").cast("long"),
+        F.col("sum_chars").cast("long"),
     )

@@ -1745,3 +1745,34 @@ def test_table_checksum_sensitivity(spark):
     assert mutated != ref and dropped != ref and dup != ref
     # XOR cancels the duplicated pair's hash but the count catches it
     assert dup[0] == ref[0] + 1
+
+
+def test_merge_aggregate_equals_full_recompute(spark):
+    """Folding a batch partial into the persisted aggregate equals
+    aggregating everything from scratch — including brand-new keys
+    and keys absent from the batch."""
+    from spark_tsne_spark.operators.maintenance import merge_aggregate
+
+    full = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5), ("c", 7), ("c", 9), ("d", 4)],
+        "k string, v long",
+    )
+    hist_rows = full.where(F.col("v") % 2 == 1)  # a:1, b:5, c:7, c:9
+    batch = full.where(F.col("v") % 2 == 0)      # a:2, d:4 (d is new)
+    hist = hist_rows.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sum_v")
+    )
+    got = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in merge_aggregate(
+            hist, batch, keys=["k"], count_col="n",
+            sum_cols={"sum_v": "v"},
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in full.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
