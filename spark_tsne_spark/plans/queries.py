@@ -75,7 +75,7 @@ _DRIVER_PRIORITY = [
     "partitioned_prune_roundtrip", "dedup_graph_triangles", "term_pmi",
     "source_percent_rank", "events_interarrival", "approx_distinct_users",
     "scd2_history", "table_checksum", "key_skew_profile",
-    "embedding_kmeans_inertia", "orders_deciles", "incremental_agg_merge",
+    "embedding_kmeans_inertia", "orders_deciles", "incremental_agg_merge", "event_transitions",
     "embedding_kmeans", "orc_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
@@ -5472,4 +5472,47 @@ def incremental_agg_merge(spark, sf_dir):
     return out.select(
         "source", "lang", F.col("n").cast("long"),
         F.col("sum_chars").cast("long"),
+    )
+
+
+_TRANSITIONS_SQL = """
+    WITH s AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS b
+      FROM events
+    )
+    SELECT a, b, count(*)::BIGINT AS n,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY a), 6) AS p
+    FROM s WHERE b IS NOT NULL GROUP BY a, b
+"""
+
+
+@register("event_transitions", _TRANSITIONS_SQL)
+def event_transitions(spark, sf_dir):
+    """First-order event-transition matrix: P(next=b | current=a)
+    over per-user sequences — the sequence-mining building block
+    (funnel discovery, anomaly scoring of improbable transitions).
+    One LAG-family window for the pairs, one |types|^2-row groupBy;
+    the row-normalization window runs over the already-aggregated
+    matrix, so it is O(types^2) regardless of corpus size. The
+    probability divides the SAME two exact integers in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    counts = s.groupBy("a", "b").agg(F.count("*").alias("n"))
+    w_row = Window.partitionBy("a")
+    return counts.select(
+        "a",
+        "b",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_row), 6
+        ).alias("p"),
     )
