@@ -55,6 +55,13 @@ def pagerank(
     broadcast, so the result is the true power method, not the
     leak-mass approximation. Deterministic given (edges, num_iters,
     damping): the oracle replays the same recursion in SQL.
+
+    Concurrency note: the loop temporarily narrows the session's
+    ``spark.sql.shuffle.partitions`` (restored in a finally) — other
+    queries planned on the same SparkSession DURING a pagerank call
+    would plan at the narrowed width. This engine's driver loops are
+    single-threaded by design; on a shared session, run pagerank
+    serially or pin widths explicitly.
     """
     if num_iters < 1:
         raise ValueError(f"num_iters must be >= 1, got {num_iters}")
@@ -221,9 +228,11 @@ def triangle_counts(pairs: DataFrame, src: str = "i", dst: str = "j") -> DataFra
     w1 = o.select(F.col("s"), F.col("t").alias("t1"))
     w2 = o.select(F.col("s"), F.col("t").alias("t2"))
     wedges = w1.join(w2, "s").where(F.col("t1") < F.col("t2"))
-    closing = o.select(
-        F.least("s", "t").alias("t1"), F.greatest("s", "t").alias("t2")
-    ).distinct()
+    # The closing-edge set IS e: orientation only reorders each
+    # (u, v) pair, so least/greatest over o reconstructs the already-
+    # distinct edge list — join e directly instead of re-deriving it
+    # through the degree joins + another distinct.
+    closing = e.select(F.col("u").alias("t1"), F.col("v").alias("t2"))
     tris = wedges.join(closing, ["t1", "t2"])
     return (
         tris.select(

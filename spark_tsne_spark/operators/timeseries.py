@@ -320,6 +320,12 @@ def ewma_smooth(
     short history are means of what exists, not biased toward an
     arbitrary zero init).
 
+    NULL values neither contribute nor receive weight: the frame is
+    ROWS-based, but weighting runs over the frame's NON-NULL values
+    in order (Spark's collect_list drops NULLs; the oracle mirrors
+    with list_filter), so a NULL-heavy stretch shortens the
+    effective history instead of poisoning the mean.
+
     The *finite* window is deliberate: the textbook recursive EWMA
     needs running state per series (a window cumsum of
     ``x_j*(1-a)^-j`` overflows for long series), while a bounded
@@ -397,9 +403,11 @@ def nearest_join(
     signed right-minus-left offset in seconds (exact: integer
     microseconds over 10^6).
     """
-    if tolerance_s <= 0:
-        raise ValueError(f"tolerance_s must be > 0, got {tolerance_s}")
     tol_us = int(tolerance_s * 1_000_000)
+    if tol_us < 1:
+        raise ValueError(
+            f"tolerance_s must be >= 1 microsecond, got {tolerance_s}"
+        )
     l = left.select(
         F.col(by).alias("_by"),
         F.col(left_id).alias("_lid"),

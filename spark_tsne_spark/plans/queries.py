@@ -4472,10 +4472,10 @@ def orc_roundtrip(spark, sf_dir):
 _EWMA_SQL = """
     WITH o AS (
       SELECT user_id, event_id,
-             list(value) OVER (
+             list_filter(list(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW
-             ) AS w
+             ), x -> x IS NOT NULL) AS w
       FROM events
     )
     SELECT user_id, event_id,
@@ -4682,6 +4682,10 @@ def q12_late_shipments(spark, sf_dir):
     )
     o = _t(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # Two independent CASEs, mirroring the oracle's three-valued
+    # logic exactly: a NULL priority is neither high nor low (both
+    # `IN` and `NOT IN` yield NULL -> ELSE 0), rather than falling
+    # into an otherwise() low bucket only on the Spark side.
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
@@ -4692,12 +4696,13 @@ def q12_late_shipments(spark, sf_dir):
             )
             .otherwise("ontime")
             .alias("ship_bucket"),
-            high.alias("_hi"),
+            F.when(high, 1).otherwise(0).alias("_hi"),
+            F.when(~high, 1).otherwise(0).alias("_lo"),
         )
         .groupBy("ship_bucket")
         .agg(
-            F.sum(F.when(F.col("_hi"), 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(F.col("_hi"), 0).otherwise(1)).alias("low_line_count"),
+            F.sum("_hi").alias("high_line_count"),
+            F.sum("_lo").alias("low_line_count"),
         )
     )
 
@@ -4739,8 +4744,11 @@ def q14_promo_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < "1996-02-01")
     )
     p = _t(spark, sf_dir, "part")
+    # No broadcast hint: part grows with the scale factor, so AQE
+    # picks broadcast-vs-shuffle from the measured size (same
+    # principle as remove_boilerplate_lines).
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
             .cast("long")
@@ -4785,9 +4793,12 @@ def q18_large_orders(spark, sf_dir):
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # customer grows with the scale factor — no broadcast hint; the
+    # HAVING-filtered `big` key set is the provably small side and
+    # AQE broadcasts IT at runtime.
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select("c_custkey", "c_name", "o_orderkey", "sum_qty")
     )
 
@@ -4817,7 +4828,8 @@ def q19_disjunctive(spark, sf_dir):
     .where mirrors the SQL for parity."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # part grows with the scale factor — AQE sizes the join.
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     b = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 5)
@@ -5306,8 +5318,8 @@ _CHECKSUM_SQL = """
 
 @register("table_checksum", _CHECKSUM_SQL)
 def table_checksum(spark, sf_dir):
-    """Order-insensitive content checksum: row count + the SUM of a
-    60-bit md5 prefix over (key, payload) — the cross-cluster /
+    """Order-insensitive content checksum: row count + the bitwise
+    XOR of a 60-bit md5 prefix over (key, payload) — the cross-cluster /
     cross-format replication validation primitive (any lost,
     or mutated row flips the value with probability 1 - 2^-60;
     duplicated rows cancel in the XOR but move the count). XOR is

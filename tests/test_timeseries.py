@@ -454,3 +454,28 @@ def test_nearest_join_randomized_vs_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ewma_null_values_skipped_consistently(spark):
+    """NULL values neither contribute nor receive weight — the
+    contract the DuckDB oracle mirrors with list_filter."""
+    from spark_tsne_spark.operators.timeseries import ewma_smooth
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 4.0),
+        (1, "2024-01-01 00:00:01", 2, None),
+        (1, "2024-01-01 00:00:02", 3, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_smooth(
+            df, "user_id", "ts", "value", "event_id", window=3, alpha=0.5
+        ).collect()
+    }
+    # row 3's frame holds [4, NULL, 8] -> weights over [4, 8] only
+    assert got[3] == round((0.5 * 4 + 1 * 8) / 1.5, 6)
+    # row 2's frame is [4, NULL]; the non-null list is [4] -> 4.0
+    assert got[2] == 4.0
