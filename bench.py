@@ -247,6 +247,9 @@ def bench_queries():
         "events_cohort_retention": Q.events_cohort_retention,
         "events_ewma": Q.events_ewma,
         "events_nearest_join": Q.events_nearest_join,
+        "event_transitions": Q.event_transitions,
+        "scd2_history": Q.scd2_history,
+        "table_checksum": Q.table_checksum,
         "q18_large_orders": Q.q18_large_orders,
         "cube_revenue": Q.cube_revenue,
         "orc_roundtrip": Q.orc_roundtrip,
