@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "source_percent_rank", "events_interarrival", "approx_distinct_users",
     "scd2_history", "table_checksum", "key_skew_profile",
     "embedding_kmeans_inertia", "orders_deciles", "incremental_agg_merge", "event_transitions",
+    "events_value_histogram", "top_terms_per_source", "user_activity_span",
     "embedding_kmeans", "orc_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
@@ -5527,4 +5528,111 @@ def event_transitions(spark, sf_dir):
         F.round(
             F.col("n").cast("double") / F.sum("n").over(w_row), 6
         ).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6 extensions: value histogram / per-source top terms /
+# user activity span
+# --------------------------------------------------------------------------
+
+_VALUE_HIST_SQL = """
+    SELECT CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 100.0 THEN 11
+                ELSE floor((value - 0.0) / 10.0)::BIGINT + 1 END AS bucket,
+           count(*)::BIGINT AS n,
+           round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register("events_value_histogram", _VALUE_HIST_SQL)
+def events_value_histogram(spark, sf_dir):
+    """Equi-width histogram of event values (10 buckets over [0, 100)
+    plus under/overflow bins) with explicit bucket arithmetic —
+    identical float ops on identical doubles in both engines, since
+    DuckDB has no width_bucket. One map-side-combined groupBy to ~12
+    rows."""
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0.0, 0)
+        .when(v >= 100.0, 11)
+        .otherwise(F.floor((v - 0.0) / 10.0).cast("long") + 1)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )
+
+
+_TOP_TERMS_SRC_SQL = r"""
+    WITH t AS (
+      SELECT source, tok AS term FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    c AS (SELECT source, term, count(*)::BIGINT AS n
+          FROM t GROUP BY 1, 2)
+    SELECT source, term, n, rnk FROM (
+      SELECT source, term, n,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n DESC, term
+             )::BIGINT AS rnk
+      FROM c
+    ) WHERE rnk <= 5
+"""
+
+
+@register("top_terms_per_source", _TOP_TERMS_SRC_SQL)
+def top_terms_per_source(spark, sf_dir):
+    """Grouped top-k aggregate: the 5 most frequent terms per source
+    (per-group vocabulary drift monitor). The rank window runs over
+    the ALREADY-AGGREGATED (source, term) counts — |vocab| rows per
+    source, never the token stream — with text tie-breaks for a
+    deterministic cut."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select("source", F.explode(tokens("text")).alias("term")).where(
+        F.length("term") > 0
+    )
+    c = terms.groupBy("source", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "term")
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("source", "term", "n", "rnk")
+    )
+
+
+_ACTIVITY_SPAN_SQL = """
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000
+             AS days_span
+    FROM events GROUP BY user_id
+"""
+
+
+@register("user_activity_span", _ACTIVITY_SPAN_SQL)
+def user_activity_span(spark, sf_dir):
+    """Per-user lifetime envelope (first/last event, exact integer
+    day span) — the cohort/retention denominator. One
+    map-side-combined groupBy; the day span floors an exact
+    microsecond difference, no float time math."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.floor(
+            (F.max(us) - F.min(us)) / F.lit(86_400_000_000)
+        ).alias("days_span"),
     )
