@@ -248,6 +248,9 @@ def bench_queries():
         "events_ewma": Q.events_ewma,
         "events_nearest_join": Q.events_nearest_join,
         "event_transitions": Q.event_transitions,
+        "events_value_histogram": Q.events_value_histogram,
+        "user_activity_span": Q.user_activity_span,
+        "top_terms_per_source": Q.top_terms_per_source,
         "scd2_history": Q.scd2_history,
         "table_checksum": Q.table_checksum,
         "q18_large_orders": Q.q18_large_orders,

@@ -150,12 +150,11 @@ def knn_exact_block(
                 np.maximum(d, 0.0, out=d)
                 d[np.arange(m), self_pos[lo:hi]] = np.inf  # exclude self
                 idx = np.argpartition(d, kkk - 1, axis=1)[:, :kkk]
-                for r in range(m):
-                    row_idx = idx[r]
-                    order = np.argsort(d[r, row_idx], kind="stable")
-                    sel = row_idx[order]
-                    out_js.append(ids_all[sel].tolist())
-                    out_ds.append(d[r, sel].tolist())
+                part = np.take_along_axis(d, idx, axis=1)
+                order = np.argsort(part, axis=1, kind="stable")
+                sel = np.take_along_axis(idx, order, axis=1)
+                out_js.extend(ids_all[sel].tolist())
+                out_ds.extend(np.take_along_axis(part, order, axis=1).tolist())
             yield pd.DataFrame({"i": my, "js": out_js, "ds": out_ds})
 
     # The fixture parquet often lands as ONE partition; spread the block
