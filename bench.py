@@ -251,6 +251,9 @@ def bench_queries():
         "events_value_histogram": Q.events_value_histogram,
         "user_activity_span": Q.user_activity_span,
         "top_terms_per_source": Q.top_terms_per_source,
+        "part_cooccurrence": Q.part_cooccurrence,
+        "events_anomaly_zscore": Q.events_anomaly_zscore,
+        "embedding_sq8": Q.embedding_sq8,
         "scd2_history": Q.scd2_history,
         "table_checksum": Q.table_checksum,
         "q18_large_orders": Q.q18_large_orders,

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "scd2_history", "table_checksum", "key_skew_profile",
     "embedding_kmeans_inertia", "orders_deciles", "incremental_agg_merge", "event_transitions",
     "events_value_histogram", "top_terms_per_source", "user_activity_span",
+    "part_cooccurrence", "events_anomaly_zscore", "embedding_sq8",
     "embedding_kmeans", "orc_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
@@ -5635,4 +5636,179 @@ def user_activity_span(spark, sf_dir):
         F.floor(
             (F.max(us) - F.min(us)) / F.lit(86_400_000_000)
         ).alias("days_span"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6 extensions: market-basket co-occurrence / z-score anomalies /
+# scalar-quantization error
+# --------------------------------------------------------------------------
+
+_PART_COOC_SQL = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM li),
+    pc AS (SELECT l_partkey, count(*)::BIGINT AS n_ord FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS n_pair
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, n_pair,
+           round(n_pair * tot.n / (ca.n_ord * cb.n_ord), 6) AS lift
+    FROM pairs
+    JOIN pc ca ON pairs.p1 = ca.l_partkey
+    JOIN pc cb ON pairs.p2 = cb.l_partkey
+    CROSS JOIN tot
+    WHERE n_pair >= 2
+"""
+
+
+@register("part_cooccurrence", _PART_COOC_SQL)
+def part_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence with lift: part pairs bought in the
+    same order, support >= 2, lift = P(a,b)/(P(a)P(b)).
+
+    The pair generation is a self-equi-join on the order key — its
+    blow-up is bounded by the per-order basket size (<= 7 lines in
+    TPC-H), i.e. sum(k_o choose 2) pairs, NOT |lineitem|^2, so it
+    scales linearly with order count. The per-part order counts are a
+    tiny dim (|parts| rows) joined after aggregation; the global order
+    count is one scalar crossed in. Everything is exact integer
+    arithmetic until the single double division inside the lift."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    tot = li.select(F.countDistinct("l_orderkey").alias("n"))
+    pc = li.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    return (
+        pairs.join(pc.withColumnRenamed("l_partkey", "p1").withColumnRenamed("n_ord", "n1"), "p1")
+        .join(pc.withColumnRenamed("l_partkey", "p2").withColumnRenamed("n_ord", "n2"), "p2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(
+                F.col("n_pair") * F.col("n") / (F.col("n1") * F.col("n2")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+_ANOMALY_Z_SQL = """
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           round((e.value - s.m) / s.sd, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE s.sd > 0 AND abs((e.value - s.m) / s.sd) > 3.0
+"""
+
+
+@register("events_anomaly_zscore", _ANOMALY_Z_SQL)
+def events_anomaly_zscore(spark, sf_dir):
+    """Population z-score outliers (|z| > 3) per event type — the
+    stream-quality tripwire. The per-type stats table is tiny
+    (|types| rows) and broadcast back onto the fact scan, so the only
+    shuffle is the map-side-combined stats groupBy; the outlier
+    filter runs scan-side at full width."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_pop("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .where((F.col("sd") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+_SQ8_SQL = f"""
+    WITH f AS (
+      SELECT vec_id, unnest({_EMB_D}) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY 1
+    ),
+    err AS (
+      SELECT vec_id,
+             CASE WHEN mx > mn
+                  THEN x - (mn + round((x - mn) / (mx - mn) * 255.0)
+                            * (mx - mn) / 255.0)
+                  ELSE 0.0 END AS e
+      FROM f JOIN stats USING (pos)
+    )
+    SELECT vec_id, round(avg(e * e) * 1e6, 6) AS mse_x1e6,
+           round(max(abs(e)) * 1e3, 6) AS maxerr_x1e3
+    FROM err GROUP BY 1
+"""
+
+
+@register("embedding_sq8", _SQ8_SQL)
+def embedding_sq8(spark, sf_dir):
+    """Int8 scalar quantization (per-dimension min/max grid, 255
+    steps) with per-vector reconstruction error — the storage-planning
+    companion to the IVF-PQ index: SQ8 cuts the embedding store 4x
+    and this reports what that costs per vector.
+
+    The per-dimension stats are d rows — broadcast back onto the
+    exploded components; the only shuffles are the d-row stats groupBy
+    and the per-vector error groupBy, both map-side combined. Errors
+    are scaled (1e6/1e3) before the 6-decimal round so the
+    quantization floor stays visible. Both engines run the identical
+    double formula, so the codes and errors agree exactly."""
+    f = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "x"
+            ),
+        )
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    )
+    stats = f.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    step = (F.col("mx") - F.col("mn")) / 255.0
+    recon = F.col("mn") + F.round(
+        (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0, 0
+    ) * step
+    e = F.when(F.col("mx") > F.col("mn"), F.col("x") - recon).otherwise(0.0)
+    return (
+        f.join(F.broadcast(stats), "pos")
+        .select("vec_id", e.alias("e"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.avg(F.col("e") * F.col("e")) * 1e6, 6).alias("mse_x1e6"),
+            F.round(F.max(F.abs("e")) * 1e3, 6).alias("maxerr_x1e3"),
+        )
     )
