@@ -78,7 +78,7 @@ _DRIVER_PRIORITY = [
     "embedding_kmeans_inertia", "orders_deciles", "incremental_agg_merge", "event_transitions",
     "events_value_histogram", "top_terms_per_source", "user_activity_span",
     "part_cooccurrence", "events_anomaly_zscore", "embedding_sq8",
-    "embedding_kmeans", "orc_roundtrip", "events_ewma",
+    "embedding_kmeans", "orc_roundtrip", "jsonl_roundtrip", "events_ewma",
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
     "q18_large_orders", "q19_disjunctive", "cube_revenue",
@@ -5811,4 +5811,61 @@ def embedding_sq8(spark, sf_dir):
             F.round(F.avg(F.col("e") * F.col("e")) * 1e6, 6).alias("mse_x1e6"),
             F.round(F.max(F.abs("e")) * 1e3, 6).alias("maxerr_x1e3"),
         )
+    )
+
+
+_JSONL_ROUNDTRIP_SQL = """
+    SELECT event_type, count(*)::BIGINT AS n,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           round(sum(value), 4) AS sum_value,
+           min(epoch_us(ts))::BIGINT AS min_ts_us,
+           max(epoch_us(ts))::BIGINT AS max_ts_us,
+           count(DISTINCT md5(props))::BIGINT AS n_distinct_props
+    FROM events GROUP BY event_type
+"""
+
+
+@register("jsonl_roundtrip", _JSONL_ROUNDTRIP_SQL)
+def jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines sink + source roundtrip: write `events` as JSONL,
+    read it back with an explicit schema, and prove content fidelity
+    with a per-type census (counts, user cardinality, value sum,
+    timestamp envelope, distinct-props md5) that the oracle computes
+    from the ORIGINAL parquet.
+
+    The timestamp ships as explicit epoch MICROSECONDS: Spark's
+    default JSON timestamp text is millisecond-precision, so a naive
+    timestamp roundtrip silently truncates micros — a 100 TB handoff
+    encodes the integer and casts back on ingest. The write is a
+    per-partition layout conversion (no shuffle); the read-back scan
+    carries the declared schema, dodging JSON's full-scan schema
+    inference."""
+    import hashlib
+    import tempfile
+
+    from spark_tsne_spark.sources.sinks import read_jsonl, write_jsonl
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_tsne_jsonl_{tag}")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    write_jsonl(ev, path)
+    schema = (
+        "event_id long, ts_us long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    back = read_jsonl(spark, path, schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.countDistinct(F.md5("props")).alias("n_distinct_props"),
     )

@@ -79,6 +79,27 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of crawl/annotation
+    pipelines (one JSON object per line, splittable, append-friendly).
+    Row-oriented: no column pruning or predicate pushdown at read
+    time, so it is a HANDOFF format, not a working layout — land it,
+    convert to parquet, query the parquet."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema.
+
+    Schema inference on JSON is a full extra pass over the data
+    (`spark.read.json` without a schema scans everything once just to
+    guess types) — at 100 TB that doubles the read, so the schema is
+    a required argument here, and malformed rows surface in the
+    standard `_corrupt_record` pattern rather than silently widening
+    every column to string."""
+    return spark.read.schema(schema).json(path)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
