@@ -227,6 +227,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "streaming_enrich_join",
         "ann_ivf_index_query",  # builds the on-disk index
         "orc_roundtrip",  # writes the ORC copy on invocation
+        "jsonl_roundtrip",  # writes the JSONL copy on invocation
         "partitioned_prune_roundtrip",  # writes the partitioned copy
     }
     # BroadcastNestedLoopJoin intended:
@@ -244,6 +245,8 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "tfidf_top_terms",
         # 1-row dangling-mass scalar broadcast per power iteration
         "dedup_graph_pagerank",
+        # 1-row total-order-count scalar broadcast into the lift
+        "part_cooccurrence",
         # eval-set broadcast threshold join (benchmark-sized small side
         # by construction; the big side streams, no shuffle)
         "semantic_contamination",
@@ -290,3 +293,34 @@ def test_packing_entries_prune_columns(spark, sf_dir):
             if "ReadSchema" in line:
                 schema = line.split("ReadSchema:")[1]
                 assert schema.count(":") <= max_cols, (name, schema)
+
+
+def test_anomaly_zscore_stats_broadcast(spark, sf_dir):
+    """The per-type stats table must broadcast back onto the fact
+    scan — a SortMergeJoin here would shuffle the full event stream
+    to join a |types|-row aggregate."""
+    plan = plan_of(Q.events_anomaly_zscore(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sq8_stats_broadcast_and_pruned_scan(spark, sf_dir):
+    """The d-row per-dimension stats broadcast onto the exploded
+    components, and the embeddings scan reads only (vec_id,
+    embedding)."""
+    plan = plan_of(Q.embedding_sq8(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    scans = scan_lines(plan)
+    assert scans, plan
+    read_schema = scans[0].split("ReadSchema:")[1]
+    assert "label" not in read_schema, read_schema
+
+
+def test_part_cooccurrence_joins_after_aggregation(spark, sf_dir):
+    """The per-part counts join onto the AGGREGATED pair table (pair
+    rows, not raw lineitem²), and the pair self-join is an equi-join
+    on the order key — never a cartesian."""
+    plan = plan_of(Q.part_cooccurrence(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the support filter sits above the pair aggregate, pre-join
+    assert "n_pair" in plan, plan
