@@ -278,6 +278,78 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
         print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
               f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
 
+    # Lineitem 10x: more ORDERS (disjoint orderkey ranges per copy),
+    # same basket sizes — the real growth axis for market-basket
+    # co-occurrence. Pair generation is sum(k_o choose 2), so linear
+    # in order count; inflating basket size instead would grow the
+    # OUTPUT quadratically by the operator's own semantics.
+    li1 = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .cache()
+    )
+    li1.count()
+    li10 = (
+        li1.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("copy") * 1_000_000_000).alias(
+                "l_orderkey"
+            ),
+            "l_partkey",
+        )
+        .repartition(int(cpus))
+        .cache()
+    )
+    li10.count()
+
+    def run_cooc(li):
+        dl = li.distinct()
+        tot = dl.select(F.countDistinct("l_orderkey").alias("n"))
+        pc = dl.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+        a, b = dl.alias("a"), dl.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("p1"),
+                F.col("b.l_partkey").alias("p2"),
+            )
+            .agg(F.count("*").alias("n_pair"))
+            .where(F.col("n_pair") >= 2)
+        )
+        return (
+            pairs.join(
+                pc.withColumnRenamed("l_partkey", "p1").withColumnRenamed(
+                    "n_ord", "n1"
+                ),
+                "p1",
+            )
+            .join(
+                pc.withColumnRenamed("l_partkey", "p2").withColumnRenamed(
+                    "n_ord", "n2"
+                ),
+                "p2",
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "p1", "p2", "n_pair",
+                (F.col("n_pair") * F.col("n") / (F.col("n1") * F.col("n2"))).alias("lift"),
+            )
+        )
+
+    for name, pair in {"part_cooccurrence": (li1, li10)}.items():
+        ts = []
+        for d in pair:
+            t0 = time.time()
+            run_cooc(d).write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        results[name] = ts
+        print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
+              f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
+
     worst = max(v[1] / v[0] for v in results.values())
     print(f"worst ratio: {worst:.1f} (10x data; linear => ~10, "
           f"quadratic => ~100)")
