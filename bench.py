@@ -259,6 +259,7 @@ def bench_queries():
         "q18_large_orders": Q.q18_large_orders,
         "cube_revenue": Q.cube_revenue,
         "orc_roundtrip": Q.orc_roundtrip,
+        "jsonl_roundtrip": Q.jsonl_roundtrip,
         "embedding_kmeans": Q.embedding_kmeans,
         "corpus_curation": Q.corpus_curation,
         "text_char_entropy": Q.text_char_entropy,
