@@ -85,7 +85,11 @@ def knn_exact_sql(
 
 
 def knn_exact_block(
-    df: DataFrame, k: int, id_col: str = "id", features: str = "features"
+    df: DataFrame,
+    k: int,
+    id_col: str = "id",
+    features: str = "features",
+    calibrate: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact kNN via broadcast matrix + numpy block distances.
 
@@ -93,6 +97,13 @@ def knn_exact_block(
     broadcast full matrix and keeps the k smallest per row with
     ``argpartition`` (heap-like semantics of the reference's
     ``topByKey``, ``X2P.scala:32``). One narrow pass, no pair shuffle.
+
+    ``calibrate=(perplexity, tol)`` fuses the per-row β bisection
+    (``x2p._calibrate_row`` — the SAME function the standalone
+    ``calibrate`` pass runs, so results are bit-identical) into this
+    pass and returns ``(i, js, ps, beta)`` directly: one Python-worker
+    stage instead of two chained ``mapInPandas``, skipping a full
+    JVM↔Arrow round-trip of the (i, js, ds) neighbor table.
 
     Scale note: broadcast is n×d doubles — fine to ~10M×64; beyond
     that use ``knn_lsh``.
@@ -113,9 +124,14 @@ def knn_exact_block(
     b_sq = sc.broadcast((X * X).sum(axis=1))
 
     kk = k
+    cal = calibrate
+    log_u = math.log(cal[0]) if cal is not None else 0.0
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_tsne_spark.runtime import shared_empty, tune_malloc
+
+        if cal is not None:
+            from spark_tsne_spark.operators.x2p import _calibrate_row
 
         tune_malloc()
         X_all = b_X.value
@@ -138,6 +154,7 @@ def knn_exact_block(
             xb_sq = (Xb * Xb).sum(axis=1)
             kkk = min(kk, n_all - 1)
             out_js, out_ds = [], []
+            out_ps, out_beta = [], []
             for lo in range(0, len(my), CH):
                 hi = min(lo + CH, len(my))
                 m = hi - lo
@@ -154,17 +171,37 @@ def knn_exact_block(
                 order = np.argsort(part, axis=1, kind="stable")
                 sel = np.take_along_axis(idx, order, axis=1)
                 out_js.extend(ids_all[sel].tolist())
-                out_ds.extend(np.take_along_axis(part, order, axis=1).tolist())
-            yield pd.DataFrame({"i": my, "js": out_js, "ds": out_ds})
+                dvals = np.take_along_axis(part, order, axis=1)
+                if cal is None:
+                    out_ds.extend(dvals.tolist())
+                else:
+                    for r in range(m):
+                        beta, p = _calibrate_row(
+                            np.ascontiguousarray(dvals[r]), log_u, cal[1]
+                        )
+                        out_ps.append(p.tolist())
+                        out_beta.append(beta)
+            if cal is None:
+                yield pd.DataFrame({"i": my, "js": out_js, "ds": out_ds})
+            else:
+                yield pd.DataFrame(
+                    {"i": my, "js": out_js, "ps": out_ps, "beta": out_beta}
+                )
 
     # The fixture parquet often lands as ONE partition; spread the block
     # pass across the cluster (each task still sees a full broadcast X).
     par = df.sparkSession.sparkContext.defaultParallelism
     parts = max(1, min(par, -(-len(ids) // 256)))
+    if cal is None:
+        schema = KNN_SCHEMA
+    else:
+        from spark_tsne_spark.operators.x2p import CALIBRATED_SCHEMA
+
+        schema = CALIBRATED_SCHEMA
     return (
         df.select(F.col(id_col).alias("id"), F.col(features).cast("array<double>").alias("f"))
         .repartition(parts)
-        .mapInPandas(compute, KNN_SCHEMA)
+        .mapInPandas(compute, schema)
     )
 
 

@@ -154,7 +154,13 @@ def calibrated_neighbors(
     """Neighbor-list form of :func:`x2p`: ``(i, js, ps, beta)``."""
     mu = int(3 * perplexity)
     if method == "block":
-        nn = knn_exact_block(df, mu, id_col, features)
+        # Fused kNN + β bisection: one Python-worker pass, no Arrow
+        # round-trip of the (i, js, ds) table between the two steps.
+        # Bit-identical to knn_exact_block → calibrate (same
+        # _calibrate_row on the same float64 distances).
+        return knn_exact_block(
+            df, mu, id_col, features, calibrate=(perplexity, tol)
+        )
     elif method == "lsh":
         flat = knn_lsh(df, mu, id_col, features)
         # ONE collect_list of structs: two parallel collect_lists have
