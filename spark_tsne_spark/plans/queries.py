@@ -71,6 +71,8 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
+    "q8_market_share", "q13_order_distribution", "q15_top_supplier",
+    "q17_small_quantity", "q21_waiting_supplier", "q22_dormant_customers",
     "streaming_enrich_join", "orders_price_bands", "doc_sentences",
     "partitioned_prune_roundtrip", "dedup_graph_triangles", "term_pmi",
     "source_percent_rank", "events_interarrival", "approx_distinct_users",
@@ -5868,4 +5870,346 @@ def jsonl_roundtrip(spark, sf_dir):
         F.min("ts_us").alias("min_ts_us"),
         F.max("ts_us").alias("max_ts_us"),
         F.countDistinct(F.md5("props")).alias("n_distinct_props"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round-6 extensions: remaining TPC-H anchor shapes expressible on the
+# synthetic schema (no partsupp table, no commit/receipt dates — the
+# PLAN SHAPES are the point): Q8 multi-dim market share, Q13 outer-join
+# distribution, Q15 view+max tie, Q17 decorrelated scalar agg, Q21
+# exists/not-exists self-correlation, Q22 scalar threshold + anti join.
+# --------------------------------------------------------------------------
+
+_Q8_SQL = """
+    WITH vol AS (
+      SELECT extract(year FROM o.o_orderdate)::BIGINT AS o_year,
+             round(l.l_extendedprice * 100)::BIGINT
+               * (100 - round(l.l_discount * 100)::BIGINT) AS rev_e4,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+    )
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4 ELSE 0 END)
+             ::BIGINT AS nation_rev_e4,
+           sum(rev_e4)::BIGINT AS total_rev_e4,
+           round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4
+                          ELSE 0 END)::DOUBLE
+                 / sum(rev_e4)::DOUBLE, 6) AS mkt_share
+    FROM vol GROUP BY 1
+"""
+
+
+@register("q8_market_share", _Q8_SQL)
+def q8_market_share(spark, sf_dir):
+    """TPC-H-Q8-shaped: one nation's share of ECONOMY-part revenue
+    sold into ASIA, per order year. The densest dim chain in the
+    catalog — seven joins, but only ONE of them shuffles the fact
+    table: nation/region are fixed-size broadcasts, the
+    customer/supplier/part sides are AQE-sized, and the two-year +
+    type + region predicates prune before the orders join. The share
+    is a ratio of the SAME two e4 integers in both engines, so the
+    double division is bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    n = _t(spark, sf_dir, "nation")
+    # customer side resolves to "is in ASIA" (a filter), supplier
+    # side to the nation NAME (a column): two independent dim chains.
+    cn = n.join(
+        F.broadcast(
+            _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cd = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    sd = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(0)
+    ).cast("long")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cd, o["o_custkey"] == cd["c_custkey"])
+        .join(sd, li["l_suppkey"] == sd["s_suppkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            nation_rev.alias("nation_rev_e4"),
+            F.sum(rev).cast("long").alias("total_rev_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_e4",
+            "total_rev_e4",
+            F.round(
+                F.col("nation_rev_e4").cast("double")
+                / F.col("total_rev_e4").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+_Q13_SQL = """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY 1
+    )
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM c_orders GROUP BY 1
+"""
+
+
+@register("q13_order_distribution", _Q13_SQL)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H-Q13-shaped: distribution of non-low-priority order
+    counts per customer, INCLUDING zero-order customers — the left
+    outer join is load-bearing (an inner join silently drops the
+    c_count=0 row, the classic Q13 trap). The priority predicate
+    lives in the JOIN condition, not a post-join filter, so matched
+    rows are pruned before the count while unmatched customers
+    survive. Two shuffles total: the outer join and the tiny
+    distribution re-agg over ≤|distinct counts| rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "5-LOW"),
+        "left",
+    )
+    per_cust = joined.groupBy(c["c_custkey"]).agg(
+        F.count(o["o_orderkey"]).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+_Q15_SQL = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+               AS total_rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-shaped: the top revenue supplier(s) for a quarter.
+    The revenue view computes ONCE and feeds both the max scalar and
+    the equality probe (Spark reuses the exchange under AQE); the
+    max arrives as a 1-row broadcast, so picking the winner costs no
+    second shuffle. Exact-integer e4 revenue makes the tie semantics
+    well-defined — equal means equal, and ALL tied suppliers return,
+    matching the view+HAVING spelling of the original."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(_revenue_e4().alias("total_rev_e4"))
+    top = rev.agg(F.max("total_rev_e4").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev["total_rev_e4"] == top["_mx"])
+        .join(s, rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev_e4")
+    )
+
+
+_Q17_SQL = """
+    WITH pa AS (
+      SELECT l_partkey,
+             sum(round(l_quantity)::BIGINT)::BIGINT AS sq,
+             count(*)::BIGINT AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT sum(round(l.l_extendedprice * 100)::BIGINT)::BIGINT
+             AS rev_cents,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND round(l.l_quantity)::BIGINT * 5 * pa.cnt < pa.sq
+"""
+
+
+@register("q17_small_quantity", _Q17_SQL)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H-Q17-shaped: revenue from small-quantity lines of one
+    brand (quantity below 20% of the part's average). The correlated
+    scalar subquery DECORRELATES into one per-part aggregate joined
+    back on the grouping key — the join adds no fanout (pa is unique
+    per partkey) and both sides shuffle on l_partkey, so AQE can
+    co-locate them. The avg comparison is exact integer algebra
+    (q*5*cnt < sum ⟺ q < 0.2*avg), removing the float-division
+    drift a literal 0.2*avg carries across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(pa, li["l_partkey"] == pa["pa_key"])
+        .where(
+            F.round("l_quantity").cast("long") * 5 * F.col("cnt")
+            < F.col("sq")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q21_SQL = """
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+"""
+
+
+@register("q21_waiting_supplier", _Q21_SQL)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H-Q21-shaped (adapted: "late" = shipped ≥90 days after
+    order): suppliers who were the SOLE late shipper on a finished
+    multi-supplier order. The oracle spells it EXISTS + NOT EXISTS;
+    executing that literally costs two more fact-table self-joins.
+    Instead both correlations collapse into ONE per-order aggregate —
+    n_supp = countDistinct(suppkey), n_late = countDistinct(late
+    suppkey) — and a line qualifies iff it is late ∧ n_supp ≥ 2 ∧
+    n_late = 1 (late suppliers ⊆ {self} ⟺ no OTHER supplier late).
+    One fact join + one per-key agg + one join-back on the same key
+    replaces two correlated self-joins; at 100 TB that is the
+    difference between 2 and 4 fact shuffles."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    stats = j.groupBy(F.col("l_orderkey").alias("st_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        j.where("is_late")
+        .join(stats, F.col("l_orderkey") == F.col("st_key"))
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_Q22_SQL = """
+    WITH pos AS (
+      SELECT sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS s,
+             count(*)::BIGINT AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment, count(*)::BIGINT AS numcust,
+           sum(round(c.c_acctbal * 100)::BIGINT)::BIGINT
+             AS totacctbal_cents
+    FROM customer c CROSS JOIN pos
+    WHERE round(c.c_acctbal * 100)::BIGINT * pos.n > pos.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY 1
+"""
+
+
+@register("q22_dormant_customers", _Q22_SQL)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H-Q22-shaped (segment in place of phone prefix): customers
+    with above-average positive balances who never ordered. The
+    global-average threshold is a 1-row broadcast, and the comparison
+    is exact integer cross-multiplication (cents*n > sum ⟺ bal >
+    avg) — no float average crosses the engine boundary, so a balance
+    sitting 1e-12 from the threshold cannot flip sides. The no-orders
+    correlation is a LEFT ANTI join: one shuffle on custkey, no
+    fanout, no post-join distinct."""
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents).cast("long").alias("s"), F.count("*").alias("n")
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(pos))
+        .where(cents * F.col("n") > F.col("s"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(cents).cast("long").alias("totacctbal_cents"),
+        )
     )

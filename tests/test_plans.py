@@ -257,6 +257,8 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # fact row scans k broadcast intervals in memory — BNLJ IS the
         # right plan for a non-equi join with a tiny build side
         "orders_price_bands",
+        # 1-row scalar-broadcast crossJoin (global avg-balance threshold)
+        "q22_dormant_customers",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
