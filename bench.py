@@ -257,6 +257,10 @@ def bench_queries():
         "scd2_history": Q.scd2_history,
         "table_checksum": Q.table_checksum,
         "q18_large_orders": Q.q18_large_orders,
+        "q8_market_share": Q.q8_market_share,
+        "q13_order_distribution": Q.q13_order_distribution,
+        "q17_small_quantity": Q.q17_small_quantity,
+        "q21_waiting_supplier": Q.q21_waiting_supplier,
         "cube_revenue": Q.cube_revenue,
         "orc_roundtrip": Q.orc_roundtrip,
         "jsonl_roundtrip": Q.jsonl_roundtrip,

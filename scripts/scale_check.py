@@ -350,6 +350,66 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
         print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
               f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
 
+    # Q21-shaped sole-late-shipper: ONE per-order aggregate + join-back
+    # replaces the EXISTS / NOT EXISTS self-join pair, so cost must be
+    # linear in the ORDER count (the growth axis at 100 TB), not in
+    # (lines per order)^2 as the literal correlated spelling would be.
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderstatus") == "F"
+    )
+    li_full = load_table(spark, "lineitem", sf_dir)
+    j1 = (
+        li_full.join(o, li_full["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("is_late"),
+        )
+        .cache()
+    )
+    j1.count()
+    j10 = (
+        j1.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("copy") * 1_000_000_000).alias(
+                "l_orderkey"
+            ),
+            "l_suppkey",
+            "is_late",
+        )
+        .repartition(int(cpus))
+        .cache()
+    )
+    j10.count()
+
+    def run_q21(j):
+        stats = j.groupBy(F.col("l_orderkey").alias("st_key")).agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("n_late"),
+        )
+        return (
+            j.where("is_late")
+            .join(stats, F.col("l_orderkey") == F.col("st_key"))
+            .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+            .groupBy("l_suppkey")
+            .agg(F.count("*").alias("numwait"))
+        )
+
+    for name, pair in {"q21_sole_late": (j1, j10)}.items():
+        ts = []
+        for d in pair:
+            t0 = time.time()
+            run_q21(d).write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        results[name] = ts
+        print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
+              f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
+
     worst = max(v[1] / v[0] for v in results.values())
     print(f"worst ratio: {worst:.1f} (10x data; linear => ~10, "
           f"quadratic => ~100)")
