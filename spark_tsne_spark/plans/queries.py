@@ -6181,7 +6181,9 @@ _Q22_SQL = """
     FROM customer c CROSS JOIN pos
     WHERE round(c.c_acctbal * 100)::BIGINT * pos.n > pos.s
       AND NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '2000-01-01'
       )
     GROUP BY 1
 """
@@ -6194,7 +6196,10 @@ def q22_dormant_customers(spark, sf_dir):
     global-average threshold is a 1-row broadcast, and the comparison
     is exact integer cross-multiplication (cents*n > sum ⟺ bal >
     avg) — no float average crosses the engine boundary, so a balance
-    sitting 1e-12 from the threshold cannot flip sides. The no-orders
+    sitting 1e-12 from the threshold cannot flip sides. "Dormant" =
+    no orders since 2000 (every synthetic customer has SOME order, so
+    an unscoped NOT EXISTS would be vacuously empty): the date filter
+    prunes the anti join's build side before the shuffle. The
     correlation is a LEFT ANTI join: one shuffle on custkey, no
     fanout, no post-join distinct."""
     c = _t(spark, sf_dir, "customer")
@@ -6202,7 +6207,9 @@ def q22_dormant_customers(spark, sf_dir):
     pos = c.where(F.col("c_acctbal") > 0.0).agg(
         F.sum(cents).cast("long").alias("s"), F.count("*").alias("n")
     )
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
     return (
         c.join(F.broadcast(pos))
         .where(cents * F.col("n") > F.col("s"))
