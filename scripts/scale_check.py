@@ -386,11 +386,12 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
     j10.count()
 
     def run_q21(j):
-        stats = j.groupBy(F.col("l_orderkey").alias("st_key")).agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("is_late"), F.col("l_suppkey"))
-            ).alias("n_late"),
+        per_pair = j.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max("is_late").alias("any_late")
+        )
+        stats = per_pair.groupBy(F.col("l_orderkey").alias("st_key")).agg(
+            F.count("*").alias("n_supp"),
+            F.sum(F.col("any_late").cast("long")).alias("n_late"),
         )
         return (
             j.where("is_late")

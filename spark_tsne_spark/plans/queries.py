@@ -6142,7 +6142,12 @@ def q21_waiting_supplier(spark, sf_dir):
     n_late = 1 (late suppliers ⊆ {self} ⟺ no OTHER supplier late).
     One fact join + one per-key agg + one join-back on the same key
     replaces two correlated self-joins; at 100 TB that is the
-    difference between 2 and 4 fact shuffles."""
+    difference between 2 and 4 fact shuffles. The distinct pair is
+    spelled as a two-phase pre-aggregate — per (order, supplier)
+    max(late), then per order count/sum — because a double
+    countDistinct plans an Expand that DOUBLES the fact rows into
+    the shuffle; the pre-agg shuffles each row once and the second
+    hop only moves the already-collapsed pair table."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
     late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr(
@@ -6152,11 +6157,12 @@ def q21_waiting_supplier(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select("l_orderkey", "l_suppkey", late.alias("is_late"))
     )
-    stats = j.groupBy(F.col("l_orderkey").alias("st_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late"),
+    per_pair = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("any_late")
+    )
+    stats = per_pair.groupBy(F.col("l_orderkey").alias("st_key")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("any_late").cast("long")).alias("n_late"),
     )
     s = _t(spark, sf_dir, "supplier")
     return (
