@@ -144,6 +144,20 @@ def test_passage_dedup_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_q21_no_expand(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS collapse must stay a two-phase
+    pre-aggregate: a double countDistinct would plan an Expand that
+    duplicates every joined fact row x2 into the shuffle. Also pin
+    the fact scan to the three columns the query actually reads."""
+    plan = plan_of(Q.q21_waiting_supplier(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_shipdate:"
+        in plan
+    ), plan
+
+
 def test_asof_join_single_exchange(spark, sf_dir):
     """The as-of join's whole point: ONE shuffle (the by-key window),
     never a range join or cartesian product."""
