@@ -71,6 +71,7 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
+    "text_gopher_gate",
     "q8_market_share", "q13_order_distribution", "q15_top_supplier",
     "q17_small_quantity", "q21_waiting_supplier", "q22_dormant_customers",
     "streaming_enrich_join", "orders_price_bands", "doc_sentences",
@@ -6224,5 +6225,118 @@ def q22_dormant_customers(spark, sf_dir):
         .agg(
             F.count("*").alias("numcust"),
             F.sum(cents).cast("long").alias("totacctbal_cents"),
+        )
+    )
+
+
+_GOPHER_SQL = f"""
+    WITH s AS (
+      SELECT source,
+             len({_TOKS_SQL}) AS n_words,
+             length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+               / greatest(1, len({_TOKS_SQL})) AS mwl,
+             len(list_filter({_TOKS_SQL},
+                 t -> list_contains({_STOPS_SQL}, lower(t)))) AS n_stop,
+             len(list_filter({_TOKS_SQL},
+                 t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+               / greatest(1, len({_TOKS_SQL})) AS alpha_frac,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+             )::DOUBLE / greatest(1, len({_TOKS_SQL})) AS sym_ratio
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN n_words BETWEEN 15 AND 80 THEN 0 ELSE 1 END)
+             ::BIGINT AS fail_nwords,
+           sum(CASE WHEN mwl >= 3.0 AND mwl <= 6.0 THEN 0 ELSE 1 END)
+             ::BIGINT AS fail_mwl,
+           sum(CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END)::BIGINT
+             AS fail_stop,
+           sum(CASE WHEN alpha_frac >= 0.8 THEN 0 ELSE 1 END)::BIGINT
+             AS fail_alpha,
+           sum(CASE WHEN sym_ratio < 0.1 THEN 0 ELSE 1 END)::BIGINT
+             AS fail_sym,
+           sum(CASE WHEN n_words BETWEEN 15 AND 80
+                     AND mwl >= 3.0 AND mwl <= 6.0
+                     AND n_stop >= 2
+                     AND alpha_frac >= 0.8
+                     AND sym_ratio < 0.1
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pass
+    FROM s GROUP BY 1
+"""
+
+
+@register("text_gopher_gate", _GOPHER_SQL)
+def text_gopher_gate(spark, sf_dir):
+    """Gopher-style quality-rule gate (Rae et al. 2021, the public
+    pretraining filter rulebook) with per-rule failure attribution:
+    word-count window, mean-word-length window, >=2 stopwords,
+    alphabetic-word fraction, symbol-to-word ratio. Everything is a
+    JVM expression over ONE narrow scan — split once, reuse the token
+    array across all five rules — and the output is |sources| rows of
+    counters, so the gate costs a map-side partial agg regardless of
+    corpus size. Per-rule counters (not just the final boolean) are
+    the production contract: at 100 TB you tune thresholds from the
+    attribution histogram without re-running the scan five times.
+    Every ratio is a division of the SAME two integers in both
+    engines, so threshold comparisons cannot flip at a float
+    boundary."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks)
+    denom = F.greatest(F.lit(1), n_words)
+    mwl = (
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+        / denom
+    )
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stops, F.lower(t)))
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / denom
+    )
+    hash_n = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ell_n = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    sym_ratio = (hash_n + F.floor(ell_n)).cast("double") / denom
+    r_nwords = n_words.between(15, 80)
+    r_mwl = (mwl >= 3.0) & (mwl <= 6.0)
+    r_stop = n_stop >= 2
+    r_alpha = alpha_frac >= 0.8
+    r_sym = sym_ratio < 0.1
+    fail = lambda c: F.sum(F.when(c, 0).otherwise(1)).cast("long")  # noqa: E731
+    return (
+        d.select(
+            "source",
+            r_nwords.alias("r_nwords"),
+            r_mwl.alias("r_mwl"),
+            r_stop.alias("r_stop"),
+            r_alpha.alias("r_alpha"),
+            r_sym.alias("r_sym"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            fail(F.col("r_nwords")).alias("fail_nwords"),
+            fail(F.col("r_mwl")).alias("fail_mwl"),
+            fail(F.col("r_stop")).alias("fail_stop"),
+            fail(F.col("r_alpha")).alias("fail_alpha"),
+            fail(F.col("r_sym")).alias("fail_sym"),
+            F.sum(
+                F.when(
+                    F.col("r_nwords")
+                    & F.col("r_mwl")
+                    & F.col("r_stop")
+                    & F.col("r_alpha")
+                    & F.col("r_sym"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pass"),
         )
     )
