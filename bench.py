@@ -284,6 +284,7 @@ def bench_queries():
         "dedup_semantic": b_semdedup,
         "dedup_graph_rank": b_graph_pagerank,
         "text_quality_score": Q.text_quality_score,
+        "text_gopher_gate": Q.text_gopher_gate,
         "text_lm_score": Q.text_lm_score,
         "text_winnow": Q.text_winnow_fingerprints,
         "corpus_upsert": Q.corpus_upsert,
