@@ -261,6 +261,11 @@ def bench_queries():
         "q13_order_distribution": Q.q13_order_distribution,
         "q17_small_quantity": Q.q17_small_quantity,
         "q21_waiting_supplier": Q.q21_waiting_supplier,
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "q9_product_profit": Q.q9_product_profit,
+        "q11_important_parts": Q.q11_important_parts,
+        "q16_part_supplier_counts": Q.q16_part_supplier_counts,
+        "q20_promotion_suppliers": Q.q20_promotion_suppliers,
         "cube_revenue": Q.cube_revenue,
         "orc_roundtrip": Q.orc_roundtrip,
         "jsonl_roundtrip": Q.jsonl_roundtrip,

@@ -71,6 +71,8 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
+    "q16_part_supplier_counts", "q20_promotion_suppliers",
     "text_gopher_gate",
     "q8_market_share", "q13_order_distribution", "q15_top_supplier",
     "q17_small_quantity", "q21_waiting_supplier", "q22_dormant_customers",
@@ -6339,4 +6341,359 @@ def text_gopher_gate(spark, sf_dir):
             .cast("long")
             .alias("n_pass"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H anchors Q2/Q9/Q11/Q16/Q20 (adapted: no partsupp table in the
+# testdata, so the "supply catalog" is derived from lineitem and
+# p_retailprice stands in for ps_supplycost). With these the catalog
+# carries all 22 TPC-H query SHAPES — the point is the plan shape
+# (groupwise-min join-back, scalar-threshold having, anti-join +
+# countDistinct, nested-agg semi-join), not the exact spec predicates.
+# --------------------------------------------------------------------------
+
+_Q2_SQL = """
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(round(l_extendedprice * 100 / l_quantity)::BIGINT)
+               AS ps_unit_cents
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+      FROM supply ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), best AS (
+      SELECT ps_partkey AS b_key, min(ps_unit_cents) AS min_cents
+      FROM eligible GROUP BY 1
+    )
+    SELECT round(e.s_acctbal * 100)::BIGINT AS s_acctbal_cents,
+           e.s_name, e.n_name, p.p_partkey, p.p_name,
+           e.ps_unit_cents AS min_unit_cents
+    FROM eligible e
+    JOIN best b ON e.ps_partkey = b.b_key
+               AND e.ps_unit_cents = b.min_cents
+    JOIN part p ON e.ps_partkey = p.p_partkey
+    WHERE p.p_type = 'SMALL' AND p.p_size <= 15
+    ORDER BY s_acctbal_cents DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H-Q2-shaped: per-part minimum-cost EUROPE supplier via
+    groupwise-min + join-back (the correlated-subquery shape executed
+    without re-scanning the fact). The supply catalog (per (part,
+    supplier) min unit price) shuffles lineitem ONCE on the pair key;
+    the region restriction rides broadcast joins into that aggregate's
+    OUTPUT, so the eligible set is already small before the per-part
+    min and the self-join-back — both of which reuse the pair-table
+    partitioning (AQE turns them into broadcasts at this scale). The
+    part filter prunes to ~5% before the final join. Order/limit uses
+    a totally-ordered key chain so the 100-row cut is deterministic
+    in both engines. Unit price is one IEEE double division then a
+    half-up round to integer cents in both engines — bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.round(
+                F.col("l_extendedprice") * 100 / F.col("l_quantity")
+            ).cast("long")
+        ).alias("ps_unit_cents")
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = supply.join(
+        F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    best = eligible.groupBy(F.col("ps_partkey").alias("b_key")).agg(
+        F.min("ps_unit_cents").alias("min_cents")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
+    return (
+        eligible.join(
+            best,
+            (F.col("ps_partkey") == F.col("b_key"))
+            & (F.col("ps_unit_cents") == F.col("min_cents")),
+        )
+        .join(p, F.col("ps_partkey") == p["p_partkey"])
+        .select(
+            F.round(F.col("s_acctbal") * 100)
+            .cast("long")
+            .alias("s_acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_unit_cents").alias("min_unit_cents"),
+        )
+        .orderBy(
+            F.col("s_acctbal_cents").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+        )
+        .limit(100)
+    )
+
+
+_Q9_SQL = """
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate)::BIGINT AS o_year,
+           sum(round(l.l_extendedprice * 100)::BIGINT
+                 * (100 - round(l.l_discount * 100)::BIGINT)
+               - round(p.p_retailprice * 100)::BIGINT
+                 * l.l_quantity::BIGINT * 100)::BIGINT AS profit_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+"""
+
+
+@register("q9_product_profit", _Q9_SQL)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H-Q9-shaped: profit by supplier nation and order year for
+    one product family (p_retailprice stands in for ps_supplycost).
+    The p_name LIKE filter prunes the part side BEFORE its join, so
+    the fact table shrinks ~8x at the first (broadcast) join; the
+    orders join is the only fact-vs-fact shuffle and AQE handles it;
+    supplier->nation is a broadcast chain. Profit is exact integer
+    e4 arithmetic (cents x discount-complement minus cents x qty x
+    100), so the cross-engine sum is order-insensitive."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    profit = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.round(F.col("p_retailprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long") * 100
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("long").alias("profit_e4"))
+    )
+
+
+_Q11_SQL = """
+    WITH val AS (
+      SELECT l.l_partkey AS v_partkey,
+             sum(round(l.l_extendedprice * 100)::BIGINT)::BIGINT
+               AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    ), tot AS (
+      SELECT sum(value_cents)::BIGINT AS total_cents FROM val
+    )
+    SELECT v.v_partkey AS p_partkey, v.value_cents
+    FROM val v CROSS JOIN tot t
+    WHERE v.value_cents * 1000 > t.total_cents
+"""
+
+
+@register("q11_important_parts", _Q11_SQL)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H-Q11-shaped: parts whose one-nation shipment value
+    exceeds 0.1% of that nation's total — the scalar-subquery-
+    threshold (HAVING > fraction of global sum) shape. The per-part
+    value aggregates once (nation filter rides a broadcast into the
+    fact scan); the global total is a 1-row re-aggregate of that
+    SAME cached-size aggregate, cross-joined back as a broadcast —
+    the fact table is scanned once, not twice, and the threshold
+    compare is integer x 1000 vs integer (no float fraction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(sn), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("v_partkey"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    tot = val.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(F.col("v_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+_Q16_SQL = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#2' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("q16_part_supplier_counts", _Q16_SQL)
+def q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H-Q16-shaped: distinct-supplier counts per part attribute
+    triple, excluding flagged suppliers (negative balance stands in
+    for the complaints LIKE). The NOT IN is a LEFT ANTI against a
+    tiny broadcast build side (equivalent because s_suppkey is
+    non-null); the part predicate prunes ~85% before its broadcast
+    join. countDistinct over ONE column plans a two-phase partial
+    distinct (no Expand), so the fact shuffles once on the
+    (brand, type, size, suppkey) partial key."""
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        li.join(
+            F.broadcast(flagged),
+            li["l_suppkey"] == flagged["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
+
+
+_Q20_SQL = """
+    WITH pair AS (
+      SELECT l.l_partkey AS q_partkey, l.l_suppkey AS q_suppkey,
+             sum(l.l_quantity::BIGINT)::BIGINT AS pair_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= DATE '1997-01-01'
+        AND l.l_shipdate < DATE '1998-01-01'
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT q_partkey AS t_partkey, sum(pair_qty)::BIGINT AS part_qty
+      FROM pair GROUP BY 1
+    )
+    SELECT DISTINCT s.s_name,
+           round(s.s_acctbal * 100)::BIGINT AS s_acctbal_cents
+    FROM pair pr
+    JOIN tot t ON pr.q_partkey = t.t_partkey
+    JOIN supplier s ON pr.q_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE pr.pair_qty * 2 > t.part_qty AND r.r_name = 'EUROPE'
+"""
+
+
+@register("q20_promotion_suppliers", _Q20_SQL)
+def q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H-Q20-shaped: EUROPE suppliers who shipped the MAJORITY of
+    some 'small%' part's 1997 volume — the nested-aggregate semi-join
+    shape (Q20's availqty > 0.5 x shipped-qty correlation). Both the
+    name and date predicates prune the fact BEFORE its one pair-key
+    shuffle; the per-part total re-aggregates the pair table (tiny)
+    and joins back on its own key; the supplier/region chain is all
+    broadcast. The final DISTINCT runs on an already-small
+    (name, cents) set. Majority test is integer x2 vs integer."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    pair = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("l_partkey").alias("q_partkey"),
+            F.col("l_suppkey").alias("q_suppkey"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("pair_qty")
+        )
+    )
+    tot = pair.groupBy(F.col("q_partkey").alias("t_partkey")).agg(
+        F.sum("pair_qty").cast("long").alias("part_qty")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        pair.join(tot, F.col("q_partkey") == F.col("t_partkey"))
+        .where(F.col("pair_qty") * 2 > F.col("part_qty"))
+        .join(F.broadcast(s), F.col("q_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_name",
+            F.round(F.col("s_acctbal") * 100)
+            .cast("long")
+            .alias("s_acctbal_cents"),
+        )
+        .distinct()
     )

@@ -144,6 +144,33 @@ def test_passage_dedup_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_q16_distinct_no_expand_dims_broadcast(spark, sf_dir):
+    """Q16's single-column countDistinct must plan as a two-phase
+    partial distinct (no Expand doubling the fact shuffle), the
+    flagged-supplier NOT IN as a broadcast LEFT ANTI, and the part
+    dim as a broadcast — no SortMergeJoin anywhere."""
+    plan = plan_of(Q.q16_part_supplier_counts(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q9_dim_chain_all_broadcast(spark, sf_dir):
+    """Q9's four dim joins (part/orders/supplier/nation) must not
+    shuffle the pruned fact side more than once: part+supplier+nation
+    broadcast, and the p_name LIKE filter reaches the part scan."""
+    plan = formatted_plan(Q.q9_product_profit(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters:" in ln and "Contains(p_name,gear)" in ln
+    ]
+    assert pushed, plan
+
+
 def test_q21_no_expand(spark, sf_dir):
     """Q21's EXISTS/NOT-EXISTS collapse must stay a two-phase
     pre-aggregate: a double countDistinct would plan an Expand that
@@ -273,6 +300,8 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "orders_price_bands",
         # 1-row scalar-broadcast crossJoin (global avg-balance threshold)
         "q22_dormant_customers",
+        # 1-row scalar-broadcast crossJoin (global value-total threshold)
+        "q11_important_parts",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
