@@ -6518,24 +6518,29 @@ _Q11_SQL = """
       WHERE n.n_name = 'NATION_3'
       GROUP BY 1
     ), tot AS (
-      SELECT sum(value_cents)::BIGINT AS total_cents FROM val
+      SELECT sum(value_cents)::BIGINT AS total_cents,
+             count(*)::BIGINT AS n_parts
+      FROM val
     )
     SELECT v.v_partkey AS p_partkey, v.value_cents
     FROM val v CROSS JOIN tot t
-    WHERE v.value_cents * 1000 > t.total_cents
+    WHERE v.value_cents * t.n_parts > 3 * t.total_cents
 """
 
 
 @register("q11_important_parts", _Q11_SQL)
 def q11_important_parts(spark, sf_dir):
     """TPC-H-Q11-shaped: parts whose one-nation shipment value
-    exceeds 0.1% of that nation's total — the scalar-subquery-
-    threshold (HAVING > fraction of global sum) shape. The per-part
-    value aggregates once (nation filter rides a broadcast into the
-    fact scan); the global total is a 1-row re-aggregate of that
-    SAME cached-size aggregate, cross-joined back as a broadcast —
-    the fact table is scanned once, not twice, and the threshold
-    compare is integer x 1000 vs integer (no float fraction)."""
+    exceeds 3x the MEAN per-part value — the scalar-subquery-
+    threshold (HAVING > fraction of global sum) shape. The spec's
+    own fraction is 0.0001/SF, i.e. scale-DEPENDENT; comparing to
+    the mean keeps the query non-vacuous at every sf without a
+    tunable. The per-part value aggregates once (nation filter
+    rides a broadcast into the fact scan); the global (total, count)
+    is a 1-row re-aggregate of that SAME small aggregate,
+    cross-joined back as a broadcast — the fact table is scanned
+    once, not twice, and the threshold compare is pure integer
+    (value x n_parts vs 3 x total)."""
     li = _t(spark, sf_dir, "lineitem")
     sn = (
         _t(spark, sf_dir, "supplier")
@@ -6558,10 +6563,16 @@ def q11_important_parts(spark, sf_dir):
             .alias("value_cents")
         )
     )
-    tot = val.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    tot = val.agg(
+        F.sum("value_cents").cast("long").alias("total_cents"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
     return (
         val.crossJoin(F.broadcast(tot))
-        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .where(
+            F.col("value_cents") * F.col("n_parts")
+            > 3 * F.col("total_cents")
+        )
         .select(F.col("v_partkey").alias("p_partkey"), "value_cents")
     )
 
