@@ -411,6 +411,63 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
         print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
               f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
 
+    # Q2-shaped groupwise-min join-back and Q16-shaped single-column
+    # countDistinct: both must be linear in the FACT row count because
+    # the map-side partial agg collapses duplicate (part, supplier)
+    # keys before the shuffle — the pair table (and everything after
+    # it) is key-domain-sized, not fact-sized. 10x fact rows over the
+    # SAME key domain is exactly the case that exposes a missing
+    # partial agg (the shuffle would grow 10x too).
+    s1 = (
+        li_full.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * 100 / F.col("l_quantity")
+            )
+            .cast("long")
+            .alias("unit_cents"),
+        )
+        .cache()
+    )
+    s1.count()
+    s10 = (
+        s1.crossJoin(copies)
+        .drop("copy")
+        .repartition(int(cpus))
+        .cache()
+    )
+    s10.count()
+
+    def run_q2(d):
+        supply = d.groupBy("l_partkey", "l_suppkey").agg(
+            F.min("unit_cents").alias("ps_unit_cents")
+        )
+        best = supply.groupBy(F.col("l_partkey").alias("b_key")).agg(
+            F.min("ps_unit_cents").alias("min_cents")
+        )
+        return supply.join(
+            best,
+            (F.col("l_partkey") == F.col("b_key"))
+            & (F.col("ps_unit_cents") == F.col("min_cents")),
+        )
+
+    def run_q16(d):
+        return d.groupBy("l_partkey").agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt")
+        )
+
+    for name, fn in {"q2_min_join_back": run_q2,
+                     "q16_count_distinct": run_q16}.items():
+        ts = []
+        for d in (s1, s10):
+            t0 = time.time()
+            fn(d).write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        results[name] = ts
+        print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
+              f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
+
     worst = max(v[1] / v[0] for v in results.values())
     print(f"worst ratio: {worst:.1f} (10x data; linear => ~10, "
           f"quadratic => ~100)")
