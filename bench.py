@@ -266,6 +266,7 @@ def bench_queries():
         "q11_important_parts": Q.q11_important_parts,
         "q16_part_supplier_counts": Q.q16_part_supplier_counts,
         "q20_promotion_suppliers": Q.q20_promotion_suppliers,
+        "orders_exact_quantiles": Q.orders_exact_quantiles,
         "cube_revenue": Q.cube_revenue,
         "orc_roundtrip": Q.orc_roundtrip,
         "jsonl_roundtrip": Q.jsonl_roundtrip,

@@ -1,0 +1,140 @@
+"""Exact order statistics over integer-valued columns WITHOUT
+collecting values: iterative histogram narrowing.
+
+Spark's exact ``percentile`` aggregate buffers every value of the
+group in executor memory — exact but O(n) state, the thing that
+falls over first on a 100 TB column. ``approx_percentile`` bounds
+the state but gives up exactness. This module gets BOTH for integer
+domains (money-in-cents, token counts, byte sizes — the columns a
+curation pipeline actually ranks): selection by iterative range
+narrowing, the classic external k-th-smallest algorithm.
+
+Per round: ONE map-side-combined aggregation bucketing the in-range
+rows into ``n_buckets`` equal-width bins (driver receives ≤
+``n_buckets`` counts — O(1) for the cluster), then the bracket
+containing the target rank becomes the next round's range. The
+integer domain shrinks ≥ ``n_buckets``× per round, so a 64-bit range
+closes in ≤ ⌈64/log2(buckets)⌉ ≈ 7 scans — and real money/count
+columns (range ~1e7) close in 2-3. The final round's bracket is
+resolved EXACTLY with one bounded ``groupBy(value)`` whose result set
+is ≤ the bracket width (≤ ``n_buckets``), never the row count.
+
+No reference counterpart (extension operator, SURVEY §2 scope:
+training-data pipeline statistics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_kth_smallest(
+    df: DataFrame,
+    col: str,
+    ks: list[int],
+    n_buckets: int = 1024,
+) -> dict[int, int]:
+    """Exact k-th smallest (1-based ranks ``ks``) of integer column
+    ``col``. Returns {k: value}. Driver state is O(n_buckets) per
+    round; the data is scanned ≤ ~3 times per distinct bracket chain
+    (ranks that land in the same bracket share scans).
+    """
+    if not ks:
+        return {}
+    bounds = df.agg(
+        F.min(col).cast("long").alias("lo"),
+        F.max(col).cast("long").alias("hi"),
+        F.count(col).alias("n"),
+    ).collect()[0]
+    if bounds["n"] == 0:
+        raise ValueError("exact_kth_smallest: empty column")
+    bad = [k for k in ks if not (1 <= k <= bounds["n"])]
+    if bad:
+        raise ValueError(f"ranks out of range 1..{bounds['n']}: {bad}")
+
+    out: dict[int, int] = {}
+    # Each rank narrows independently but shares the per-round scan:
+    # all still-open ranks' brackets are counted in ONE aggregation
+    # per round (a rank's bracket is disjoint or shared; the bucket
+    # expression is global so one groupBy serves every open rank).
+    open_ranks = {k: (int(bounds["lo"]), int(bounds["hi"]), k) for k in ks}
+    # (lo, hi, r) per rank: r = rank within [lo, hi] after discarding
+    # the rows below lo in earlier rounds.
+    while open_ranks:
+        # One shared bucketing pass over the union of open brackets.
+        # Brackets from different ranks may differ; tag rows by which
+        # bracket they fall in (ranks with the same bracket share).
+        brackets = {}
+        for k, (lo, hi, r) in open_ranks.items():
+            brackets.setdefault((lo, hi), []).append((k, r))
+        conds = None
+        c = F.col(col).cast("long")
+        for bi, (lo, hi) in enumerate(brackets):
+            width = max(1, (hi - lo + n_buckets) // n_buckets)
+            # Integer bin id — true integer `div`, not float `/`:
+            # a float bin id drifts past the 2^53 double boundary on
+            # a full 64-bit domain.
+            bin_id = F.expr(
+                f"(CAST(`{col}` AS BIGINT) - {lo}L) div {width}L"
+            )
+            val = F.struct(F.lit(bi).alias("b"), bin_id.alias("g"))
+            cond = c.between(lo, hi)
+            # Distinct open brackets are DISJOINT by construction
+            # (all descend from disjoint bins of the same parent),
+            # so when-chain order is immaterial.
+            conds = (
+                F.when(cond, val) if conds is None else conds.when(cond, val)
+            )
+        hist = {
+            (row["key"]["b"], row["key"]["g"]): row["cnt"]
+            for row in df.select(conds.alias("key"))
+            .where(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        nxt: dict[int, tuple[int, int, int]] = {}
+        for bi, (lo, hi) in enumerate(brackets):
+            width = max(1, (hi - lo + n_buckets) // n_buckets)
+            n_bins = (hi - lo) // width + 1
+            counts = [hist.get((bi, g), 0) for g in range(n_bins)]
+            for k, r in brackets[(lo, hi)]:
+                acc = 0
+                for g, cnt in enumerate(counts):
+                    if acc + cnt >= r:
+                        b_lo = lo + g * width
+                        b_hi = min(hi, b_lo + width - 1)
+                        if b_lo == b_hi:
+                            out[k] = b_lo
+                        else:
+                            nxt[k] = (b_lo, b_hi, r - acc)
+                        break
+                    acc += cnt
+        open_ranks = nxt
+    return out
+
+
+def quantile_summary(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """One-row DataFrame of EXACT lower-quantile values (rank
+    ``ceil(q*n)``, the smallest value with cume_dist ≥ q — integer
+    in, integer out, no interpolation) for each q in ``qs``.
+
+    All quantiles share the narrowing scans; total cluster-side cost
+    is ~2-3 aggregation-only passes regardless of row count.
+    """
+    n = df.count()
+    ks = [max(1, -(-int(q * 1000) * n // 1000)) for q in qs]  # ceil(q*n) exactly in integer math
+    vals = exact_kth_smallest(df, col, sorted(set(ks)), n_buckets)
+    spark = df.sparkSession
+    row = {
+        f"p{int(q * 100):02d}": vals[k] for q, k in zip(qs, ks)
+    }
+    cols = sorted(row)
+    return spark.createDataFrame([tuple(row[c] for c in cols)], cols).select(
+        *[F.col(c).cast("long").alias(c) for c in cols]
+    )

@@ -71,6 +71,7 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
+    "orders_exact_quantiles",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
     "q16_part_supplier_counts", "q20_promotion_suppliers",
     "text_gopher_gate",
@@ -6708,3 +6709,46 @@ def q20_promotion_suppliers(spark, sf_dir):
         )
         .distinct()
     )
+
+
+_EXACT_QUANTILES_SQL = """
+    WITH v AS (
+      SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders
+    ), nn AS (
+      SELECT count(*)::BIGINT AS n FROM v
+    ), r AS (
+      SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v
+    )
+    SELECT
+      max(CASE WHEN rn = (500 * n + 999) // 1000 THEN c END)::BIGINT
+        AS p50,
+      max(CASE WHEN rn = (900 * n + 999) // 1000 THEN c END)::BIGINT
+        AS p90,
+      max(CASE WHEN rn = (990 * n + 999) // 1000 THEN c END)::BIGINT
+        AS p99
+    FROM r CROSS JOIN nn
+"""
+
+
+@register("orders_exact_quantiles", _EXACT_QUANTILES_SQL)
+def orders_exact_quantiles(spark, sf_dir):
+    """EXACT p50/p90/p99 of order value WITHOUT collecting values:
+    iterative histogram narrowing (`operators/quantiles.py`). Spark's
+    exact `percentile` buffers every value of the group in executor
+    memory — O(n) state that falls over first on a 100 TB column;
+    `approx_percentile` bounds state but gives up exactness. The
+    narrowing gets both for integer domains: per round ONE
+    map-side-combined aggregation bins the in-range rows into ≤1024
+    equal-width buckets (driver receives ≤1024 counts), the bracket
+    holding the target rank recurses, and a cents-scale domain (~1e7)
+    closes in 2-3 aggregation-only scans. All three ranks share each
+    round's scan. Lower-quantile semantics (rank ceil(q*n)) keep the
+    result integer-exact — the oracle spells the same ranks with
+    row_number over a full sort, which is the O(n log n) plan this
+    operator exists to avoid."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    from spark_tsne_spark.operators.quantiles import quantile_summary
+
+    return quantile_summary(o, "cents", [0.5, 0.9, 0.99])

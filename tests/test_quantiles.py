@@ -1,0 +1,73 @@
+"""Exact-order-statistics tests: iterative histogram narrowing vs a
+local full sort, across tie-heavy / constant / negative / wide-domain
+inputs and randomized rank sets. The operator's whole point is exact
+results with O(buckets) driver state, so every test compares against
+sorted()[k-1] ground truth.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_tsne_spark.operators.quantiles import (
+    exact_kth_smallest,
+    quantile_summary,
+)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], ["v"])
+
+
+@pytest.mark.parametrize(
+    "gen",
+    [
+        lambda rng: [rng.randint(-(10**12), 10**12) for _ in range(4000)],
+        lambda rng: [rng.randint(0, 30) for _ in range(3000)],  # ties
+        lambda rng: [7] * 123,  # constant column
+        lambda rng: [rng.getrandbits(62) for _ in range(1500)],  # wide
+    ],
+)
+def test_exact_kth_matches_full_sort(spark, gen):
+    rng = random.Random(11)
+    vals = gen(rng)
+    s = sorted(vals)
+    n = len(vals)
+    ks = sorted({1, 2, n // 7, n // 3, (n + 1) // 2, n - 1, n})
+    got = exact_kth_smallest(_df(spark, vals), "v", ks, n_buckets=64)
+    assert got == {k: s[k - 1] for k in ks}
+
+
+def test_exact_kth_random_ranks_small_buckets(spark):
+    """Random ranks with tiny bucket counts force many narrowing
+    rounds and shared-bracket bookkeeping (several open ranks per
+    round, some resolving early)."""
+    rng = random.Random(23)
+    vals = [rng.randint(-500, 500) for _ in range(2000)]
+    s = sorted(vals)
+    ks = sorted(rng.sample(range(1, 2001), 9))
+    got = exact_kth_smallest(_df(spark, vals), "v", ks, n_buckets=4)
+    assert got == {k: s[k - 1] for k in ks}
+
+
+def test_exact_kth_validates(spark):
+    df = _df(spark, [1, 2, 3])
+    with pytest.raises(ValueError, match="out of range"):
+        exact_kth_smallest(df, "v", [0])
+    with pytest.raises(ValueError, match="out of range"):
+        exact_kth_smallest(df, "v", [4])
+    with pytest.raises(ValueError, match="empty"):
+        exact_kth_smallest(df.where(F.col("v") > 99), "v", [1])
+    assert exact_kth_smallest(df, "v", []) == {}
+
+
+def test_quantile_summary_lower_quantile_semantics(spark):
+    """quantile_summary returns the value at rank ceil(q*n) — the
+    smallest value with cume_dist >= q. Pinned on a hand-checkable
+    input: n=10, p50 -> rank 5, p90 -> rank 9, p99 -> rank 10."""
+    vals = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+    row = quantile_summary(
+        _df(spark, vals), "v", [0.5, 0.9, 0.99]
+    ).collect()[0]
+    assert (row["p50"], row["p90"], row["p99"]) == (50, 90, 100)
