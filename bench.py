@@ -267,6 +267,7 @@ def bench_queries():
         "q16_part_supplier_counts": Q.q16_part_supplier_counts,
         "q20_promotion_suppliers": Q.q20_promotion_suppliers,
         "orders_exact_quantiles": Q.orders_exact_quantiles,
+        "docs_median_len_per_source": Q.docs_median_len_per_source,
         "cube_revenue": Q.cube_revenue,
         "orc_roundtrip": Q.orc_roundtrip,
         "jsonl_roundtrip": Q.jsonl_roundtrip,

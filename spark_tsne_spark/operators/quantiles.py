@@ -114,6 +114,92 @@ def exact_kth_smallest(
     return out
 
 
+def exact_group_quantile(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    q: float = 0.5,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact per-group lower quantile (rank ``ceil(q*n_g)`` within
+    each group) of integer column ``col``, for a LOW-CARDINALITY
+    ``group_col`` (sources, priorities, languages — ≤ a few hundred
+    values; the when-chain and driver state are O(groups)).
+
+    Every group's bracket narrows in the SAME shared scan per round
+    (one aggregation keyed by (group, bin)), so total cluster cost
+    stays ~2-3 aggregation-only passes regardless of group count —
+    unlike a per-group ``percentile`` whose executor state is the
+    largest group's row count, or a row_number window whose sort
+    shuffles the full table.
+    """
+    g = F.col(group_col)
+    c = F.col(col).cast("long")
+    base = df.groupBy(g.alias("grp")).agg(
+        F.min(c).alias("lo"),
+        F.max(c).alias("hi"),
+        F.count(col).alias("n"),
+    ).collect()
+    qm = int(round(q * 1000))
+    if not (0 < qm <= 1000):
+        raise ValueError(f"q out of (0, 1]: {q}")
+    # group → (lo, hi, rank-within-bracket)
+    open_groups = {
+        row["grp"]: (
+            int(row["lo"]),
+            int(row["hi"]),
+            max(1, -(-qm * int(row["n"]) // 1000)),  # ceil(q*n) exactly
+        )
+        for row in base
+        if row["n"] > 0
+    }
+    out: dict = {}
+    while open_groups:
+        conds = None
+        widths = {}
+        for gv, (lo, hi, _r) in open_groups.items():
+            width = max(1, (hi - lo + n_buckets) // n_buckets)
+            widths[gv] = width
+            bin_id = F.expr(
+                f"(CAST(`{col}` AS BIGINT) - {lo}L) div {width}L"
+            )
+            cond = (g == F.lit(gv)) & c.between(lo, hi)
+            conds = (
+                F.when(cond, bin_id)
+                if conds is None
+                else conds.when(cond, bin_id)
+            )
+        hist = {
+            (row["grp"], row["g"]): row["cnt"]
+            for row in df.select(g.alias("grp"), conds.alias("g"))
+            .where(F.col("g").isNotNull())
+            .groupBy("grp", "g")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        nxt = {}
+        for gv, (lo, hi, r) in open_groups.items():
+            width = widths[gv]
+            acc = 0
+            for b in range((hi - lo) // width + 1):
+                cnt = hist.get((gv, b), 0)
+                if acc + cnt >= r:
+                    b_lo = lo + b * width
+                    b_hi = min(hi, b_lo + width - 1)
+                    if b_lo == b_hi:
+                        out[gv] = b_lo
+                    else:
+                        nxt[gv] = (b_lo, b_hi, r - acc)
+                    break
+                acc += cnt
+        open_groups = nxt
+    spark = df.sparkSession
+    rows = [(gv, out[gv]) for gv in sorted(out)]
+    return spark.createDataFrame(rows, [group_col, "q_value"]).select(
+        group_col, F.col("q_value").cast("long").alias("q_value")
+    )
+
+
 def quantile_summary(
     df: DataFrame,
     col: str,

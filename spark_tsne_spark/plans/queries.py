@@ -71,7 +71,7 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
-    "orders_exact_quantiles",
+    "orders_exact_quantiles", "docs_median_len_per_source",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
     "q16_part_supplier_counts", "q20_promotion_suppliers",
     "text_gopher_gate",
@@ -6752,3 +6752,37 @@ def orders_exact_quantiles(spark, sf_dir):
     from spark_tsne_spark.operators.quantiles import quantile_summary
 
     return quantile_summary(o, "cents", [0.5, 0.9, 0.99])
+
+
+_GROUP_MEDIAN_SQL = """
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars)
+               AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           max(CASE WHEN rn = (500 * n + 999) // 1000
+                    THEN n_chars END)::BIGINT AS q_value
+    FROM r
+    GROUP BY source
+"""
+
+
+@register("docs_median_len_per_source", _GROUP_MEDIAN_SQL)
+def docs_median_len_per_source(spark, sf_dir):
+    """Exact per-source median document length via the SAME shared
+    histogram narrowing as `orders_exact_quantiles`, grouped: every
+    source's bracket narrows inside ONE aggregation keyed by
+    (source, bin) per round, so the cluster cost is ~2-3
+    aggregation-only scans for ALL sources together — vs the
+    oracle's row_number window, which sorts the full table inside
+    each partition, or per-group `percentile`, whose executor state
+    is the largest group's row count. Driver state is O(sources x
+    buckets) counts. The canonical 'how long are documents per
+    source' curation stat, exact at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    from spark_tsne_spark.operators.quantiles import exact_group_quantile
+
+    return exact_group_quantile(d, "source", "n_chars", 0.5)

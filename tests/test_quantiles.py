@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_tsne_spark.operators.quantiles import (
+    exact_group_quantile,
     exact_kth_smallest,
     quantile_summary,
 )
@@ -60,6 +61,40 @@ def test_exact_kth_validates(spark):
     with pytest.raises(ValueError, match="empty"):
         exact_kth_smallest(df.where(F.col("v") > 99), "v", [1])
     assert exact_kth_smallest(df, "v", []) == {}
+
+
+def test_exact_group_quantile_matches_per_group_sort(spark):
+    """Per-group medians via shared-scan narrowing equal the local
+    per-group sort, with uneven group sizes (including a 1-row
+    group) and value ranges that differ wildly per group — the case
+    where the per-group bracket widths diverge immediately."""
+    rng = random.Random(31)
+    groups = {
+        "a": [rng.randint(0, 9) for _ in range(501)],
+        "b": [rng.randint(-(10**9), 10**9) for _ in range(900)],
+        "c": [42],
+        "d": [rng.randint(100, 101) for _ in range(64)],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, ["src", "v"])
+    got = {
+        r["src"]: r["q_value"]
+        for r in exact_group_quantile(
+            df, "src", "v", 0.5, n_buckets=8
+        ).collect()
+    }
+    want = {
+        g: sorted(vs)[(len(vs) + 1) // 2 - 1] for g, vs in groups.items()
+    }
+    assert got == want
+
+
+def test_exact_group_quantile_validates_q(spark):
+    df = spark.createDataFrame([("a", 1)], ["src", "v"])
+    with pytest.raises(ValueError, match="out of"):
+        exact_group_quantile(df, "src", "v", 0.0)
+    with pytest.raises(ValueError, match="out of"):
+        exact_group_quantile(df, "src", "v", 1.5)
 
 
 def test_quantile_summary_lower_quantile_semantics(spark):
