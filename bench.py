@@ -268,6 +268,7 @@ def bench_queries():
         "q20_promotion_suppliers": Q.q20_promotion_suppliers,
         "orders_exact_quantiles": Q.orders_exact_quantiles,
         "docs_median_len_per_source": Q.docs_median_len_per_source,
+        "docs_byte_weighted_median": Q.docs_byte_weighted_median,
         "cube_revenue": Q.cube_revenue,
         "orc_roundtrip": Q.orc_roundtrip,
         "jsonl_roundtrip": Q.jsonl_roundtrip,

@@ -33,20 +33,30 @@ def exact_kth_smallest(
     col: str,
     ks: list[int],
     n_buckets: int = 1024,
+    weight_col: str | None = None,
 ) -> dict[int, int]:
     """Exact k-th smallest (1-based ranks ``ks``) of integer column
     ``col``. Returns {k: value}. Driver state is O(n_buckets) per
     round; the data is scanned ≤ ~3 times per distinct bracket chain
     (ranks that land in the same bracket share scans).
+
+    With ``weight_col`` (a non-negative integer column — token
+    counts, byte sizes), rank k means: the smallest value whose
+    cumulative WEIGHT over the value-sorted rows reaches k. Ranks
+    then live in 1..sum(weight); the narrowing is identical with
+    per-bin count replaced by per-bin weight sum.
     """
     if not ks:
         return {}
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
     bounds = df.agg(
         F.min(col).cast("long").alias("lo"),
         F.max(col).cast("long").alias("hi"),
-        F.count(col).alias("n"),
+        F.sum(F.when(F.col(col).isNotNull(), w).otherwise(0))
+        .cast("long")
+        .alias("n"),
     ).collect()[0]
-    if bounds["n"] == 0:
+    if bounds["n"] is None or bounds["n"] == 0:
         raise ValueError("exact_kth_smallest: empty column")
     bad = [k for k in ks if not (1 <= k <= bounds["n"])]
     if bad:
@@ -87,10 +97,10 @@ def exact_kth_smallest(
             )
         hist = {
             (row["key"]["b"], row["key"]["g"]): row["cnt"]
-            for row in df.select(conds.alias("key"))
+            for row in df.select(conds.alias("key"), w.alias("w"))
             .where(F.col("key").isNotNull())
             .groupBy("key")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum("w").cast("long").alias("cnt"))
             .collect()
         }
         nxt: dict[int, tuple[int, int, int]] = {}

@@ -72,6 +72,7 @@ def register(name: str, sql: Optional[str]):
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
     "orders_exact_quantiles", "docs_median_len_per_source",
+    "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
     "q16_part_supplier_counts", "q20_promotion_suppliers",
     "text_gopher_gate",
@@ -6786,3 +6787,43 @@ def docs_median_len_per_source(spark, sf_dir):
     from spark_tsne_spark.operators.quantiles import exact_group_quantile
 
     return exact_group_quantile(d, "source", "n_chars", 0.5)
+
+
+_BYTE_WEIGHTED_MEDIAN_SQL = """
+    WITH v AS (
+      SELECT n_chars AS c FROM documents
+    ), nn AS (
+      SELECT sum(c)::BIGINT AS w FROM v
+    ), r AS (
+      SELECT c,
+             sum(c) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cw
+      FROM v
+    )
+    SELECT min(c)::BIGINT AS wmedian_len
+    FROM r CROSS JOIN nn
+    WHERE cw >= (500 * w + 999) // 1000
+"""
+
+
+@register("docs_byte_weighted_median", _BYTE_WEIGHTED_MEDIAN_SQL)
+def docs_byte_weighted_median(spark, sf_dir):
+    """Byte-weighted median document length: the length L such that
+    half the corpus BYTES live in documents of length ≤ L — the stat
+    that actually drives storage/packing decisions (the unweighted
+    median is dominated by the short-doc count). Same histogram
+    narrowing as `orders_exact_quantiles` with per-bin COUNT replaced
+    by per-bin WEIGHT SUM (weights = n_chars), so cost stays 2-3
+    aggregation-only scans and O(buckets) driver state where the
+    oracle's cumulative-sum window sorts the full table."""
+    d = _t(spark, sf_dir, "documents")
+    from spark_tsne_spark.operators.quantiles import exact_kth_smallest
+
+    total = d.agg(F.sum("n_chars").cast("long").alias("w")).collect()[0][
+        "w"
+    ]
+    k = (500 * total + 999) // 1000  # ceil(W/2), pure integer
+    val = exact_kth_smallest(d, "n_chars", [k], weight_col="n_chars")[k]
+    return spark.createDataFrame([(val,)], ["wmedian_len"]).select(
+        F.col("wmedian_len").cast("long")
+    )

@@ -97,6 +97,31 @@ def test_exact_group_quantile_validates_q(spark):
         exact_group_quantile(df, "src", "v", 1.5)
 
 
+def test_weighted_kth_matches_cumulative_weight(spark):
+    """Weighted ranks: the k-th smallest under weights equals the
+    value where the cumulative weight over value-sorted rows first
+    reaches k (local ground truth), including zero-weight rows and
+    heavy ties."""
+    rng = random.Random(41)
+    rows = [
+        (rng.randint(0, 99), rng.randint(0, 5)) for _ in range(1500)
+    ]
+    df = spark.createDataFrame(rows, ["v", "w"])
+    total = sum(w for _, w in rows)
+    ks = sorted({1, total // 4, (total + 1) // 2, total})
+    got = exact_kth_smallest(df, "v", ks, n_buckets=8, weight_col="w")
+    svals = sorted(rows)
+    want = {}
+    for k in ks:
+        acc = 0
+        for v, w in svals:
+            acc += w
+            if acc >= k:
+                want[k] = v
+                break
+    assert got == want
+
+
 def test_quantile_summary_lower_quantile_semantics(spark):
     """quantile_summary returns the value at rank ceil(q*n) — the
     smallest value with cume_dist >= q. Pinned on a hand-checkable
