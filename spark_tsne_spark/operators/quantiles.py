@@ -224,7 +224,10 @@ def quantile_summary(
     is ~2-3 aggregation-only passes regardless of row count.
     """
     n = df.count()
-    ks = [max(1, -(-int(q * 1000) * n // 1000)) for q in qs]  # ceil(q*n) exactly in integer math
+    # round(), not int(): truncation under-reads q at permille values
+    # that are not exactly representable (0.29 * 1000 → 289.999…).
+    # After the permille snap, ceil(q*n) is pure integer math.
+    ks = [max(1, -(-round(q * 1000) * n // 1000)) for q in qs]
     vals = exact_kth_smallest(df, col, sorted(set(ks)), n_buckets)
     spark = df.sparkSession
     row = {
