@@ -28,6 +28,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _check_span(lo: int, hi: int) -> None:
+    """The bin expression computes ``value - lo`` in int64; a domain
+    spanning ≥ 2^62 could overflow it (non-ANSI Spark would WRAP, not
+    error). No real cents/token/byte column comes near this; refuse
+    loudly rather than narrow on wrapped bins."""
+    if hi - lo >= 1 << 62:
+        raise ValueError(
+            f"domain span {hi - lo} ≥ 2^62: value - lo could overflow "
+            "int64 in the bin expression"
+        )
+
+
 def exact_kth_smallest(
     df: DataFrame,
     col: str,
@@ -55,9 +67,16 @@ def exact_kth_smallest(
         F.sum(F.when(F.col(col).isNotNull(), w).otherwise(0))
         .cast("long")
         .alias("n"),
+        F.min(w).cast("long").alias("w_min"),
     ).collect()[0]
     if bounds["n"] is None or bounds["n"] == 0:
         raise ValueError("exact_kth_smallest: empty column")
+    if weight_col is not None and (bounds["w_min"] or 0) < 0:
+        raise ValueError(
+            f"negative weights in {weight_col!r} (min {bounds['w_min']}):"
+            " cumulative-weight ranks are undefined"
+        )
+    _check_span(int(bounds["lo"]), int(bounds["hi"]))
     bad = [k for k in ks if not (1 <= k <= bounds["n"])]
     if bad:
         raise ValueError(f"ranks out of range 1..{bounds['n']}: {bad}")
@@ -142,6 +161,11 @@ def exact_group_quantile(
     unlike a per-group ``percentile`` whose executor state is the
     largest group's row count, or a row_number window whose sort
     shuffles the full table.
+
+    Rows with a NULL group (or all-NULL values within a group) are
+    skipped — they cannot be addressed by the equality routing and
+    have no defined quantile; callers wanting them must bucket NULL
+    to a sentinel first.
     """
     g = F.col(group_col)
     c = F.col(col).cast("long")
@@ -161,8 +185,10 @@ def exact_group_quantile(
             max(1, -(-qm * int(row["n"]) // 1000)),  # ceil(q*n) exactly
         )
         for row in base
-        if row["n"] > 0
+        if row["grp"] is not None and row["n"] > 0
     }
+    for lo, hi, _r in open_groups.values():
+        _check_span(lo, hi)
     out: dict = {}
     while open_groups:
         conds = None
@@ -227,12 +253,21 @@ def quantile_summary(
     # round(), not int(): truncation under-reads q at permille values
     # that are not exactly representable (0.29 * 1000 → 289.999…).
     # After the permille snap, ceil(q*n) is pure integer math.
-    ks = [max(1, -(-round(q * 1000) * n // 1000)) for q in qs]
+    qms = [round(q * 1000) for q in qs]
+    ks = [max(1, -(-qm * n // 1000)) for qm in qms]
     vals = exact_kth_smallest(df, col, sorted(set(ks)), n_buckets)
     spark = df.sparkSession
-    row = {
-        f"p{int(q * 100):02d}": vals[k] for q, k in zip(qs, ks)
-    }
+    # Label from the SAME permille snap the rank uses — int(q*100)
+    # would both truncate (0.29 → "p28") and collide (0.999 and 0.99
+    # → "p99"). Whole percents keep the familiar pXX; sub-percent
+    # quantiles get an explicit permille suffix (0.999 → "p999m").
+    names = [
+        f"p{qm // 10:02d}" if qm % 10 == 0 else f"p{qm:03d}m"
+        for qm in qms
+    ]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantiles after permille snap: {qs}")
+    row = {name: vals[k] for name, k in zip(names, ks)}
     cols = sorted(row)
     return spark.createDataFrame([tuple(row[c] for c in cols)], cols).select(
         *[F.col(c).cast("long").alias(c) for c in cols]

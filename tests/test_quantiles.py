@@ -122,6 +122,35 @@ def test_weighted_kth_matches_cumulative_weight(spark):
     assert got == want
 
 
+def test_weighted_rejects_negative_weights(spark):
+    df = spark.createDataFrame([(1, 2), (2, -1)], ["v", "w"])
+    with pytest.raises(ValueError, match="negative weights"):
+        exact_kth_smallest(df, "v", [1], weight_col="w")
+
+
+def test_group_quantile_skips_null_groups(spark):
+    """NULL groups can't be routed by equality and are documented as
+    skipped — they must not hang the narrowing loop or appear in the
+    output."""
+    rows = [("a", v) for v in range(10)] + [(None, v) for v in range(5)]
+    df = spark.createDataFrame(rows, ["src", "v"])
+    got = exact_group_quantile(df, "src", "v", 0.5, n_buckets=4)
+    assert [(r["src"], r["q_value"]) for r in got.collect()] == [("a", 4)]
+
+
+def test_quantile_summary_labels_permille_exact(spark):
+    """Labels come from the same permille snap as the ranks: 0.29
+    must be p29 (not a truncated p28) and 0.999 must get its own
+    p999m label (not collide with 0.99)."""
+    df = _df(spark, list(range(1, 1001)))
+    out = quantile_summary(df, "v", [0.29, 0.99, 0.999])
+    assert sorted(out.columns) == ["p29", "p99", "p999m"]
+    row = out.collect()[0]
+    assert (row["p29"], row["p99"], row["p999m"]) == (290, 990, 999)
+    with pytest.raises(ValueError, match="duplicate"):
+        quantile_summary(df, "v", [0.5, 0.5001])
+
+
 def test_quantile_summary_lower_quantile_semantics(spark):
     """quantile_summary returns the value at rank ceil(q*n) — the
     smallest value with cume_dist >= q. Pinned on a hand-checkable
