@@ -43,9 +43,10 @@ def _check_span(lo: int, hi: int) -> None:
 def exact_kth_smallest(
     df: DataFrame,
     col: str,
-    ks: list[int],
+    ks: list[int] | None = None,
     n_buckets: int = 1024,
     weight_col: str | None = None,
+    rank_fn=None,
 ) -> dict[int, int]:
     """Exact k-th smallest (1-based ranks ``ks``) of integer column
     ``col``. Returns {k: value}. Driver state is O(n_buckets) per
@@ -57,8 +58,17 @@ def exact_kth_smallest(
     cumulative WEIGHT over the value-sorted rows reaches k. Ranks
     then live in 1..sum(weight); the narrowing is identical with
     per-bin count replaced by per-bin weight sum.
+
+    ``rank_fn`` (exclusive with ``ks``): callable ``n -> list[int]``
+    resolving the ranks AFTER the bounds scan reveals the total
+    count/weight ``n`` — quantile callers would otherwise need their
+    own full ``count()``/``sum()`` pass just to compute ``ceil(q*n)``,
+    one extra corpus scan for a number the bounds aggregate already
+    holds.
     """
-    if not ks:
+    if (ks is None) == (rank_fn is None):
+        raise ValueError("pass exactly one of ks / rank_fn")
+    if ks is not None and not ks:
         return {}
     w = F.lit(1) if weight_col is None else F.col(weight_col)
     bounds = df.agg(
@@ -77,6 +87,10 @@ def exact_kth_smallest(
             " cumulative-weight ranks are undefined"
         )
     _check_span(int(bounds["lo"]), int(bounds["hi"]))
+    if rank_fn is not None:
+        ks = list(rank_fn(int(bounds["n"])))
+        if not ks:
+            return {}
     bad = [k for k in ks if not (1 <= k <= bounds["n"])]
     if bad:
         raise ValueError(f"ranks out of range 1..{bounds['n']}: {bad}")
@@ -247,16 +261,14 @@ def quantile_summary(
     in, integer out, no interpolation) for each q in ``qs``.
 
     All quantiles share the narrowing scans; total cluster-side cost
-    is ~2-3 aggregation-only passes regardless of row count.
+    is ~2-3 aggregation-only passes regardless of row count (the
+    total count rides the bounds scan via ``rank_fn`` — no separate
+    ``count()`` pass).
     """
-    n = df.count()
     # round(), not int(): truncation under-reads q at permille values
     # that are not exactly representable (0.29 * 1000 → 289.999…).
     # After the permille snap, ceil(q*n) is pure integer math.
     qms = [round(q * 1000) for q in qs]
-    ks = [max(1, -(-qm * n // 1000)) for qm in qms]
-    vals = exact_kth_smallest(df, col, sorted(set(ks)), n_buckets)
-    spark = df.sparkSession
     # Label from the SAME permille snap the rank uses — int(q*100)
     # would both truncate (0.29 → "p28") and collide (0.999 and 0.99
     # → "p99"). Whole percents keep the familiar pXX; sub-percent
@@ -267,7 +279,17 @@ def quantile_summary(
     ]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate quantiles after permille snap: {qs}")
-    row = {name: vals[k] for name, k in zip(names, ks)}
+    resolved: dict[str, list[int]] = {}
+
+    def rank_fn(n: int) -> list[int]:
+        resolved["ks"] = [max(1, -(-qm * n // 1000)) for qm in qms]
+        return sorted(set(resolved["ks"]))
+
+    vals = exact_kth_smallest(
+        df, col, n_buckets=n_buckets, rank_fn=rank_fn
+    )
+    spark = df.sparkSession
+    row = {name: vals[k] for name, k in zip(names, resolved["ks"])}
     cols = sorted(row)
     return spark.createDataFrame([tuple(row[c] for c in cols)], cols).select(
         *[F.col(c).cast("long").alias(c) for c in cols]

@@ -6815,15 +6815,19 @@ def docs_byte_weighted_median(spark, sf_dir):
     narrowing as `orders_exact_quantiles` with per-bin COUNT replaced
     by per-bin WEIGHT SUM (weights = n_chars), so cost stays 2-3
     aggregation-only scans and O(buckets) driver state where the
-    oracle's cumulative-sum window sorts the full table."""
+    oracle's cumulative-sum window sorts the full table. The total
+    weight W rides the bounds scan via rank_fn — no separate
+    sum() pass just to compute ceil(W/2)."""
     d = _t(spark, sf_dir, "documents")
     from spark_tsne_spark.operators.quantiles import exact_kth_smallest
 
-    total = d.agg(F.sum("n_chars").cast("long").alias("w")).collect()[0][
-        "w"
-    ]
-    k = (500 * total + 999) // 1000  # ceil(W/2), pure integer
-    val = exact_kth_smallest(d, "n_chars", [k], weight_col="n_chars")[k]
+    vals = exact_kth_smallest(
+        d,
+        "n_chars",
+        weight_col="n_chars",
+        rank_fn=lambda w: [(500 * w + 999) // 1000],  # ceil(W/2)
+    )
+    (val,) = vals.values()
     return spark.createDataFrame([(val,)], ["wmedian_len"]).select(
         F.col("wmedian_len").cast("long")
     )
