@@ -15,9 +15,10 @@ rows into ``n_buckets`` equal-width bins (driver receives ≤
 containing the target rank becomes the next round's range. The
 integer domain shrinks ≥ ``n_buckets``× per round, so a 64-bit range
 closes in ≤ ⌈64/log2(buckets)⌉ ≈ 7 scans — and real money/count
-columns (range ~1e7) close in 2-3. The final round's bracket is
-resolved EXACTLY with one bounded ``groupBy(value)`` whose result set
-is ≤ the bracket width (≤ ``n_buckets``), never the row count.
+columns (range ~1e7) close in 2-3. The last round's brackets have
+width ≤ ``n_buckets``, so every bin is a single value and each rank
+resolves exactly inside the regular histogram pass — no separate
+per-value pass.
 
 No reference counterpart (extension operator, SURVEY §2 scope:
 training-data pipeline statistics).
@@ -70,6 +71,17 @@ def exact_kth_smallest(
         raise ValueError("pass exactly one of ks / rank_fn")
     if ks is not None and not ks:
         return {}
+    if weight_col is not None:
+        # Fractional weights would be FLOORED per bin by the long
+        # cast, making bracket counts sum below the bounds total and
+        # ranks silently unreachable — refuse up front instead.
+        wt = df.schema[weight_col].dataType.simpleString()
+        if wt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight_col {weight_col!r} must be integer-typed "
+                f"(got {wt}): cumulative-weight ranks need exact "
+                "integer bin sums"
+            )
     w = F.lit(1) if weight_col is None else F.col(weight_col)
     bounds = df.agg(
         F.min(col).cast("long").alias("lo"),
@@ -153,6 +165,12 @@ def exact_kth_smallest(
                             nxt[k] = (b_lo, b_hi, r - acc)
                         break
                     acc += cnt
+                else:  # no bin reached rank r: invariant broken
+                    raise RuntimeError(
+                        f"rank {k} unresolved in bracket [{lo}, {hi}] "
+                        f"(bin sum {acc} < {r}): input mutated between "
+                        "scans?"
+                    )
         open_ranks = nxt
     return out
 
@@ -242,12 +260,28 @@ def exact_group_quantile(
                         nxt[gv] = (b_lo, b_hi, r - acc)
                     break
                 acc += cnt
+            else:
+                raise RuntimeError(
+                    f"group {gv!r}: rank {r} unresolved in bracket "
+                    f"[{lo}, {hi}] (bin sum {acc}): input mutated "
+                    "between scans?"
+                )
         open_groups = nxt
     spark = df.sparkSession
     rows = [(gv, out[gv]) for gv in sorted(out)]
-    return spark.createDataFrame(rows, [group_col, "q_value"]).select(
-        group_col, F.col("q_value").cast("long").alias("q_value")
+    # Explicit schema: with every group NULL (all skipped) or an
+    # empty input, `rows` is empty and names-only inference raises
+    # CANNOT_INFER_EMPTY_SCHEMA — return an empty, correctly-typed
+    # frame instead.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType),
+            StructField("q_value", LongType()),
+        ]
     )
+    return spark.createDataFrame(rows, schema)
 
 
 def quantile_summary(
@@ -269,6 +303,9 @@ def quantile_summary(
     # that are not exactly representable (0.29 * 1000 → 289.999…).
     # After the permille snap, ceil(q*n) is pure integer math.
     qms = [round(q * 1000) for q in qs]
+    bad_q = [q for q, qm in zip(qs, qms) if not (0 < qm <= 1000)]
+    if bad_q:
+        raise ValueError(f"q out of (0, 1]: {bad_q}")
     # Label from the SAME permille snap the rank uses — int(q*100)
     # would both truncate (0.29 → "p28") and collide (0.999 and 0.99
     # → "p99"). Whole percents keep the familiar pXX; sub-percent

@@ -5640,9 +5640,20 @@ def user_activity_span(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.floor(
-            (F.max(us) - F.min(us)) / F.lit(86_400_000_000)
-        ).alias("days_span"),
+        F.min(us).alias("_min_us"),
+        F.max(us).alias("_max_us"),
+    ).select(
+        "user_id",
+        "n_events",
+        "first_ts",
+        "last_ts",
+        # integer `div`, not float `/` + floor: long/long plans a
+        # DOUBLE divide whose half-ulp exceeds 1 µs past ~2^17 days,
+        # where a span of k days minus 1 µs would round up to k —
+        # off by one vs the oracle's exact integer division.
+        F.expr("(_max_us - _min_us) div 86400000000L").alias(
+            "days_span"
+        ),
     )
 
 
@@ -5728,7 +5739,7 @@ _ANOMALY_Z_SQL = """
     SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
            round((e.value - s.m) / s.sd, 6) AS z
     FROM events e JOIN s USING (event_type)
-    WHERE s.sd > 0 AND abs((e.value - s.m) / s.sd) > 3.0
+    WHERE s.sd > 0 AND round(abs((e.value - s.m) / s.sd), 6) > 3.0
 """
 
 
@@ -5738,7 +5749,11 @@ def events_anomaly_zscore(spark, sf_dir):
     stream-quality tripwire. The per-type stats table is tiny
     (|types| rows) and broadcast back onto the fact scan, so the only
     shuffle is the map-side-combined stats groupBy; the outlier
-    filter runs scan-side at full width."""
+    filter runs scan-side at full width. Membership is decided on
+    the SAME 1e-6-rounded |z| both engines emit — a raw float
+    compare would put rows whose true |z| is within one ulp of 3.0
+    on different sides per engine (avg/stddev accumulate in
+    different orders), flipping row SETS, not just digits."""
     ev = _t(spark, sf_dir, "events")
     s = ev.groupBy("event_type").agg(
         F.avg("value").alias("m"), F.stddev_pop("value").alias("sd")
@@ -5746,7 +5761,7 @@ def events_anomaly_zscore(spark, sf_dir):
     z = (F.col("value") - F.col("m")) / F.col("sd")
     return (
         ev.join(F.broadcast(s), "event_type")
-        .where((F.col("sd") > 0) & (F.abs(z) > 3.0))
+        .where((F.col("sd") > 0) & (F.round(F.abs(z), 6) > 3.0))
         .select(
             "event_id",
             "event_type",

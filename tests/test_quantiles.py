@@ -128,6 +128,34 @@ def test_weighted_rejects_negative_weights(spark):
         exact_kth_smallest(df, "v", [1], weight_col="w")
 
 
+def test_weighted_rejects_fractional_weight_type(spark):
+    """Float weights would be floored per bin by the long cast,
+    leaving ranks silently unreachable — must refuse up front."""
+    df = spark.createDataFrame([(1, 0.5), (2, 0.5)], ["v", "w"])
+    with pytest.raises(ValueError, match="integer-typed"):
+        exact_kth_smallest(df, "v", [1], weight_col="w")
+
+
+def test_group_quantile_all_null_groups_empty_typed_result(spark):
+    """Every group NULL -> empty result with the input's group type,
+    not a CANNOT_INFER_EMPTY_SCHEMA crash."""
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2)], "src string, v int"
+    )
+    out = exact_group_quantile(df, "src", "v", 0.5)
+    assert out.count() == 0
+    assert out.schema["src"].dataType.simpleString() == "string"
+    assert out.schema["q_value"].dataType.simpleString() == "bigint"
+
+
+def test_quantile_summary_validates_q(spark):
+    df = _df(spark, [1, 2, 3])
+    with pytest.raises(ValueError, match="out of"):
+        quantile_summary(df, "v", [0.0])
+    with pytest.raises(ValueError, match="out of"):
+        quantile_summary(df, "v", [-0.3])
+
+
 def test_group_quantile_skips_null_groups(spark):
     """NULL groups can't be routed by equality and are documented as
     skipped — they must not hang the narrowing loop or appear in the
