@@ -179,6 +179,32 @@ def test_quantile_summary_labels_permille_exact(spark):
         quantile_summary(df, "v", [0.5, 0.5001])
 
 
+def test_narrowing_job_count_bounded(spark):
+    """Pin the cost model mechanically: p50/p90/p99 over a
+    cents-scale domain (~1e7) take one bounds scan plus <= 3
+    narrowing rounds (1e7 -> 9766 -> 10 -> 1 at 1024 buckets) = 4
+    actions TOTAL for all three ranks together. AQE splits each
+    collect into ~2 jobs (shuffle materialization + result), so the
+    job budget is 4 x 2 + 1 slack = 9. The regression this exists to
+    catch is per-RANK scans: if the ranks stopped sharing rounds the
+    count would land near 3 x 8 and fail loudly."""
+    rng = random.Random(53)
+    df = _df(spark, [rng.randint(0, 10**7) for _ in range(5000)])
+    df = df.cache()
+    df.count()  # materialize outside the counted group
+    sc = spark.sparkContext
+    sc.setJobGroup("quantile-jobs", "narrowing job count")
+    try:
+        quantile_summary(df, "v", [0.5, 0.9, 0.99]).collect()
+        ids = sc._jsc.sc().statusTracker().getJobIdsForGroup(
+            "quantile-jobs"
+        )
+        assert len(ids) <= 9, f"{len(ids)} jobs: {list(ids)}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        df.unpersist()
+
+
 def test_quantile_summary_lower_quantile_semantics(spark):
     """quantile_summary returns the value at rank ceil(q*n) — the
     smallest value with cume_dist >= q. Pinned on a hand-checkable
