@@ -898,41 +898,57 @@ def fuzzy_prefix_pairs(
     max_bucket: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_edit: int = 1,
 ) -> DataFrame:
     """Document pairs whose normalized ``prefix_len``-char prefix is
-    within edit distance 1 — fuzzy entity/title matching.
+    within edit distance ``max_edit`` (1 or 2) — fuzzy entity/title
+    matching.
 
     The naive plan is an all-pairs ``levenshtein`` theta join (O(n²)
     string comparisons). This is the SymSpell deletion-neighborhood
-    form: every prefix emits itself plus its ≤``prefix_len``
-    single-char deletions (bounded fan-out, built with JVM array
-    expressions), two prefixes are within edit distance 1 iff their
-    variant sets intersect (equality shares the string itself; one
-    deletion shares the shorter string; one substitution shares the
-    common deletion), so the pair space collapses to an equi join on
-    the variant — work scales with variant-bucket occupancy, never
-    n². Shared variants can also join distance-2 pairs (different
-    deletion positions), so candidates are verified with ONE exact
+    form: every prefix emits itself plus its single-char deletions
+    (and, at ``max_edit=2``, the two-char deletions — bounded
+    ``O(prefix_len²)`` fan-out, all built with JVM array
+    expressions). Two strings are within edit distance k iff their
+    depth-k deletion neighborhoods intersect (align the edit script:
+    deleting the edited positions from each side reaches a common
+    string), so the pair space collapses to an equi join on the
+    variant — work scales with variant-bucket occupancy, never n².
+    Shared variants can also join farther pairs (different deletion
+    positions), so candidates are verified with ONE exact
     ``levenshtein`` per distinct pair. ``max_bucket`` drops hot
     variants (mega-clique cap, same contract as the MinHash path).
 
-    Returns ``(i, j, dist)`` with ``i < j`` and ``dist ≤ 1``.
+    Returns ``(i, j, dist)`` with ``i < j`` and ``dist ≤ max_edit``.
     """
+    if max_edit not in (1, 2):
+        raise ValueError(f"max_edit must be 1 or 2, got {max_edit}")
     pf = F.lower(F.substring(F.trim(F.col(text_col)), 1, prefix_len))
     base = docs.select(
         F.col(id_col).alias("id"), pf.alias("pf")
     ).where(F.length("pf") >= 2)
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length("pf")),
-        lambda i: F.concat(
-            F.substring(F.col("pf"), F.lit(1), i - 1),
-            F.substring(F.col("pf"), i + 1, F.lit(prefix_len)),
-        ),
-    )
+
+    def one_del(col):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                F.substring(col, F.lit(1), i - 1),
+                F.substring(col, i + 1, F.lit(prefix_len)),
+            ),
+        )
+
+    dels = one_del(F.col("pf"))
+    variants = F.array_union(F.array(F.col("pf")), dels)
+    if max_edit == 2:
+        # Depth-2 neighborhood: deletions of the deletions,
+        # deduplicated (deleting positions i<j in either order lands
+        # on the same string, so the raw fan-out halves).
+        dels2 = F.flatten(F.transform(dels, one_del))
+        variants = F.array_union(variants, F.array_distinct(dels2))
     exploded = base.select(
         "id",
         "pf",
-        F.explode(F.array_union(F.array(F.col("pf")), dels)).alias("v"),
+        F.explode(variants).alias("v"),
     )
     if max_bucket is not None:
         counts = exploded.groupBy("v").agg(F.count("*").alias("_bw"))
@@ -954,7 +970,7 @@ def fuzzy_prefix_pairs(
     )
     return (
         cands.withColumn("dist", F.levenshtein("pi", "pj").cast("long"))
-        .where(F.col("dist") <= 1)
+        .where(F.col("dist") <= max_edit)
         .select("i", "j", "dist")
     )
 

@@ -432,3 +432,112 @@ def term_pmi_pairs(
         .orderBy(F.col("pmi").desc(), "t1", "t2")
         .limit(top)
     )
+
+
+def allpairs_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.35,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs lexical similarity join: every document pair whose
+    TF-IDF cosine reaches ``threshold`` — ``(i, j, cosine)`` with
+    ``i < j``. The sparse-vector counterpart of
+    ``dedup.embedding_cosine_pairs`` (template-detection / near-dup
+    mining when no embeddings exist), after the AllPairs/L2AP
+    prefix-filtering family (Bayardo et al., WWW'07).
+
+    The naive plan is the O(n²) theta join. Here each document's
+    normalized TF-IDF terms are sorted by DESCENDING weight and only
+    the PREFIX is indexed: a term at tail position p enters the
+    inverted index iff the L2 norm of the remaining tail (this term
+    included) is ≥ threshold/2. Two docs with cosine ≥ t must then
+    share an indexed term: if not, every shared term sits in an
+    unindexed tail, and splitting the shared set by which side left
+    it unindexed gives dot ≤ ||a_tail||·||b|| + ||b_tail||·||a||
+    < t/2 + t/2 = t (Cauchy-Schwarz per side, unit norms) —
+    candidate-complete by construction, pinned against brute force
+    in tests. High-df stopword-ish terms carry tiny IDF weights, so
+    they sort into the unindexed tail and never fan out.
+
+    Plan shape: tokenize → (doc, term) groupBy → term-keyed df join
+    (vocab-sized, AQE-broadcast) → per-doc weight window (doc-length
+    bounded) → equi self-join on the PRUNED index → exact dot
+    verification confined to candidate pairs (join back the two full
+    vectors, groupBy pair). ``max_bucket`` drops hot index terms
+    (mega-clique cap, same recall contract as the MinHash path).
+    Rounding to 6 decimals precedes the threshold test so the
+    cross-engine summation-order drift (~1e-14) cannot flip
+    membership.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n_docs = docs.select(F.col(id_col)).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    u = w.join(norms, "doc_id").select(
+        "doc_id", "term", (F.col("w") / F.col("norm")).alias("u")
+    )
+    # Tail-norm window: per doc, descending weight; rsum includes the
+    # current row, so `indexed` ⇔ tail-from-here norm ≥ t/2.
+    tail = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("u").desc(), F.col("term").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cut = (threshold / 2.0) ** 2
+    idx = u.withColumn(
+        "rsum", F.sum(F.col("u") * F.col("u")).over(tail)
+    ).where(F.col("rsum") >= cut).select("doc_id", "term")
+    if max_bucket is not None:
+        hot = idx.groupBy("term").agg(F.count("*").alias("_bw"))
+        idx = idx.join(
+            hot.where(F.col("_bw") <= max_bucket).drop("_bw"), "term"
+        )
+    cands = (
+        idx.alias("a")
+        .join(idx.alias("b"), "term")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j")
+        )
+        .dropDuplicates(["i", "j"])
+    )
+    # Exact verification, candidate-bounded: |cands| × doc-length
+    # intermediate, never n².
+    va = u.select(
+        F.col("doc_id").alias("i"), "term", F.col("u").alias("ua")
+    )
+    vb = u.select(
+        F.col("doc_id").alias("j"), "term", F.col("u").alias("ub")
+    )
+    return (
+        cands.join(va, "i")
+        .join(vb, ["j", "term"])
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

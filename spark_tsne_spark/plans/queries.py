@@ -71,6 +71,8 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
+    "bpe_word_histogram", "bpe_vocab", "bpe_encode_stats",
+    "bpe_token_histogram", "allpairs_cosine", "fuzzy_prefix_pairs_ed2",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -6846,3 +6848,170 @@ def docs_byte_weighted_median(spark, sf_dir):
     return spark.createDataFrame([(val,)], ["wmedian_len"]).select(
         F.col("wmedian_len").cast("long")
     )
+
+
+# --- BPE tokenizer family -------------------------------------------
+# One trained merge table is shared by every BPE entry (train once,
+# use many — the tokenizer-model contract); the cache key is the
+# sf_dir so correctness (sf0.01) and bench (sf0.1) never mix models.
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    m = _BPE_CACHE.get(sf_dir)
+    if m is None:
+        from spark_tsne_spark.operators.bpe import train_bpe
+
+        m = train_bpe(
+            _t(spark, sf_dir, "documents"), num_merges=60, max_words=8000
+        )
+        _BPE_CACHE[sf_dir] = m
+    return m
+
+
+_WORD_HIST_SQL = """
+    WITH w AS (
+      SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS word
+      FROM documents
+    ), h AS (
+      SELECT word, count(*)::BIGINT AS n
+      FROM w WHERE length(word) > 0
+      GROUP BY word
+    )
+    SELECT word, n,
+           row_number() OVER (ORDER BY n DESC, word ASC)::BIGINT AS rank
+    FROM h
+    ORDER BY n DESC, word ASC
+    LIMIT 100
+"""
+
+
+@register("bpe_word_histogram", _WORD_HIST_SQL)
+def bpe_word_histogram(spark, sf_dir):
+    """Top-100 corpus word histogram — the single distributed pass
+    BPE training consumes (operators/bpe.py). ONE explode + map-side
+    partial groupBy; the top-k is a TakeOrdered (per-partition heaps
+    + driver merge), never a global sort. At 100 TB the shuffle
+    carries |distinct words| rows — Zipf-bounded."""
+    from pyspark.sql import Window
+
+    from spark_tsne_spark.operators.bpe import word_histogram
+
+    h = (
+        word_histogram(_t(spark, sf_dir, "documents"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return h.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register("bpe_vocab", None)
+def bpe_vocab(spark, sf_dir):
+    """Trained BPE merge table ``(rank, left, right, freq)`` — the
+    tokenizer-model artifact. Iterative driver merge loop over the
+    bounded word histogram (corpus-size-independent by construction)
+    — no SQL twin by contract; determinism and parity vs a naive
+    textbook reference are pinned in tests/test_bpe.py."""
+    from spark_tsne_spark.operators.bpe import merges_df
+
+    return merges_df(spark, _bpe_merges(spark, sf_dir))
+
+
+@register("bpe_encode_stats", None)
+def bpe_encode_stats_q(spark, sf_dir):
+    """Per-document BPE token accounting under the trained merges:
+    ``(doc_id, n_words, n_tokens, chars_per_token)`` — exact token
+    counts for packing/budgeting (vs the regex estimate). One narrow
+    mapInPandas with broadcast ranks; no shuffle. Greedy-apply parity
+    vs sequential-replay reference pinned in tests/test_bpe.py."""
+    from spark_tsne_spark.operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(
+        _t(spark, sf_dir, "documents"), _bpe_merges(spark, sf_dir)
+    )
+
+
+@register("bpe_token_histogram", None)
+def bpe_token_histogram_q(spark, sf_dir):
+    """Top-50 corpus token histogram under the trained merges — the
+    vocab-coverage report. Encode pass emits per-batch PARTIALLY
+    AGGREGATED (token, count) rows, so the shuffle is
+    batch-distinct-token-sized; top-k is a TakeOrdered. Counts vs a
+    local full-corpus encode pinned in tests/test_bpe.py."""
+    from spark_tsne_spark.operators.bpe import bpe_token_histogram
+
+    return bpe_token_histogram(
+        _t(spark, sf_dir, "documents"), _bpe_merges(spark, sf_dir), k=50
+    )
+
+
+_ALLPAIRS_COSINE_SQL = """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 120
+    ), t0 AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM d
+    ), tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM t0 WHERE length(term) > 0
+      GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+    ), nn AS (
+      SELECT count(*)::DOUBLE AS n FROM d
+    ), w AS (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(nn.n / dfq.df) AS w
+      FROM tf JOIN dfq USING (term) CROSS JOIN nn
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id
+    ), u AS (
+      SELECT w.doc_id, w.term, w.w / nrm.norm AS u
+      FROM w JOIN nrm USING (doc_id)
+    ), p AS (
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             round(sum(a.u * b.u), 6) AS cosine
+      FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i, j, cosine FROM p WHERE cosine >= 0.6
+"""
+
+
+@register("allpairs_cosine", _ALLPAIRS_COSINE_SQL)
+def allpairs_cosine(spark, sf_dir):
+    """All-pairs TF-IDF cosine similarity join (AllPairs/L2AP prefix
+    filtering): pairs with cosine ≥ 0.6 over a quarantined doc_id
+    subset — the oracle is the O(n²) theta join the prefix-filtered
+    index join exists to avoid. Candidate completeness is by the
+    tail-norm < t/2 bound (operators/search.py); verification is
+    exact and candidate-bounded."""
+    from spark_tsne_spark.operators.search import allpairs_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return allpairs_cosine_pairs(d, threshold=0.6)
+
+
+@register(
+    "fuzzy_prefix_pairs_ed2",
+    """
+    WITH p AS (
+      SELECT doc_id, lower(substr(trim(text), 1, 24)) AS pf
+      FROM documents
+      WHERE length(lower(substr(trim(text), 1, 24))) >= 2
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(levenshtein(a.pf, b.pf) AS BIGINT) AS dist
+    FROM p a JOIN p b
+      ON a.doc_id < b.doc_id AND levenshtein(a.pf, b.pf) <= 2
+    """,
+)
+def fuzzy_prefix_pairs_ed2(spark, sf_dir):
+    """SymSpell at depth 2: doc pairs whose 24-char prefix is within
+    edit distance 2 via the two-level deletion neighborhood
+    (O(prefix_len²) bounded fan-out) + one exact levenshtein per
+    distinct candidate pair. Oracle = the all-pairs theta join."""
+    from spark_tsne_spark.operators.dedup import fuzzy_prefix_pairs
+
+    return fuzzy_prefix_pairs(_t(spark, sf_dir, "documents"), max_edit=2)
