@@ -180,6 +180,57 @@ def bench_queries():
         )
         return res.to_df(spark)
 
+    _BPE_BENCH_CACHE: dict = {}
+
+    def _bench_merges(spark, sf_dir):
+        m = _BPE_BENCH_CACHE.get(sf_dir)
+        if m is None:
+            from spark_tsne_spark.operators.bpe import train_bpe
+
+            m = train_bpe(
+                docs(spark, sf_dir), num_merges=200, max_words=30000
+            )
+            _BPE_BENCH_CACHE[sf_dir] = m
+        return m
+
+    def b_bpe_train(spark, sf_dir):
+        # Full training every repeat: histogram shuffle + top-k +
+        # driver merge loop — the train-side number.
+        from spark_tsne_spark.operators.bpe import merges_df, train_bpe
+
+        return merges_df(
+            spark, train_bpe(docs(spark, sf_dir), num_merges=200,
+                             max_words=30000)
+        )
+
+    def b_bpe_encode(spark, sf_dir):
+        # Train-once/encode-many accounting (the tokenizer-model
+        # contract, same pattern as ann_ivf_index_query): the first
+        # repeat pays training via the cache, the min is encode-only.
+        from spark_tsne_spark.operators.bpe import bpe_encode_stats
+
+        return bpe_encode_stats(
+            docs(spark, sf_dir), _bench_merges(spark, sf_dir)
+        )
+
+    def b_allpairs_cosine(spark, sf_dir):
+        # Full-corpus similarity join; the synthetic corpus is DENSE
+        # (shared vocabulary everywhere), so the production knobs are
+        # what get timed: a high threshold keeps the candidate space
+        # index-bounded and max_bucket caps hot index terms.
+        from spark_tsne_spark.operators.search import allpairs_cosine_pairs
+
+        return allpairs_cosine_pairs(
+            docs(spark, sf_dir), threshold=0.9, max_bucket=4000
+        )
+
+    def b_fuzzy_ed2(spark, sf_dir):
+        from spark_tsne_spark.operators.dedup import fuzzy_prefix_pairs
+
+        return fuzzy_prefix_pairs(
+            docs(spark, sf_dir), max_edit=2, max_bucket=4000
+        )
+
     def b_seq_packing(spark, sf_dir):
         from spark_tsne_spark.operators.packing import pack_sequences
 
@@ -309,6 +360,12 @@ def bench_queries():
         "ann_ivf_index_query": b_ivf_index_query,
         "tsne_bh_20iter": b_tsne_bh20,
         "tsne_bh_distributed": b_tsne_bh_distributed,
+        "bpe_train": b_bpe_train,
+        "bpe_encode": b_bpe_encode,
+        "allpairs_cosine": b_allpairs_cosine,
+        "fuzzy_prefix_ed2": b_fuzzy_ed2,
+        "leakage_safe_split": Q.leakage_safe_split,
+        "events_seasonal_baseline": Q.events_seasonal_baseline,
     }
 
 
@@ -393,10 +450,20 @@ def main():
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     heavy_repeat = {"tsne_bh_distributed": 2}
 
+    # Iteration aid: SPARK_GRAFT_BENCH_ONLY="a,b,c" times just those
+    # entries (the recorded bench_detail.json is NOT overwritten on a
+    # filtered run — partial numbers must never masquerade as a full
+    # pass).
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     stages: dict[str, dict] = {}
     for name, fn in bench_queries().items():
+        if only and name not in only:
+            continue
         reps = max(1, min(repeat, heavy_repeat.get(name, repeat)))
         runs: list[float] = []
         best_stage: dict | None = None
@@ -426,12 +493,13 @@ def main():
     # (BENCH_r04 was "parsed": null because runs+stages outgrew it).
     detail = {"runs": all_runs, "repeat": repeat, "stages": stages, "sf": sf}
     print("# detail: " + json.dumps(detail), flush=True)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json"), "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        pass
+    if not only:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_detail.json"), "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
     print(
         json.dumps(
             {

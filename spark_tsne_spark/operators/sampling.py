@@ -177,3 +177,44 @@ def train_test_split(
     cut = int(test_fraction * _HASH_SPACE)
     bucket = hash_bucket(key, salt)
     return df.where(bucket >= cut), df.where(bucket < cut)
+
+
+def grouped_split(
+    df: DataFrame,
+    group_key: Column | str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the hash bucket is
+    computed on a GROUP key (e.g. the duplicate-cluster canonical id,
+    or a normalized-content fingerprint), so every member of a group
+    lands in the SAME split — the property row-level
+    ``train_test_split`` loses when duplicates or near-duplicates of
+    one document exist (a train/test pair of near-identical docs is
+    eval contamination). Adds a ``split`` column ('train'/'val'/
+    'test'); deterministic across runs, partitionings, and engines
+    (content hash, no RNG).
+
+    One narrow projection — the group key is an expression over the
+    row (or a previously-joined cluster id); no shuffle is added
+    here. The standard composition is
+    ``dedup -> grouped_split(canonical_id) -> write partitioned by
+    split``.
+    """
+    if val_fraction < 0 or test_fraction < 0 or (
+        val_fraction + test_fraction
+    ) >= 1.0:
+        raise ValueError(
+            "need val_fraction, test_fraction >= 0 with sum < 1, got "
+            f"{val_fraction}/{test_fraction}"
+        )
+    b = hash_bucket(group_key, salt)
+    t_cut = int(test_fraction * _HASH_SPACE)
+    v_cut = t_cut + int(val_fraction * _HASH_SPACE)
+    return df.withColumn(
+        "split",
+        F.when(b < t_cut, F.lit("test"))
+        .when(b < v_cut, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

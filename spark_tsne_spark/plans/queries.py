@@ -73,6 +73,7 @@ def register(name: str, sql: Optional[str]):
 _DRIVER_PRIORITY = [
     "bpe_word_histogram", "bpe_vocab", "bpe_encode_stats",
     "bpe_token_histogram", "allpairs_cosine", "fuzzy_prefix_pairs_ed2",
+    "leakage_safe_split", "events_seasonal_baseline",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -7015,3 +7016,94 @@ def fuzzy_prefix_pairs_ed2(spark, sf_dir):
     from spark_tsne_spark.operators.dedup import fuzzy_prefix_pairs
 
     return fuzzy_prefix_pairs(_t(spark, sf_dir, "documents"), max_edit=2)
+
+
+_SPLIT_T_CUT = int(0.1 * _HASH_SPACE)
+_SPLIT_V_CUT = _SPLIT_T_CUT + int(0.1 * _HASH_SPACE)
+
+_LEAKAGE_SPLIT_SQL = f"""
+    WITH fp AS (
+      SELECT doc_id, {_FP_SQL} AS fp FROM documents
+    ), g AS (
+      SELECT fp, min(doc_id) AS canon FROM fp GROUP BY fp
+    ), j AS (
+      SELECT f.doc_id, g.canon,
+             ('0x' || substring(md5('split1:' || g.canon::VARCHAR), 1, 15))::BIGINT AS b
+      FROM fp f JOIN g USING (fp)
+    )
+    SELECT doc_id, canon,
+           CASE WHEN b < {_SPLIT_T_CUT} THEN 'test'
+                WHEN b < {_SPLIT_V_CUT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM j
+"""
+
+
+@register("leakage_safe_split", _LEAKAGE_SPLIT_SQL)
+def leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: hash-bucket on the
+    exact-dup GROUP canonical id (min doc_id per normalized-content
+    fingerprint), so every copy of a document lands in the SAME
+    split — row-level splits put duplicate pairs across the
+    train/test boundary, which is eval contamination. Deterministic
+    (content hash, no RNG). ONE fingerprint groupBy + a fingerprint-
+    keyed join back (both shuffles on the same uniform md5 key), then
+    a narrow bucket projection — the near-dup variant swaps the group
+    key for the LSH cluster id, same shape."""
+    from spark_tsne_spark.functions.text import fingerprint
+    from spark_tsne_spark.operators.sampling import grouped_split
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "fp", fingerprint("text")
+    )
+    g = d.groupBy("fp").agg(F.min("doc_id").alias("canon"))
+    joined = d.join(g, "fp").select("doc_id", "canon")
+    return grouped_split(
+        joined,
+        F.concat(F.lit("split1:"), F.col("canon").cast("string")),
+        val_fraction=0.1,
+        test_fraction=0.1,
+    ).select("doc_id", "canon", "split")
+
+
+_SEASONAL_SQL = """
+    WITH p AS (
+      SELECT event_type, extract(hour FROM ts)::BIGINT AS hod,
+             avg(value) AS m
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_type, extract(hour FROM e.ts)::BIGINT AS hod,
+           count(*)::BIGINT AS n,
+           round(avg(e.value), 6) AS mean_v,
+           round(avg(abs(e.value - p.m)), 6) AS mad_v
+    FROM events e
+    JOIN p ON e.event_type = p.event_type
+          AND extract(hour FROM e.ts) = p.hod
+    GROUP BY 1, 2
+"""
+
+
+@register("events_seasonal_baseline", _SEASONAL_SQL)
+def events_seasonal_baseline(spark, sf_dir):
+    """Hour-of-day seasonal profile per event type with residual
+    spread: ``(event_type, hod, n, mean_v, mad_v)`` — the baseline an
+    anomaly detector subtracts before thresholding (the z-score entry
+    flags global outliers; this one captures the daily cycle). Two
+    partial-aggregated groupBys; the profile join-back is
+    |types|x24 rows — broadcast, no second shuffle of the event
+    stream."""
+    e = _t(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("long").alias("hod")
+    prof = e.groupBy("event_type", hod).agg(F.avg("value").alias("m"))
+    return (
+        e.select("event_type", hod, "value")
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("m"))), 6).alias(
+                "mad_v"
+            ),
+        )
+    )
