@@ -28,6 +28,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: Edge-count gate below which the power method runs on the driver
+#: (one Arrow pull of the (src, dst) pairs + numpy bincount loop) —
+#: the SAME production contract as duplicate_clusters' union-find
+#: gate: a 5M-edge graph is ~80 MB of int64 pairs, and iterating it
+#: driver-side costs one job instead of num_iters x 3 shuffle stages
+#: whose per-stage dispatch dominates at this size. Above the gate
+#: the distributed join loop runs (edges pre-partitioned on src so
+#: the big side never re-shuffles).
+DRIVER_EDGE_CAP = 5_000_000
+
 
 def symmetrize_edges(pairs: DataFrame, i: str = "i", j: str = "j") -> DataFrame:
     """Undirected (i, j) candidate pairs → directed edge list with
@@ -44,6 +54,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list:
     ``(node, rank)`` after ``num_iters`` power-method steps from the
@@ -56,20 +67,43 @@ def pagerank(
     leak-mass approximation. Deterministic given (edges, num_iters,
     damping): the oracle replays the same recursion in SQL.
 
-    Concurrency note: the loop temporarily narrows the session's
-    ``spark.sql.shuffle.partitions`` (restored in a finally) — other
-    queries planned on the same SparkSession DURING a pagerank call
-    would plan at the narrowed width. This engine's driver loops are
-    single-threaded by design; on a shared session, run pagerank
-    serially or pin widths explicitly.
+    Two physical strategies behind one semantics (mirroring
+    ``duplicate_clusters``' union-find gate):
+
+    - ``m <= driver_edge_cap`` (default 5M): ONE Arrow pull of the
+      (src, dst) pairs, then a numpy ``bincount`` power loop on the
+      driver — index-ordered summation over a sorted node table, so
+      the result is deterministic and engine-independent to float64
+      round-off. At this size the distributed loop's cost is pure
+      stage dispatch (measured ~0.7 s/iteration for a 4k-node graph
+      at sf0.1), not compute.
+    - above the cap: the distributed join loop, with the edge list
+      persisted HASH-PARTITIONED ON ``src`` at the loop width —
+      without that, the cached ``distinct()`` layout (hashed on the
+      (src, dst) pair) forces a re-shuffle of the BIG side every
+      iteration; pre-partitioning makes each iteration shuffle only
+      the |nodes|-sized rank table. Pass ``driver_edge_cap=0`` to
+      force this path (tests pin driver ≡ distributed).
+
+    Concurrency note: the distributed loop temporarily narrows the
+    session's ``spark.sql.shuffle.partitions`` (restored in a
+    finally) — other queries planned on the same SparkSession DURING
+    a pagerank call would plan at the narrowed width. This engine's
+    driver loops are single-threaded by design; on a shared session,
+    run pagerank serially or pin widths explicitly.
     """
     if num_iters < 1:
         raise ValueError(f"num_iters must be >= 1, got {num_iters}")
-    # Materialize the edge list once: every iteration's join reads the
-    # persisted edges instead of re-deriving them from their (possibly
+    # Materialize the edge list once: every use reads the persisted
+    # edges instead of re-deriving them from their (possibly
     # expensive — e.g. LSH candidate generation) upstream plan.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    m = e.count()
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    m = e0.count()
+    if m <= driver_edge_cap:
+        try:
+            return _pagerank_driver(e0, num_iters, damping)
+        finally:
+            e0.unpersist()
     # Size the LOOP's shuffle width to the graph, not the session
     # default: every iteration runs 2-3 shuffles, and on a small
     # graph a 32-wide session spends more wall-clock dispatching
@@ -85,6 +119,15 @@ def pagerank(
             int(m // 500_000) + 4,
         ),
     )
+    # Re-persist partitioned on src: the per-iteration contribution
+    # join requires hash(src) distribution, and the persisted layout
+    # satisfies it, so ONLY the thin rank rows shuffle each step.
+    # Costs one extra (cached-input) shuffle up front; saves
+    # num_iters shuffles of the edge list — the dominant term at
+    # scale, where edges are orders of magnitude wider than ranks.
+    e = e0.repartition(width, "src").persist()
+    e.count()
+    e0.unpersist()
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
@@ -93,6 +136,53 @@ def pagerank(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _pagerank_driver(
+    e: DataFrame, num_iters: int, damping: float
+) -> DataFrame:
+    """Driver-side power method for gate-sized graphs: identical
+    semantics to ``_pagerank_loop`` (uniform start over the endpoint
+    union, out-degree contribution split, uniform dangling-mass
+    redistribution), summed via ``np.bincount`` in node-index order
+    over a SORTED node table — deterministic across runs and
+    partitionings."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    spark = e.sparkSession
+    node_field = e.schema["src"].dataType
+    if len(pdf) == 0:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("node", node_field, True),
+                    StructField("rank", DoubleType(), True),
+                ]
+            ),
+        )
+    nodes = np.unique(
+        np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
+    )  # sorted — fixes the summation and output order
+    n = len(nodes)
+    si = np.searchsorted(nodes, pdf["src"].to_numpy())
+    di = np.searchsorted(nodes, pdf["dst"].to_numpy())
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    dangling = deg == 0.0
+    safe_deg = np.where(dangling, 1.0, deg)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(num_iters):
+        contrib = rank / safe_deg
+        s = np.bincount(di, weights=contrib[si], minlength=n)
+        dm = float(rank[dangling].sum())
+        rank = (1.0 - damping) / n + damping * (s + dm / n)
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "rank": rank})
+    )
 
 
 def _pagerank_loop(

@@ -40,6 +40,26 @@ def test_pagerank_matches_numpy_power_method(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_distributed_matches_driver_path(spark):
+    # Same edges through BOTH physical strategies: the default gate
+    # (driver bincount loop) and driver_edge_cap=0 (forced
+    # distributed join loop, edges pre-partitioned on src). One
+    # semantics, two plans — equality to float64 round-off.
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1), (6, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    drv = {r["node"]: r["rank"] for r in pagerank(df, num_iters=8).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, num_iters=8, driver_edge_cap=0).collect()
+    }
+    assert set(drv) == set(dist)
+    for n in drv:
+        assert abs(drv[n] - dist[n]) < 1e-12, n
+    want = _numpy_pagerank(edges, num_iters=8)
+    for n in want:
+        assert abs(dist[n] - want[n]) < 1e-12, n
+
+
 def test_pagerank_dangling_mass_redistributed(spark):
     # node 3 has no out-edges: its mass must recycle, ranks sum to 1
     edges = [(1, 2), (2, 3)]
