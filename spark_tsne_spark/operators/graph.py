@@ -254,6 +254,163 @@ def _pagerank_loop(
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    num_iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
+) -> DataFrame:
+    """Synchronous label propagation over a directed edge list:
+    ``(node, label)`` after ``num_iters`` rounds from the identity
+    labeling. Each round, every node with at least one in-neighbor
+    takes the MOST FREQUENT label among its in-neighbors (ties →
+    smallest label); nodes without in-edges keep their label. The
+    synchronous schedule plus the total tie-break makes the result a
+    deterministic function of (edges, num_iters) — unlike classic
+    async LPA — so the DuckDB oracle can replay the identical
+    recursion. On a symmetrized near-dup pair graph this yields
+    density-based communities: unlike connected components, a thin
+    bridge between two dense duplicate cliques does NOT merge them.
+
+    Physical strategy mirrors :func:`pagerank`: under
+    ``driver_edge_cap`` (default 5M edges) one Arrow pull + a numpy
+    run-length mode loop on the driver; above it, a distributed loop
+    — per round ONE join against the src-partitioned edge list (only
+    the thin label rows shuffle), one (node, label) count with
+    map-side partials, and a per-node top-1 window whose partitions
+    are single nodes (skew-bounded by in-degree).
+    """
+    if num_iters < 1:
+        raise ValueError(f"num_iters must be >= 1, got {num_iters}")
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    m = e0.count()
+    if m <= driver_edge_cap:
+        try:
+            return _label_prop_driver(e0, num_iters)
+        finally:
+            e0.unpersist()
+    spark = edges.sparkSession
+    width = max(
+        4,
+        min(
+            spark.sparkContext.defaultParallelism,
+            int(m // 500_000) + 4,
+        ),
+    )
+    e = e0.repartition(width, "src").persist()
+    e.count()
+    e0.unpersist()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        return _label_prop_loop(e, num_iters, checkpoint_every)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _label_prop_loop(
+    e: DataFrame, num_iters: int, checkpoint_every: int
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    # eager localCheckpoint (not just persist): the label table
+    # derives FROM e, and the per-iteration join against e would
+    # otherwise be an ambiguous self-join (shared attribute ids)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    rank = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for it in range(num_iters):
+        # string-qualified aliases: labels derives from e every round,
+        # so unaliased column refs would be ambiguous self-join refs
+        nbr = (
+            labels.alias("l")
+            .join(e.alias("g"), F.col("l.node") == F.col("g.src"))
+            .select(F.col("g.dst").alias("node"), F.col("l.label").alias("label"))
+        )
+        cnt = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
+        best = (
+            cnt.withColumn("_rn", F.row_number().over(rank))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("_new", "label").alias("label"))
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < num_iters:
+            labels = labels.localCheckpoint(eager=True)
+    out = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def _label_prop_driver(e: DataFrame, num_iters: int) -> DataFrame:
+    """Driver-side synchronous LPA for gate-sized graphs: identical
+    semantics to ``_label_prop_loop``. Labels are node INDICES into
+    the sorted node table during the loop (mode + min-tie-break on
+    indices equals mode on values because the table is sorted),
+    mapped back to values at the end."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    spark = e.sparkSession
+    node_field = e.schema["src"].dataType
+    if len(pdf) == 0:
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("node", node_field, True),
+                    StructField("label", node_field, True),
+                ]
+            ),
+        )
+    nodes = np.unique(
+        np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
+    )
+    n = len(nodes)
+    si = np.searchsorted(nodes, pdf["src"].to_numpy())
+    di = np.searchsorted(nodes, pdf["dst"].to_numpy())
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(num_iters):
+        nl = lab[si]
+        # run-length count of (dst, neighbor-label) pairs: lexsort
+        # puts equal pairs adjacent with labels ascending inside each
+        # dst, so "first run of the best count" == min-label tie-break
+        order = np.lexsort((nl, di))
+        d_s, l_s = di[order], nl[order]
+        change = np.empty(len(d_s), dtype=bool)
+        change[0] = True
+        change[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(d_s)))
+        rd, rl = d_s[starts], l_s[starts]
+        # per dst: argmax count with ties to the SMALLEST label —
+        # stable sort by count desc within dst keeps label order for
+        # equal counts, then the first run per dst wins
+        sel = np.lexsort((-counts, rd))
+        rd2, rl2 = rd[sel], rl[sel]
+        first = np.flatnonzero(
+            np.append(True, rd2[1:] != rd2[:-1])
+        )
+        new_lab = lab.copy()
+        new_lab[rd2[first]] = rl2[first]
+        lab = new_lab
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "label": nodes[lab]})
+    )
+
+
 def canonical_by_pagerank(
     pairs: DataFrame,
     num_iters: int = 10,

@@ -179,6 +179,68 @@ def train_test_split(
     return df.where(bucket >= cut), df.where(bucket < cut)
 
 
+def temperature_mix(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    stratum: Column | str | None = None,
+    alpha: float = 0.5,
+    target_weight: float = 1_000_000.0,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source mixing — the standard LLM-pretraining
+    reweighting (GPT-3 / PaLM style): source ``s`` with total weight
+    ``W_s`` (e.g. token count) is sampled with probability mass
+    proportional to ``W_s**alpha``, so ``alpha=1`` reproduces natural
+    proportions and ``alpha -> 0`` flattens toward uniform-per-source
+    — upweighting small high-quality sources without hand-tuned
+    budgets. Per-source keep rate::
+
+        rate_s = min(1, target_weight * W_s**alpha / sum_t(W_t**alpha) / W_s)
+
+    rounded to 9 decimals (shared grid with the SQL oracle), then rows
+    keep deterministically via the content-hash bucket — stable across
+    runs, partitionings, and engines; change ``salt`` for an
+    independent draw. Adds a ``mix_rate`` column.
+
+    Shape at 100 TB: ONE map-side-combined groupBy to |sources| rows,
+    one scalar aggregate, and a rate join back that AQE turns into a
+    broadcast when the source catalog fits (no explicit hint: a
+    pathological stratum key — e.g. URL-per-row — must fall back to a
+    shuffle join, not OOM the driver). The keep filter is a narrow
+    JVM-side predicate over the scan.
+    """
+    if alpha <= 0 or alpha > 1:
+        raise ValueError(f"need 0 < alpha <= 1, got {alpha}")
+    if target_weight <= 0:
+        raise ValueError(f"need target_weight > 0, got {target_weight}")
+    stratum = "source" if stratum is None else stratum
+    s_col = F.col(stratum) if isinstance(stratum, str) else stratum
+    per = df.groupBy(s_col.alias("_stratum")).agg(
+        F.sum(_col(weight)).cast("double").alias("_w")
+    )
+    z = per.agg(F.sum(F.pow("_w", F.lit(alpha))).alias("_z"))
+    rates = per.crossJoin(z).select(
+        "_stratum",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_weight))
+                * F.pow("_w", F.lit(alpha))
+                / F.col("_z")
+                / F.col("_w"),
+            ),
+            9,
+        ).alias("mix_rate"),
+    )
+    u = hash_bucket(key, salt).cast("double") / F.lit(float(_HASH_SPACE))
+    return (
+        df.join(rates, s_col == F.col("_stratum"))
+        .where(u < F.col("mix_rate"))
+        .drop("_stratum")
+    )
+
+
 def grouped_split(
     df: DataFrame,
     group_key: Column | str,

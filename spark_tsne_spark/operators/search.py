@@ -541,3 +541,67 @@ def allpairs_cosine_pairs(
         .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def bigram_next_token(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_head_count: int = 30,
+    top_k: int = 3,
+) -> DataFrame:
+    """Word-bigram next-token statistics — the count table behind a
+    bigram language model: for every head word seen at least
+    ``min_head_count`` times as a bigram head, the ``top_k`` most
+    likely next tokens with their conditional probability
+    ``p = n_pair / n_head`` (rounded; ties broken by token text so
+    ranks are total). Output:
+    ``(w1, w2, n_pair, n_head, p)``.
+
+    Complements the char-trigram LM scorer (`functions/text.py`):
+    that one scores documents against a fixed profile; this one
+    DERIVES the model table from the corpus itself.
+
+    Shape at 100 TB: bigram pairs are built JVM-side with
+    ``zip_with`` over each row's own token array (no window over the
+    corpus, no per-doc shuffle — adjacency never leaves the row),
+    then ONE map-side-combined groupBy on (w1, w2) — bounded by
+    distinct-bigram count, not corpus size — and one per-head window
+    whose partitions are single head words (skew-bounded: a stopword
+    head holds at most |vocab| rows, and heads are hash-distributed).
+    """
+    from pyspark.sql import Window
+
+    a = tokens(F.lower(F.col(text_col)))
+    pairs = F.when(
+        F.size(a) >= 2,
+        F.zip_with(
+            F.slice(a, 1, F.size(a) - 1),
+            F.slice(a, 2, F.size(a) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = docs.select(F.explode(pairs).alias("s")).select("s.w1", "s.w2")
+    cnt = (
+        ex.where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    head = Window.partitionBy("w1")
+    rank = Window.partitionBy("w1").orderBy(F.desc("n_pair"), "w2")
+    return (
+        cnt.select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.sum("n_pair").over(head).alias("n_head"),
+            F.row_number().over(rank).alias("_rn"),
+        )
+        .where((F.col("_rn") <= top_k) & (F.col("n_head") >= min_head_count))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.col("n_head").cast("long").alias("n_head"),
+            F.round(F.col("n_pair") / F.col("n_head"), 6).alias("p"),
+        )
+    )

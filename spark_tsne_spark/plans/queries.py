@@ -74,6 +74,8 @@ _DRIVER_PRIORITY = [
     "bpe_word_histogram", "bpe_vocab", "bpe_encode_stats",
     "bpe_token_histogram", "allpairs_cosine", "fuzzy_prefix_pairs_ed2",
     "leakage_safe_split", "events_seasonal_baseline",
+    "corpus_temperature_mix", "bigram_next_token",
+    "dedup_graph_communities",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -2288,6 +2290,60 @@ def corpus_weighted_sample(spark, sf_dir):
     return out.select("doc_id", F.length("text").cast("long").alias("n_chars"))
 
 
+_TEMP_MIX_TARGET = 20_000.0
+
+_TEMP_MIX_SQL = rf"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS nt
+      FROM documents
+    ),
+    s AS (SELECT source, sum(nt) AS ws FROM tok GROUP BY source),
+    z AS (SELECT sum(pow(ws, 0.5)) AS zz FROM s),
+    r AS (
+      SELECT source,
+             round(least(1.0, {_TEMP_MIX_TARGET} * pow(ws, 0.5) / zz / ws),
+                   9) AS mix_rate
+      FROM s CROSS JOIN z
+    )
+    SELECT t.doc_id, t.source, t.nt::BIGINT AS n_tokens, r.mix_rate
+    FROM tok t JOIN r USING (source)
+    WHERE (('0x' || substring(md5('mix1:' || t.doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+            / {float(_HASH_SPACE)} < r.mix_rate
+"""
+
+
+@register("corpus_temperature_mix", _TEMP_MIX_SQL)
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (GPT-3/PaLM-style): each
+    source's sampling mass is proportional to ``tokens**0.5``, so
+    small high-quality sources are upweighted relative to natural
+    proportions, then rows keep deterministically via content-hash
+    buckets against the per-source rate. ONE |sources|-row groupBy +
+    scalar normalizer + rate join back (AQE-broadcast); the keep
+    filter is a narrow JVM predicate. Output: the sampled docs with
+    their per-source ``mix_rate``."""
+    from spark_tsne_spark.functions.text import token_count
+    from spark_tsne_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("nt")
+    )
+    out = temperature_mix(
+        d,
+        key=F.col("doc_id").cast("string"),
+        weight="nt",
+        stratum="source",
+        alpha=0.5,
+        target_weight=_TEMP_MIX_TARGET,
+        salt="mix1:",
+    )
+    return out.select(
+        "doc_id", "source", F.col("nt").cast("long").alias("n_tokens"),
+        "mix_rate",
+    )
+
+
 @register(
     "corpus_hash_sample",
     f"""
@@ -3846,12 +3902,10 @@ def embedding_kmeans(spark, sf_dir):
     )
 
 
-def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:
-    """Unrolled PageRank oracle: the fixed-iteration power method as
-    ``num_iters`` chained CTEs (standard SQL forbids aggregating over
-    a recursive CTE's own reference, so the loop is unrolled — it is
-    a CONSTANT query for the catalog's fixed iteration count)."""
-    base = """
+# Shared oracle base for the iterative graph entries: the SAME
+# MinHash-LSH candidate pair graph (doc_id < 200) symmetrized to a
+# directed edge list `e` with its endpoint union `nodes`.
+_GRAPH_BASE_SQL = """
     WITH docs AS (
       SELECT doc_id, text FROM documents
       WHERE doc_id < 200 AND length(text) >= 5
@@ -3885,7 +3939,15 @@ def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:
       SELECT DISTINCT node FROM (
         SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
       )
-    ),
+    )"""
+
+
+def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled PageRank oracle: the fixed-iteration power method as
+    ``num_iters`` chained CTEs (standard SQL forbids aggregating over
+    a recursive CTE's own reference, so the loop is unrolled — it is
+    a CONSTANT query for the catalog's fixed iteration count)."""
+    base = _GRAPH_BASE_SQL + """,
     cnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS nn FROM nodes),
     nd AS MATERIALIZED (
       SELECT n.node, coalesce(d.deg, 0)::BIGINT AS deg
@@ -3923,6 +3985,66 @@ def _pagerank_sql(num_iters: int = 10, damping: float = 0.85) -> str:
     SELECT node, round(rank, 6) AS rank FROM r{num_iters}
     """
     )
+
+
+def _lpa_sql(num_iters: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle: per round, a
+    (node, neighbor-label) count, a per-node top-1 with the
+    (count DESC, label ASC) total tie-break, and a left-join carry
+    for nodes without in-edges — the identical recursion the Spark
+    loop (and its driver fast path) runs."""
+    steps = [""",
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""]
+    for k in range(1, num_iters + 1):
+        prev = f"l{k - 1}"
+        steps.append(f""",
+    c{k} AS (
+      SELECT e.dst AS node, r.label, count(*)::BIGINT AS c
+      FROM {prev} r JOIN e ON r.node = e.src
+      GROUP BY 1, 2
+    ),
+    b{k} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label
+               ) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT l.node, coalesce(b.label, l.label) AS label
+      FROM {prev} l LEFT JOIN b{k} b USING (node)
+    )""")
+    return (
+        _GRAPH_BASE_SQL
+        + "".join(steps)
+        + f"""
+    SELECT node, label FROM l{num_iters}
+    """
+    )
+
+
+@register("dedup_graph_communities", _lpa_sql(4))
+def dedup_graph_communities(spark, sf_dir):
+    """Density-based communities over the near-dup candidate graph:
+    4 rounds of synchronous label propagation (most-frequent neighbor
+    label, ties to the smallest) on the symmetrized MinHash-LSH pair
+    graph — unlike connected components, a thin bridge between two
+    dense duplicate cliques does not merge them. Deterministic by
+    the synchronous schedule + total tie-break; the oracle replays
+    the identical recursion unrolled in SQL."""
+    from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+    from spark_tsne_spark.operators.graph import (
+        label_propagation,
+        symmetrize_edges,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 5)
+    )
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_k=5)
+    return label_propagation(symmetrize_edges(pairs), num_iters=4)
 
 
 @register("dedup_graph_pagerank", _pagerank_sql(10, 0.85))
@@ -5173,6 +5295,48 @@ def term_pmi(spark, sf_dir):
     from spark_tsne_spark.operators.search import term_pmi_pairs
 
     return term_pmi_pairs(_t(spark, sf_dir, "documents"))
+
+
+_BIGRAM_SQL = r"""
+    WITH a AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> struct_pack(w1 := t[i],
+                                                    w2 := t[i + 1]))) AS s
+      FROM a WHERE len(t) >= 2
+    ),
+    c AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, count(*)::BIGINT AS n_pair
+      FROM b WHERE s.w1 <> '' AND s.w2 <> ''
+      GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT w1, w2, n_pair,
+             sum(n_pair) OVER (PARTITION BY w1) AS n1,
+             row_number() OVER (
+               PARTITION BY w1 ORDER BY n_pair DESC, w2
+             ) AS rn
+      FROM c
+    )
+    SELECT w1, w2, n_pair, n1::BIGINT AS n_head,
+           round(n_pair::DOUBLE / n1, 6) AS p
+    FROM h WHERE rn <= 3 AND n1 >= 30
+"""
+
+
+@register("bigram_next_token", _BIGRAM_SQL)
+def bigram_next_token(spark, sf_dir):
+    """Bigram-LM count table: top-3 next tokens + conditional
+    probability per frequent head word. Adjacent pairs are built
+    JVM-side with zip_with over each row's token array (adjacency
+    never leaves the row — no corpus-wide window), then one
+    map-side-combined (w1, w2) groupBy and a per-head top-k window."""
+    from spark_tsne_spark.operators.search import bigram_next_token as bnt
+
+    return bnt(_t(spark, sf_dir, "documents"))
 
 
 _PRANK_SQL = """

@@ -73,6 +73,49 @@ def test_pagerank_dangling_mass_redistributed(spark):
     assert got[3] == max(got.values())
 
 
+def test_label_propagation_two_cliques_with_bridge(spark):
+    # Two 4-cliques joined by one bridge edge: LPA must settle on one
+    # label per clique WITHOUT merging them (connected components
+    # would). Labels converge to each clique's minimum node id.
+    from spark_tsne_spark.operators.graph import (
+        label_propagation,
+        symmetrize_edges,
+    )
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    pairs = spark.createDataFrame(c1 + c2 + [(3, 10)], "i long, j long")
+    e = symmetrize_edges(pairs)
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, num_iters=4).collect()
+    }
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_label_propagation_distributed_matches_driver(spark):
+    from spark_tsne_spark.operators.graph import (
+        label_propagation,
+        symmetrize_edges,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (5, 6), (6, 7), (3, 5)],
+        "i long, j long",
+    )
+    e = symmetrize_edges(pairs)
+    drv = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, num_iters=3).collect()
+    }
+    dist = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, num_iters=3, driver_edge_cap=0).collect()
+    }
+    assert drv == dist
+
+
 def test_symmetrize_and_canonical(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (1, 2)], "i long, j long")
     e = {(r["src"], r["dst"]) for r in symmetrize_edges(pairs).collect()}

@@ -662,6 +662,57 @@ def test_hash_sampling(spark):
     assert not (tr & te) and len(tr) + len(te) == 2000
 
 
+def test_temperature_mix(spark):
+    """Temperature mixing: alpha=1 reproduces natural proportions
+    (uniform rate across sources), alpha<1 upweights the small
+    source's keep RATE, rates cap at 1, and the draw is deterministic
+    under repartitioning."""
+    from spark_tsne_spark.operators.sampling import temperature_mix
+
+    # two sources, 10:1 token mass
+    df = spark.range(2200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2000, "big").otherwise("small").alias("source"),
+        F.lit(100).alias("nt"),
+    )
+    key = F.col("doc_id").cast("string")
+
+    r1 = temperature_mix(
+        df, key, "nt", "source", alpha=1.0, target_weight=110_000.0
+    )
+    rates = {
+        r["source"]: r["mix_rate"]
+        for r in r1.select("source", "mix_rate").distinct().collect()
+    }
+    assert abs(rates["big"] - rates["small"]) < 1e-9, "alpha=1 is natural"
+
+    r5 = temperature_mix(
+        df, key, "nt", "source", alpha=0.5, target_weight=110_000.0
+    )
+    rates5 = {
+        r["source"]: r["mix_rate"]
+        for r in r5.select("source", "mix_rate").distinct().collect()
+    }
+    assert rates5["small"] > rates5["big"], "alpha<1 upweights small"
+    assert rates5["small"] <= 1.0 and rates5["big"] <= 1.0
+
+    kept = {r["doc_id"] for r in r5.collect()}
+    kept2 = {
+        r["doc_id"]
+        for r in temperature_mix(
+            df.repartition(7), key, "nt", "source",
+            alpha=0.5, target_weight=110_000.0,
+        ).collect()
+    }
+    assert kept == kept2, "sample must not move with partitioning"
+
+    # a tiny target keeps rates strictly below 1; a huge one caps all at 1
+    full = temperature_mix(
+        df, key, "nt", "source", alpha=0.5, target_weight=1e12
+    )
+    assert full.count() == 2200
+
+
 def test_stratified_hash_sample(spark):
     from spark_tsne_spark.operators.sampling import stratified_hash_sample
 
