@@ -122,7 +122,12 @@ def _local_adjacency(pdf_points: pd.DataFrame, perplexity: float, tol: float):
         d = sq[lo:hi, None] + sq[None, :] - 2.0 * (X[lo:hi] @ X.T)
         np.maximum(d, 0.0, out=d)
         d[np.arange(hi - lo), np.arange(lo, hi)] = np.inf  # exclude self
-        idx = np.argpartition(d, mu - 1, axis=1)[:, :mu]
+        # row-loop 1-D argpartition: bit-identical selection to the
+        # axis=1 form (same introselect per row), ~4x faster — see
+        # knn_exact_block
+        idx = np.empty((hi - lo, mu), dtype=np.intp)
+        for r in range(hi - lo):
+            idx[r] = np.argpartition(d[r], mu - 1)[:mu]
         for r in range(hi - lo):
             beta, p = _calibrate_row(d[r, idx[r]], log_u, tol)
             jpos_all[lo + r] = idx[r]
