@@ -110,3 +110,101 @@ def merge_aggregate(
             + F.coalesce(F.col(f"_b_{c}"), F.lit(0)),
         ).drop(f"_b_{c}")
     return out
+
+
+def expectation_report(
+    df: DataFrame,
+    not_null: tuple = (),
+    unique: tuple = (),
+    in_set: dict | None = None,
+    non_negative: tuple = (),
+    refs: dict | None = None,
+) -> DataFrame:
+    """Deequ-style data-quality expectation suite: one report row per
+    declared check — ``(check, column, violations, n_rows, ok)`` —
+    the release gate a corpus build runs before promoting a snapshot.
+
+    Checks: ``not_null`` (null count), ``unique`` (non-null duplicate
+    count: ``count(col) - count(distinct col)``), ``in_set`` (non-null
+    values outside the allowed set), ``non_negative`` (values < 0),
+    and ``refs`` (referential integrity: ``col -> (dim_df, dim_col)``
+    orphan count via a left-anti join).
+
+    Shape at 100 TB: every scalar check folds into ONE
+    map-side-combined aggregation pass over the table (a single row of
+    conditional sums, exploded into report rows — adding checks adds
+    columns to that row, not passes over the data). Each ref check is
+    its own anti-join against the dimension's distinct key — AQE
+    broadcasts small dims; the fact table never shuffles twice.
+    """
+    in_set = in_set or {}
+    refs = refs or {}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    rows = []
+    for c in not_null:
+        a = f"nn_{c}"
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(a))
+        rows.append(("not_null", c, a))
+    for c in unique:
+        a = f"uq_{c}"
+        aggs.append(
+            (F.count(F.col(c)) - F.countDistinct(F.col(c))).alias(a)
+        )
+        rows.append(("unique", c, a))
+    for c, allowed in in_set.items():
+        a = f"is_{c}"
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNotNull() & ~F.col(c).isin(list(allowed)), 1
+                ).otherwise(0)
+            ).alias(a)
+        )
+        rows.append(("in_set", c, a))
+    for c in non_negative:
+        a = f"ng_{c}"
+        aggs.append(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(a))
+        rows.append(("non_negative", c, a))
+    one = df.agg(*aggs)
+    report = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(kind).alias("check"),
+                        F.lit(c).alias("column"),
+                        F.col(a).cast("long").alias("violations"),
+                    )
+                    for kind, c, a in rows
+                ]
+            )
+        ).alias("s"),
+        F.col("_n").cast("long").alias("n_rows"),
+    ).select("s.check", "s.column", "s.violations", "n_rows")
+    parts = [report] if rows else []
+    for c, (dim, dim_col) in refs.items():
+        orphans = (
+            df.select(F.col(c))
+            .where(F.col(c).isNotNull())
+            .join(
+                dim.select(F.col(dim_col).alias(c)).distinct(),
+                on=c,
+                how="left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        )
+        parts.append(
+            orphans.crossJoin(one.select(F.col("_n").cast("long").alias("n_rows")))
+            .select(
+                F.lit("ref_integrity").alias("check"),
+                F.lit(c).alias("column"),
+                "violations",
+                "n_rows",
+            )
+        )
+    if not parts:
+        raise ValueError("expectation_report: no checks declared")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("ok", F.col("violations") == 0)

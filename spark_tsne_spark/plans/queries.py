@@ -75,7 +75,8 @@ _DRIVER_PRIORITY = [
     "bpe_token_histogram", "allpairs_cosine", "fuzzy_prefix_pairs_ed2",
     "leakage_safe_split", "events_seasonal_baseline",
     "corpus_temperature_mix", "bigram_next_token",
-    "dedup_graph_communities",
+    "dedup_graph_communities", "dq_orders_expectations",
+    "events_user_features",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -5381,6 +5382,42 @@ _INTERARRIVAL_SQL = """
 """
 
 
+_USER_FEATURES_SQL = """
+    SELECT event_id, user_id,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           )::BIGINT AS evt_idx,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_mean5
+    FROM events
+"""
+
+
+@register("events_user_features", _USER_FEATURES_SQL)
+def events_user_features(spark, sf_dir):
+    """Per-event ML feature row: event index in the user's history,
+    microseconds since the previous event, trailing 5-event mean
+    value — the window-feature block of a behavioral-model training
+    pipeline. ONE shuffle on user_id serves all three windows (same
+    partition + order keys); gaps stay exact integer microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-4, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("evt_idx"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.round(F.avg("value").over(wr), 6).alias("rolling_mean5"),
+    )
+
+
 @register("events_interarrival", _INTERARRIVAL_SQL)
 def events_interarrival(spark, sf_dir):
     """Per-user inter-arrival statistics (burst/cadence profile):
@@ -5483,6 +5520,67 @@ def scd2_history(spark, sf_dir):
 # --------------------------------------------------------------------------
 # round-6 extensions: content checksum / key-skew profile
 # --------------------------------------------------------------------------
+
+_DQ_SQL = """
+    SELECT 'not_null' AS "check", 'o_custkey' AS "column",
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS violations,
+           count(*)::BIGINT AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT,
+           count(*)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus',
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END)::BIGINT,
+           count(*)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'non_negative', 'o_totalprice',
+           sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)::BIGINT,
+           count(*)::BIGINT
+    FROM orders
+"""
+
+_DQ_WRAPPED_SQL = f"""
+    WITH base AS ({_DQ_SQL}),
+    ref AS (
+      SELECT 'ref_integrity' AS "check", 'o_custkey' AS "column",
+             (SELECT count(*)::BIGINT FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+               AS violations,
+             (SELECT count(*)::BIGINT FROM orders) AS n_rows
+    )
+    SELECT "check", "column", violations, n_rows, violations = 0 AS ok
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM ref)
+"""
+
+
+@register("dq_orders_expectations", _DQ_WRAPPED_SQL)
+def dq_orders_expectations(spark, sf_dir):
+    """Deequ-style data-quality gate over orders: null / uniqueness /
+    value-domain / range checks fold into ONE map-side-combined
+    aggregation pass (one row of conditional sums exploded into
+    report rows), plus a referential-integrity anti-join against the
+    customer dimension (AQE-broadcast). The report a corpus build
+    checks before promoting a snapshot."""
+    from spark_tsne_spark.operators.maintenance import expectation_report
+
+    return expectation_report(
+        _t(spark, sf_dir, "orders"),
+        not_null=("o_custkey",),
+        unique=("o_orderkey",),
+        in_set={"o_orderstatus": ("O", "F", "P")},
+        non_negative=("o_totalprice",),
+        refs={"o_custkey": (_t(spark, sf_dir, "customer"), "c_custkey")},
+    )
+
 
 _CHECKSUM_SQL = """
     SELECT count(*)::BIGINT AS n_rows,

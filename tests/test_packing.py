@@ -582,3 +582,43 @@ def test_source_overlap_matrix_counts(spark):
         for r in source_overlap_matrix(df).collect()
     }
     assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_expectation_report_detects_each_violation_kind(spark):
+    """Every check kind fires on a frame with one known violation of
+    each: a null key, a duplicate id, an out-of-set status, a negative
+    amount, and an orphan foreign key."""
+    from spark_tsne_spark.operators.maintenance import expectation_report
+
+    rows = [
+        (1, 10, "O", 5.0),
+        (2, 20, "F", 3.0),
+        (2, 30, "X", -1.0),   # dup id, bad status, negative
+        (3, None, "P", 2.0),  # null fk
+        (4, 99, "O", 1.0),    # orphan fk
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, cust long, status string, amount double"
+    )
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "c long")
+    rep = {
+        (r["check"], r["column"]): (r["violations"], r["n_rows"], r["ok"])
+        for r in expectation_report(
+            df,
+            not_null=("cust",),
+            unique=("id",),
+            in_set={"status": ("O", "F", "P")},
+            non_negative=("amount",),
+            refs={"cust": (dim, "c")},
+        ).collect()
+    }
+    assert rep[("not_null", "cust")] == (1, 5, False)
+    assert rep[("unique", "id")] == (1, 5, False)
+    assert rep[("in_set", "status")] == (1, 5, False)
+    assert rep[("non_negative", "amount")] == (1, 5, False)
+    assert rep[("ref_integrity", "cust")] == (1, 5, False)
+
+    clean = expectation_report(
+        df.where(F.col("id") == 1), not_null=("cust",), unique=("id",)
+    )
+    assert all(r["ok"] for r in clean.collect())
