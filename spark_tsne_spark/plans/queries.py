@@ -76,7 +76,8 @@ _DRIVER_PRIORITY = [
     "leakage_safe_split", "events_seasonal_baseline",
     "corpus_temperature_mix", "bigram_next_token",
     "dedup_graph_communities", "dq_orders_expectations",
-    "events_user_features",
+    "events_user_features", "ann_hard_negatives", "embedding_outliers",
+    "tsne_embedding",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -95,7 +96,7 @@ _DRIVER_PRIORITY = [
     "events_nearest_join", "doc_length_histogram", "centroid_similarity",
     "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
     "q18_large_orders", "q19_disjunctive", "cube_revenue",
-    "events_json_extract", "tsne_embedding", "corpus_hash_sample",
+    "events_json_extract", "corpus_hash_sample",
     "corpus_stratified_sample", "text_fingerprint",
     "text_winnow_fingerprints", "streaming_windowed_counts",
     "text_pii_scrub", "contamination_check", "video_frame_sample",
@@ -1489,6 +1490,143 @@ def ann_topk_cosine(spark, sf_dir):
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 5)
         .select("i", "j", "cosine", "rank")
+    )
+
+
+_HARDNEG_SQL = """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS i, q.label AS label_i,
+             c.vec_id AS j, c.label AS label_j,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM e q JOIN e c
+        ON q.vec_id <> c.vec_id AND q.label <> c.label
+      WHERE q.vec_id < 20
+    )
+    SELECT i, label_i, j, label_j, cosine, rank FROM (
+      SELECT i, label_i, j, label_j, cosine,
+             row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+"""
+
+
+@register("ann_hard_negatives", _HARDNEG_SQL)
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query, the
+    top-5 most-similar vectors with a DIFFERENT label — the negatives
+    that actually move an embedding model, vs random negatives that
+    are trivially far. Same broadcast-query brute-force shape as the
+    ANN baseline with the label-mismatch predicate applied BEFORE
+    ranking (and at scale, the same IVF bucketing applies — mine
+    within probed cells, filter label, re-rank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("label_i"),
+        F.col("embedding").cast("array<double>").alias("vi"),
+    ).withColumn("ni", l2_norm("vi"))
+    corpus = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("label_j"),
+        F.col("embedding").cast("array<double>").alias("vj"),
+    ).withColumn("nj", l2_norm("vj"))
+    pairs = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(
+            (F.col("i") != F.col("j"))
+            & (F.col("label_i") != F.col("label_j"))
+        )
+        .select(
+            "i",
+            "label_i",
+            "j",
+            "label_j",
+            F.round(
+                F.aggregate(
+                    F.zip_with("vi", "vj", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (F.col("ni") * F.col("nj")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("i", "label_i", "j", "label_j", "cosine", "rank")
+    )
+
+
+_EMB_OUTLIER_SQL = """
+    WITH x AS (
+      SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS xv,
+             generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label, pos, avg(xv) AS mu FROM x GROUP BY label, pos
+    ),
+    d AS (
+      SELECT x.vec_id, x.label,
+             round(sqrt(sum((x.xv - m.mu) * (x.xv - m.mu))), 6) AS dist
+      FROM x JOIN m ON x.label = m.label AND x.pos = m.pos
+      GROUP BY x.vec_id, x.label
+    )
+    SELECT label, vec_id, dist, rank FROM (
+      SELECT label, vec_id, dist,
+             row_number() OVER (
+               PARTITION BY label ORDER BY dist DESC, vec_id
+             ) AS rank
+      FROM d
+    ) WHERE rank <= 3
+"""
+
+
+@register("embedding_outliers", _EMB_OUTLIER_SQL)
+def embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers: the 3 vectors farthest from
+    their label centroid — the mislabeled-example / contamination
+    review queue of an embedding-quality pipeline. One posexplode,
+    one (label, pos) partial-agg centroid (|labels|·d rows — corpus-
+    size-independent shuffle), a centroid join back on the same key,
+    and a per-label top-3 window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "xv"
+        ),
+    )
+    m = x.groupBy("label", "pos").agg(F.avg("xv").alias("mu"))
+    d = (
+        x.join(m, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("xv") - F.col("mu"))
+                        * (F.col("xv") - F.col("mu"))
+                    )
+                ),
+                6,
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("label", "vec_id", "dist", "rank")
     )
 
 

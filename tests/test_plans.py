@@ -302,6 +302,14 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "q22_dormant_customers",
         # 1-row scalar-broadcast crossJoin (global value-total threshold)
         "q11_important_parts",
+        # 1-row scalar-broadcast crossJoin (corpus doc count into IDF)
+        "allpairs_cosine",
+        # contract-quadratic brute-force baseline (label-filtered ANN)
+        "ann_hard_negatives",
+        # 1-row scalar-broadcast crossJoin (temperature normalizer)
+        "corpus_temperature_mix",
+        # 1-row scalar-broadcast crossJoin (n_rows into ref-check rows)
+        "dq_orders_expectations",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
