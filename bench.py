@@ -215,13 +215,17 @@ def bench_queries():
 
     def b_allpairs_cosine(spark, sf_dir):
         # Full-corpus similarity join; the synthetic corpus is DENSE
-        # (shared vocabulary everywhere), so the production knobs are
-        # what get timed: a high threshold keeps the candidate space
-        # index-bounded and max_bucket caps hot index terms.
+        # (template-generated — thousands of docs share single
+        # high-weight terms), so the hot-term cap is the production
+        # contract being timed, exactly like the MinHash max_bucket:
+        # measured at sf0.1, max_bucket=1000 → 2.4 s / 1142 pairs,
+        # while 2000 → 92 s / 2507 pairs (the uncapped mega-clique is
+        # genuinely quadratic — those pairs ARE similar, and a real
+        # pipeline routes cliques that size to the dedup path).
         from spark_tsne_spark.operators.search import allpairs_cosine_pairs
 
         return allpairs_cosine_pairs(
-            docs(spark, sf_dir), threshold=0.9, max_bucket=4000
+            docs(spark, sf_dir), threshold=0.9, max_bucket=1000
         )
 
     def b_fuzzy_ed2(spark, sf_dir):
@@ -229,6 +233,37 @@ def bench_queries():
 
         return fuzzy_prefix_pairs(
             docs(spark, sf_dir), max_edit=2, max_bucket=4000
+        )
+
+    def b_graph_lpa(spark, sf_dir):
+        # Communities over the same capped full-corpus near-dup graph
+        # as the pagerank entry: 4 synchronous LPA rounds (production
+        # path — driver bincount under the 5M-edge gate at this size).
+        from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+        from spark_tsne_spark.operators.graph import (
+            label_propagation,
+            symmetrize_edges,
+        )
+
+        d = docs(spark, sf_dir).where(F.length("text") >= 5)
+        pairs = minhash_lsh_candidates(
+            d, num_hashes=16, band_size=4, hash_fn="xxhash64", max_bucket=512
+        )
+        return label_propagation(symmetrize_edges(pairs), num_iters=4)
+
+    def b_temperature_mix(spark, sf_dir):
+        # Full-corpus temperature reweighting at alpha=0.5: one
+        # |sources|-row groupBy + rate join + hash keep filter.
+        from spark_tsne_spark.functions.text import token_count
+        from spark_tsne_spark.operators.sampling import temperature_mix
+
+        d = docs(spark, sf_dir).select(
+            "doc_id", "source", token_count("text").alias("nt")
+        )
+        return temperature_mix(
+            d, key=F.col("doc_id").cast("string"), weight="nt",
+            stratum="source", alpha=0.5, target_weight=100_000.0,
+            salt="bench:",
         )
 
     def b_seq_packing(spark, sf_dir):
@@ -366,6 +401,11 @@ def bench_queries():
         "fuzzy_prefix_ed2": b_fuzzy_ed2,
         "leakage_safe_split": Q.leakage_safe_split,
         "events_seasonal_baseline": Q.events_seasonal_baseline,
+        "graph_communities": b_graph_lpa,
+        "temperature_mix": b_temperature_mix,
+        "bigram_next_token": Q.bigram_next_token,
+        "dq_expectations": Q.dq_orders_expectations,
+        "events_user_features": Q.events_user_features,
     }
 
 

@@ -928,33 +928,72 @@ def fuzzy_prefix_pairs(
         F.col(id_col).alias("id"), pf.alias("pf")
     ).where(F.length("pf") >= 2)
 
-    def one_del(col):
-        return F.transform(
-            F.sequence(F.lit(1), F.length(col)),
-            lambda i: F.concat(
-                F.substring(col, F.lit(1), i - 1),
-                F.substring(col, i + 1, F.lit(prefix_len)),
-            ),
-        )
-
-    dels = one_del(F.col("pf"))
-    variants = F.array_union(F.array(F.col("pf")), dels)
-    if max_edit == 2:
-        # Depth-2 neighborhood: deletions of the deletions,
-        # deduplicated (deleting positions i<j in either order lands
-        # on the same string, so the raw fan-out halves).
-        dels2 = F.flatten(F.transform(dels, one_del))
-        variants = F.array_union(variants, F.array_distinct(dels2))
-    exploded = base.select(
+    # Variants are built with PLAIN explode + substring/concat
+    # projections, not higher-order array functions: Spark evaluates
+    # `transform` lambdas interpreted per element (outside
+    # whole-stage codegen), which made the neighborhood build — not
+    # the join — the bottleneck (measured 7.1 s of a 9.5 s sf0.1 run
+    # for ~1.5M variants; this form generates the same rows inside
+    # codegen). Per-doc duplicate variants (repeated chars: deleting
+    # either copy lands on the same string) are removed by ONE
+    # (id, v) dropDuplicates, matching the old array_union/
+    # array_distinct semantics exactly — so bucket counts and results
+    # are unchanged.
+    L = F.length("pf")
+    v0 = base.select("id", "pf", F.col("pf").alias("v"))
+    d1 = base.select(
+        "id", "pf", F.explode(F.sequence(F.lit(1), L)).alias("i")
+    ).select(
         "id",
         "pf",
-        F.explode(variants).alias("v"),
+        F.concat(
+            F.substring(F.col("pf"), F.lit(1), F.col("i") - 1),
+            F.substring(F.col("pf"), F.col("i") + 1, F.lit(prefix_len)),
+        ).alias("v"),
     )
-    if max_bucket is not None:
-        counts = exploded.groupBy("v").agg(F.count("*").alias("_bw"))
-        exploded = exploded.join(
-            counts.where(F.col("_bw") <= max_bucket).drop("_bw"), "v"
+    parts = [v0, d1]
+    if max_edit == 2:
+        # delete positions i < j of the ORIGINAL string — enumerating
+        # ordered pairs once halves the naive depth-2 fan-out
+        d2 = (
+            base.select(
+                "id", "pf", F.explode(F.sequence(F.lit(1), L - 1)).alias("i")
+            )
+            .select(
+                "id",
+                "pf",
+                "i",
+                F.explode(
+                    F.sequence(F.col("i") + 1, F.length("pf"))
+                ).alias("j"),
+            )
+            .select(
+                "id",
+                "pf",
+                F.concat(
+                    F.substring(F.col("pf"), F.lit(1), F.col("i") - 1),
+                    F.substring(
+                        F.col("pf"), F.col("i") + 1, F.col("j") - F.col("i") - 1
+                    ),
+                    F.substring(F.col("pf"), F.col("j") + 1, F.lit(prefix_len)),
+                ).alias("v"),
+            )
         )
+        parts.append(d2)
+    exploded = parts[0]
+    for p in parts[1:]:
+        exploded = exploded.unionByName(p)
+    exploded = exploded.dropDuplicates(["id", "v"])
+    if max_bucket is not None:
+        # bucket size via a window on v, not a groupBy+join-back: the
+        # window's shuffle IS the self-join's required distribution,
+        # so the exchange is computed once and reused by both join
+        # sides (the join-back form recomputed the whole explode)
+        from pyspark.sql import Window
+
+        exploded = exploded.withColumn(
+            "_bw", F.count("*").over(Window.partitionBy("v"))
+        ).where(F.col("_bw") <= max_bucket).drop("_bw")
     a = exploded.alias("a")
     b = exploded.alias("b")
     cands = (

@@ -380,6 +380,47 @@ class IvfIndex:
         C = np.array([r["centroid"] for r in rows], dtype=np.float64)
         return IvfIndex(path, C, int(rows[0]["replicas"]))
 
+    def append(
+        self,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Incremental index maintenance: encode a NEW batch with the
+        already-trained quantizer and append its cell-routed rows to
+        the existing partition directories — the nightly-ingest
+        pattern (the dedup family's ``incremental_*`` counterpart for
+        ANN). No retrain, no rewrite of existing cells: work scales
+        with the batch, not the corpus. Queries after an append see
+        exactly the union index (pinned in tests: append ≡ rebuild
+        with the same quantizer). The coarse quantizer does drift as
+        the corpus distribution shifts — the production contract is
+        periodic full ``build`` (re-train) with ``append`` between
+        rebuilds, the same cadence FAISS/IVF deployments use.
+        """
+        from spark_tsne_spark.shipping import ship_package
+
+        spark = emb.sparkSession
+        ship_package(spark)
+        base = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        b_C = spark.sparkContext.broadcast(self.C)
+        par = spark.sparkContext.defaultParallelism
+        n_batch = base.count()
+        parts = max(1, min(par, n_batch // 4096 + 1))
+        (
+            base.repartition(parts)
+            .mapInPandas(
+                _make_cell_fanout(b_C, max(1, self.replicas)), _FANOUT_SCHEMA
+            )
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{self.path}/cells")
+        )
+        return self
+
     def query(
         self,
         queries: DataFrame,

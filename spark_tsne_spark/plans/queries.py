@@ -77,7 +77,7 @@ _DRIVER_PRIORITY = [
     "corpus_temperature_mix", "bigram_next_token",
     "dedup_graph_communities", "dq_orders_expectations",
     "events_user_features", "ann_hard_negatives", "embedding_outliers",
-    "tsne_embedding",
+    "tsne_embedding", "cluster_topics",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -4038,6 +4038,96 @@ def embedding_kmeans(spark, sf_dir):
 
     return kmeans_assign(
         _t(spark, sf_dir, "embeddings"), k=8, num_iters=3
+    )
+
+
+_CLUSTER_TOPICS_SQL = rf"""
+    WITH assign AS (
+      {_kmeans_sql(k=8, iters=3)}
+    ),
+    d2 AS (
+      SELECT a.cluster, d.doc_id, d.text
+      FROM assign a JOIN documents d ON d.doc_id = a.id
+    ),
+    t AS (
+      SELECT DISTINCT cluster, doc_id, tok AS term FROM (
+        SELECT cluster, doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM d2
+      ) WHERE length(tok) > 0
+    ),
+    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM d2),
+    dfq AS (
+      SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM t GROUP BY term
+    ),
+    s AS (
+      SELECT cluster, term, count(*)::BIGINT AS n_docs
+      FROM t GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT s.cluster, s.term, s.n_docs,
+             round(s.n_docs * ln(n.nd / d.df), 6) AS score
+      FROM s JOIN dfq d USING (term) CROSS JOIN n
+    )
+    SELECT cluster, term, n_docs, score, rank FROM (
+      SELECT cluster, term, n_docs, score,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY score DESC, term
+             ) AS rank
+      FROM sc
+    ) WHERE rank <= 3
+"""
+
+
+@register("cluster_topics", _CLUSTER_TOPICS_SQL)
+def cluster_topics(spark, sf_dir):
+    """End-to-end topic labeling pipeline (BERTopic's c-TF-IDF
+    shape): k-means over the embeddings → join each clustered vector
+    to its document → top-3 characteristic terms per cluster by
+    ``n_docs_in_cluster * ln(N / df)``. Composes three already-
+    oracle-checked stages (Lloyd recursion, tokenize/distinct,
+    df-weighted ranking) into one plan: assignment is a centroid-
+    literal projection (no join), the doc join is id-keyed, the term
+    stats are two partial-agg groupBys, and the final window is
+    per-cluster top-k."""
+    from spark_tsne_spark.functions.text import tokens
+    from spark_tsne_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    assign = kmeans_assign(emb, k=8, num_iters=3)
+    d2 = docs.join(assign, docs["doc_id"] == assign["id"]).select(
+        "cluster", "doc_id", "text"
+    )
+    t = (
+        d2.select(
+            "cluster", "doc_id", F.explode(tokens("text")).alias("term")
+        )
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    n = d2.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
+    dfq = t.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    s = t.groupBy("cluster", "term").agg(F.count("*").alias("n_docs"))
+    sc = (
+        s.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cluster",
+            "term",
+            "n_docs",
+            F.round(
+                F.col("n_docs") * F.log(F.col("nd") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("score").desc(), "term")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("cluster", "term", "n_docs", "score", "rank")
     )
 
 

@@ -1399,6 +1399,50 @@ def test_ivf_index_build_query_equals_direct(spark, embeddings, tmp_path):
     assert pf and "cell" in pf[0], plan
 
 
+def test_ivf_index_append_equals_same_quantizer_rebuild(
+    spark, embeddings, tmp_path
+):
+    """Incremental maintenance: build on the first half, append the
+    second — queries must equal an index whose cells were written in
+    ONE pass over the full corpus with the SAME quantizer (append is
+    pure cell-routed accumulation, not an approximation)."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.operators.similarity import (
+        _FANOUT_SCHEMA,
+        IvfIndex,
+        _make_cell_fanout,
+    )
+
+    half1 = embeddings.where(F.col("vec_id") % 2 == 0)
+    half2 = embeddings.where(F.col("vec_id") % 2 == 1)
+    idx = IvfIndex.build(half1, str(tmp_path / "inc"))
+    idx.append(half2)
+
+    # reference: one-pass cells from the full corpus, same C
+    b_C = spark.sparkContext.broadcast(idx.C)
+    (
+        embeddings.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .mapInPandas(_make_cell_fanout(b_C, idx.replicas), _FANOUT_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(tmp_path / "ref" / "cells"))
+    )
+    ref = IvfIndex(str(tmp_path / "ref"), idx.C, idx.replicas)
+
+    qs = embeddings.where(F.col("vec_id") < 10)
+    got = sorted(map(tuple, idx.query(qs, k=5).collect()))
+    want = sorted(map(tuple, ref.query(qs, k=5).collect()))
+    assert got == want
+    # and appended rows actually landed: both halves' fanout present
+    n_cells = spark.read.parquet(str(tmp_path / "inc" / "cells")).count()
+    n_ref = spark.read.parquet(str(tmp_path / "ref" / "cells")).count()
+    assert n_cells == n_ref
+
+
 def test_adpcm_hand_computed_nibbles():
     """Spec-level pin independent of the encoder: from (pred=0,
     idx=0), nibble 5 gives step=7, diff = 0 + 7 + (7>>2) = 8,

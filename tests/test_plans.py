@@ -310,6 +310,8 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "corpus_temperature_mix",
         # 1-row scalar-broadcast crossJoin (n_rows into ref-check rows)
         "dq_orders_expectations",
+        # 1-row scalar-broadcast crossJoin (doc count into c-TF-IDF)
+        "cluster_topics",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
