@@ -56,6 +56,10 @@ def ops():
         "normalize": _run_normalize,
         "boilerplate_lines": _run_boilerplate,
         "bloom_incremental": _run_bloom,
+        "fuzzy_ed2": _run_fuzzy,
+        "allpairs_cosine": _run_allpairs,
+        "temperature_mix": _run_temp_mix,
+        "graph_communities": _run_lpa,
     }
 
 
@@ -94,6 +98,43 @@ def _run_bloom(d):
     return bloom_incremental_flags(
         d.where(F.col("doc_id") % 5 == 0), d.where(F.col("doc_id") % 5 != 0)
     )
+
+
+def _run_fuzzy(d):
+    from spark_tsne_spark.operators.dedup import fuzzy_prefix_pairs
+
+    return fuzzy_prefix_pairs(d, max_edit=2, max_bucket=1000)
+
+
+def _run_allpairs(d):
+    from spark_tsne_spark.operators.search import allpairs_cosine_pairs
+
+    return allpairs_cosine_pairs(d, threshold=0.9, max_bucket=1000)
+
+
+def _run_temp_mix(d):
+    from spark_tsne_spark.functions.text import token_count
+    from spark_tsne_spark.operators.sampling import temperature_mix
+
+    t = d.select("doc_id", "source", token_count("text").alias("nt"))
+    return temperature_mix(
+        t, key=F.col("doc_id").cast("string"), weight="nt",
+        stratum="source", alpha=0.5, target_weight=100_000.0, salt="sc:",
+    )
+
+
+def _run_lpa(d):
+    from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+    from spark_tsne_spark.operators.graph import (
+        label_propagation,
+        symmetrize_edges,
+    )
+
+    pairs = minhash_lsh_candidates(
+        d.where(F.length("text") >= 5), num_hashes=16, band_size=4,
+        hash_fn="xxhash64", max_bucket=512,
+    )
+    return label_propagation(symmetrize_edges(pairs), num_iters=4)
 
 
 def _run_packing(d):

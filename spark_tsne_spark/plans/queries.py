@@ -2507,7 +2507,7 @@ def corpus_hash_sample(spark, sf_dir):
     "corpus_stratified_sample",
     f"""
     SELECT doc_id, lang
-    FROM {_lang_pred_sql("documents")} p
+    FROM documents
     WHERE {_BUCKET_SQL.format(salt="'s2'")} <
           CASE WHEN lang = 'en' THEN {int(0.25 * _HASH_SPACE)}
                ELSE {int(0.05 * _HASH_SPACE)} END
@@ -2515,11 +2515,15 @@ def corpus_hash_sample(spark, sf_dir):
 )
 def corpus_stratified_sample(spark, sf_dir):
     """Per-stratum deterministic sampling: keep 25% of 'en' docs and
-    5% of 'other' (language-ID stratum), one narrow pass — the CASE
-    picks the threshold, the content hash decides membership."""
+    5% of the rest (stratum = the table's lang column), one narrow
+    pass — the CASE picks the threshold, the content hash decides
+    membership. (Deriving the stratum from LID instead is the
+    ``text_lang_id`` composition — kept separate because a computed
+    stratum re-evaluates its expression in the pushed-down filter,
+    which for the trigram fold costs ~1.7 ms/doc per reference.)"""
     from spark_tsne_spark.operators.sampling import stratified_hash_sample
 
-    docs = _t(spark, sf_dir, "documents").withColumn("lang", lang_id("text"))
+    docs = _t(spark, sf_dir, "documents")
     out = stratified_hash_sample(
         docs, F.col("text"), "lang", {"en": 0.25},
         default_fraction=0.05, salt="s2",
