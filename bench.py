@@ -406,6 +406,7 @@ def bench_queries():
         "bigram_next_token": Q.bigram_next_token,
         "dq_expectations": Q.dq_orders_expectations,
         "events_user_features": Q.events_user_features,
+        "lang_id_join": Q.text_lang_id_join,
     }
 
 

@@ -605,3 +605,85 @@ def bigram_next_token(
             F.round(F.col("n_pair") / F.col("n_head"), 6).alias("p"),
         )
     )
+
+
+def lang_id_join(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Join-formulated language ID — same labels as
+    ``functions.text.lang_id`` (pinned in tests), different physical
+    strategy: explode each doc's char trigrams, broadcast-join the
+    ~1.2k-row profile weight table, ONE map-side-combined per-doc
+    aggregation, then the identical argmax / fit-threshold / script-
+    census decision. Returns ``(id_col, lang)`` for EVERY input row.
+
+    Why it exists: the Column form's literal-map lookup is a linear
+    key scan per trigram (~1.7 ms/KB/core — fine for a one-off
+    column, costly corpus-wide), and a computed lang column referenced
+    from filters re-evaluates the whole fold per reference. The join
+    form prices the same arithmetic as a broadcast hash join (O(1)
+    probes) and materializes the label once. This is also the DuckDB
+    oracle's own shape, so the cross-engine check covers the plan
+    that actually runs at scale.
+    """
+    from spark_tsne_spark.functions.text import (
+        LANG_MIN_MEAN_WEIGHT,
+        LANG_TRIGRAM_PROFILES,
+        SCRIPT_RANGES,
+        _script_class_pattern,
+        char_shingles,
+    )
+
+    spark = docs.sparkSession
+    langs = sorted(LANG_TRIGRAM_PROFILES)
+    nl = len(langs)
+    tris = sorted({g for L in langs for g in LANG_TRIGRAM_PROFILES[L]})
+    wdf = spark.createDataFrame(
+        [
+            (g, [int(LANG_TRIGRAM_PROFILES[L].get(g, 0)) for L in langs])
+            for g in tris
+        ],
+        "g string, ws array<long>",
+    )
+    t = F.lower(F.col(text_col))
+    n_chars = F.length(t)
+    # script-census override, CASE arms in spec order (kana before
+    # Han), NULL when no script fires — cheap codegen regexes,
+    # computed ONCE per row before the explode
+    script = F.lit(None).cast("string")
+    for lang, _cls, permille, ranges in reversed(SCRIPT_RANGES):
+        pat = _script_class_pattern(ranges)
+        cnt = n_chars - F.length(F.regexp_replace(t, pat, ""))
+        script = F.when(
+            (cnt > 0) & (cnt * 1000 >= n_chars * permille), F.lit(lang)
+        ).otherwise(script)
+    pre = docs.select(
+        F.col(id_col).alias("_id"),
+        script.alias("_script"),
+        (n_chars - 2).cast("long").alias("_n"),
+        F.explode_outer(char_shingles(t, 3)).alias("g"),
+    )
+    j = pre.join(F.broadcast(wdf), "g", "left")
+    agg = j.groupBy("_id").agg(
+        F.first("_script").alias("_script"),
+        F.first("_n").alias("_n"),
+        *[
+            F.sum(F.coalesce(F.element_at("ws", i + 1), F.lit(0))).alias(
+                f"_s{i}"
+            )
+            for i in range(nl)
+        ],
+    )
+    scores = [F.col(f"_s{i}") for i in range(nl)]
+    best = F.greatest(*scores)
+    pred = F.lit("other")
+    for i in reversed(range(nl)):  # FIRST sorted lang wins ties
+        pred = F.when(scores[i] == best, F.lit(langs[i])).otherwise(pred)
+    trigram_pred = F.when(
+        (F.col("_n") > 0) & (best >= F.lit(LANG_MIN_MEAN_WEIGHT) * F.col("_n")),
+        pred,
+    ).otherwise(F.lit("other"))
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("_script", trigram_pred).alias("lang"),
+    )

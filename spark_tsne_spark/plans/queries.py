@@ -77,7 +77,7 @@ _DRIVER_PRIORITY = [
     "corpus_temperature_mix", "bigram_next_token",
     "dedup_graph_communities", "dq_orders_expectations",
     "events_user_features", "ann_hard_negatives", "embedding_outliers",
-    "tsne_embedding", "cluster_topics",
+    "tsne_embedding", "cluster_topics", "text_lang_id_join",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -2092,6 +2092,21 @@ def _lang_pred_sql(tbl: str) -> str:
     FROM src d
     LEFT JOIN (SELECT doc_id, lang, s FROM best WHERE r = 1) b USING (doc_id)
     )"""
+
+
+@register(
+    "text_lang_id_join",
+    f"SELECT doc_id, lang FROM {_lang_pred_sql('documents')} p",
+)
+def text_lang_id_join(spark, sf_dir):
+    """Language ID in its corpus-scale physical form: trigram explode
+    → broadcast profile join → one per-doc aggregation → the same
+    argmax/threshold/script decision as the Column form (labels
+    pinned equal in tests). The oracle replays the identical join
+    shape, so the plan that runs at 100 TB is the one value-checked."""
+    from spark_tsne_spark.operators.search import lang_id_join
+
+    return lang_id_join(_t(spark, sf_dir, "documents"))
 
 
 @register(

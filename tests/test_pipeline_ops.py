@@ -1871,3 +1871,31 @@ def test_merge_aggregate_equals_full_recompute(spark):
         .collect()
     }
     assert got == want
+
+
+def test_lang_id_join_equals_column_form(spark, sf_dir):
+    """The broadcast-join LID must label every row identically to the
+    Column-expression fold — real corpus plus the edge rows (empty,
+    shorter-than-trigram, unmatched-vocab, CJK/Cyrillic overrides)."""
+    from spark_tsne_spark.functions.text import lang_id
+    from spark_tsne_spark.operators.search import lang_id_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "ab"),
+            (9003, "zzz qqq xxx"),
+            (9004, "こんにちは世界"),
+            (9005, "привет мир это тест"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(edge)
+    want = {
+        r["doc_id"]: r["l"]
+        for r in d.select("doc_id", lang_id("text").alias("l")).collect()
+    }
+    got = {r["doc_id"]: r["lang"] for r in lang_id_join(d).collect()}
+    assert got == want
+    assert len(got) == d.count(), "every input row must be labeled"
