@@ -618,13 +618,15 @@ def lang_id_join(
     census decision. Returns ``(id_col, lang)`` for EVERY input row.
 
     Why it exists: the Column form's literal-map lookup is a linear
-    key scan per trigram (~1.7 ms/KB/core — fine for a one-off
-    column, costly corpus-wide), and a computed lang column referenced
-    from filters re-evaluates the whole fold per reference. The join
-    form prices the same arithmetic as a broadcast hash join (O(1)
-    probes) and materializes the label once. This is also the DuckDB
-    oracle's own shape, so the cross-engine check covers the plan
-    that actually runs at scale.
+    key scan per trigram (~1.7 ms/KB/core), and — worse for
+    composition — a computed lang column referenced from filters
+    re-evaluates the whole fold per pushed-down reference. The join
+    form is ~1.7x faster on a full materialization (measured 7.3 s →
+    4.2 s at sf0.1) and, decisively, its heavy work sits BELOW an
+    aggregation boundary, so downstream gates on the label cost
+    column references, not fold re-evaluations. This is also the
+    DuckDB oracle's own shape, so the cross-engine check covers the
+    plan that actually runs at scale.
     """
     from spark_tsne_spark.functions.text import (
         LANG_MIN_MEAN_WEIGHT,
@@ -657,16 +659,26 @@ def lang_id_join(
         script = F.when(
             (cnt > 0) & (cnt * 1000 >= n_chars * permille), F.lit(lang)
         ).otherwise(script)
-    pre = docs.select(
+    # Two frames, joined on the doc id AFTER the aggregation: the
+    # script census (9 full-text regexes) and the trigram-count must
+    # NOT ride through the explode — CollapseProject folds a
+    # projection into the Generate's output, so a per-doc expression
+    # carried alongside the exploded grams re-evaluates per GRAM
+    # (measured: 5M exploded rows x 9 regexes ≈ 80 s at sf0.1 vs
+    # ~1 s evaluated once per doc). first()-style carry has the same
+    # trap; the id-keyed join back costs one narrow shuffle of
+    # |docs| rows and the agg side is already partitioned on _id.
+    meta = docs.select(
         F.col(id_col).alias("_id"),
         script.alias("_script"),
         (n_chars - 2).cast("long").alias("_n"),
+    )
+    pre = docs.select(
+        F.col(id_col).alias("_id"),
         F.explode_outer(char_shingles(t, 3)).alias("g"),
     )
     j = pre.join(F.broadcast(wdf), "g", "left")
-    agg = j.groupBy("_id").agg(
-        F.first("_script").alias("_script"),
-        F.first("_n").alias("_n"),
+    sums = j.groupBy("_id").agg(
         *[
             F.sum(F.coalesce(F.element_at("ws", i + 1), F.lit(0))).alias(
                 f"_s{i}"
@@ -674,6 +686,7 @@ def lang_id_join(
             for i in range(nl)
         ],
     )
+    agg = sums.join(meta, "_id")
     scores = [F.col(f"_s{i}") for i in range(nl)]
     best = F.greatest(*scores)
     pred = F.lit("other")

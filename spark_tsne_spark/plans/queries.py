@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = [
     "dedup_graph_communities", "dq_orders_expectations",
     "events_user_features", "ann_hard_negatives", "embedding_outliers",
     "tsne_embedding", "cluster_topics", "text_lang_id_join",
+    "events_session_transcripts",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -701,6 +702,78 @@ def events_sessionize(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+_SESSION_TRANSCRIPT_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+           (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS dur_us
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("events_session_transcripts", _SESSION_TRANSCRIPT_SQL)
+def events_session_transcripts(spark, sf_dir):
+    """Session transcript assembly — the conversation-style rollup a
+    chat/agent-log training pipeline feeds the tokenizer: per
+    (user, session), the time-ordered event-type sequence as one
+    string plus event count and exact-µs duration. Same single
+    user_id shuffle as sessionization; the ordered concatenation is
+    an in-group array_sort over (ts, event_id, type) structs — no
+    second ordering shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        sess.withColumn("_us", us)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("seq"),
+            (F.max("_us") - F.min("_us")).alias("dur_us"),
+        )
     )
 
 
