@@ -78,7 +78,7 @@ _DRIVER_PRIORITY = [
     "dedup_graph_communities", "dq_orders_expectations",
     "events_user_features", "ann_hard_negatives", "embedding_outliers",
     "tsne_embedding", "cluster_topics", "text_lang_id_join",
-    "events_session_transcripts",
+    "events_session_transcripts", "events_rate_limit", "dedup_report",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -702,6 +702,95 @@ def events_sessionize(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+_RATE_LIMIT_SQL = """
+    SELECT event_id, user_id, hour_bucket, k FROM (
+      SELECT event_id, user_id,
+             date_trunc('hour', ts) AS hour_bucket,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id
+             )::BIGINT AS k
+      FROM events
+    ) WHERE k <= 5
+"""
+
+
+@register("events_rate_limit", _RATE_LIMIT_SQL)
+def events_rate_limit(spark, sf_dir):
+    """Deterministic batch rate limiting: keep the first 5 events per
+    (user, hour) in event-time order — the replayable batch twin of a
+    streaming quota (same keep-set on every re-run, unlike
+    sample-based throttling). ONE window shuffle on the composite
+    key; the rank filter drops rows before anything downstream."""
+    ev = _t(spark, sf_dir, "events")
+    hb = F.date_trunc("hour", F.col("ts")).alias("hour_bucket")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", hb,
+            F.row_number().over(w).cast("long").alias("k"),
+        )
+        .where(F.col("k") <= 5)
+    )
+
+
+_DEDUP_REPORT_SQL = r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    g AS (
+      SELECT fp, count(*) AS n,
+             min(doc_id) AS canon
+      FROM fp GROUP BY fp
+    )
+    SELECT f.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_in_dup_groups,
+           sum(CASE WHEN g.n > 1 AND f.doc_id <> g.canon
+                    THEN 1 ELSE 0 END)::BIGINT AS n_removable,
+           round(sum(CASE WHEN g.n > 1 AND f.doc_id <> g.canon
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS removable_frac
+    FROM fp f JOIN g USING (fp)
+    GROUP BY f.source
+"""
+
+
+@register("dedup_report", _DEDUP_REPORT_SQL)
+def dedup_report(spark, sf_dir):
+    """Per-source exact-duplication report — the before/after summary
+    a dedup run publishes: docs per source, how many sit in
+    multi-member fingerprint groups, how many a min-id canonical
+    policy would remove, and the removable fraction. One fingerprint
+    groupBy + a fingerprint-keyed join back (both shuffles on the
+    uniform md5 key) + one per-source rollup."""
+    from spark_tsne_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    g = d.groupBy("fp").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("canon")
+    )
+    j = d.join(g, "fp")
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    removable = F.when(
+        (F.col("n") > 1) & (F.col("doc_id") != F.col("canon")), 1
+    ).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(dup).cast("long").alias("n_in_dup_groups"),
+        F.sum(removable).cast("long").alias("n_removable"),
+        F.round(
+            F.sum(removable).cast("double") / F.count("*"), 6
+        ).alias("removable_frac"),
     )
 
 
