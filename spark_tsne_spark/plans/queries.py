@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "events_user_features", "ann_hard_negatives", "embedding_outliers",
     "tsne_embedding", "cluster_topics", "text_lang_id_join",
     "events_session_transcripts", "events_rate_limit", "dedup_report",
+    "events_trending_topk",
     "orders_exact_quantiles", "docs_median_len_per_source",
     "docs_byte_weighted_median",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
@@ -702,6 +703,41 @@ def events_sessionize(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+_TRENDING_SQL = """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_ts, event_type, n, rank FROM (
+      SELECT hour_ts, event_type, n,
+             row_number() OVER (
+               PARTITION BY hour_ts ORDER BY n DESC, event_type
+             )::BIGINT AS rank
+      FROM c
+    ) WHERE rank <= 3
+"""
+
+
+@register("events_trending_topk", _TRENDING_SQL)
+def events_trending_topk(spark, sf_dir):
+    """Windowed heavy hitters: the top-3 event types per hour by
+    count — the trending feed / hot-key monitor. One
+    map-side-combined (hour, type) groupBy (shuffle bounded by
+    |hours|x|types|, corpus-size-independent) and a per-window top-k
+    whose partitions hold at most |types| rows. The streaming twin is
+    ``streaming/windows.py::windowed_counts`` ranked per batch."""
+    ev = _t(spark, sf_dir, "events")
+    hb = F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    c = ev.groupBy(hb, "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hour_ts").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("hour_ts", "event_type", "n", "rank")
     )
 
 
