@@ -410,6 +410,20 @@ def bench_queries():
     }
 
 
+def headline(total: float, sf: float, n_queries: int) -> dict:
+    """The ONE machine-parsed JSON object bench.py prints as its last
+    stdout line. Fixed-size by construction — never add a per-query
+    field here (tests/test_bench_contract.py pins the serialized size
+    against the driver's ~2000-byte tail capture)."""
+    return {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": n_queries,
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -528,11 +542,22 @@ def main():
         print(f"# {name}: min={timings[name]}s runs={runs} rows={n}", flush=True)
 
     total = round(sum(timings.values()), 3)
-    # Evidence detail (per-run timings + stage breakdowns) goes to an
-    # earlier line AND a side file; the LAST stdout line stays compact
-    # so the driver's tail capture can always parse the headline
-    # (BENCH_r04 was "parsed": null because runs+stages outgrew it).
-    detail = {"runs": all_runs, "repeat": repeat, "stages": stages, "sf": sf}
+    # Evidence detail (per-query mins, per-run timings, stage
+    # breakdowns) goes to earlier `#`-prefixed lines AND a side file;
+    # the LAST stdout line carries ONLY the headline. The driver's
+    # tail capture is ~2000 bytes: a per-query dict overflowed it
+    # twice (BENCH_r04 at ~50 entries with runs+stages inline,
+    # BENCH_r06 at ~90 entries even in "compact" form) and both
+    # rounds shipped "parsed": null — so per-query timings are
+    # banned from the last line entirely (guarded by
+    # tests/test_bench_contract.py).
+    detail = {
+        "queries": timings,
+        "runs": all_runs,
+        "repeat": repeat,
+        "stages": stages,
+        "sf": sf,
+    }
     print("# detail: " + json.dumps(detail), flush=True)
     if not only:
         try:
@@ -541,18 +566,9 @@ def main():
                 json.dump(detail, f, indent=1)
         except OSError:
             pass
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        ),
-        flush=True,
-    )
+    line = json.dumps(headline(total, sf, len(timings)))
+    assert len(line.encode()) < 1500, len(line)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
