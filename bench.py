@@ -102,7 +102,10 @@ def bench_queries():
 
         e = emb(spark, sf_dir)
         qs = e.where(F.col("vec_id") < 100)
-        return ivf_pq_topk(e, qs, k=10, id_col="vec_id", vec_col="embedding")
+        return ivf_pq_topk(
+            e, qs, k=10, id_col="vec_id", vec_col="embedding",
+            profile=_STAGES,
+        )
 
     _IDX_CACHE: dict = {}
 

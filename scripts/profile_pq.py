@@ -1,6 +1,8 @@
-"""Attribute ann_ivf_pq_topk's bench repeat growth (VERDICT r4 #4):
-run the entry N times with per-stage wall timings (train / encode /
-ADC+re-rank) and print one line per repeat. Usage:
+"""Attribute ann_ivf_pq_topk's wall time (VERDICT r4 #4 / r6 #3):
+run the REAL entry path N times; each repeat reports the
+driver-synchronous train stages (via the ``profile`` hook) plus the
+single-action execution wall, and the Spark job count for the action
+(window-independent structural metric). Usage:
 
     python scripts/profile_pq.py [repeats] [sf_dir]
 """
@@ -11,68 +13,49 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "24g")
-        .appName("profile_pq")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
-    from spark_tsne_spark.operators.similarity import (
-        _kmeans_centroids,
-        _make_pq_encode,
-        _make_pq_qfanout,
-        _pq_codebooks,
-        _pq_query_tail,
-        _CODE_SCHEMA,
-        _QFAN_SCHEMA,
-    )
+    from spark_tsne_spark.session import get_spark
     from spark_tsne_spark.shipping import ship_package
+    from spark_tsne_spark.sources.tables import load_table
 
+    spark = get_spark("profile_pq", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
-    sc = spark.sparkContext
+    # Warm python workers so repeat 0 isn't all interpreter spin-up.
+    spark.range(128).repartition(32).mapInPandas(
+        lambda it: (p for p in it), "id long"
+    ).count()
+    load_table(spark, "embeddings", sf_dir).count()
 
+    from spark_tsne_spark.operators.similarity import ivf_pq_topk
+
+    sc = spark.sparkContext
+    st = sc.statusTracker()
     for r in range(reps):
+        prof: dict = {}
+        e = load_table(spark, "embeddings", sf_dir)
+        qs = e.where(F.col("vec_id") < 100)
+        group = f"pq-{r}"
+        sc.setJobGroup(group, group)
         t0 = time.time()
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        base = emb.select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        )
-        qs = base.where(F.col("id") < 100).select(
-            F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+        out = ivf_pq_topk(
+            e, qs, k=10, id_col="vec_id", vec_col="embedding", profile=prof
         )
         t1 = time.time()
-        C, n_corpus, Xs = _kmeans_centroids(base, 16, 42, return_sample=True)
-        books = _pq_codebooks(Xs, 8, 256, 42)
-        t2 = time.time()
-        b_C, b_books = sc.broadcast(C), sc.broadcast(books)
-        par = sc.defaultParallelism
-        parts = max(1, min(par, n_corpus // 4096 + 1))
-        codes = base.repartition(parts).mapInPandas(
-            _make_pq_encode(b_C, b_books), _CODE_SCHEMA
-        )
-        n_codes_rows = codes.count()
-        t3 = time.time()
-        query_cells = qs.select(
-            F.col("vec_id").alias("id"), F.col("embedding").alias("v")
-        ).mapInPandas(_make_pq_qfanout(b_C, 4), _QFAN_SCHEMA)
-        qv = qs.select(F.col("vec_id").alias("i"), F.col("embedding").alias("vi"))
-        out = _pq_query_tail(codes, query_cells, base, qv, 10, 4, b_books)
         n = out.count()
-        t4 = time.time()
+        t2 = time.time()
+        jobs = st.getJobIdsForGroup(group)
         print(
-            f"repeat={r} total={t4 - t0:.2f}s train={t2 - t1:.2f}s "
-            f"encode={t3 - t2:.2f}s query_tail={t4 - t3:.2f}s "
-            f"rows={n} code_rows={n_codes_rows}",
+            f"repeat={r} total={t2 - t0:.2f}s "
+            f"train_sample_kmeans={prof.get('pq_sample_kmeans_sec')}s "
+            f"codebooks={prof.get('pq_codebook_train_sec')}s "
+            f"action={t2 - t1:.2f}s jobs={len(jobs)} rows={n}",
             flush=True,
         )
         spark.catalog.clearCache()

@@ -798,11 +798,12 @@ def semdedup(
             }
         )
 
-    par = sc.defaultParallelism
-    parts = max(1, min(par, n_corpus // 4096 + 1))
+    # Cluster assignment is row-local — run it over the scan's natural
+    # partitioning (the groupBy below shuffles by cluster anyway; a
+    # repartition before a map-only kernel is a wasted full-corpus
+    # shuffle at scale and a wasted stage at bench scale).
     return (
-        base.repartition(parts)
-        .mapInPandas(assign, assign_schema)
+        base.mapInPandas(assign, assign_schema)
         .groupBy("cluster")
         .applyInPandas(prune, out_schema)
     )

@@ -205,35 +205,40 @@ def _kmeans_centroids(
 
     The quantizer only needs a representative sample, not the corpus
     (the standard IVF design: FAISS trains coarse quantizers on
-    30–256 points per centroid). One metadata-cheap ``count`` sizes a
-    seeded Bernoulli sample capped at ``max_train`` rows (≤ ~50 MB at
+    30–256 points per centroid). One TakeOrdered job draws a
+    hash-ordered sample capped at ``max_train`` rows (≤ ~50 MB at
     d=64 — bounded regardless of corpus size), which is collected and
     fit driver-side with pure numpy — a single narrow Spark job
     instead of 20 distributed KMeans iterations. Deterministic in
     ``seed``. Returns ``(C, n)``: an ``(n_cells, d)`` unit-row matrix
-    and the corpus row count (reused by the caller for partition
-    sizing).
+    and the corpus row count.
     """
-    n = base.count()
-    if n == 0:
+    # ONE TakeOrderedAndProject job (per-partition top-k by a salted
+    # content hash, driver merge — no full sort shuffle, no separate
+    # count job): the max_train rows with the smallest hash are a
+    # deterministic, layout-independent pseudo-random sample (a change
+    # in file splits or scan order can't move the training set —
+    # hashing keys on the id VALUE only; ties broken by id). The old
+    # shape paid count + hash_sample + TakeOrdered = 2-3 Spark jobs
+    # per train; at the bench this fixed job overhead dominated the
+    # whole ANN family (VERDICT r6 #6).
+    h = F.xxhash64(F.lit(f"ivf-{seed}"), F.col("id").cast("string"))
+    rows = (
+        base.select("id", "v")
+        .orderBy(h.asc(), F.col("id").asc())
+        .limit(max_train)
+        .collect()
+    )
+    if len(rows) == 0:
         raise ValueError("ivf_topk: empty corpus")
-    frac = min(1.0, (max_train * 1.2) / n)
-    if frac < 1.0:
-        # Value-deterministic sample: DataFrame.sample draws from a
-        # per-partition RNG, so a change in file splits or layout
-        # would silently reshuffle the training set and move the
-        # centroids. Content-hash sampling keys on the id value only.
-        from spark_tsne_spark.operators.sampling import hash_sample
-
-        train = hash_sample(
-            base, F.col("id").cast("string"), frac, salt=f"ivf-{seed}-"
-        )
-    else:
-        train = base
-    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
-    # top-k, driver merge — no full sort shuffle) and fixes the row
-    # order the k-means++ seeding sees, independent of scan order.
-    rows = train.orderBy("id").limit(max_train).select("v").collect()
+    # True corpus size is only needed when the sample saturated (the
+    # common small-corpus case reads it off the sample for free; at
+    # 100 TB the count is parquet-metadata-cheap).
+    n = base.count() if len(rows) == max_train else len(rows)
+    # k-means++ seeding sees the sample in id order — identical to the
+    # previous contract whenever n <= max_train (every pinned golden),
+    # and scan-order independent always.
+    rows.sort(key=lambda r: r["id"])
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = X[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
@@ -482,12 +487,13 @@ def ivf_topk(
     C, n_corpus = _kmeans_centroids(base, n_cells, seed)
     sc = emb.sparkSession.sparkContext
     b_C = sc.broadcast(C)
-    # Partition the corpus scan by size, not blindly by parallelism:
-    # ≥4096 rows per Arrow batch amortizes the per-task Python worker
-    # overhead; large corpora still fan out to full parallelism.
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    parts = max(1, min(par, n_corpus // 4096 + 1))
-    corpus_cells = base.repartition(parts).mapInPandas(
+    # Cell assignment is row-local: run it straight over the scan's
+    # natural partitioning. (An earlier shape repartitioned the corpus
+    # first to "size" Arrow batches — at 100 TB that is a full-corpus
+    # shuffle for a map-only kernel, and at bench scale the extra
+    # stage's fixed overhead dominated the query. maxPartitionBytes
+    # already bounds scan partitions; Arrow batching handles the rest.)
+    corpus_cells = base.mapInPandas(
         _make_cell_fanout(b_C, max(1, replicas)), _FANOUT_SCHEMA
     )
     query_cells = queries.select(
@@ -825,6 +831,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    profile: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the compressed scale path for ANN.
 
@@ -856,14 +863,26 @@ def ivf_pq_topk(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     # Coarse quantizer + PQ codebooks share ONE bounded deterministic
-    # sample (single collect job).
+    # sample (single collect job). When ``profile`` is given, the
+    # driver-synchronous train stages record their wall time there
+    # (the lazy encode/ADC/re-rank stages execute inside the caller's
+    # single action and can't be split without forcing extra jobs).
+    import time as _time
+
+    t0 = _time.time()
     C, n_corpus, Xs = _kmeans_centroids(base, n_cells, seed, return_sample=True)
+    t1 = _time.time()
     books = _pq_codebooks(Xs, m, n_codes, seed)
+    if profile is not None:
+        profile["pq_sample_kmeans_sec"] = round(t1 - t0, 3)
+        profile["pq_codebook_train_sec"] = round(_time.time() - t1, 3)
+        profile["pq_train_rows"] = int(len(Xs))
     sc = emb.sparkSession.sparkContext
     b_C, b_books = sc.broadcast(C), sc.broadcast(books)
-    par = sc.defaultParallelism
-    parts = max(1, min(par, n_corpus // 4096 + 1))
-    corpus_codes = base.repartition(parts).mapInPandas(
+    # PQ encode is row-local — no repartition (see ivf_topk: a
+    # full-corpus shuffle for a map-only kernel is wrong at scale and
+    # pure stage overhead at bench scale).
+    corpus_codes = base.mapInPandas(
         _make_pq_encode(b_C, b_books), _CODE_SCHEMA
     )
     # Query side: n_probe cell fan-out with the normalized query
