@@ -71,49 +71,75 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
-    "bpe_word_histogram", "bpe_vocab", "bpe_encode_stats",
-    "bpe_token_histogram", "allpairs_cosine", "fuzzy_prefix_pairs_ed2",
-    "leakage_safe_split", "events_seasonal_baseline",
-    "corpus_temperature_mix", "bigram_next_token",
-    "dedup_graph_communities", "dq_orders_expectations",
-    "events_user_features", "ann_hard_negatives", "embedding_outliers",
-    "tsne_embedding", "cluster_topics", "text_lang_id_join",
-    "events_session_transcripts", "events_rate_limit", "dedup_report",
-    "events_trending_topk",
-    "orders_exact_quantiles", "docs_median_len_per_source",
-    "docs_byte_weighted_median",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
-    "q16_part_supplier_counts", "q20_promotion_suppliers",
-    "text_gopher_gate",
-    "q8_market_share", "q13_order_distribution", "q15_top_supplier",
-    "q17_small_quantity", "q21_waiting_supplier", "q22_dormant_customers",
-    "streaming_enrich_join", "orders_price_bands", "doc_sentences",
-    "partitioned_prune_roundtrip", "dedup_graph_triangles", "term_pmi",
-    "source_percent_rank", "events_interarrival", "approx_distinct_users",
-    "scd2_history", "table_checksum", "key_skew_profile",
-    "embedding_kmeans_inertia", "orders_deciles", "incremental_agg_merge", "event_transitions",
-    "events_value_histogram", "top_terms_per_source", "user_activity_span",
-    "part_cooccurrence", "events_anomaly_zscore", "embedding_sq8",
-    "embedding_kmeans", "orc_roundtrip", "jsonl_roundtrip", "events_ewma",
-    "events_nearest_join", "doc_length_histogram", "centroid_similarity",
-    "q4_priority_exists", "q12_late_shipments", "q14_promo_revenue",
-    "q18_large_orders", "q19_disjunctive", "cube_revenue",
-    "events_json_extract", "corpus_hash_sample",
-    "corpus_stratified_sample", "text_fingerprint",
-    "text_winnow_fingerprints", "streaming_windowed_counts",
-    "text_pii_scrub", "contamination_check", "video_frame_sample",
-    "audio_features", "x2p_affinities", "q6_revenue_delta",
-    "rollup_revenue", "window_top_orders_per_customer",
-    "events_tumbling_agg", "events_sessionize", "events_trailing_window",
-    "events_pivot", "orders_percentiles", "customers_without_orders",
-    "events_asof_join", "events_range_join", "events_gapfill_locf",
-    "events_gapfill_interp", "events_hopping_agg", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_clusters", "dedup_keep_canonical", "dedup_embedding_cosine",
-    "ann_topk_cosine", "ann_ivf_topk", "ann_ivf_index_query",
-    "knn_lsh_approx", "dedup_simhash_near", "multimodal_features",
-    "multimodal_png", "multimodal_jpeg", "multimodal_resize",
-    "s1_csv_source", "text_lang_id",
+    # Round-7 rotation (VERDICT r6 #4): the driver value-checks the
+    # FIRST ~50 entries per round, so ordering = never-driver-green
+    # first (26 entries as of r6 — the re-oracled BPE trio and the
+    # r4 red row events_json_extract lead), then by OLDEST green
+    # round (r3 -> r6), alphabetical within a group. Recompute from
+    # the union of CORRECTNESS_r0*.json when rotating again.
+    "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
+    "events_json_extract", "centroid_similarity", "cube_revenue",
+    "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
+    "event_transitions", "events_anomaly_zscore", "events_ewma",
+    "events_nearest_join", "events_value_histogram",
+    "incremental_agg_merge", "jsonl_roundtrip", "orc_roundtrip",
+    "orders_deciles", "part_cooccurrence", "q12_late_shipments",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
+    "q4_priority_exists", "top_terms_per_source", "user_activity_span",
+    "audio_features", "contamination_check", "corpus_hash_sample",
+    "corpus_stratified_sample", "streaming_windowed_counts",
+    "text_fingerprint", "text_pii_scrub", "text_winnow_fingerprints",
+    "video_frame_sample", "x2p_affinities", "ann_ivf_index_query",
+    "ann_ivf_topk", "ann_topk_cosine", "corpus_curation",
+    "customers_without_orders", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_keep_canonical",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_near", "events_asof_join", "events_gapfill_interp",
+    "events_gapfill_locf", "events_hopping_agg", "events_pivot",
+    "events_range_join", "events_sessionize", "events_trailing_window",
+    "events_tumbling_agg", "fuzzy_prefix_pairs", "knn_lsh_approx",
+    "multimodal_features", "multimodal_jpeg", "multimodal_png",
+    "multimodal_resize", "orders_percentiles", "q6_revenue_delta",
+    "rollup_revenue", "s1_csv_source", "text_char_entropy",
+    "text_lang_id", "text_quality_score", "text_repetition_scores",
+    "text_token_counts", "window_top_orders_per_customer",
+    "ann_ivf_pq_topk", "audio_adpcm_features", "audio_ulaw_features",
+    "bm25_search", "corpus_snapshot_diff", "corpus_token_budget",
+    "corpus_upsert", "corpus_weighted_sample", "dedup_bloom_incremental",
+    "dedup_boilerplate_lines", "dedup_duplicate_spans",
+    "dedup_graph_pagerank", "dedup_incremental_exact",
+    "dedup_incremental_minhash", "dedup_minhash_estimate", "doc_chunks",
+    "embedding_centroids", "events_cohort_retention",
+    "events_distinct_users", "events_funnel", "events_salted_join",
+    "p1_global_stats", "p2_standardize", "p3_pca_project",
+    "passage_dedup", "q10_returned_items", "q1_pricing_summary",
+    "q3_top_orders", "q5_nation_revenue", "q7_volume_shipping",
+    "quality_gate_per_source", "s2_s3_limit_sort",
+    "semantic_contamination", "semdedup_prune", "seq_packing",
+    "shard_plan", "source_overlap", "streaming_incremental_dedup",
+    "streaming_interval_join", "streaming_token_budget", "table_profile",
+    "text_lm_score", "text_normalize", "text_oov_rate", "tfidf_top_terms",
+    "vocab_top_terms", "x1_row_norms", "x3_x5_pairwise_sqdist",
+    "x6_knn_topk", "y1_symmetrize", "allpairs_cosine",
+    "ann_hard_negatives", "approx_distinct_users", "bigram_next_token",
+    "bpe_word_histogram", "cluster_topics", "corpus_temperature_mix",
+    "dedup_graph_communities", "dedup_graph_triangles", "dedup_report",
+    "doc_sentences", "docs_byte_weighted_median",
+    "docs_median_len_per_source", "dq_orders_expectations",
+    "embedding_kmeans_inertia", "embedding_outliers",
+    "events_interarrival", "events_rate_limit",
+    "events_seasonal_baseline", "events_session_transcripts",
+    "events_trending_topk", "events_user_features",
+    "fuzzy_prefix_pairs_ed2", "key_skew_profile", "leakage_safe_split",
+    "orders_exact_quantiles", "orders_price_bands",
+    "partitioned_prune_roundtrip", "q11_important_parts",
+    "q13_order_distribution", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_quantity",
+    "q20_promotion_suppliers", "q21_waiting_supplier",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q8_market_share",
+    "q9_product_profit", "scd2_history", "source_percent_rank",
+    "streaming_enrich_join", "table_checksum", "term_pmi",
+    "text_gopher_gate", "text_lang_id_join", "tsne_embedding",
 ]
 
 
