@@ -93,7 +93,19 @@ def _train_merges(
     rewrite is a no-op and its decrement/increment cancel).
     Tie-break: highest frequency, then lexicographically smallest
     (left, right) — fully deterministic.
+
+    Best-pair selection is a lazy-deletion heap, not a scan: a
+    ``min(pair_n.items())`` per merge is O(|pairs|) and dominated the
+    real-tokenizer regime (32k merges over a 200k-word histogram:
+    ~41 ms/merge ≈ 22 min projected; the heap version trains the same
+    run in seconds — entries carry the count they were pushed with
+    and are discarded on pop if the live count moved). Heap order
+    ``(-freq, pair)`` equals the scan's tie-break, so the merge
+    sequence is unchanged (pinned vs the naive reference in
+    tests/test_bpe.py).
     """
+    import heapq
+
     words: list[tuple[list[str], int]] = [
         (list(w) + [EOW], c) for w, c in word_counts
     ]
@@ -104,19 +116,39 @@ def _train_merges(
             pair_n[p] += c
             pair_where[p].add(wi)
 
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-n, p) for p, n in pair_n.items()
+    ]
+    heapq.heapify(heap)
+
+    def push(p: tuple[str, str]) -> None:
+        heapq.heappush(heap, (-pair_n[p], p))
+
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
-        if not pair_n:
+        best = None
+        while heap:
+            negn, p = heapq.heappop(heap)
+            live = pair_n.get(p)
+            if live is not None and live == -negn:
+                best, freq = p, live
+                break
+            # Stale entry: the pair's count changed (or the pair died)
+            # after this entry was pushed. A live pair always has a
+            # CURRENT entry too (push() runs on every increment), so
+            # dropping stale ones never loses the maximum.
+        if best is None:
             break
-        best, freq = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((best[0], best[1], freq))
         joined = best[0] + best[1]
+        touched: set = set()
         for wi in sorted(pair_where.pop(best, ())):
             syms, c = words[wi]
             if not any(p == best for p in zip(syms, syms[1:])):
                 continue  # stale index member: word was rewritten since
             for p in zip(syms, syms[1:]):
                 pair_n[p] -= c
+                touched.add(p)
                 if pair_n[p] <= 0:
                     del pair_n[p]
             out: list[str] = []
@@ -135,8 +167,15 @@ def _train_merges(
             words[wi] = (out, c)
             for p in zip(out, out[1:]):
                 pair_n[p] += c
+                touched.add(p)
                 pair_where[p].add(wi)
         pair_n.pop(best, None)
+        # Every pair whose live count moved this merge (increment OR
+        # decrement) gets a fresh heap entry at its current count —
+        # the invariant the lazy-deletion pop relies on.
+        for p in touched:
+            if p in pair_n:
+                push(p)
     return merges
 
 
