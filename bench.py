@@ -216,6 +216,40 @@ def bench_queries():
             docs(spark, sf_dir), _bench_merges(spark, sf_dir)
         )
 
+    _UNIGRAM_BENCH_CACHE: dict = {}
+
+    def _bench_unigram(spark, sf_dir):
+        m = _UNIGRAM_BENCH_CACHE.get(sf_dir)
+        if m is None:
+            from spark_tsne_spark.operators.unigram import train_unigram
+
+            m = train_unigram(docs(spark, sf_dir), vocab_size=120,
+                              max_words=30000)
+            _UNIGRAM_BENCH_CACHE[sf_dir] = m
+        return m
+
+    def b_unigram_train(spark, sf_dir):
+        # Full training every repeat: histogram shuffle + top-k +
+        # driver EM/prune loop — the train-side number.
+        from spark_tsne_spark.operators.unigram import (
+            pieces_df, train_unigram,
+        )
+
+        return pieces_df(
+            spark, train_unigram(docs(spark, sf_dir), vocab_size=120,
+                                 max_words=30000)
+        )
+
+    def b_unigram_encode(spark, sf_dir):
+        # Train-once/encode-many accounting (same pattern as
+        # bpe_encode): first repeat pays training via the cache, the
+        # min is Viterbi-encode-only.
+        from spark_tsne_spark.operators.unigram import unigram_encode_stats
+
+        return unigram_encode_stats(
+            docs(spark, sf_dir), _bench_unigram(spark, sf_dir)
+        )
+
     def b_allpairs_cosine(spark, sf_dir):
         # Full-corpus similarity join; the synthetic corpus is DENSE
         # (template-generated — thousands of docs share single
@@ -400,6 +434,9 @@ def bench_queries():
         "tsne_bh_distributed": b_tsne_bh_distributed,
         "bpe_train": b_bpe_train,
         "bpe_encode": b_bpe_encode,
+        "unigram_train": b_unigram_train,
+        "unigram_encode": b_unigram_encode,
+        "tokenizer_fertility": Q.tokenizer_fertility,
         "allpairs_cosine": b_allpairs_cosine,
         "fuzzy_prefix_ed2": b_fuzzy_ed2,
         "leakage_safe_split": Q.leakage_safe_split,

@@ -77,6 +77,9 @@ _DRIVER_PRIORITY = [
     # r4 red row events_json_extract lead), then by OLDEST green
     # round (r3 -> r6), alphabetical within a group. Recompute from
     # the union of CORRECTNESS_r0*.json when rotating again.
+    # New in r7 (never sampled): the unigram tokenizer family.
+    "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
+    "tokenizer_fertility",
     "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
     "events_json_extract", "centroid_similarity", "cube_revenue",
     "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
@@ -7713,6 +7716,155 @@ def bpe_token_histogram_q(spark, sf_dir):
 
     return bpe_token_histogram(
         _t(spark, sf_dir, "documents"), _bpe_merges(spark, sf_dir), k=50
+    )
+
+
+# --- Unigram-LM tokenizer family (SentencePiece-style) ---------------
+# Same train-once/use-many contract as BPE; the model cache is keyed
+# by sf_dir so correctness (sf0.01) and bench (sf0.1) never mix.
+_UNIGRAM_CACHE: dict = {}
+
+
+def _unigram_model(spark, sf_dir):
+    m = _UNIGRAM_CACHE.get(sf_dir)
+    if m is None:
+        from spark_tsne_spark.operators.unigram import train_unigram
+
+        m = train_unigram(
+            _t(spark, sf_dir, "documents"), vocab_size=120, max_words=8000
+        )
+        _UNIGRAM_CACHE[sf_dir] = m
+    return m
+
+
+_UNIGRAM_VOCAB_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "unigram_vocab_sf001.parquet",
+)
+_UNIGRAM_ENCODE_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "unigram_encode_stats_sf001.parquet",
+)
+_UNIGRAM_TOKHIST_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "unigram_token_histogram_sf001.parquet",
+)
+
+# Unigram training is deterministic by construction (sorted iteration
+# order fixes every float summation; seeding/pruning/Viterbi carry
+# total-order tie-breaks — operators/unigram.py docstring), so the
+# family is value-pinned against its own reproducible sf0.01 output
+# (scripts/make_unigram_golden.py), the same pattern as BPE/t-SNE.
+_UNIGRAM_VOCAB_SQL = (
+    f"SELECT \"rank\", piece, logprob "
+    f"FROM read_parquet('{_UNIGRAM_VOCAB_GOLDEN}')"
+)
+
+
+@register("unigram_vocab", _UNIGRAM_VOCAB_SQL)
+def unigram_vocab(spark, sf_dir):
+    """Trained unigram-LM piece table ``(rank, piece, logprob)`` —
+    the tokenizer-model artifact (Kudo 2018 recipe: EM over each
+    word's segmentation lattice + probability pruning, run entirely
+    driver-side over the bounded word histogram). Value-pinned vs the
+    sf0.01 golden; EM monotonicity, Viterbi optimality, and
+    input-order determinism pinned in tests/test_unigram.py."""
+    from spark_tsne_spark.operators.unigram import pieces_df
+
+    df = pieces_df(spark, _unigram_model(spark, sf_dir))
+    return df.select("rank", "piece", F.round("logprob", 8).alias("logprob"))
+
+
+_UNIGRAM_ENCODE_SQL = (
+    f"SELECT doc_id, n_words, n_tokens, chars_per_token "
+    f"FROM read_parquet('{_UNIGRAM_ENCODE_GOLDEN}')"
+)
+
+
+@register("unigram_encode_stats", _UNIGRAM_ENCODE_SQL)
+def unigram_encode_stats_q(spark, sf_dir):
+    """Per-document Viterbi token accounting under the trained
+    pieces: ``(doc_id, n_words, n_tokens, chars_per_token)`` — the
+    fertility numbers, schema-compatible with ``bpe_encode_stats``
+    for tokenizer A/B reads. One narrow mapInPandas with broadcast
+    log-probs; no shuffle."""
+    from spark_tsne_spark.operators.unigram import unigram_encode_stats
+
+    return unigram_encode_stats(
+        _t(spark, sf_dir, "documents"), _unigram_model(spark, sf_dir)
+    )
+
+
+_UNIGRAM_TOKHIST_SQL = (
+    f"SELECT token, n, \"rank\" "
+    f"FROM read_parquet('{_UNIGRAM_TOKHIST_GOLDEN}')"
+)
+
+
+@register("unigram_token_histogram", _UNIGRAM_TOKHIST_SQL)
+def unigram_token_histogram_q(spark, sf_dir):
+    """Top-50 corpus token histogram under the trained pieces —
+    the vocab-coverage report, same batch-partial-aggregation shape
+    as ``bpe_token_histogram``."""
+    from spark_tsne_spark.operators.unigram import unigram_token_histogram
+
+    return unigram_token_histogram(
+        _t(spark, sf_dir, "documents"), _unigram_model(spark, sf_dir), k=50
+    )
+
+
+# Tokenizer A/B: per-source fertility of BPE vs unigram on the SAME
+# corpus — the report a tokenizer bake-off actually reads. All
+# columns are exact integer SUMS (fertility = consumer-side division)
+# so the oracle never lands on a float rounding knife-edge. The
+# oracle recomputes the aggregation from the two pinned encode
+# goldens + the documents table — a REAL relational twin, not a
+# golden dump of this entry's own output.
+_TOKENIZER_FERTILITY_SQL = f"""
+    WITH b AS (
+      SELECT doc_id, n_words, n_tokens
+      FROM read_parquet('{_BPE_ENCODE_GOLDEN}')
+    ), u AS (
+      SELECT doc_id, n_words, n_tokens
+      FROM read_parquet('{_UNIGRAM_ENCODE_GOLDEN}')
+    ), lab AS (
+      SELECT 'bpe' AS tokenizer, d.source, b.n_words, b.n_tokens
+      FROM b JOIN documents d USING (doc_id)
+      UNION ALL
+      SELECT 'unigram' AS tokenizer, d.source, u.n_words, u.n_tokens
+      FROM u JOIN documents d USING (doc_id)
+    )
+    SELECT tokenizer, source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_words)::BIGINT AS sum_words,
+           sum(n_tokens)::BIGINT AS sum_tokens
+    FROM lab GROUP BY tokenizer, source
+"""
+
+
+@register("tokenizer_fertility", _TOKENIZER_FERTILITY_SQL)
+def tokenizer_fertility(spark, sf_dir):
+    """Per-source tokenizer bake-off: BPE vs unigram token sums over
+    the same corpus (fertility = sum_tokens/sum_words, divided by the
+    consumer). Two narrow encode passes + one broadcast join to the
+    doc→source map + one aggregation; the oracle recomputes the same
+    relations from the pinned encode goldens."""
+    from spark_tsne_spark.operators.bpe import bpe_encode_stats
+    from spark_tsne_spark.operators.unigram import unigram_encode_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    b = bpe_encode_stats(docs, _bpe_merges(spark, sf_dir)).withColumn(
+        "tokenizer", F.lit("bpe")
+    )
+    u = unigram_encode_stats(docs, _unigram_model(spark, sf_dir)).withColumn(
+        "tokenizer", F.lit("unigram")
+    )
+    both = b.unionByName(u).join(F.broadcast(src), "doc_id")
+    return both.groupBy("tokenizer", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_tokens").alias("sum_tokens"),
     )
 
 

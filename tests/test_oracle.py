@@ -27,6 +27,11 @@ GOLDEN_SF_DIR = {
     "bpe_vocab": "/root/testdata/sf0.01",
     "bpe_encode_stats": "/root/testdata/sf0.01",
     "bpe_token_histogram": "/root/testdata/sf0.01",
+    "unigram_vocab": "/root/testdata/sf0.01",
+    "unigram_encode_stats": "/root/testdata/sf0.01",
+    "unigram_token_histogram": "/root/testdata/sf0.01",
+    # oracle recomputes from the two encode goldens (sf0.01-pinned)
+    "tokenizer_fertility": "/root/testdata/sf0.01",
 }
 
 
