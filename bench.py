@@ -437,6 +437,7 @@ def bench_queries():
         "unigram_train": b_unigram_train,
         "unigram_encode": b_unigram_encode,
         "tokenizer_fertility": Q.tokenizer_fertility,
+        "trigram_lm_ppl": Q.trigram_lm_ppl,
         "allpairs_cosine": b_allpairs_cosine,
         "fuzzy_prefix_ed2": b_fuzzy_ed2,
         "leakage_safe_split": Q.leakage_safe_split,

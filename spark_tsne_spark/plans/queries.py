@@ -77,9 +77,10 @@ _DRIVER_PRIORITY = [
     # r4 red row events_json_extract lead), then by OLDEST green
     # round (r3 -> r6), alphabetical within a group. Recompute from
     # the union of CORRECTNESS_r0*.json when rotating again.
-    # New in r7 (never sampled): the unigram tokenizer family.
+    # New in r7 (never sampled): the unigram tokenizer family and
+    # the held-out trigram LM.
     "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
-    "tokenizer_fertility",
+    "tokenizer_fertility", "trigram_lm_ppl",
     "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
     "events_json_extract", "centroid_similarity", "cube_revenue",
     "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
@@ -7865,6 +7866,182 @@ def tokenizer_fertility(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_words").alias("sum_words"),
         F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+# --- Interpolated trigram LM perplexity (train/eval split) ----------
+# Jelinek-Mercer interpolation with fixed weights and an add-one
+# unigram floor: P(w3|w1 w2) = L3*c3/c2ctx + L2*c23/c1_2
+#                              + L1*(c1_3 + 1)/(N + V).
+# The model trains on doc_id % 10 < 8 and scores the held-out 20% —
+# the leakage-safe LM-quality-signal shape (CCNet-style filtering
+# trains the LM on reference text, never the batch being scored).
+_LM_L3, _LM_L2, _LM_L1 = 0.7, 0.2, 0.1
+
+_TRIGRAM_LM_SQL = f"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(list_filter({_TOKS_SQL.replace('text', 'lower(text)')},
+                                x -> length(x) > 0)) AS w,
+             unnest(range(1, len(list_filter(
+                 {_TOKS_SQL.replace('text', 'lower(text)')},
+                 x -> length(x) > 0)) + 1)) AS pos
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, w, pos,
+             lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM toks0
+    ), train AS (
+      SELECT * FROM toks WHERE doc_id % 10 < 8
+    ), c1 AS (
+      SELECT w, count(*)::DOUBLE AS n FROM train GROUP BY w
+    ), nv AS (
+      SELECT sum(n) AS n_total, count(*)::DOUBLE AS v FROM c1
+    ), c2 AS (
+      SELECT w2 AS a, w AS b, count(*)::DOUBLE AS n
+      FROM train WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ), c3 AS (
+      SELECT w1 AS a, w2 AS b, w AS c, count(*)::DOUBLE AS n
+      FROM train WHERE w1 IS NOT NULL GROUP BY 1, 2, 3
+    ), ev AS (
+      SELECT doc_id, w1, w2, w AS w3 FROM toks
+      WHERE doc_id % 10 >= 8 AND w1 IS NOT NULL
+    ), scored AS (
+      SELECT ev.doc_id,
+             -ln({_LM_L3} * coalesce(c3.n / c2ctx.n, 0)
+                 + {_LM_L2} * coalesce(c23.n / c1_2.n, 0)
+                 + {_LM_L1} * (coalesce(c1_3.n, 0) + 1)
+                   / (nv.n_total + nv.v)) AS nll
+      FROM ev
+      CROSS JOIN nv
+      LEFT JOIN c3 ON c3.a = ev.w1 AND c3.b = ev.w2 AND c3.c = ev.w3
+      LEFT JOIN c2 c2ctx ON c2ctx.a = ev.w1 AND c2ctx.b = ev.w2
+      LEFT JOIN c2 c23 ON c23.a = ev.w2 AND c23.b = ev.w3
+      LEFT JOIN c1 c1_2 ON c1_2.w = ev.w2
+      LEFT JOIN c1 c1_3 ON c1_3.w = ev.w3
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_scored,
+           round(avg(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register("trigram_lm_ppl", _TRIGRAM_LM_SQL)
+def trigram_lm_ppl(spark, sf_dir):
+    """Held-out LM quality signal: interpolated trigram
+    log-perplexity per evaluation document, trained on the 80% split
+    (doc_id % 10 < 8) and scored on the 20% — the leakage-safe
+    CCNet-style filter shape with a corpus-TRAINED word LM (vs
+    text_lm_score's fixed char-trigram profile).
+
+    Plan at scale: ONE tokenize pass (posexplode keeps array order —
+    no extra shuffle for positions), a window-lag by doc_id builds
+    trigram context, count tables aggregate with map-side partials,
+    and the scoring joins key on the gram values — sort-merge joins
+    whose width is |distinct grams| (Zipf-bounded), never the corpus;
+    the (N, V) scalars ride a 1-row broadcast. Entirely JVM-side —
+    no UDF anywhere."""
+    from pyspark.sql import Window
+
+    from spark_tsne_spark.functions.text import tokens as tok_arr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(tok_arr("text")).alias("pos", "w")
+        )
+        .where(F.length("w") > 0)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    toks = toks.select(
+        "doc_id", "w", "pos",
+        F.lag("w", 1).over(w_doc).alias("w2"),
+        F.lag("w", 2).over(w_doc).alias("w1"),
+    )
+    # Five consumers (c1/c2/c3/ev and the N,V scalar) hang off this
+    # lineage — without a persist each would re-run the corpus scan,
+    # explode, and window shuffle (observed: 5 passes, 34 exchanges).
+    # One materialization = one corpus pass; at 100 TB use
+    # DISK_ONLY or a staged temp table, same shape.
+    toks = toks.persist()
+    train = toks.where(F.col("doc_id") % 10 < 8)
+    c1 = train.groupBy("w").agg(F.count("*").cast("double").alias("n"))
+    nv = c1.agg(
+        F.sum("n").alias("n_total"),
+        F.count("*").cast("double").alias("v"),
+    )
+    c2 = (
+        train.where(F.col("w2").isNotNull())
+        .groupBy(F.col("w2").alias("a"), F.col("w").alias("b"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    c3 = (
+        train.where(F.col("w1").isNotNull())
+        .groupBy(
+            F.col("w1").alias("a"), F.col("w2").alias("b"),
+            F.col("w").alias("c"),
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    ev = toks.where(
+        (F.col("doc_id") % 10 >= 8) & F.col("w1").isNotNull()
+    ).select("doc_id", "w1", "w2", F.col("w").alias("w3"))
+    c3j = c3.select(
+        F.col("a").alias("t_a"), F.col("b").alias("t_b"),
+        F.col("c").alias("t_c"), F.col("n").alias("n3"),
+    )
+    c2ctx = c2.select(
+        F.col("a").alias("x_a"), F.col("b").alias("x_b"),
+        F.col("n").alias("n2ctx"),
+    )
+    c23 = c2.select(
+        F.col("a").alias("y_a"), F.col("b").alias("y_b"),
+        F.col("n").alias("n23"),
+    )
+    c1_2 = c1.select(F.col("w").alias("u2"), F.col("n").alias("n1_2"))
+    c1_3 = c1.select(F.col("w").alias("u3"), F.col("n").alias("n1_3"))
+    scored = (
+        ev.crossJoin(F.broadcast(nv))
+        .join(
+            c3j,
+            (F.col("t_a") == F.col("w1"))
+            & (F.col("t_b") == F.col("w2"))
+            & (F.col("t_c") == F.col("w3")),
+            "left",
+        )
+        .join(
+            c2ctx,
+            (F.col("x_a") == F.col("w1")) & (F.col("x_b") == F.col("w2")),
+            "left",
+        )
+        .join(
+            c23,
+            (F.col("y_a") == F.col("w2")) & (F.col("y_b") == F.col("w3")),
+            "left",
+        )
+        .join(c1_2, F.col("u2") == F.col("w2"), "left")
+        .join(c1_3, F.col("u3") == F.col("w3"), "left")
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.lit(_LM_L3)
+                    * F.coalesce(F.col("n3") / F.col("n2ctx"), F.lit(0.0))
+                    + F.lit(_LM_L2)
+                    * F.coalesce(F.col("n23") / F.col("n1_2"), F.lit(0.0))
+                    + F.lit(_LM_L1)
+                    * (F.coalesce(F.col("n1_3"), F.lit(0.0)) + 1.0)
+                    / (F.col("n_total") + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
     )
 
 
