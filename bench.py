@@ -438,6 +438,7 @@ def bench_queries():
         "unigram_encode": b_unigram_encode,
         "tokenizer_fertility": Q.tokenizer_fertility,
         "trigram_lm_ppl": Q.trigram_lm_ppl,
+        "nb_quality_classifier": Q.nb_quality_classifier,
         "allpairs_cosine": b_allpairs_cosine,
         "fuzzy_prefix_ed2": b_fuzzy_ed2,
         "leakage_safe_split": Q.leakage_safe_split,

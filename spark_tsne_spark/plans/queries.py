@@ -80,7 +80,7 @@ _DRIVER_PRIORITY = [
     # New in r7 (never sampled): the unigram tokenizer family and
     # the held-out trigram LM.
     "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
-    "tokenizer_fertility", "trigram_lm_ppl",
+    "tokenizer_fertility", "trigram_lm_ppl", "nb_quality_classifier",
     "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
     "events_json_extract", "centroid_similarity", "cube_revenue",
     "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
@@ -8042,6 +8042,137 @@ def trigram_lm_ppl(spark, sf_dir):
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_scored"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+# --- Trained quality classifier: multinomial Naive Bayes ------------
+# The relational cousin of a fastText-style linear BOW quality
+# filter: train on the doc_id%10<8 split with a stored label
+# (lang='en' vs rest), score the held-out 20% by summed per-word
+# log-likelihood ratios with Laplace smoothing. Training IS an
+# aggregation and scoring IS a join — the whole model lives in
+# relations, so the oracle recomputes it end-to-end (no golden).
+_NB_SQL = f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.lang = 'en' AS pos,
+             unnest(list_filter({_TOKS_SQL.replace('text', 'lower(text)')},
+                                x -> length(x) > 0)) AS w
+      FROM documents d
+    ), train AS (
+      SELECT * FROM toks WHERE doc_id % 10 < 8
+    ), wc AS (
+      SELECT w,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE AS np,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE AS nn
+      FROM train GROUP BY w
+    ), tot AS (
+      SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+             count(*)::DOUBLE AS v
+      FROM wc
+    ), prior AS (
+      SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS d_pos,
+             sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::DOUBLE AS d_neg
+      FROM documents WHERE doc_id % 10 < 8
+    ), ev AS (
+      SELECT doc_id, pos AS actual_en, w FROM toks WHERE doc_id % 10 >= 8
+    ), contrib AS (
+      SELECT ev.doc_id, ev.actual_en,
+             ln((coalesce(wc.np, 0) + 1) / (tot.n_pos + tot.v))
+             - ln((coalesce(wc.nn, 0) + 1) / (tot.n_neg + tot.v)) AS llr
+      FROM ev CROSS JOIN tot LEFT JOIN wc USING (w)
+    )
+    SELECT c.doc_id, c.actual_en,
+           count(*)::BIGINT AS n_toks,
+           round(ln(p.d_pos / p.d_neg) + sum(c.llr), 6) AS log_odds,
+           (ln(p.d_pos / p.d_neg) + sum(c.llr)) > 0 AS predicted_en
+    FROM contrib c CROSS JOIN prior p
+    GROUP BY c.doc_id, c.actual_en, p.d_pos, p.d_neg
+"""
+
+
+@register("nb_quality_classifier", _NB_SQL)
+def nb_quality_classifier(spark, sf_dir):
+    """Trained text classifier, held-out scored: multinomial Naive
+    Bayes with Laplace smoothing over lowercased word counts, labels
+    from the stored lang column (en vs rest), trained on the 80%
+    split and scored on the 20% — the trained-quality-filter shape
+    (FastText/CCNet classifiers are linear BOW models; NB is the
+    relationally-expressible member of that family, so the DuckDB
+    oracle re-derives the ENTIRE model, not a pinned artifact).
+
+    Plan at scale: one tokenize pass persisted (two consumers), the
+    model is ONE groupBy over train tokens (|vocab| rows, map-side
+    partials), scalars ride a 1-row broadcast, and scoring is a
+    vocab-keyed join + per-doc aggregation. JVM-side throughout.
+
+    Note: the synthetic fixture's lang column is uncorrelated with
+    its template text, so held-out accuracy is chance-level (~0.5)
+    here by construction — the correctness contract is the exact
+    model math, which the oracle replays end-to-end."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        F.lower(F.col("text")).alias("text"),
+    )
+    from spark_tsne_spark.functions.text import tokens as tok_arr
+
+    toks = (
+        docs.select("doc_id", "pos", F.explode(tok_arr("text")).alias("w"))
+        .where(F.length("w") > 0)
+        .persist()
+    )
+    train = toks.where(F.col("doc_id") % 10 < 8)
+    wc = train.groupBy("w").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double").alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("double").alias("nn"),
+    )
+    tot = wc.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.count("*").cast("double").alias("v"),
+    )
+    prior = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 < 8)
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("double").alias("d_pos"),
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+            .cast("double").alias("d_neg"),
+        )
+    )
+    ev = toks.where(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.col("pos").alias("actual_en"), "w"
+    )
+    contrib = (
+        ev.crossJoin(F.broadcast(tot))
+        .join(wc, "w", "left")
+        .select(
+            "doc_id", "actual_en",
+            (
+                F.log(
+                    (F.coalesce(F.col("np"), F.lit(0.0)) + 1.0)
+                    / (F.col("n_pos") + F.col("v"))
+                )
+                - F.log(
+                    (F.coalesce(F.col("nn"), F.lit(0.0)) + 1.0)
+                    / (F.col("n_neg") + F.col("v"))
+                )
+            ).alias("llr"),
+        )
+    )
+    out = (
+        contrib.crossJoin(F.broadcast(prior))
+        .groupBy("doc_id", "actual_en", "d_pos", "d_neg")
+        .agg(
+            F.count("*").alias("n_toks"),
+            (F.log(F.col("d_pos") / F.col("d_neg")) + F.sum("llr")).alias("_s"),
+        )
+    )
+    return out.select(
+        "doc_id", "actual_en", "n_toks",
+        F.round("_s", 6).alias("log_odds"),
+        (F.col("_s") > 0).alias("predicted_en"),
     )
 
 
