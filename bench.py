@@ -439,6 +439,7 @@ def bench_queries():
         "tokenizer_fertility": Q.tokenizer_fertility,
         "trigram_lm_ppl": Q.trigram_lm_ppl,
         "nb_quality_classifier": Q.nb_quality_classifier,
+        "classifier_auc": Q.classifier_auc,
         "allpairs_cosine": b_allpairs_cosine,
         "fuzzy_prefix_ed2": b_fuzzy_ed2,
         "leakage_safe_split": Q.leakage_safe_split,

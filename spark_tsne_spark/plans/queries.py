@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     # the held-out trigram LM.
     "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
     "tokenizer_fertility", "trigram_lm_ppl", "nb_quality_classifier",
+    "classifier_auc", "classifier_calibration",
     "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
     "events_json_extract", "centroid_similarity", "cube_revenue",
     "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
@@ -8173,6 +8174,107 @@ def nb_quality_classifier(spark, sf_dir):
         "doc_id", "actual_en", "n_toks",
         F.round("_s", 6).alias("log_odds"),
         (F.col("_s") > 0).alias("predicted_en"),
+    )
+
+
+# --- Model eval: exact AUC + calibration bins ------------------------
+# Both consume the held-out NB scores (the full model SQL nests as a
+# CTE — the oracle replays train + score + eval in one relational
+# program). AUC is the Mann-Whitney statistic with average ranks
+# (ties get half credit), computed with the default RANGE window
+# frame so tied scores share one deterministic rank in both engines.
+_AUC_SQL = f"""
+    WITH nb AS ({_NB_SQL}),
+    ranked AS (
+      SELECT actual_en, log_odds,
+             count(*) OVER (ORDER BY log_odds) AS cnt_le,
+             count(*) OVER (PARTITION BY log_odds) AS cnt_eq
+      FROM nb
+    )
+    SELECT count(*) FILTER (WHERE actual_en)::BIGINT AS n_pos,
+           count(*) FILTER (WHERE NOT actual_en)::BIGINT AS n_neg,
+           round(
+             (sum(CASE WHEN actual_en
+                       THEN cnt_le - cnt_eq + (cnt_eq + 1) / 2.0
+                       ELSE 0 END)
+              - count(*) FILTER (WHERE actual_en)
+                * (count(*) FILTER (WHERE actual_en) + 1) / 2.0)
+             / (count(*) FILTER (WHERE actual_en)
+                * count(*) FILTER (WHERE NOT actual_en)), 6) AS auc
+    FROM ranked
+"""
+
+
+@register("classifier_auc", _AUC_SQL)
+def classifier_auc(spark, sf_dir):
+    """Exact ROC-AUC of the held-out NB scores: the Mann-Whitney
+    U statistic with average ranks (ties share half credit) — the
+    rank formulation needs NO threshold sweep, so AUC is one window
+    pass + one aggregate over |eval docs| rows. The ranking window is
+    global but runs over the per-doc SCORE table (already reduced
+    from tokens), never the corpus."""
+    nb = nb_quality_classifier(spark, sf_dir)
+    from pyspark.sql import Window
+
+    ranked = nb.select(
+        "actual_en", "log_odds",
+        F.count("*").over(Window.orderBy("log_odds")).alias("cnt_le"),
+        F.count("*").over(Window.partitionBy("log_odds")).alias("cnt_eq"),
+    )
+    pos_rank = F.when(
+        F.col("actual_en"),
+        F.col("cnt_le") - F.col("cnt_eq") + (F.col("cnt_eq") + 1) / 2.0,
+    ).otherwise(F.lit(0.0))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("actual_en"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("actual_en"), 0).otherwise(1)).alias("n_neg"),
+        F.sum(pos_rank).alias("rank_sum"),
+    )
+    return agg.select(
+        "n_pos", "n_neg",
+        F.round(
+            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_CALIBRATION_SQL = f"""
+    WITH nb AS ({_NB_SQL}),
+    p AS (
+      SELECT actual_en, 1.0 / (1.0 + exp(-log_odds)) AS prob FROM nb
+    )
+    SELECT least(9, floor(prob * 10))::BIGINT AS bin,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN actual_en THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           round(avg(prob), 6) AS mean_prob
+    FROM p GROUP BY 1
+"""
+
+
+@register("classifier_calibration", _CALIBRATION_SQL)
+def classifier_calibration(spark, sf_dir):
+    """Reliability-diagram data for the held-out NB scores: decile
+    bins of the sigmoid probability with (count, positives,
+    mean predicted) per bin — empirical rate = n_pos/n is the
+    consumer-side division. One map + one 10-group aggregate over the
+    per-doc score table."""
+    nb = nb_quality_classifier(spark, sf_dir)
+    p = nb.select(
+        "actual_en",
+        (1.0 / (1.0 + F.exp(-F.col("log_odds")))).alias("prob"),
+    )
+    return (
+        p.groupBy(
+            F.least(F.lit(9), F.floor(F.col("prob") * 10))
+            .cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("actual_en"), 1).otherwise(0)).alias("n_pos"),
+            F.round(F.avg("prob"), 6).alias("mean_prob"),
+        )
     )
 
 
