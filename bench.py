@@ -440,6 +440,7 @@ def bench_queries():
         "trigram_lm_ppl": Q.trigram_lm_ppl,
         "nb_quality_classifier": Q.nb_quality_classifier,
         "classifier_auc": Q.classifier_auc,
+        "zorder_layout_stats": Q.zorder_layout_stats,
         "allpairs_cosine": b_allpairs_cosine,
         "fuzzy_prefix_ed2": b_fuzzy_ed2,
         "leakage_safe_split": Q.leakage_safe_split,

@@ -81,7 +81,7 @@ _DRIVER_PRIORITY = [
     # the held-out trigram LM.
     "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
     "tokenizer_fertility", "trigram_lm_ppl", "nb_quality_classifier",
-    "classifier_auc", "classifier_calibration",
+    "classifier_auc", "classifier_calibration", "zorder_layout_stats",
     "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
     "events_json_extract", "centroid_similarity", "cube_revenue",
     "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
@@ -8274,6 +8274,93 @@ def classifier_calibration(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum(F.when(F.col("actual_en"), 1).otherwise(0)).alias("n_pos"),
             F.round(F.avg("prob"), 6).alias("mean_prob"),
+        )
+    )
+
+
+# --- Z-order (Morton) data layout ------------------------------------
+# The multi-dimensional clustering step a 100 TB table layout job
+# runs before writing: interleave the bits of two scaled dimensions
+# so rows close in (user_id, value) land close in file order, and
+# file/row-group min-max stats prune BOTH dimensions (a single-column
+# sort prunes only its leading column). The magic-bits spread is 5
+# shift-mask ops per dimension — identical int64 math in Spark and
+# DuckDB, so the oracle replays the exact layout.
+_Z_BITS = 16
+
+
+def _z_spread_sql(x: str) -> str:
+    """Spread the low 16 bits of ``x`` to even bit positions
+    (DuckDB int64 bit math)."""
+    s = f"(({x}) & 65535)"
+    s = f"(({s} | ({s} << 8)) & 16711935)"          # 0x00FF00FF
+    s = f"(({s} | ({s} << 4)) & 252645135)"         # 0x0F0F0F0F
+    s = f"(({s} | ({s} << 2)) & 858993459)"         # 0x33333333
+    s = f"(({s} | ({s} << 1)) & 1431655765)"        # 0x55555555
+    return s
+
+
+_ZORDER_SQL = f"""
+    WITH dims AS (
+      SELECT event_id,
+             user_id & 65535 AS a,
+             least(65535, greatest(0, floor(value * 100)::BIGINT)) AS b
+      FROM events
+    ), z AS (
+      SELECT event_id, a, b,
+             ({_z_spread_sql('a')} | ({_z_spread_sql('b')} << 1)) AS zval
+      FROM dims
+    )
+    SELECT (zval >> 26)::BIGINT AS bucket,
+           count(*)::BIGINT AS n,
+           min(a)::BIGINT AS min_a, max(a)::BIGINT AS max_a,
+           min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b
+    FROM z GROUP BY 1
+"""
+
+
+def _z_spread_col(x):
+    s = x.bitwiseAND(F.lit(65535))
+    s = (s.bitwiseOR(F.shiftleft(s, 8))).bitwiseAND(F.lit(16711935))
+    s = (s.bitwiseOR(F.shiftleft(s, 4))).bitwiseAND(F.lit(252645135))
+    s = (s.bitwiseOR(F.shiftleft(s, 2))).bitwiseAND(F.lit(858993459))
+    s = (s.bitwiseOR(F.shiftleft(s, 1))).bitwiseAND(F.lit(1431655765))
+    return s
+
+
+@register("zorder_layout_stats", _ZORDER_SQL)
+def zorder_layout_stats(spark, sf_dir):
+    """Morton/Z-order layout audit: scale (user_id, value) to 16-bit
+    grid coordinates, interleave bits into a 32-bit z-value, bucket by
+    the top 6 z-bits (64 would-be files), and report per-bucket
+    min/max of BOTH dimensions — exactly the file-statistics table a
+    query planner prunes against. Narrow per-row bit math inside
+    whole-stage codegen + one 64-group aggregate; at 100 TB the same
+    z-value is the sort key of the layout write (sortWithinPartitions
+    on zval → every file carries tight min/max on both dims). All
+    integer outputs — no float anywhere."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("a"),
+        F.least(
+            F.lit(65535),
+            F.greatest(F.lit(0), F.floor(F.col("value") * 100).cast("long")),
+        ).alias("b"),
+    )
+    z = ev.select(
+        "a", "b",
+        _z_spread_col(F.col("a"))
+        .bitwiseOR(F.shiftleft(_z_spread_col(F.col("b")), 1))
+        .alias("zval"),
+    )
+    return (
+        z.groupBy(F.shiftright("zval", 26).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("a").cast("long").alias("min_a"),
+            F.max("a").cast("long").alias("max_a"),
+            F.min("b").cast("long").alias("min_b"),
+            F.max("b").cast("long").alias("max_b"),
         )
     )
 
