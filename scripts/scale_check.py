@@ -60,6 +60,9 @@ def ops():
         "allpairs_cosine": _run_allpairs,
         "temperature_mix": _run_temp_mix,
         "graph_communities": _run_lpa,
+        "unigram_encode": _run_unigram_encode,
+        "trigram_lm_ppl": _run_trigram_lm,
+        "nb_classifier": _run_nb,
     }
 
 
@@ -135,6 +138,41 @@ def _run_lpa(d):
         hash_fn="xxhash64", max_bucket=512,
     )
     return label_propagation(symmetrize_edges(pairs), num_iters=4)
+
+
+_UNIGRAM_SC_MODEL: list = []
+
+
+def _run_unigram_encode(d):
+    # Train ONCE on the 1x corpus (the train-once/encode-many
+    # contract); the linearity claim under test is the ENCODE pass.
+    from spark_tsne_spark.operators.unigram import (
+        train_unigram, unigram_encode_stats,
+    )
+
+    if not _UNIGRAM_SC_MODEL:
+        _UNIGRAM_SC_MODEL.extend(
+            train_unigram(d, vocab_size=120, max_words=30000)
+        )
+    return unigram_encode_stats(d, _UNIGRAM_SC_MODEL)
+
+
+def _run_trigram_lm(d):
+    from spark_tsne_spark.plans.queries import trigram_lm_ppl_from
+
+    return trigram_lm_ppl_from(d.select("doc_id", "text"))
+
+
+def _run_nb(d):
+    from spark_tsne_spark.plans.queries import nb_classifier_from
+
+    # The 10x mutated corpus drops the lang column in this harness —
+    # reattach a deterministic pseudo-label so the model keys exist.
+    lab = d.withColumn(
+        "lang",
+        F.when(F.xxhash64("doc_id") % 5 == 0, "en").otherwise("xx"),
+    )
+    return nb_classifier_from(lab.select("doc_id", "lang", "text"))
 
 
 def _run_packing(d):

@@ -7943,11 +7943,19 @@ def trigram_lm_ppl(spark, sf_dir):
     whose width is |distinct grams| (Zipf-bounded), never the corpus;
     the (N, V) scalars ride a 1-row broadcast. Entirely JVM-side —
     no UDF anywhere."""
+    return trigram_lm_ppl_from(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def trigram_lm_ppl_from(raw_docs):
+    """Plan builder over an arbitrary (doc_id, text) DataFrame —
+    shared by the catalog entry and scripts/scale_check.py."""
     from pyspark.sql import Window
 
     from spark_tsne_spark.functions.text import tokens as tok_arr
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = raw_docs.select(
         "doc_id", F.lower(F.col("text")).alias("text")
     )
     toks = (
@@ -8110,7 +8118,15 @@ def nb_quality_classifier(spark, sf_dir):
     its template text, so held-out accuracy is chance-level (~0.5)
     here by construction — the correctness contract is the exact
     model math, which the oracle replays end-to-end."""
-    docs = _t(spark, sf_dir, "documents").select(
+    return nb_classifier_from(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+
+
+def nb_classifier_from(raw_docs):
+    """Plan builder over an arbitrary (doc_id, lang, text) DataFrame —
+    shared by the catalog entry and scripts/scale_check.py."""
+    docs = raw_docs.select(
         "doc_id",
         (F.col("lang") == "en").alias("pos"),
         F.lower(F.col("text")).alias("text"),
@@ -8133,7 +8149,7 @@ def nb_quality_classifier(spark, sf_dir):
         F.count("*").cast("double").alias("v"),
     )
     prior = (
-        _t(spark, sf_dir, "documents")
+        raw_docs
         .where(F.col("doc_id") % 10 < 8)
         .agg(
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
