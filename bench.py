@@ -441,6 +441,7 @@ def bench_queries():
         "nb_quality_classifier": Q.nb_quality_classifier,
         "classifier_auc": Q.classifier_auc,
         "zorder_layout_stats": Q.zorder_layout_stats,
+        "ann_recall_at_k": Q.ann_recall_at_k,
         "allpairs_cosine": b_allpairs_cosine,
         "fuzzy_prefix_ed2": b_fuzzy_ed2,
         "leakage_safe_split": Q.leakage_safe_split,

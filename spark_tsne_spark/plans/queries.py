@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
     "tokenizer_fertility", "trigram_lm_ppl", "nb_quality_classifier",
     "classifier_auc", "classifier_calibration", "zorder_layout_stats",
+    "ann_recall_at_k",
     "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
     "events_json_extract", "centroid_similarity", "cube_revenue",
     "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
@@ -1905,6 +1906,68 @@ def ann_ivf_index_query(spark, sf_dir):
     idx = IvfIndex.load(spark, path)
     out = idx.query(qs, k=5, id_col="vec_id", vec_col="embedding")
     return out.select("i", "j", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# ANN retrieval eval: recall@5 of the IVF path against the exact
+# brute-force baseline, per query — the eval a vector-search rollout
+# actually gates on. The oracle joins the PINNED IVF golden against
+# the SQL-exact top-5 (both sides rank on round-6 cosine with id
+# tie-break, so the sets are deterministic in both engines).
+_ANN_RECALL_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS i, c.vec_id AS j,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    exact AS (
+      SELECT i, j FROM (
+        SELECT i, j,
+               row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j)
+                 AS rank
+        FROM pairs
+      ) WHERE rank <= 5
+    ),
+    approx AS (
+      SELECT i, j FROM read_parquet('{_IVF_GOLDEN}')
+    )
+    SELECT exact.i,
+           count(approx.j)::BIGINT AS hits,
+           count(*)::BIGINT AS k
+    FROM exact LEFT JOIN approx USING (i, j)
+    GROUP BY exact.i
+"""
+
+
+@register("ann_recall_at_k", _ANN_RECALL_SQL)
+def ann_recall_at_k(spark, sf_dir):
+    """Retrieval eval: per-query hits@5 of IVF ANN vs the exact
+    brute-force top-5 (recall = hits/k, consumer-side). Runs both
+    pipelines and joins the result sets — integer output only. The
+    exact side is query-bounded (|q| × n broadcast block, never n²);
+    at 100 TB this is the standard sampled-recall gate: a few hundred
+    probe queries against the full corpus."""
+    from spark_tsne_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    approx = ivf_topk(emb, qs, k=5, id_col="vec_id", vec_col="embedding")
+    exact = ann_topk_cosine(spark, sf_dir).select("i", "j")
+    hit = approx.select("i", "j").withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["i", "j"], "left")
+        .groupBy("i")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+            F.count("*").alias("k"),
+        )
+    )
+
 
 
 _LSH_GOLDEN = os.path.join(

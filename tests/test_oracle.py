@@ -32,6 +32,8 @@ GOLDEN_SF_DIR = {
     "unigram_token_histogram": "/root/testdata/sf0.01",
     # oracle recomputes from the two encode goldens (sf0.01-pinned)
     "tokenizer_fertility": "/root/testdata/sf0.01",
+    # oracle joins the sf0.01-pinned IVF golden against SQL-exact top-5
+    "ann_recall_at_k": "/root/testdata/sf0.01",
 }
 
 

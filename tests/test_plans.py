@@ -298,6 +298,15 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # fact row scans k broadcast intervals in memory — BNLJ IS the
         # right plan for a non-equi join with a tiny build side
         "orders_price_bands",
+        # 1-row scalar-broadcast crossJoins: (N, V) LM normalizers /
+        # NB class totals and priors (nested into the eval entries)
+        "trigram_lm_ppl",
+        "nb_quality_classifier",
+        "classifier_auc",
+        "classifier_calibration",
+        # recall eval: the EXACT side is the query-bounded brute-force
+        # baseline (|q| x n broadcast block) — BNLJ is its contract
+        "ann_recall_at_k",
         # 1-row scalar-broadcast crossJoin (global avg-balance threshold)
         "q22_dormant_customers",
         # 1-row scalar-broadcast crossJoin (global value-total threshold)
