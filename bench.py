@@ -442,6 +442,8 @@ def bench_queries():
         "classifier_auc": Q.classifier_auc,
         "zorder_layout_stats": Q.zorder_layout_stats,
         "ann_recall_at_k": Q.ann_recall_at_k,
+        "cms_heavy_hitters": Q.cms_heavy_hitters,
+        "rrf_hybrid_search": Q.rrf_hybrid_search,
         "allpairs_cosine": b_allpairs_cosine,
         "fuzzy_prefix_ed2": b_fuzzy_ed2,
         "leakage_safe_split": Q.leakage_safe_split,

@@ -82,7 +82,7 @@ _DRIVER_PRIORITY = [
     "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
     "tokenizer_fertility", "trigram_lm_ppl", "nb_quality_classifier",
     "classifier_auc", "classifier_calibration", "zorder_layout_stats",
-    "ann_recall_at_k",
+    "ann_recall_at_k", "cms_heavy_hitters", "rrf_hybrid_search",
     "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
     "events_json_extract", "centroid_similarity", "cube_revenue",
     "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
@@ -3471,6 +3471,161 @@ def bm25_search(spark, sf_dir):
     from spark_tsne_spark.operators.search import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+# --- Hybrid retrieval: BM25 + query-likelihood fused by RRF ----------
+# Two independent sparse retrievers over the same query — Okapi BM25
+# and a Dirichlet-smoothed query-likelihood LM (mu=100) — fused by
+# reciprocal-rank fusion (Cormack et al.: score = sum 1/(60+rank)).
+# The production hybrid-search shape: systems rank independently
+# (each candidate-bounded), fusion joins two k-row lists.
+_QL_MU = 100.0
+
+_QL_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             list_filter(t, x -> list_contains(
+               ['merge','stream','vector','window'], x)) AS hits
+      FROM toks
+    ),
+    stats AS (SELECT sum(dl)::DOUBLE AS n_total FROM base),
+    ctf AS (
+      SELECT term, count(*)::DOUBLE AS ctf
+      FROM (SELECT unnest(hits) AS term FROM base) GROUP BY term
+    ),
+    cand AS (SELECT doc_id, dl, hits FROM base WHERE len(hits) > 0),
+    grid AS (
+      SELECT c.doc_id, c.dl, c.hits, q.term
+      FROM cand c CROSS JOIN (
+        SELECT unnest(['merge','stream','vector','window']) AS term
+      ) q
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             ln((len(list_filter(g.hits, x -> x = g.term))
+                 + {MU} * ctf.ctf / s.n_total)
+                / (g.dl + {MU})) AS contrib
+      FROM grid g JOIN ctf USING (term) CROSS JOIN stats s
+    ),
+    agg AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM scored
+            GROUP BY doc_id)
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+""".replace("{MU}", "100.0")
+
+_RRF_SQL = f"""
+    WITH bm AS ({_BM25_SQL}),
+    ql AS ({_QL_SQL}),
+    fused AS (
+      SELECT coalesce(bm.doc_id, ql.doc_id) AS doc_id,
+             bm.rank AS bm25_rank, ql.rank AS ql_rank,
+             round(coalesce(1.0 / (60 + bm.rank), 0)
+                   + coalesce(1.0 / (60 + ql.rank), 0), 6) AS rrf
+      FROM bm FULL OUTER JOIN ql USING (doc_id)
+    )
+    SELECT doc_id, bm25_rank, ql_rank, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::BIGINT
+             AS rank
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _ql_topk(docs, terms, k=10, mu=_QL_MU):
+    """Dirichlet-smoothed query-likelihood retrieval — same
+    inverted-index shape as bm25_topk: query-term filtering BEFORE
+    the explode, corpus stats on a 1-row broadcast, candidate×terms
+    grid bounded by |docs with >=1 hit| × |terms|."""
+    from spark_tsne_spark.functions.text import tokens as tok_arr
+
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    base = docs.select(
+        "doc_id",
+        F.size(tok_arr("text")).alias("dl"),
+        F.filter(
+            tok_arr("text"), lambda x: F.array_contains(lit_terms, x)
+        ).alias("hits"),
+    )
+    stats = base.agg(F.sum("dl").cast("double").alias("n_total"))
+    ctf = (
+        base.select(F.explode("hits").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("ctf"))
+    )
+    cand = base.where(F.size("hits") > 0)
+    qterms = docs.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string"
+    )
+    grid = cand.crossJoin(F.broadcast(qterms))
+    scored = (
+        grid.join(F.broadcast(ctf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.log(
+                (
+                    F.size(
+                        F.filter(
+                            F.col("hits"),
+                            lambda x: x == F.col("term"),
+                        )
+                    ).cast("double")
+                    + F.lit(mu) * F.col("ctf") / F.col("n_total")
+                )
+                / (F.col("dl") + F.lit(mu))
+            ).alias("contrib"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )
+
+
+@register("rrf_hybrid_search", _RRF_SQL)
+def rrf_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 and Dirichlet query-likelihood rank the
+    same query independently, reciprocal-rank fusion (1/(60+rank))
+    merges the two top-10 lists — the standard sparse+sparse hybrid
+    pattern (and exactly the shape sparse+dense fusion takes with the
+    ANN entries). Fusion is a k-row full-outer join; the heavy work is
+    the two candidate-bounded retrievals, each one inverted-index-
+    shaped scan."""
+    from spark_tsne_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, _BM25_TERMS, k=10).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    ql = _ql_topk(docs, _BM25_TERMS, k=10).select(
+        "doc_id", F.col("rank").alias("ql_rank")
+    )
+    fused = bm.join(ql, "doc_id", "full_outer").select(
+        "doc_id", "bm25_rank", "ql_rank",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("ql_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+    )
 
 
 _PASSAGE_SQL = r"""
@@ -7781,6 +7936,96 @@ def bpe_token_histogram_q(spark, sf_dir):
 
     return bpe_token_histogram(
         _t(spark, sf_dir, "documents"), _bpe_merges(spark, sf_dir), k=50
+    )
+
+
+# --- Count-min sketch heavy hitters ----------------------------------
+# The mergeable-sketch counting pattern at 100 TB: each shard builds a
+# d×w counter grid (sum-mergeable across shards — unlike a top-k list,
+# merges never lose mass), and any key's estimate is the min over its
+# d buckets (always >= truth; collisions only inflate). The sketch IS
+# relational — bucket counts are d groupBys of hash(w) % w — so the
+# oracle replays the exact sketch, not an approximation of it.
+_CMS_W = 16  # buckets per row — deliberately tight for the ~31-word
+#              fixture vocab so collisions (and the min-over-rows
+#              correction) actually show in the overcount column
+_CMS_D = 3   # hash rows
+
+# Portable hash (the repo's shared primitive, operators/sampling.py
+# hash_bucket): 60-bit int from the md5 hex prefix — identical in
+# Spark (conv) and DuckDB ('0x'||…)::BIGINT.
+_CMS_ROWS_SQL = " UNION ALL ".join(
+    f"""SELECT {i} AS row_id,
+               ('0x' || substring(md5(concat('cms{i}:', word)), 1, 15))::BIGINT
+                 % {_CMS_W} AS bucket,
+               word, n FROM wc"""
+    for i in range(_CMS_D)
+)
+
+_CMS_SQL = f"""
+    WITH w0 AS (
+      SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS word
+      FROM documents
+    ), wc AS (
+      SELECT word, count(*)::BIGINT AS n FROM w0
+      WHERE length(word) > 0 GROUP BY word
+    ), rows_ AS ({_CMS_ROWS_SQL}),
+    grid AS (
+      SELECT row_id, bucket, sum(n)::BIGINT AS bn
+      FROM rows_ GROUP BY row_id, bucket
+    ),
+    est AS (
+      SELECT r.word, min(g.bn)::BIGINT AS est, min(r.n)::BIGINT AS exact
+      FROM rows_ r JOIN grid g USING (row_id, bucket)
+      GROUP BY r.word
+    )
+    SELECT word, exact, est, (est - exact)::BIGINT AS overcount
+    FROM est ORDER BY exact DESC, word ASC LIMIT 30
+"""
+
+
+@register("cms_heavy_hitters", _CMS_SQL)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch word counts vs exact, top-30: the mergeable
+    counting sketch a 100 TB multi-shard pipeline uses (per-shard d×w
+    grids SUM-merge exactly; estimates are min-over-rows and only
+    ever overcount on collisions). The portable md5-prefix hash
+    (operators/sampling.py ``hash_bucket`` contract) makes the sketch
+    value-reproducible in both engines, so the oracle replays the
+    identical grid relationally. Spark side: one word histogram
+    shuffle, then the d-row fanout and grid are |vocab|- and
+    d×w-sized — sketch cost is independent of corpus size past the
+    first aggregation, which is the whole point."""
+    from spark_tsne_spark.operators.bpe import word_histogram
+
+    wc = word_histogram(_t(spark, sf_dir, "documents"))
+    rows = None
+    for i in range(_CMS_D):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{i}:"), F.col("word"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long")
+        r = wc.select(
+            F.lit(i).alias("row_id"),
+            F.pmod(h, F.lit(_CMS_W)).alias("bucket"),
+            "word", "n",
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    grid = rows.groupBy("row_id", "bucket").agg(F.sum("n").alias("bn"))
+    est = (
+        rows.join(grid, ["row_id", "bucket"])
+        .groupBy("word")
+        .agg(F.min("bn").alias("est"), F.min("n").alias("exact"))
+    )
+    return (
+        est.select(
+            "word", "exact", "est",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.col("exact").desc(), F.col("word").asc())
+        .limit(30)
     )
 
 

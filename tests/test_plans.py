@@ -281,6 +281,9 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "dedup_embedding_cosine",
         # 1-row scalar-broadcast crossJoin (stats / grid bounds)
         "bm25_search",
+        # nests bm25 + query-likelihood, each with a 1-row stats
+        # crossJoin (fusion itself is a k-row equi join)
+        "rrf_hybrid_search",
         "events_gapfill_locf",
         "events_gapfill_interp",
         "tfidf_top_terms",
