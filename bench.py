@@ -444,6 +444,8 @@ def bench_queries():
         "ann_recall_at_k": Q.ann_recall_at_k,
         "cms_heavy_hitters": Q.cms_heavy_hitters,
         "rrf_hybrid_search": Q.rrf_hybrid_search,
+        "schema_evolution_read": Q.schema_evolution_read,
+        "dq_benford_digits": Q.dq_benford_digits,
         "allpairs_cosine": b_allpairs_cosine,
         "fuzzy_prefix_ed2": b_fuzzy_ed2,
         "leakage_safe_split": Q.leakage_safe_split,

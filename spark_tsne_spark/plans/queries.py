@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     "tokenizer_fertility", "trigram_lm_ppl", "nb_quality_classifier",
     "classifier_auc", "classifier_calibration", "zorder_layout_stats",
     "ann_recall_at_k", "cms_heavy_hitters", "rrf_hybrid_search",
+    "schema_evolution_read", "dq_benford_digits",
     "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
     "events_json_extract", "centroid_similarity", "cube_revenue",
     "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
@@ -6849,6 +6850,116 @@ def jsonl_roundtrip(spark, sf_dir):
         F.min("ts_us").alias("min_ts_us"),
         F.max("ts_us").alias("max_ts_us"),
         F.countDistinct(F.md5("props")).alias("n_distinct_props"),
+    )
+
+
+# Schema evolution: two ingest batches written under DIFFERENT
+# schemas (batch 2 adds a column), read back with mergeSchema — the
+# additive-evolution contract of a long-lived table. The oracle reads
+# the SAME written files with union_by_name, so the entry proves the
+# write+merged-read round trip, not just the arithmetic. Paths embed
+# the sf tag (one per scale, overwrite-stable, like the roundtrips).
+def _schema_evo_path(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"spark_tsne_evo_{tag}")
+
+
+def _schema_evo_sql(sf_dir: str) -> str:
+    p = _schema_evo_path(sf_dir)
+    return f"""
+    WITH back AS (
+      SELECT * FROM read_parquet(
+        ['{p}/b1/*.parquet', '{p}/b2/*.parquet'], union_by_name=true)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_pre_evolution,
+           sum(CASE WHEN quality IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_post_evolution,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(coalesce(quality, 0))::BIGINT AS sum_quality
+    FROM back GROUP BY source
+    """
+
+
+# sql is bound at registration per the driver contract, which runs at
+# sf0.01 — same convention as the golden-backed entries.
+@register("schema_evolution_read", _schema_evo_sql("/root/testdata/sf0.01"))
+def schema_evolution_read(spark, sf_dir):
+    """Additive schema evolution round trip: batch 1 lands documents
+    as (doc_id, source, n_chars); batch 2 ships an EVOLVED schema
+    with a new integer quality column; ``mergeSchema=true`` unions
+    the footers so pre-evolution rows read quality=NULL. Output
+    audits the union per source (row counts by evolution era, sums
+    over old and new columns). Old files are never rewritten — the
+    only cost is the footer-merge metadata pass."""
+    from spark_tsne_spark.sources.sinks import read_merged_schema
+
+    path = _schema_evo_path(sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", "n_chars"
+    )
+    v2 = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "source", "n_chars",
+        (F.col("n_chars") % 100).cast("long").alias("quality"),
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/b1")
+    v2.write.mode("overwrite").parquet(f"{path}/b2")
+    back = read_merged_schema(spark, path)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
+        .alias("n_pre_evolution"),
+        F.sum(F.when(F.col("quality").isNotNull(), 1).otherwise(0))
+        .alias("n_post_evolution"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0))).alias("sum_quality"),
+    )
+
+
+# Benford first-digit DQ check: the classic statistical
+# data-forensics screen for fabricated or truncated monetary columns.
+# First digit is extracted from the INTEGER cents string (int-to-text
+# is format-stable in both engines; float formatting is not), and the
+# expected Benford share log10(1+1/d) is evaluated identically.
+_BENFORD_SQL = """
+    WITH d AS (
+      SELECT substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit, count(*)::BIGINT AS n,
+           round(log10(1 + 1.0 / CAST(digit AS BIGINT)), 6)
+             AS benford_frac
+    FROM d GROUP BY digit
+"""
+
+
+@register("dq_benford_digits", _BENFORD_SQL)
+def dq_benford_digits(spark, sf_dir):
+    """First-significant-digit census of order totals vs the Benford
+    expectation log10(1+1/d) — the statistical DQ screen for
+    synthetic/truncated monetary data (the fixture's uniform totals
+    deliberately FAIL Benford, which is exactly what the check is
+    for). One narrow scan + 9-group aggregate; the digit comes from
+    the integer-cents string so both engines extract it identically."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1, 1,
+        ).alias("digit")
+    )
+    return d.groupBy("digit").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.log10(1 + 1.0 / F.col("digit").cast("long")), 6
+        ).alias("benford_frac"),
     )
 
 

@@ -170,3 +170,20 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across batches written under EVOLVED schemas:
+    ``mergeSchema=true`` unions the footers by column name, so rows
+    from batches that predate a column surface it as NULL — the
+    standard additive-evolution contract a long-lived 100 TB table
+    relies on (new ingest adds columns; old files are never
+    rewritten). Merging footers costs one metadata pass; when the
+    schema is known, pass it explicitly and skip even that.
+    ``recursiveFileLookup`` picks up per-batch subdirectories (the
+    ingest layout) without requiring them to be hive partitions."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )

@@ -34,6 +34,8 @@ GOLDEN_SF_DIR = {
     "tokenizer_fertility": "/root/testdata/sf0.01",
     # oracle joins the sf0.01-pinned IVF golden against SQL-exact top-5
     "ann_recall_at_k": "/root/testdata/sf0.01",
+    # oracle reads the batch files the entry writes at the sf0.01 path
+    "schema_evolution_read": "/root/testdata/sf0.01",
 }
 
 

@@ -269,6 +269,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "ann_ivf_index_query",  # builds the on-disk index
         "orc_roundtrip",  # writes the ORC copy on invocation
         "jsonl_roundtrip",  # writes the JSONL copy on invocation
+        "schema_evolution_read",  # writes the two batches on invocation
         "partitioned_prune_roundtrip",  # writes the partitioned copy
     }
     # BroadcastNestedLoopJoin intended:
