@@ -63,7 +63,43 @@ def ops():
         "unigram_encode": _run_unigram_encode,
         "trigram_lm_ppl": _run_trigram_lm,
         "nb_classifier": _run_nb,
+        "sorted_neighborhood": _run_sorted_neighborhood,
+        "matched_sample": _run_matched_sample,
+        "sketch_quantiles": _run_sketch_quantiles,
     }
+
+
+def _run_sorted_neighborhood(d):
+    from spark_tsne_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(d, window=8, max_hamming=3)
+
+
+def _run_matched_sample(d):
+    from spark_tsne_spark.operators.sampling import (
+        distribution_matched_sample,
+    )
+
+    return distribution_matched_sample(
+        d.withColumn("len", F.length("text")),
+        ref_cond=F.col("source") == "src0",
+        bin_expr=F.expr("len div 50"),
+        key=F.col("text"),
+        id_col="doc_id",
+        salt="match1",
+    )
+
+
+def _run_sketch_quantiles(d):
+    from spark_tsne_spark.operators.quantiles import (
+        histogram_sketch_quantiles,
+    )
+
+    return histogram_sketch_quantiles(
+        d.withColumn("len", F.length("text").cast("double")),
+        value_col="len", group_col="source",
+        qs_permille=[500, 900, 990], lo=0.0, hi=600.0, bins=200,
+    )
 
 
 def _run_triangles(d):

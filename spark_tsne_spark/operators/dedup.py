@@ -1265,3 +1265,94 @@ def source_overlap_matrix(
         .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    window: int = 8,
+    max_hamming: int = 3,
+    rank_partitions: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernández–Stolfo): sort
+    by (simhash, id), compare each row only to its ``window``
+    successors in that order, keep pairs within ``max_hamming`` bits.
+
+    The distinguishing property vs bucket blocking (LSH bands /
+    pigeonhole chunks): the comparison budget is EXACTLY n·window no
+    matter how skewed the key distribution is — a degenerate corpus
+    where half the rows share one signature costs the same as a
+    uniform one, so there is no mega-clique cap to tune. The price is
+    recall: only neighbors within the window are seen (the classic
+    trade; multi-pass with different sort keys recovers recall).
+
+    Scale shape — no global single-partition sort:
+    1. global rank via range partitioning: ``repartitionByRange`` on
+       the sort key gives ordered, disjoint ranges; per-partition
+       ``row_number`` plus a collected P-row offset table (bounded
+       driver state, the standard two-stage ranking) yields the total
+       rank without ever sorting on one node;
+    2. window join via rank buckets of width ``window``: a pair at
+       rank distance ≤ window lies in the same or adjacent bucket, so
+       the right side emits into (bucket, bucket-1) — 2× one side,
+       then a plain shuffled equi-join on bucket; every qualifying
+       pair is produced exactly once (via b's own bucket when
+       co-bucketed, else via b's predecessor emit).
+
+    Output: ``(i, j, hamming)`` with rank(i) < rank(j). Deterministic:
+    the (simhash, id) total order is strict, so ranks — and therefore
+    pairs — do not depend on partition boundaries.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    sig = simhash(docs, id_col, text_col, bits)
+    part = sig.repartitionByRange(
+        rank_partitions, "simhash", "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    # P-row offset table: rank offset of partition p = rows in p' < p.
+    pc = {r["pid"]: r["n"] for r in part.groupBy("pid").agg(
+        F.count("*").alias("n")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(pc):
+        offsets.append((pid, acc))
+        acc += pc[pid]
+    off = docs.sparkSession.createDataFrame(
+        offsets or [(0, 0)], ["pid", "off"]
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("pid").orderBy("simhash", "doc_id")
+    )
+    ranked = (
+        part.join(F.broadcast(off), "pid")
+        .withColumn("rnk", (rn + F.col("off")).cast("long"))
+        .select("doc_id", "simhash", "rnk")
+    )
+    bucket = ((F.col("rnk") - 1) / window).cast("long")
+    left = ranked.select(
+        bucket.alias("bucket"),
+        F.col("doc_id").alias("i"),
+        F.col("simhash").alias("sig_i"),
+        F.col("rnk").alias("ri"),
+    )
+    right = ranked.select(
+        F.explode(F.array(bucket, bucket - 1)).alias("bucket"),
+        F.col("doc_id").alias("j"),
+        F.col("simhash").alias("sig_j"),
+        F.col("rnk").alias("rj"),
+    )
+    ham = F.bit_count(
+        F.col("sig_i").bitwiseXOR(F.col("sig_j"))
+    ).cast("long")
+    return (
+        left.join(right, "bucket")
+        .where(
+            (F.col("rj") > F.col("ri"))
+            & (F.col("rj") - F.col("ri") <= window)
+        )
+        .select("i", "j", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -331,3 +331,86 @@ def quantile_summary(
     return spark.createDataFrame([tuple(row[c] for c in cols)], cols).select(
         *[F.col(c).cast("long").alias(c) for c in cols]
     )
+
+
+def histogram_sketch_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs_permille: list[int],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """SINGLE-pass mergeable quantile sketch: fixed-bin histogram with
+    in-bin linear interpolation.
+
+    The complement to ``exact_kth_smallest``'s iterative narrowing:
+    where that trades 2-3 full scans for exactness, this reads the
+    column ONCE and answers every quantile with bounded error
+    ``(hi - lo) / bins`` — and, crucially for a 100 TB pipeline, the
+    sketch STATE is just per-(group, bin) counts, which merge by
+    addition. That makes it shard-parallel and incremental for free:
+    Spark's map-side partial aggregation IS the merge, and daily
+    shards can be summed into a running sketch without re-reading
+    history (same contract as ``incremental_agg_merge``).
+
+    ``lo``/``hi`` are domain bounds supplied by the caller (the
+    monitoring-system convention — e.g. Prometheus histograms);
+    out-of-range values clamp into the edge bins, biasing those
+    estimates toward the bounds rather than erroring. Estimate for
+    quantile q: with t = ceil(q·n) (integer permille math, no float
+    rank), find the covering bin b (first with cum ≥ t) and
+    interpolate ``lo + w·(b + (t - cum_prev)/cnt_b)``. All math is
+    plain relational expressions on doubles, so a SQL oracle replays
+    it bit-for-bit.
+
+    Cost: one map-side-combined groupBy to ≤ |groups|·bins rows, one
+    bounded window over that tiny table, one broadcast of the
+    |qs|-row quantile list. Driver state: none.
+    """
+    if not qs_permille or any(not 0 < q <= 1000 for q in qs_permille):
+        raise ValueError(f"qs_permille must be in (0, 1000]: {qs_permille}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if bins < 2:
+        raise ValueError(f"need >= 2 bins, got {bins}")
+    from pyspark.sql import Window
+
+    w = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    b = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), b.alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    cum = counts.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("grp").orderBy("bin"))
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("grp")))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in sorted(qs_permille)], ["q_permille"]
+    ).select(F.col("q_permille").cast("long").alias("q_permille"))
+    # integer ceil(q*n/1000): (q*n + 999) div 1000 — no float rank
+    t = F.expr("(q_permille * n + 999) div 1000")
+    est = F.round(
+        F.lit(float(lo))
+        + F.lit(w)
+        * (
+            F.col("bin").cast("double")
+            + (F.col("t") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt").cast("double")
+        ),
+        6,
+    )
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn("t", t)
+        .where((F.col("cum") >= F.col("t")) & (F.col("cum") - F.col("cnt") < F.col("t")))
+        .select(
+            F.col("grp").alias(group_col),
+            "q_permille",
+            F.col("n").cast("long").alias("n"),
+            est.alias("est"),
+        )
+    )

@@ -280,3 +280,53 @@ def grouped_split(
         .when(b < v_cut, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def distribution_matched_sample(
+    df: DataFrame,
+    ref_cond: Column,
+    bin_expr: Column,
+    key: Column | str,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Distribution-matched sampling: draw from the candidate rows
+    (``NOT ref_cond``) so the sample's histogram over ``bin_expr``
+    equals the reference rows' histogram — the curation move for
+    building a control corpus matched on length / quality / domain
+    composition (propensity matching on one observed covariate).
+
+    Per bin b: keep the ``n_ref(b)`` candidates with the smallest
+    content-hash (``hash_bucket(key, salt)``, ``id_col`` tie-break) —
+    deterministic across runs, partitionings, and engines, and an
+    unbiased uniform draw within the bin because the hash is
+    independent of every row attribute. Bins where candidates <
+    n_ref(b) keep everything (the match is then best-effort short).
+
+    Plan: one aggregation of the reference side to a |bins|-row table
+    (broadcast), then a per-bin ranked window over candidates. The
+    window partitions by bin — bounded shuffle, but a hot bin sorts
+    in one task; at extreme per-bin cardinality swap the rank for a
+    per-bin hash threshold from ``histogram_sketch_quantiles``'s
+    count table (filter, no sort) at the cost of ±1 bin-width count
+    error.
+
+    Output: candidate rows + ``bin`` + ``want`` (the matched target).
+    """
+    from pyspark.sql import Window
+
+    want = df.where(ref_cond).groupBy(bin_expr.alias("bin")).agg(
+        F.count("*").alias("want")
+    )
+    cand = (
+        df.where(~ref_cond)
+        .withColumn("bin", bin_expr)
+        .withColumn("hb", hash_bucket(key, salt))
+    )
+    w = Window.partitionBy("bin").orderBy("hb", id_col)
+    return (
+        cand.join(F.broadcast(want), "bin")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("want"))
+        .drop("hb", "rn")
+    )

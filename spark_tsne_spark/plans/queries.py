@@ -78,7 +78,10 @@ _DRIVER_PRIORITY = [
     # round (r3 -> r6), alphabetical within a group. Recompute from
     # the union of CORRECTNESS_r0*.json when rotating again.
     # New in r7 (never sampled): the unigram tokenizer family and
-    # the held-out trigram LM.
+    # the held-out trigram LM; r7b adds the sketch-quantile /
+    # dim-truncation / sorted-neighborhood / matched-sample batch.
+    "orders_sketch_quantiles", "ann_dim_truncation_recall",
+    "dedup_sorted_neighborhood", "corpus_matched_sample",
     "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
     "tokenizer_fertility", "trigram_lm_ppl", "nb_quality_classifier",
     "classifier_auc", "classifier_calibration", "zorder_layout_stats",
@@ -8960,3 +8963,268 @@ def events_seasonal_baseline(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# round-7b extensions: mergeable histogram-quantile sketch /
+# dimension-truncation recall / sorted-neighborhood dedup /
+# distribution-matched sampling
+# --------------------------------------------------------------------------
+
+_SKETCH_Q_SQL = """
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             least(greatest(floor((o_totalprice - 0.0) / ((500000.0 - 0.0) / 250))::BIGINT, 0), 249) AS bin,
+             count(*)::BIGINT AS cnt
+      FROM orders GROUP BY 1, 2
+    ), c AS (
+      SELECT grp, bin, cnt,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY bin)::BIGINT AS cum,
+             sum(cnt) OVER (PARTITION BY grp)::BIGINT AS n
+      FROM b
+    ), q AS (SELECT unnest([500, 900, 990])::BIGINT AS q_permille)
+    SELECT grp AS o_orderpriority, q_permille, n,
+           round(0.0 + ((500000.0 - 0.0) / 250) *
+                 (bin + (t - (cum - cnt)) / CAST(cnt AS DOUBLE)), 6) AS est
+    FROM (
+      SELECT c.*, q.q_permille, ((q.q_permille * c.n + 999) // 1000) AS t
+      FROM c CROSS JOIN q
+    ) WHERE cum >= t AND cum - cnt < t
+"""
+
+
+@register("orders_sketch_quantiles", _SKETCH_Q_SQL)
+def orders_sketch_quantiles(spark, sf_dir):
+    """Single-pass MERGEABLE quantile sketch (fixed 250-bin histogram
+    + in-bin interpolation) of order totals per priority: p50/p90/p99
+    with error <= one bin width (2000.0 here) from ONE scan. The
+    sketch state is per-(group, bin) counts — they merge by addition,
+    so map-side combine is the merge and daily shards sum into a
+    running sketch without re-reading history. The exact-rank
+    counterpart (orders_exact_quantiles) costs 2-3 scans; this is
+    the one-scan bounded-error trade a 100 TB monitoring path wants.
+    Rank is pure integer permille math; interpolation is identical
+    double expressions in both engines."""
+    from spark_tsne_spark.operators.quantiles import (
+        histogram_sketch_quantiles,
+    )
+
+    return histogram_sketch_quantiles(
+        _t(spark, sf_dir, "orders"),
+        value_col="o_totalprice",
+        group_col="o_orderpriority",
+        qs_permille=[500, 900, 990],
+        lo=0.0,
+        hi=500000.0,
+        bins=250,
+    )
+
+
+_DIM_TRUNC_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    d AS (SELECT unnest([8, 16])::BIGINT AS dim),
+    pairs AS (
+      SELECT q.vec_id AS i, c.vec_id AS j,
+             round(list_dot_product(q.v, c.v) /
+                   (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
+                    sqrt(list_sum(list_transform(c.v, x -> x*x)))), 6)
+               AS cos_full
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    exact AS (
+      SELECT i, j FROM (
+        SELECT i, j,
+               row_number() OVER (PARTITION BY i ORDER BY cos_full DESC, j)
+                 AS r
+        FROM pairs
+      ) WHERE r <= 5
+    ),
+    tpairs AS (
+      SELECT d.dim, q.vec_id AS i, c.vec_id AS j,
+             round(list_dot_product((q.v)[1:d.dim], (c.v)[1:d.dim]) /
+                   (sqrt(list_sum(list_transform((q.v)[1:d.dim], x -> x*x))) *
+                    sqrt(list_sum(list_transform((c.v)[1:d.dim], x -> x*x)))), 6)
+               AS cos_t
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id CROSS JOIN d
+      WHERE q.vec_id < 10
+    ),
+    approx AS (
+      SELECT dim, i, j FROM (
+        SELECT dim, i, j,
+               row_number() OVER (
+                 PARTITION BY dim, i ORDER BY cos_t DESC, j
+               ) AS r
+        FROM tpairs
+      ) WHERE r <= 5
+    )
+    SELECT a.dim, a.i,
+           count(x.j)::BIGINT AS hits, count(*)::BIGINT AS k
+    FROM approx a LEFT JOIN exact x ON a.i = x.i AND a.j = x.j
+    GROUP BY 1, 2
+"""
+
+
+@register("ann_dim_truncation_recall", _DIM_TRUNC_SQL)
+def ann_dim_truncation_recall(spark, sf_dir):
+    """Matryoshka-style retrieval eval: recall@5 of brute-force cosine
+    over PREFIX-truncated embeddings (dims 8 and 16) against the
+    full-dimension exact top-5 — the measurement that decides how far
+    an embedding column can be truncated before index cost is paid on
+    dead dimensions. Query-bounded broadcast block (|q| x |dims| x n,
+    never n^2); integer output (dim, i, hits, k). Both engines rank
+    on round-6 cosine with id tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("i"),
+            F.col("embedding").cast("array<double>").alias("vi"),
+        )
+        .crossJoin(
+            spark.createDataFrame([(8,), (16,)], ["dim"]).select(
+                F.col("dim").cast("long").alias("dim")
+            )
+        )
+        .withColumn("vi", F.slice("vi", F.lit(1), F.col("dim")))
+        .withColumn("ni", l2_norm("vi"))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").cast("array<double>").alias("vj"),
+    )
+    tpairs = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "dim",
+            "i",
+            "j",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("vj", F.lit(1), F.col("dim")),
+                        "vi",
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (l2_norm(F.slice("vj", F.lit(1), F.col("dim"))) * F.col("ni")),
+                6,
+            ).alias("cos_t"),
+        )
+    )
+    w = Window.partitionBy("dim", "i").orderBy(
+        F.col("cos_t").desc(), F.col("j").asc()
+    )
+    approx = (
+        tpairs.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("dim", "i", "j")
+    )
+    exact = ann_topk_cosine(spark, sf_dir).select("i", "j").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        approx.join(exact, ["i", "j"], "left")
+        .groupBy("dim", "i")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+            F.count("*").alias("k"),
+        )
+    )
+
+
+_SORTED_NEIGHBORHOOD_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents
+    ),
+    h AS (SELECT doc_id, md5(t) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN ('0x' || substr(h, b + 1, 1))::INT >= 8
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN range(16) t2(b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << (15 - b)) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    r AS (
+      SELECT doc_id, simhash,
+             row_number() OVER (ORDER BY simhash, doc_id)::BIGINT AS rnk
+      FROM sig
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 8
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_sorted_neighborhood", _SORTED_NEIGHBORHOOD_SQL)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood near-dup blocking: global (simhash, id)
+    order via range-partitioned two-stage ranking, pairs only within
+    a window of 8 successors, hamming <= 3 kept. The skew-proof
+    blocking scheme — comparison budget is exactly n x window no
+    matter how degenerate the signature distribution, so there is no
+    mega-clique cap to tune (contrast dedup_simhash_near). The SQL
+    oracle replays the identical order with a window self-join."""
+    from spark_tsne_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=8, max_hamming=3
+    )
+
+
+_MATCHED_SAMPLE_SQL = f"""
+    WITH want AS (
+      SELECT n_chars // 50 AS bin, count(*)::BIGINT AS want
+      FROM documents WHERE source = 'src0' GROUP BY 1
+    ),
+    cand AS (
+      SELECT doc_id, source, n_chars // 50 AS bin,
+             {_BUCKET_SQL.format(salt="'match1'")} AS hb
+      FROM documents WHERE source <> 'src0'
+    )
+    SELECT bin, doc_id, source, want
+    FROM (
+      SELECT c.bin, c.doc_id, c.source, w.want,
+             row_number() OVER (
+               PARTITION BY c.bin ORDER BY c.hb, c.doc_id
+             ) AS rn
+      FROM cand c JOIN want w USING (bin)
+    ) WHERE rn <= want
+"""
+
+
+@register("corpus_matched_sample", _MATCHED_SAMPLE_SQL)
+def corpus_matched_sample(spark, sf_dir):
+    """Distribution-matched sampling: draw from the non-src0 sources
+    so the sample's length histogram (50-char bins) matches src0's —
+    the control-corpus construction for A/B curation studies
+    (propensity matching on one covariate). Reference histogram is a
+    |bins|-row broadcast; candidates rank per bin on content hash
+    (engine-replayable md5 bucket, id tie-break)."""
+    from spark_tsne_spark.operators.sampling import (
+        distribution_matched_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = distribution_matched_sample(
+        docs,
+        ref_cond=F.col("source") == "src0",
+        bin_expr=F.expr("n_chars div 50"),
+        key=F.col("text"),
+        id_col="doc_id",
+        salt="match1",
+    )
+    return out.select("bin", "doc_id", "source", "want")

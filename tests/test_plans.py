@@ -325,6 +325,12 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "dq_orders_expectations",
         # 1-row scalar-broadcast crossJoin (doc count into c-TF-IDF)
         "cluster_topics",
+        # |qs|-row quantile-list broadcast into the bounded
+        # (groups x bins) sketch table — data-size-independent
+        "orders_sketch_quantiles",
+        # query-bounded brute-force eval block (|q| x |dims| x n),
+        # same contract as ann_recall_at_k
+        "ann_dim_truncation_recall",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
