@@ -66,7 +66,36 @@ def ops():
         "sorted_neighborhood": _run_sorted_neighborhood,
         "matched_sample": _run_matched_sample,
         "sketch_quantiles": _run_sketch_quantiles,
+        "containment": _run_containment,
+        "source_novelty": _run_novelty,
     }
+
+
+def _run_containment(d):
+    from spark_tsne_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        d, n=3, min_containment=0.6, max_df=100
+    )
+
+
+def _run_novelty(d):
+    from spark_tsne_spark.functions.text import word_ngrams
+
+    grams = (
+        d.select(
+            "source",
+            F.explode_outer(
+                F.array_distinct(word_ngrams("text", 3))
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("source").alias("source"))
+    novel = first.groupBy("source").agg(F.count("*").alias("novel"))
+    totals = grams.groupBy("source").agg(F.count("*").alias("total"))
+    return totals.join(novel, "source", "left")
 
 
 def _run_sorted_neighborhood(d):

@@ -1356,3 +1356,73 @@ def sorted_neighborhood_pairs(
         .select("i", "j", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_containment: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment: C(src → in) =
+    |grams(src) ∩ grams(in)| / |grams(src)|.
+
+    The quote/subset detector Jaccard structurally misses: a short
+    document fully embedded in a much longer one has tiny Jaccard
+    (union is dominated by the long side) but containment 1.0 from
+    the short side. Same inverted-index plan as
+    ``ngram_jaccard_pairs`` (shingle once, grouped pair-emit, one
+    shared-count shuffle — never an all-pairs join); each unordered
+    shared-count row then emits BOTH directions with its own
+    normalizer, so asymmetry costs no extra shuffle. ``max_df`` is
+    the same hot-shingle fan-out cap (containment slightly
+    under-estimated for pairs sharing dropped hot shingles).
+
+    Returns ``(src_doc, in_doc, containment)`` rows where
+    containment ≥ ``min_containment``.
+    """
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    base = widen_small_input(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("gs"),
+    )
+    grams = (
+        base.select("doc_id", F.explode_outer("gs").alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    sizes = base.select(
+        "doc_id", F.coalesce(F.size("gs"), F.lit(0)).alias("n_grams")
+    )
+    grouped = grams.groupBy("g").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    if max_df is not None:
+        grouped = grouped.where(F.size("ds") <= max_df)
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, k) -> "
+        "transform(slice(ds, k + 2, size(ds)), y -> struct(x AS i, y AS j))))"
+    )
+    shared = (
+        grouped.select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("i"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("j"), F.col("n_grams").alias("nb"))
+    both = shared.join(sa, "i").join(sb, "j")
+    fwd = both.select(
+        F.col("i").alias("src_doc"),
+        F.col("j").alias("in_doc"),
+        (F.col("n_shared") / F.col("na")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("j").alias("src_doc"),
+        F.col("i").alias("in_doc"),
+        (F.col("n_shared") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionAll(rev).where(
+        F.col("containment") >= min_containment
+    )

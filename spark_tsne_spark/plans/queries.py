@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     # dim-truncation / sorted-neighborhood / matched-sample batch.
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
+    "dedup_containment", "source_js_divergence", "source_novelty",
     "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
     "tokenizer_fertility", "trigram_lm_ppl", "nb_quality_classifier",
     "classifier_auc", "classifier_calibration", "zorder_layout_stats",
@@ -9228,3 +9229,212 @@ def corpus_matched_sample(spark, sf_dir):
         salt="match1",
     )
     return out.select("bin", "doc_id", "source", "want")
+
+
+_CONTAINMENT_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS g
+      FROM d
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    both_dirs AS (
+      SELECT i AS src_doc, j AS in_doc,
+             n_shared / sa.n_grams AS containment
+      FROM shared JOIN sizes sa ON sa.doc_id = i
+      UNION ALL
+      SELECT j AS src_doc, i AS in_doc,
+             n_shared / sb.n_grams AS containment
+      FROM shared JOIN sizes sb ON sb.doc_id = j
+    )
+    SELECT src_doc, in_doc, round(containment, 6) AS containment
+    FROM both_dirs WHERE containment >= 0.6
+"""
+
+
+@register("dedup_containment", _CONTAINMENT_SQL)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric n-gram containment C(src→in) = |∩|/|grams(src)| —
+    the quote/subset detector Jaccard structurally misses (a short
+    doc embedded in a long one has tiny Jaccard but containment 1.0
+    from the short side). Same inverted-index single-shuffle plan as
+    dedup_ngram_jaccard; both directions emit from one shared-count
+    row, so asymmetry is free."""
+    from spark_tsne_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = ngram_containment_pairs(docs, n=2, min_containment=0.6)
+    return out.select(
+        "src_doc", "in_doc", F.round("containment", 6).alias("containment")
+    )
+
+
+_JS_DIV_SQL = f"""
+    WITH terms AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    pd AS (SELECT doc_id, term, count(*)::BIGINT AS n FROM terms GROUP BY 1, 2),
+    rnk AS (
+      SELECT term, count(*)::BIGINT AS df, sum(n)::BIGINT AS tf
+      FROM pd GROUP BY 1
+    ),
+    vocab AS (
+      SELECT term FROM rnk ORDER BY df DESC, tf DESC, term ASC LIMIT 200
+    ),
+    cnt AS (
+      SELECT source, term, count(*)::BIGINT AS c
+      FROM terms JOIN vocab USING (term) GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(c)::BIGINT AS tot FROM cnt GROUP BY 1),
+    dense AS (
+      SELECT t.source, v.term, coalesce(c.c, 0)::BIGINT AS c, t.tot
+      FROM tot t CROSS JOIN vocab v
+      LEFT JOIN cnt c ON c.source = t.source AND c.term = v.term
+    ),
+    p AS (SELECT source, term, c / CAST(tot AS DOUBLE) AS p FROM dense),
+    contrib AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             round((
+               0.5 * CASE WHEN a.p > 0
+                 THEN a.p * log2(a.p / ((a.p + b.p) / 2)) ELSE 0 END
+             + 0.5 * CASE WHEN b.p > 0
+                 THEN b.p * log2(b.p / ((a.p + b.p) / 2)) ELSE 0 END
+             ) * 1e9)::BIGINT AS nano
+      FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+    )
+    SELECT src_a, src_b, round(sum(nano) / 1e9, 6) AS js
+    FROM contrib GROUP BY 1, 2
+"""
+
+
+@register("source_js_divergence", _JS_DIV_SQL)
+def source_js_divergence(spark, sf_dir):
+    """Corpus-drift measurement: pairwise Jensen-Shannon divergence
+    (log2, in [0,1]) between per-source unigram distributions over
+    the corpus's own top-200 vocabulary — the composition monitor
+    that flags when one source's token mix departs from the rest
+    (or, run snapshot-vs-snapshot, when today's crawl drifted).
+    Scale shape: the corpus reduces to a |sources|x|vocab| dense
+    grid (bounded, data-size-independent) before any pair math;
+    per-term contributions are quantized to integer nano-units so
+    the pair sum is order-independent — exact across engines like
+    the centibit LM scores."""
+    from spark_tsne_spark.operators.search import vocab_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = vocab_top_terms(d, k=200).select("term")
+    terms = d.select("source", F.explode(tokens("text")).alias("term"))
+    cnt = (
+        terms.join(F.broadcast(vocab), "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    dense = (
+        tot.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            (F.coalesce("c", F.lit(0)) / F.col("tot")).alias("p"),
+        )
+    )
+    a = dense.select(
+        F.col("source").alias("src_a"), "term", F.col("p").alias("pa")
+    )
+    b = dense.select(
+        F.col("source").alias("src_b"), "term", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    contrib = F.lit(0.5) * F.when(
+        F.col("pa") > 0, F.col("pa") * F.log2(F.col("pa") / m)
+    ).otherwise(0.0) + F.lit(0.5) * F.when(
+        F.col("pb") > 0, F.col("pb") * F.log2(F.col("pb") / m)
+    ).otherwise(0.0)
+    nano = F.round(contrib * 1e9).cast("long")
+    return (
+        a.join(b, "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", nano.alias("nano"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum("nano") / 1e9, 6).alias("js"))
+    )
+
+
+_SOURCE_NOVELTY_SQL = r"""
+    WITH d AS (
+      SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+                 AS g
+        FROM d
+      )
+    ),
+    first_src AS (SELECT g, min(source) AS first_source FROM grams GROUP BY g),
+    novel AS (
+      SELECT first_source AS source, count(*)::BIGINT AS novel_shingles
+      FROM first_src GROUP BY 1
+    ),
+    totals AS (
+      SELECT source, count(*)::BIGINT AS total_shingles FROM grams GROUP BY 1
+    )
+    SELECT t.source, t.total_shingles,
+           coalesce(n.novel_shingles, 0)::BIGINT AS novel_shingles,
+           round(coalesce(n.novel_shingles, 0) / CAST(t.total_shingles AS DOUBLE), 6)
+             AS novelty
+    FROM totals t LEFT JOIN novel n ON n.source = t.source
+"""
+
+
+@register("source_novelty", _SOURCE_NOVELTY_SQL)
+def source_novelty(spark, sf_dir):
+    """Dedup-ROI measurement: per source, what fraction of its
+    distinct word-trigram shingles appears in NO earlier source
+    (processing order pinned = lexicographic source name, the
+    deterministic stand-in for ingestion order). The number a crawl
+    pipeline uses to decide whether source N+1 is worth ingesting.
+    Two bounded shuffles: distinct (source, shingle), then
+    min-source per shingle; outputs are |sources|-row."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "source",
+            F.explode_outer(
+                F.array_distinct(word_ngrams("text", 3))
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("source").alias("source"))
+    novel = first.groupBy("source").agg(
+        F.count("*").alias("novel_shingles")
+    )
+    totals = grams.groupBy("source").agg(
+        F.count("*").alias("total_shingles")
+    )
+    return totals.join(novel, "source", "left").select(
+        "source",
+        "total_shingles",
+        F.coalesce("novel_shingles", F.lit(0)).alias("novel_shingles"),
+        F.round(
+            F.coalesce("novel_shingles", F.lit(0))
+            / F.col("total_shingles"),
+            6,
+        ).alias("novelty"),
+    )

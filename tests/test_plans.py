@@ -331,6 +331,9 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # query-bounded brute-force eval block (|q| x |dims| x n),
         # same contract as ann_recall_at_k
         "ann_dim_truncation_recall",
+        # |sources| x |vocab| dense-grid build from two bounded
+        # aggregates (20 x 200) — data-size-independent
+        "source_js_divergence",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):

@@ -175,3 +175,103 @@ def test_matched_sample_counts_and_determinism(spark):
     assert sorted((r["bin"], r["doc_id"]) for r in out) == sorted(
         (r["bin"], r["doc_id"]) for r in re_out
     )
+
+
+def test_containment_asymmetry(spark):
+    """A doc whose shingles are a strict subset of a longer doc's has
+    containment 1.0 in the short→long direction and < 1.0 back."""
+    from spark_tsne_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words here entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["src_doc"], r["in_doc"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, n=2, min_containment=0.0
+        ).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert out[(2, 1)] == pytest.approx(3 / 7)
+    assert (1, 3) not in out and (3, 1) not in out
+
+
+def test_js_divergence_bounds_and_identity(spark):
+    """JS (log2) lives in [0, 1]; two sources with identical token
+    streams diverge by exactly 0."""
+    rows = Q.source_js_divergence(spark, SF).collect()
+    assert len(rows) == 190  # C(20, 2)
+    for r in rows:
+        assert -1e-9 <= r["js"] <= 1.0 + 1e-9, r
+    from pyspark.sql import functions as _F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    twin = docs.withColumn("source", _F.lit("a")).unionAll(
+        docs.withColumn("source", _F.lit("b"))
+    )
+    import spark_tsne_spark.plans.queries as QQ
+
+    # rebuild the entry's plan on the twin corpus
+    from spark_tsne_spark.operators.search import vocab_top_terms
+    from spark_tsne_spark.functions.text import tokens
+
+    vocab = vocab_top_terms(twin, k=200).select("term")
+    terms = twin.select("source", _F.explode(tokens("text")).alias("term"))
+    cnt = terms.join(_F.broadcast(vocab), "term").groupBy(
+        "source", "term"
+    ).agg(_F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(_F.sum("c").alias("tot"))
+    dense = tot.crossJoin(_F.broadcast(vocab)).join(
+        cnt, ["source", "term"], "left"
+    ).select(
+        "source", "term",
+        (_F.coalesce("c", _F.lit(0)) / _F.col("tot")).alias("p"),
+    )
+    a = dense.select(_F.col("source").alias("sa"), "term", _F.col("p").alias("pa"))
+    b = dense.select(_F.col("source").alias("sb"), "term", _F.col("p").alias("pb"))
+    m = (_F.col("pa") + _F.col("pb")) / 2
+    contrib = _F.lit(0.5) * _F.when(
+        _F.col("pa") > 0, _F.col("pa") * _F.log2(_F.col("pa") / m)
+    ).otherwise(0.0) + _F.lit(0.5) * _F.when(
+        _F.col("pb") > 0, _F.col("pb") * _F.log2(_F.col("pb") / m)
+    ).otherwise(0.0)
+    js = (
+        a.join(b, "term").where(_F.col("sa") < _F.col("sb"))
+        .agg(_F.round(_F.sum(_F.round(contrib * 1e9).cast("long")) / 1e9, 6))
+        .collect()[0][0]
+    )
+    assert js == 0.0
+
+
+def test_source_novelty_conservation(spark):
+    """Novel shingles partition the global distinct-shingle set: the
+    per-source novel counts sum to the number of distinct shingles in
+    the corpus, and the lexicographically first source is 100%
+    novel."""
+    rows = Q.source_novelty(spark, SF).collect()
+    assert len(rows) == 20
+    from pyspark.sql import functions as _F
+    from spark_tsne_spark.functions.text import word_ngrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_distinct = (
+        docs.select(
+            _F.explode_outer(
+                _F.array_distinct(word_ngrams("text", 3))
+            ).alias("g")
+        )
+        .where(_F.col("g").isNotNull())
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert sum(r["novel_shingles"] for r in rows) == n_distinct
+    first = min(r["source"] for r in rows)
+    frow = next(r for r in rows if r["source"] == first)
+    assert frow["novel_shingles"] == frow["total_shingles"]
+    assert frow["novelty"] == 1.0
