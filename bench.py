@@ -70,6 +70,15 @@ def bench_queries():
     def b_exact_dedup(spark, sf_dir):
         return exact_dedup(docs(spark, sf_dir))
 
+    def b_containment_full(spark, sf_dir):
+        # full corpus with the production hot-shingle cap (the
+        # uncapped exact variant stays in the correctness catalog)
+        from spark_tsne_spark.operators.dedup import ngram_containment_pairs
+
+        return ngram_containment_pairs(
+            docs(spark, sf_dir), n=3, min_containment=0.6, max_df=100
+        )
+
     def b_dedup_clusters(spark, sf_dir):
         from spark_tsne_spark.operators.dedup import duplicate_clusters
 
@@ -456,6 +465,13 @@ def bench_queries():
         "dq_expectations": Q.dq_orders_expectations,
         "events_user_features": Q.events_user_features,
         "lang_id_join": Q.text_lang_id_join,
+        "dedup_sorted_neighborhood": Q.dedup_sorted_neighborhood,
+        "dedup_containment": b_containment_full,
+        "source_js_divergence": Q.source_js_divergence,
+        "source_novelty": Q.source_novelty,
+        "sketch_quantiles": Q.orders_sketch_quantiles,
+        "matched_sample": Q.corpus_matched_sample,
+        "dim_truncation_recall": Q.ann_dim_truncation_recall,
     }
 
 
