@@ -472,6 +472,9 @@ def bench_queries():
         "sketch_quantiles": Q.orders_sketch_quantiles,
         "matched_sample": Q.corpus_matched_sample,
         "dim_truncation_recall": Q.ann_dim_truncation_recall,
+        "corpus_funnel": Q.corpus_funnel_report,
+        "bloom_semijoin": Q.orders_bloom_semijoin,
+        "mmr_diverse": Q.ann_mmr_diverse,
     }
 
 

@@ -330,3 +330,71 @@ def distribution_matched_sample(
         .where(F.col("rn") <= F.col("want"))
         .drop("hb", "rn")
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    len_lo: int,
+    len_hi: int,
+    lang: str = "en",
+    per_source_cap: int = 20,
+) -> DataFrame:
+    """Per-stage attrition report for the standard cleaning funnel
+    (the Dolma/FineWeb "how much survived each gate" artifact):
+    raw → length gate → language gate → exact dedup (first copy per
+    canonical-text fingerprint wins) → per-source cap (longest docs
+    first). Returns one row per stage: (stage, docs, chars).
+
+    Scale shape: a naive funnel recounts the corpus once per stage —
+    5 scans of 100 TB. This plan tags every row with the furthest
+    stage it survives in ONE pass: the dedup and cap stages become
+    CONDITIONAL running counts (``sum(case when survives)`` over the
+    fingerprint / source windows), so "rank among survivors" is
+    computed without materializing the intermediate corpora, and all
+    five stage totals fold into a single aggregation row that
+    unpivots to the report. Two window shuffles + one agg, total.
+    """
+    from spark_tsne_spark.functions.text import fingerprint
+    from pyspark.sql import Window
+
+    d = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    s1 = F.col("n_chars").between(len_lo, len_hi)
+    s2 = s1 & (F.col("lang") == lang)
+    w_fp = (
+        Window.partitionBy(fingerprint("text"))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_fp = F.sum(F.when(s2, 1).otherwise(0)).over(w_fp)
+    d = d.withColumn("_s2", s2).withColumn("_s3", s2 & (cum_fp == 1))
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_src = F.sum(F.when(F.col("_s3"), 1).otherwise(0)).over(w_src)
+    d = d.withColumn("_s4", F.col("_s3") & (cum_src <= per_source_cap))
+
+    def pair(cond, tag):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"d_{tag}"),
+            F.sum(F.when(cond, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias(f"c_{tag}"),
+        ]
+
+    agg = d.agg(
+        *pair(F.lit(True), "raw"),
+        *pair(s1, "len"),
+        *pair(F.col("_s2"), "lang"),
+        *pair(F.col("_s3"), "dedup"),
+        *pair(F.col("_s4"), "cap"),
+    )
+    stages = ["raw", "len", "lang", "dedup", "cap"]
+    stack = ", ".join(
+        f"'{i}_{s}', d_{s}, c_{s}" for i, s in enumerate(stages)
+    )
+    return (
+        agg.selectExpr(f"stack(5, {stack}) AS (stage, docs, chars)")
+        .orderBy("stage")
+    )

@@ -898,3 +898,85 @@ def ivf_pq_topk(
     return _pq_query_tail(
         corpus_codes, query_cells, base, qv, k, refine_factor, b_books
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_candidates: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    ``lam * relevance - (1-lam) * max_similarity_to_selected``.
+
+    Plan split, which is the production shape at 100 TB: candidate
+    generation is DISTRIBUTED (one scan computing cosine vs the
+    broadcast query, TakeOrdered top-``n_candidates``); the greedy
+    re-rank is DRIVER-BOUNDED at O(k * n_candidates) over the
+    collected head — re-rankers always run on the head, never the
+    corpus. Swapping the brute-force candidate stage for ``ivf_topk``
+    changes nothing downstream.
+
+    Cross-engine determinism: relevance and pairwise sims are rounded
+    to 6 dp BEFORE the MMR arithmetic so both engines iterate on the
+    same double grid; every argmax ties to the smaller id; the first
+    pick's score is defined as its relevance. The DuckDB oracle is
+    the same greedy unrolled into k CTE steps.
+    """
+    q_row = emb.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).head()
+    qv = np.asarray(q_row["v"], dtype=np.float64)
+    rel_col = F.round(cosine_sim(F.col(vec_col), F.array(*[F.lit(float(x)) for x in qv])), 6)
+    cand = (
+        emb.where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            rel_col.alias("rel"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(n_candidates)
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    rel = np.array([r["rel"] for r in cand], dtype=np.float64)
+    X = np.array([r["v"] for r in cand], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = np.round(Xn @ Xn.T, 6)
+
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = list(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        if not selected:
+            # first pick: pure relevance
+            best = min(remaining, key=lambda i: (-rel[i], ids[i]))
+            scores.append(float(rel[best]))
+        else:
+            max_sim = sims[np.ix_(remaining, selected)].max(axis=1)
+            mmr = np.round(lam * rel[remaining] - (1.0 - lam) * max_sim, 6)
+            order = sorted(
+                range(len(remaining)), key=lambda t: (-mmr[t], ids[remaining[t]])
+            )
+            best = remaining[order[0]]
+            scores.append(float(mmr[order[0]]))
+        selected.append(best)
+        remaining.remove(best)
+
+    spark = emb.sparkSession
+    rows = [
+        (r + 1, int(ids[s]), float(scores[r])) for r, s in enumerate(selected)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

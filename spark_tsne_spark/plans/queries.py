@@ -79,7 +79,9 @@ _DRIVER_PRIORITY = [
     # the union of CORRECTNESS_r0*.json when rotating again.
     # New in r7 (never sampled): the unigram tokenizer family and
     # the held-out trigram LM; r7b adds the sketch-quantile /
-    # dim-truncation / sorted-neighborhood / matched-sample batch.
+    # dim-truncation / sorted-neighborhood / matched-sample batch;
+    # r7c adds the funnel report, bloom semi-join, and MMR entries.
+    "corpus_funnel_report", "orders_bloom_semijoin", "ann_mmr_diverse",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -9437,4 +9439,179 @@ def source_novelty(spark, sf_dir):
             / F.col("total_shingles"),
             6,
         ).alias("novelty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 7c: curation funnel report, bloom semi-join, MMR diversified top-k
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars, {_FP_SQL} AS fp FROM documents
+    ),
+    s2 AS (
+      SELECT * FROM d WHERE n_chars BETWEEN 80 AND 400 AND lang = 'en'
+    ),
+    s3 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    ),
+    s4 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn2
+        FROM s3
+      ) WHERE rn2 <= 20
+    )
+    SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS docs,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars FROM d
+    UNION ALL
+    SELECT '1_len', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+    FROM d WHERE n_chars BETWEEN 80 AND 400
+    UNION ALL
+    SELECT '2_lang', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '3_dedup', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT '4_cap', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s4
+    ORDER BY stage
+"""
+
+
+@register("corpus_funnel_report", _FUNNEL_SQL)
+def corpus_funnel_report(spark, sf_dir):
+    """Cleaning-funnel attrition report (the Dolma/FineWeb pipeline
+    artifact): docs/chars surviving raw -> length gate -> lang gate ->
+    exact dedup -> per-source cap, in ONE corpus pass — the dedup and
+    cap stages are conditional running counts over the fingerprint /
+    source windows, so no intermediate corpus is materialized and the
+    five stage totals fold into a single aggregation (the oracle's
+    naive five-CTE recount is the semantics, never the plan)."""
+    from spark_tsne_spark.operators.sampling import curation_funnel
+
+    return curation_funnel(
+        _t(spark, sf_dir, "documents"),
+        len_lo=80,
+        len_hi=400,
+        lang="en",
+        per_source_cap=20,
+    )
+
+
+_BLOOM_SEMI_SQL = """
+    SELECT year(o.o_orderdate)::BIGINT AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@register("orders_bloom_semijoin", _BLOOM_SEMI_SQL)
+def orders_bloom_semijoin(spark, sf_dir):
+    """Runtime-filter semi join: yearly order volume/revenue for
+    BUILDING-segment customers, with the probe (orders) side
+    pre-filtered by a broadcast Bloom filter built distributedly over
+    the qualifying customer keys, then exact-verified by a normal
+    left-semi join. The Bloom is a plan detail — at 100 TB it keeps
+    non-matching probe rows out of the shuffle for the price of a
+    1 MiB bitmap broadcast; the oracle's plain IN-subquery is the
+    semantics."""
+    from spark_tsne_spark.operators.joins import bloom_semijoin
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    semi = bloom_semijoin(
+        orders, cust, probe_key="o_custkey", build_key="c_custkey"
+    )
+    return (
+        semi.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def _mmr_oracle_sql(query_id: int, k: int, n_cand: int, lam: float) -> str:
+    """Unrolled greedy MMR as k plain CTE steps (no recursion): step i
+    picks the argmax of round(lam*rel - (1-lam)*max_sim_to_selected, 6)
+    over the not-yet-selected candidates, ties to the smaller id. The
+    lam literals are emitted with repr() so DuckDB parses the exact
+    same doubles Python multiplies by."""
+    a, b = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x*x))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT v, nrm FROM e WHERE vec_id = {query_id}),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id,
+             round(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 6) AS rel,
+             e.v, e.nrm
+      FROM e, q WHERE e.vec_id <> {query_id}
+      ORDER BY rel DESC, e.vec_id LIMIT {n_cand}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS MATERIALIZED (SELECT vec_id, rel AS score FROM cand
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    s1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT c.vec_id,
+             round({a}*c.rel - {b}*(
+               SELECT max(p.sim) FROM pairs p JOIN s{i-1} s
+               ON p.bi = s.vec_id WHERE p.ai = c.vec_id), 6) AS score
+      FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i-1})
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    s{i} AS MATERIALIZED (SELECT vec_id FROM s{i-1}
+             UNION ALL SELECT vec_id FROM p{i})"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, vec_id, score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n    ".join(parts) + f"\n    {union}\n    ORDER BY rank"
+
+
+@register("ann_mmr_diverse", _mmr_oracle_sql(0, 10, 50, 0.7))
+def ann_mmr_diverse(spark, sf_dir):
+    """MMR-diversified retrieval (Carbonell & Goldstein SIGIR'98):
+    distributed candidate generation (one scan, top-50 cosine vs the
+    broadcast query vector), then the greedy diversify re-rank runs
+    driver-bounded at O(k·n_candidates) over the collected head — the
+    reranker-on-the-head production shape. Oracle = the same greedy
+    unrolled into 10 plain CTE steps."""
+    from spark_tsne_spark.operators.similarity import mmr_rerank
+
+    return mmr_rerank(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=10,
+        n_candidates=50,
+        lam=0.7,
     )

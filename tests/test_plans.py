@@ -271,6 +271,8 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "jsonl_roundtrip",  # writes the JSONL copy on invocation
         "schema_evolution_read",  # writes the two batches on invocation
         "partitioned_prune_roundtrip",  # writes the partitioned copy
+        "orders_bloom_semijoin",  # builds the bloom bitmap on invocation
+        "ann_mmr_diverse",  # collects the candidate head on invocation
     }
     # BroadcastNestedLoopJoin intended:
     bnlj_ok = {

@@ -1,0 +1,139 @@
+"""Property tests for the round-7c additions (bloom semi-join,
+curation funnel report, MMR diversified top-k) — invariants the
+Spark==DuckDB oracle check can't express."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from spark_tsne_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_semijoin_exact_even_with_tiny_bloom(spark):
+    """Correctness must never depend on the Bloom's false-positive
+    rate: a deliberately saturated 64-bit bloom (FP rate ~1) still
+    yields exactly the semi join, because the verify join removes
+    every false positive."""
+    from spark_tsne_spark.operators.joins import bloom_semijoin
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    want = sorted(
+        r["o_orderkey"]
+        for r in orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+            "o_custkey",
+            "left_semi",
+        ).collect()
+    )
+    for m_bits in (64, 1 << 20):
+        got = sorted(
+            r["o_orderkey"]
+            for r in bloom_semijoin(
+                orders, cust, "o_custkey", "c_custkey", m_bits=m_bits
+            ).collect()
+        )
+        assert got == want, m_bits
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """With a well-sized bloom, the pre-filter alone (before the
+    verify join) must keep every true match and prune most
+    non-matches — the property that makes the pattern worth its
+    broadcast at 100 TB."""
+    from spark_tsne_spark.operators import joins as J
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keys = np.array([1, 7, 31], dtype=np.int64)
+    m_bits, k = 1 << 20, 4
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    J._set_bits(bitmap, J._positions(keys, m_bits, k))
+    probe = orders.select("o_custkey").toPandas()["o_custkey"].to_numpy(np.int64)
+    pos = J._positions(probe, m_bits, k)
+    member = np.ones(len(probe), dtype=bool)
+    for i in range(k):
+        p = pos[:, i]
+        member &= (bitmap[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+    true_match = np.isin(probe, keys)
+    assert (member | ~true_match).all()  # no false negatives, ever
+    fp = (member & ~true_match).sum() / max(1, (~true_match).sum())
+    assert fp < 0.01, fp
+
+
+def test_funnel_stages_are_monotone_and_match_filter_chain(spark):
+    """Each funnel stage is a subset of the previous, and the one-pass
+    conditional-window totals equal a literal stage-by-stage refilter
+    of the corpus."""
+    from spark_tsne_spark.functions.text import fingerprint
+    from pyspark.sql import Window
+
+    out = {r["stage"]: (r["docs"], r["chars"]) for r in
+           Q.corpus_funnel_report(spark, SF).collect()}
+    assert list(out) == sorted(out)
+    docs_seq = [out[s][0] for s in sorted(out)]
+    chars_seq = [out[s][1] for s in sorted(out)]
+    assert docs_seq == sorted(docs_seq, reverse=True)
+    assert chars_seq == sorted(chars_seq, reverse=True)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = d.where(F.col("n_chars").between(80, 400))
+    s2 = s1.where(F.col("lang") == "en")
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    s3 = s2.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    w2 = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    s4 = s3.withColumn("rn2", F.row_number().over(w2)).where("rn2 <= 20")
+    for stage, df in [("0_raw", d), ("1_len", s1), ("2_lang", s2),
+                      ("3_dedup", s3), ("4_cap", s4)]:
+        n, c = df.count(), (df.agg(F.sum("n_chars")).head()[0] or 0)
+        assert out[stage] == (n, c), stage
+
+
+def test_mmr_first_pick_is_argmax_and_selection_is_greedy(spark, embeddings):
+    """Re-run the greedy locally from the candidate head and pin the
+    whole selection; also check the diversity contract (every later
+    pick's MMR score uses the max-sim against ALL previous picks)."""
+    from spark_tsne_spark.operators.similarity import mmr_rerank
+
+    k, n_cand, lam = 6, 25, 0.7
+    got = [
+        (r["rank"], r["vec_id"], r["score"])
+        for r in mmr_rerank(
+            embeddings, query_id=0, k=k, n_candidates=n_cand, lam=lam
+        ).collect()
+    ]
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    q = Xn[ids.tolist().index(0)]
+    rel_all = np.round(Xn @ q, 6)
+    mask = ids != 0
+    order = sorted(np.where(mask)[0], key=lambda i: (-rel_all[i], ids[i]))
+    cand = order[:n_cand]
+    rel = rel_all[cand]
+    sims = np.round(Xn[cand] @ Xn[cand].T, 6)
+    sel, remaining = [], list(range(len(cand)))
+    expect = []
+    for step in range(k):
+        if not sel:
+            b = min(remaining, key=lambda i: (-rel[i], ids[cand[i]]))
+            s = float(rel[b])
+        else:
+            mmr = np.round(
+                lam * rel[remaining]
+                - (1 - lam) * sims[np.ix_(remaining, sel)].max(axis=1),
+                6,
+            )
+            j = min(range(len(remaining)),
+                    key=lambda t: (-mmr[t], ids[cand[remaining[t]]]))
+            b, s = remaining[j], float(mmr[j])
+        expect.append((step + 1, int(ids[cand[b]]), s))
+        sel.append(b)
+        remaining.remove(b)
+    assert got == expect
+    assert len({v for _, v, _ in got}) == k  # distinct picks
