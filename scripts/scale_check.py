@@ -68,7 +68,31 @@ def ops():
         "sketch_quantiles": _run_sketch_quantiles,
         "containment": _run_containment,
         "source_novelty": _run_novelty,
+        "curation_funnel": _run_funnel,
+        "bloom_semijoin": _run_bloom_semi,
     }
+
+
+def _run_funnel(d):
+    from spark_tsne_spark.operators.sampling import curation_funnel
+
+    # The harness corpus drops lang/n_chars — reattach deterministic
+    # twins so every funnel stage has work to do.
+    dd = d.withColumn(
+        "lang",
+        F.when(F.xxhash64("doc_id") % 3 == 0, "en").otherwise("xx"),
+    ).withColumn("n_chars", F.length("text"))
+    return curation_funnel(
+        dd, len_lo=80, len_hi=400, lang="en", per_source_cap=200
+    )
+
+
+def _run_bloom_semi(d):
+    from spark_tsne_spark.operators.joins import bloom_semijoin
+
+    # Build side co-scales at 2% of the corpus; probe is the corpus.
+    build = d.where(F.col("doc_id") % 50 == 0).select("doc_id")
+    return bloom_semijoin(d, build, probe_key="doc_id", build_key="doc_id")
 
 
 def _run_containment(d):
@@ -370,8 +394,15 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             "nearest_join": run_nearest,
         }
 
+    # Iteration aid: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those ops.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").split(",") if s
+    }
+
     results = {}
     for name, fn in ops().items():
+        if only and name not in only:
+            continue
         ts = []
         for d in (docs1, docs10):
             t0 = time.time()
@@ -381,6 +412,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
         print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
               f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
     for name, fn in ev_ops().items():
+        if only and name not in only:
+            continue
         ts = []
         for d in (ev1, ev10):
             t0 = time.time()
@@ -411,6 +444,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
     from spark_tsne_spark.operators.clustering import kmeans_assign
 
     for name, pair in {"kmeans": (emb1, emb10)}.items():
+        if only and name not in only:
+            continue
         ts = []
         for d in pair:
             t0 = time.time()
@@ -485,6 +520,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
         )
 
     for name, pair in {"part_cooccurrence": (li1, li10)}.items():
+        if only and name not in only:
+            continue
         ts = []
         for d in pair:
             t0 = time.time()
@@ -546,6 +583,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
         )
 
     for name, pair in {"q21_sole_late": (j1, j10)}.items():
+        if only and name not in only:
+            continue
         ts = []
         for d in pair:
             t0 = time.time()
@@ -603,6 +642,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
 
     for name, fn in {"q2_min_join_back": run_q2,
                      "q16_count_distinct": run_q16}.items():
+        if only and name not in only:
+            continue
         ts = []
         for d in (s1, s10):
             t0 = time.time()
@@ -612,6 +653,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
         print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "
               f"ratio={ts[1] / ts[0]:5.1f}", flush=True)
 
+    if not results:
+        return
     worst = max(v[1] / v[0] for v in results.values())
     print(f"worst ratio: {worst:.1f} (10x data; linear => ~10, "
           f"quadratic => ~100)")
