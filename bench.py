@@ -475,6 +475,8 @@ def bench_queries():
         "corpus_funnel": Q.corpus_funnel_report,
         "bloom_semijoin": Q.orders_bloom_semijoin,
         "mmr_diverse": Q.ann_mmr_diverse,
+        "lsh_recall_eval": Q.dedup_lsh_recall,
+        "wap_publish": Q.corpus_wap_publish,
     }
 
 

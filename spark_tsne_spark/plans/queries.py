@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     # dim-truncation / sorted-neighborhood / matched-sample batch;
     # r7c adds the funnel report, bloom semi-join, and MMR entries.
     "corpus_funnel_report", "orders_bloom_semijoin", "ann_mmr_diverse",
+    "dedup_lsh_recall", "corpus_wap_publish",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -9614,4 +9615,195 @@ def ann_mmr_diverse(spark, sf_dir):
         k=10,
         n_candidates=50,
         lam=0.7,
+    )
+
+
+_LSH_RECALL_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= 5
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(text) - 3),
+                                   i -> substr(text, i, 5))) AS s
+      FROM docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i, j FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.i
+      JOIN sizes sb ON sb.doc_id = inter.j
+      WHERE 3 * c >= sa.n + sb.n
+    ),
+    hx AS (
+      SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mh
+      FROM sh CROSS JOIN range(8) t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             string_agg(mh, '|' ORDER BY k) AS sig
+      FROM hx GROUP BY doc_id, CAST(k // 2 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / greatest(1, (SELECT count(*) FROM truth)), 6) AS recall,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / greatest(1, (SELECT count(*) FROM cand)), 6)
+             AS precision_at_t
+"""
+
+
+@register("dedup_lsh_recall", _LSH_RECALL_SQL)
+def dedup_lsh_recall(spark, sf_dir):
+    """Dedup eval harness: recall/precision of MinHash-LSH candidates
+    (8 hashes x 4 bands of 2) against EXACT char-5-shingle Jaccard >=
+    0.5 ground truth — the measured S-curve point that decides the
+    (bands, rows) knob at 100 TB instead of guessing from the formula.
+    The exact side is the bounded correctness baseline (same 200-doc
+    quarantine as the dedup family's oracles; threshold compare in
+    exact integers: 3*|inter| >= |A|+|B|); the LSH side is the
+    identical production operator being graded."""
+    from spark_tsne_spark.functions.text import char_shingles
+    from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 5)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(char_shingles("text", 5))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("i"),
+                                F.col("n").alias("na")), "i")
+        .join(sizes.select(F.col("doc_id").alias("j"),
+                           F.col("n").alias("nb")), "j")
+        .where(3 * F.col("c") >= F.col("na") + F.col("nb"))
+        .select("i", "j")
+    )
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=8, band_size=2, shingle_k=5
+    )
+    hit = cand.join(truth, ["i", "j"], "inner")
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    nh = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return nt.crossJoin(nc).crossJoin(nh).select(
+        "n_truth", "n_cand", "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.lit(1), F.col("n_truth")), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.lit(1), F.col("n_cand")), 6
+        ).alias("precision_at_t"),
+    )
+
+
+_WAP_SQL = f"""
+    WITH curated AS (
+      SELECT * FROM (
+        SELECT doc_id, text, source,
+               row_number() OVER (
+                 PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_id,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_id,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_text,
+           (count(*) > 0
+            AND count(DISTINCT doc_id) = count(*)
+            AND sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0)
+             AS published
+    FROM curated
+"""
+
+
+@register("corpus_wap_publish", _WAP_SQL)
+def corpus_wap_publish(spark, sf_dir):
+    """Write-audit-publish (the Iceberg/Netflix WAP pattern on plain
+    parquet): stage the exact-deduped corpus to a _staging dir, AUDIT
+    the staged files (non-empty, unique non-null ids), and only on a
+    clean audit atomically rename staging -> published — readers can
+    never observe a half-written or failed-audit snapshot, because
+    visibility is one filesystem rename, not N file writes. Returns
+    the published census + the audit verdict; the oracle recomputes
+    the same census straight from the source, so any row lost or
+    duplicated by the stage/publish hop breaks the hash."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from spark_tsne_spark.functions.text import fingerprint
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"spark_tsne_wap_{tag}")
+    staging, published = base + "_staging", base + "_published"
+    for p in (staging, published):
+        shutil.rmtree(p, ignore_errors=True)
+
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    curated = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    curated.write.mode("overwrite").parquet(staging)
+
+    audit = spark.read.parquet(staging).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("doc_id").cast("long").alias("n_distinct_id"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_id"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_text"),
+    ).head()
+    ok = (
+        audit["n_docs"] > 0
+        and audit["n_distinct_id"] == audit["n_docs"]
+        and audit["n_null_id"] == 0
+    )
+    if ok:
+        os.rename(staging, published)  # the atomic publish step
+    read_from = published if ok else staging
+    return spark.read.parquet(read_from).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("doc_id").cast("long").alias("n_distinct_id"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_id"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_text"),
+        F.lit(ok).alias("published"),
     )

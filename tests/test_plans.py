@@ -273,6 +273,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "partitioned_prune_roundtrip",  # writes the partitioned copy
         "orders_bloom_semijoin",  # builds the bloom bitmap on invocation
         "ann_mmr_diverse",  # collects the candidate head on invocation
+        "corpus_wap_publish",  # stages + audits + publishes on invocation
     }
     # BroadcastNestedLoopJoin intended:
     bnlj_ok = {
@@ -336,6 +337,10 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # |sources| x |vocab| dense-grid build from two bounded
         # aggregates (20 x 200) — data-size-independent
         "source_js_divergence",
+        # three 1-row scalar-count crossJoins feeding the metric row;
+        # the exact-Jaccard truth side is the bounded 200-doc eval
+        # baseline (same quarantine as the dedup oracles)
+        "dedup_lsh_recall",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):

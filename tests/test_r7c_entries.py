@@ -137,3 +137,70 @@ def test_mmr_first_pick_is_argmax_and_selection_is_greedy(spark, embeddings):
         remaining.remove(b)
     assert got == expect
     assert len({v for _, v, _ in got}) == k  # distinct picks
+
+
+def test_lsh_recall_metrics_are_consistent(spark):
+    """n_hit <= min(n_truth, n_cand); rates in [0,1]; and exact
+    duplicates (Jaccard 1) are ALWAYS candidates — identical shingle
+    sets give identical signatures, so banding cannot miss them."""
+    row = Q.dedup_lsh_recall(spark, SF).head()
+    assert row["n_hit"] <= min(row["n_truth"], row["n_cand"])
+    assert 0.0 <= row["recall"] <= 1.0
+    assert 0.0 <= row["precision_at_t"] <= 1.0
+
+    from spark_tsne_spark.functions.text import fingerprint
+    from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where((F.col("doc_id") < 200) & (F.length("text") >= 5))
+    )
+    fp = docs.select("doc_id", fingerprint("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    exact_pairs = {
+        (r["i"], r["j"])
+        for r in a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .collect()
+    }
+    cand = {
+        (r["i"], r["j"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=8, band_size=2, shingle_k=5
+        ).collect()
+    }
+    assert exact_pairs <= cand
+
+
+def test_wap_publish_roundtrip_and_staging_cleared(spark):
+    """A clean audit must leave ONLY the published dir (staging was
+    renamed away), the census must equal the direct computation, and
+    a re-run must be idempotent."""
+    import hashlib
+    import os
+    import tempfile
+
+    from spark_tsne_spark.functions.text import fingerprint
+    from pyspark.sql import Window
+
+    for _ in range(2):  # idempotent under re-run
+        row = Q.corpus_wap_publish(spark, SF).head()
+    assert row["published"] is True
+    tag = hashlib.md5(SF.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"spark_tsne_wap_{tag}")
+    assert os.path.isdir(base + "_published")
+    assert not os.path.exists(base + "_staging")
+
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    direct = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+    )
+    assert row["n_docs"] == direct.count()
+    assert row["n_distinct_id"] == row["n_docs"]
+    assert row["n_null_id"] == 0
