@@ -477,6 +477,8 @@ def bench_queries():
         "mmr_diverse": Q.ann_mmr_diverse,
         "lsh_recall_eval": Q.dedup_lsh_recall,
         "wap_publish": Q.corpus_wap_publish,
+        "ab_test": Q.events_ab_test,
+        "cusum_changepoint": Q.events_cusum_changepoint,
     }
 
 

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     # r7c adds the funnel report, bloom semi-join, and MMR entries.
     "corpus_funnel_report", "orders_bloom_semijoin", "ann_mmr_diverse",
     "dedup_lsh_recall", "corpus_wap_publish",
+    "events_ab_test", "events_cusum_changepoint",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -9806,4 +9807,145 @@ def corpus_wap_publish(spark, sf_dir):
         .alias("n_null_id"),
         F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_text"),
         F.lit(ok).alias("published"),
+    )
+
+
+_AB_TEST_SQL = """
+    WITH e AS (
+      SELECT event_type, value,
+             ('0x' || substring(md5('ab:' || user_id::VARCHAR), 1, 15))
+               ::BIGINT % 2 AS cohort
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             count(CASE WHEN cohort = 0 THEN 1 END)::BIGINT AS n_a,
+             count(CASE WHEN cohort = 1 THEN 1 END)::BIGINT AS n_b,
+             round(avg(CASE WHEN cohort = 0 THEN value END), 6) AS mean_a,
+             round(avg(CASE WHEN cohort = 1 THEN value END), 6) AS mean_b,
+             round(var_samp(CASE WHEN cohort = 0 THEN value END), 4)
+               AS var_a,
+             round(var_samp(CASE WHEN cohort = 1 THEN value END), 4)
+               AS var_b
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b,
+           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+             AS welch_t
+    FROM s ORDER BY event_type
+"""
+
+
+@register("events_ab_test", _AB_TEST_SQL)
+def events_ab_test(spark, sf_dir):
+    """A/B experiment readout: users hash-split into two cohorts
+    (deterministic salted md5 — the same bucketing primitive as the
+    sampling family, so assignment is stable across runs/engines),
+    then per event type ONE conditional aggregation computes both
+    cohorts' n/mean/variance and the Welch t statistic. Shuffle is
+    |event_types|-bounded; the t arithmetic runs on the ROUNDED
+    mean/var atoms so both engines walk identical doubles (variance
+    at 4 dp — its cross-engine accumulation-order error is ~1e-10
+    on this value scale, means at 6 dp)."""
+    from spark_tsne_spark.operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", hash_bucket(F.col("user_id").cast("string"), "ab:") % 2
+    )
+    a = F.when(F.col("cohort") == 0, F.col("value"))
+    b = F.when(F.col("cohort") == 1, F.col("value"))
+    s = ev.groupBy("event_type").agg(
+        F.count(a).cast("long").alias("n_a"),
+        F.count(b).cast("long").alias("n_b"),
+        F.round(F.avg(a), 6).alias("mean_a"),
+        F.round(F.avg(b), 6).alias("mean_b"),
+        F.round(F.var_samp(a), 4).alias("var_a"),
+        F.round(F.var_samp(b), 4).alias("var_b"),
+    )
+    return s.select(
+        "event_type", "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(
+                F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+            ),
+            6,
+        ).alias("welch_t"),
+    ).orderBy("event_type")
+
+
+_CUSUM_SQL = """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hour_ts, n,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY hour_ts)::BIGINT AS h_idx,
+             sum(n) OVER (
+               PARTITION BY event_type ORDER BY hour_ts
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS running,
+             count(*) OVER (PARTITION BY event_type)::BIGINT AS n_hours,
+             sum(n) OVER (PARTITION BY event_type)::BIGINT AS total
+      FROM c
+    ),
+    k AS (
+      SELECT event_type, hour_ts, n_hours, total,
+             n_hours * running - h_idx * total AS cusum_scaled
+      FROM w
+    )
+    SELECT event_type, hour_ts AS change_hour, cusum_scaled,
+           n_hours, total
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum_scaled) DESC, hour_ts) AS rk
+      FROM k
+    ) WHERE rk = 1
+    ORDER BY event_type
+"""
+
+
+@register("events_cusum_changepoint", _CUSUM_SQL)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on hourly event volume: per type,
+    the hour where the running cumulative deviation from the mean
+    rate peaks — the standard drift/level-shift monitor for pipeline
+    telemetry. The statistic is kept in EXACT integers by scaling:
+    n_hours*running - h_idx*total = n_hours * Sigma(c_i - mean), so
+    no float crosses an engine boundary. One (type, hour) aggregate
+    (corpus-size-independent shuffle) + |types|-partition windows."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("hour_ts")
+    w = c.select(
+        "event_type", "hour_ts",
+        F.row_number().over(wo).cast("long").alias("h_idx"),
+        F.sum("n")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("running"),
+        F.count("*").over(wt).cast("long").alias("n_hours"),
+        F.sum("n").over(wt).cast("long").alias("total"),
+    ).withColumn(
+        "cusum_scaled",
+        F.col("n_hours") * F.col("running") - F.col("h_idx") * F.col("total"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("hour_ts")
+    )
+    return (
+        w.withColumn("rk", F.row_number().over(rk))
+        .where("rk = 1")
+        .select(
+            "event_type",
+            F.col("hour_ts").alias("change_hour"),
+            "cusum_scaled", "n_hours", "total",
+        )
+        .orderBy("event_type")
     )

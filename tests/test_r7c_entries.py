@@ -204,3 +204,59 @@ def test_wap_publish_roundtrip_and_staging_cleared(spark):
     assert row["n_docs"] == direct.count()
     assert row["n_distinct_id"] == row["n_docs"]
     assert row["n_null_id"] == 0
+
+
+def test_ab_test_cohorts_partition_and_t_replay(spark):
+    """Cohort counts partition each type's events, assignment is the
+    deterministic hash (re-derivable), and the Welch t equals a local
+    replay from the same rounded atoms."""
+    import math
+
+    rows = {r["event_type"]: r for r in Q.events_ab_test(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    totals = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert set(rows) == set(totals)
+    for t, r in rows.items():
+        assert r["n_a"] + r["n_b"] == totals[t]
+        got_t = r["welch_t"]
+        want_t = round(
+            (r["mean_a"] - r["mean_b"])
+            / math.sqrt(r["var_a"] / r["n_a"] + r["var_b"] / r["n_b"]),
+            6,
+        )
+        assert got_t == want_t, t
+
+
+def test_cusum_flags_the_argmax_and_total_deviation_is_zero(spark):
+    """The scaled CUSUM sums to zero over the full range by
+    construction (H*T - H*T), and the flagged hour is the argmax of
+    |cusum| in a literal per-hour replay."""
+    out = {r["event_type"]: r for r in
+           Q.events_cusum_changepoint(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    c = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in c:
+        per[r["event_type"]].append((r["h"], r["n"]))
+    for t, hours in per.items():
+        hours.sort()
+        H = len(hours)
+        T = sum(n for _, n in hours)
+        run, best = 0, None
+        for idx, (h, n) in enumerate(hours, start=1):
+            run += n
+            cs = H * run - idx * T
+            if best is None or abs(cs) > abs(best[1]):
+                best = (h, cs)
+        assert best is not None
+        # full-range deviation is exactly zero
+        assert H * run - H * T == 0
+        assert (out[t]["change_hour"], out[t]["cusum_scaled"]) == best, t
