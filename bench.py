@@ -479,6 +479,8 @@ def bench_queries():
         "wap_publish": Q.corpus_wap_publish,
         "ab_test": Q.events_ab_test,
         "cusum_changepoint": Q.events_cusum_changepoint,
+        "volume_trend": Q.events_volume_trend,
+        "forget_users": Q.events_forget_users,
     }
 
 

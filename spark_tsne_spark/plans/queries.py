@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = [
     "corpus_funnel_report", "orders_bloom_semijoin", "ann_mmr_diverse",
     "dedup_lsh_recall", "corpus_wap_publish",
     "events_ab_test", "events_cusum_changepoint",
+    "events_volume_trend", "events_forget_users",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -9946,6 +9947,120 @@ def events_cusum_changepoint(spark, sf_dir):
             "event_type",
             F.col("hour_ts").alias("change_hour"),
             "cusum_scaled", "n_hours", "total",
+        )
+        .orderBy("event_type")
+    )
+
+
+_VOLUME_TREND_SQL = """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, y,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY hour_ts)::BIGINT AS h
+      FROM c
+    ),
+    s AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(h)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(h * y)::BIGINT AS sxy, sum(h * h)::BIGINT AS sxx
+      FROM x GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) AS slope_num,
+           (n * sxx - sx * sx) AS slope_den,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 8)
+             AS slope_per_hour
+    FROM s ORDER BY event_type
+"""
+
+
+@register("events_volume_trend", _VOLUME_TREND_SQL)
+def events_volume_trend(spark, sf_dir):
+    """Per-type volume drift: the exact OLS slope of hourly event
+    count over the hour index — the is-this-stream-growing trend the
+    CUSUM entry's level-shift view complements. Both OLS moment sums
+    are INTEGERS (x is the hour rank, y a count), so the slope's
+    numerator/denominator are exact in both engines and the only
+    float is one final division. One (type, hour) aggregate, then a
+    |types|-row moment fold."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").alias("y"))
+    h = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("hour_ts")
+    ).cast("long")
+    x = c.select("event_type", F.col("y").cast("long").alias("y"),
+                 h.alias("h"))
+    s = x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("h").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("h") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("h") * F.col("h")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type", "n",
+        num.alias("slope_num"), den.alias("slope_den"),
+        F.round(num * 1.0 / den, 8).alias("slope_per_hour"),
+    ).orderBy("event_type")
+
+
+_FORGET_SQL = """
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ('0x' || substring(md5('forget:' || user_id::VARCHAR), 1, 15))
+              ::BIGINT % 100 = 0
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN f.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM events e LEFT JOIN forget f ON e.user_id = f.user_id
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+"""
+
+
+@register("events_forget_users", _FORGET_SQL)
+def events_forget_users(spark, sf_dir):
+    """Right-to-be-forgotten propagation census: given a deletion set
+    (here a deterministic 1% hash pick standing in for the GDPR/CCPA
+    request table), report per event type how many rows the purge
+    removes vs keeps — the audit artifact a deletion run publishes
+    BEFORE rewriting 100 TB. The deletion set broadcasts (requests
+    are tiny relative to the fact table); the fact scan is one pass,
+    and the same broadcast anti join IS the subsequent purge plan."""
+    from spark_tsne_spark.operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    forget = (
+        ev.select("user_id")
+        .where(hash_bucket(F.col("user_id").cast("string"), "forget:") % 100 == 0)
+        .distinct()
+        .withColumn("_forget", F.lit(1))
+    )
+    joined = ev.join(F.broadcast(forget), "user_id", "left")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.when(F.col("_forget").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("_forget").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
         )
         .orderBy("event_type")
     )

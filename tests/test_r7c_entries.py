@@ -260,3 +260,52 @@ def test_cusum_flags_the_argmax_and_total_deviation_is_zero(spark):
         # full-range deviation is exactly zero
         assert H * run - H * T == 0
         assert (out[t]["change_hour"], out[t]["cusum_scaled"]) == best, t
+
+
+def test_volume_trend_slope_is_exact_ols(spark):
+    """slope_num/slope_den are the exact integer OLS moments; the
+    rounded ratio matches a local replay, and a synthetic perfectly
+    linear series recovers its slope exactly."""
+    rows = Q.events_volume_trend(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["slope_per_hour"] == round(
+            r["slope_num"] / r["slope_den"], 8
+        )
+    # synthetic: y = 3h + 7 -> slope exactly 3
+    from spark_tsne_spark.plans.queries import events_volume_trend  # noqa: F401
+
+    pdf = spark.createDataFrame(
+        [(h, 3 * h + 7) for h in range(1, 25)], "h long, y long"
+    )
+    s = pdf.agg(
+        F.count("*").alias("n"), F.sum("h").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("h") * F.col("y")).alias("sxy"),
+        F.sum(F.col("h") * F.col("h")).alias("sxx"),
+    ).head()
+    num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+    den = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    assert num / den == 3.0
+
+
+def test_forget_users_census_partitions_and_matches_anti_join(spark):
+    """removed + kept = total per type, and kept equals the actual
+    broadcast anti-join purge the census prices."""
+    from spark_tsne_spark.operators.sampling import hash_bucket
+
+    rows = {r["event_type"]: r for r in
+            Q.events_forget_users(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    forget = (
+        ev.select("user_id")
+        .where(hash_bucket(F.col("user_id").cast("string"), "forget:")
+               % 100 == 0)
+        .distinct()
+    )
+    purged = ev.join(forget, "user_id", "left_anti")
+    kept = {r["event_type"]: r["n"] for r in
+            purged.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for t, r in rows.items():
+        assert r["n_removed"] + r["n_kept"] == r["n_total"], t
+        assert r["n_kept"] == kept.get(t, 0), t
