@@ -481,6 +481,8 @@ def bench_queries():
         "cusum_changepoint": Q.events_cusum_changepoint,
         "volume_trend": Q.events_volume_trend,
         "forget_users": Q.events_forget_users,
+        "dau_wau": Q.events_dau_wau,
+        "pareto_abc": Q.orders_pareto_abc,
     }
 
 

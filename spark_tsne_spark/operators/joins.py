@@ -102,12 +102,20 @@ def bloom_semijoin(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pos = _positions(pdf[probe_key].to_numpy(np.int64), m_bits, k)
-            member = np.ones(len(pdf), dtype=bool)
+            # NULL probe keys can never match a semi join — drop them
+            # here rather than let the hash path see NaN.
+            keys = pdf[probe_key]
+            valid = keys.notna().to_numpy()
+            pos = _positions(
+                keys[valid].to_numpy(np.int64), m_bits, k
+            )
+            member = np.ones(int(valid.sum()), dtype=bool)
             for i in range(k):
                 p = pos[:, i]
                 member &= (bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
-            out = pdf[member]
+            keep = np.zeros(len(pdf), dtype=bool)
+            keep[np.flatnonzero(valid)[member]] = True
+            out = pdf[keep]
             if len(out):
                 yield out
 

@@ -930,6 +930,8 @@ def mmr_rerank(
     q_row = emb.where(F.col(id_col) == query_id).select(
         F.col(vec_col).cast("array<double>").alias("v")
     ).head()
+    if q_row is None:
+        raise ValueError(f"mmr_rerank: no row with {id_col}={query_id}")
     qv = np.asarray(q_row["v"], dtype=np.float64)
     rel_col = F.round(cosine_sim(F.col(vec_col), F.array(*[F.lit(float(x)) for x in qv])), 6)
     cand = (

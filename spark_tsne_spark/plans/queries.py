@@ -85,6 +85,7 @@ _DRIVER_PRIORITY = [
     "dedup_lsh_recall", "corpus_wap_publish",
     "events_ab_test", "events_cusum_changepoint",
     "events_volume_trend", "events_forget_users",
+    "events_dau_wau", "orders_pareto_abc",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -10064,3 +10065,142 @@ def events_forget_users(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_DAU_WAU_SQL = """
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    dau AS (
+      SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM du GROUP BY day
+    ),
+    fan AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS target_day,
+             user_id
+      FROM du
+    ),
+    wau AS (
+      SELECT target_day AS day, count(DISTINCT user_id)::BIGINT AS wau
+      FROM fan GROUP BY target_day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+"""
+
+
+@register("events_dau_wau", _DAU_WAU_SQL)
+def events_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness per day: trailing-7-day distinct users
+    WITHOUT a distinct-over-window (Spark can't bounded-frame a
+    countDistinct, and buffering user sets per frame is the OOM
+    path). Instead each distinct (day, user) pair fans out to the 7
+    target days it supports — a fixed 7x blow-up of the ALREADY
+    day-deduped pairs, never of the fact table — and WAU is a plain
+    per-day distinct count. Joining back to observed days keeps the
+    calendar honest (trailing windows with no activity don't
+    appear)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    fan = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("interval 6 days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = fan.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+_PARETO_SQL = """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT o_custkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER () AS total
+      FROM r
+    ),
+    k AS (
+      SELECT o_custkey, cents,
+             CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM c
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           round(sum(cents) * 1.0 / (SELECT sum(cents) FROM r), 6)
+             AS revenue_share
+    FROM k GROUP BY abc ORDER BY abc
+"""
+
+
+@register("orders_pareto_abc", _PARETO_SQL)
+def orders_pareto_abc(spark, sf_dir):
+    """Pareto / ABC segmentation: customers ranked by revenue, split
+    at 80% / 95% of cumulative revenue. Revenue is folded to EXACT
+    integer cents per customer first, so the running sum and both
+    thresholds (cum*5 <= total*4, cum*20 <= total*19) are pure
+    integer arithmetic — no float can flip a boundary customer
+    between engines. The global-order window runs over the
+    |customers|-sized aggregate, not the fact table; at extreme
+    customer counts the split thresholds come from the quantile
+    sketch's count table instead (filter, no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    c = r.select(
+        "o_custkey", "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(wt).alias("total"),
+    )
+    k = c.withColumn(
+        "abc",
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C"),
+    )
+    agg = k.groupBy("abc").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    # grand total via a window over the <=3-row class aggregate —
+    # keeps the plan fully lazy (no driver job on invocation)
+    return agg.select(
+        "abc", "n_customers", "cents",
+        F.round(
+            F.col("cents") / F.sum("cents").over(Window.partitionBy()), 6
+        ).alias("revenue_share"),
+    ).orderBy("abc")

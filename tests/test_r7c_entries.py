@@ -309,3 +309,57 @@ def test_forget_users_census_partitions_and_matches_anti_join(spark):
     for t, r in rows.items():
         assert r["n_removed"] + r["n_kept"] == r["n_total"], t
         assert r["n_kept"] == kept.get(t, 0), t
+
+
+def test_dau_wau_bounds_and_fan_out_equivalence(spark):
+    """DAU <= WAU (a day's actives are inside its trailing week),
+    stickiness in (0, 1], every observed day present, and WAU equals
+    a literal trailing-7-day distinct count."""
+    rows = {r["day"]: r for r in Q.events_dau_wau(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    observed = {r["day"] for r in du.select("day").distinct().collect()}
+    assert set(rows) == observed
+    pairs = [(r["day"], r["user_id"]) for r in du.collect()]
+    from datetime import timedelta
+
+    for day, r in rows.items():
+        assert 0 < r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+        lo = day - timedelta(days=6)
+        want = len({u for d, u in pairs if lo <= d <= day})
+        assert r["wau"] == want, day
+
+
+def test_pareto_abc_partitions_and_thresholds(spark):
+    """The three classes partition customers and revenue; shares obey
+    the 80/95 construction (class A's cumulative share <= 0.8 and is
+    maximal: adding B's first customer would cross it)."""
+    rows = {r["abc"]: r for r in Q.orders_pareto_abc(spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    r = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    total = sum(x["cents"] for x in r)
+    n_cust = len(r)
+    assert sum(x["n_customers"] for x in rows.values()) == n_cust
+    assert sum(x["cents"] for x in rows.values()) == total
+    # replay the classification
+    ranked = sorted(r, key=lambda x: (-x["cents"], x["o_custkey"]))
+    cum, want = 0, {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+    for x in ranked:
+        cum += x["cents"]
+        cls = "A" if cum * 5 <= total * 4 else (
+            "B" if cum * 20 <= total * 19 else "C")
+        want[cls][0] += 1
+        want[cls][1] += x["cents"]
+    for cls, (n, cents) in want.items():
+        if n == 0:
+            assert cls not in rows
+        else:
+            assert rows[cls]["n_customers"] == n, cls
+            assert rows[cls]["cents"] == cents, cls
