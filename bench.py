@@ -483,6 +483,7 @@ def bench_queries():
         "forget_users": Q.events_forget_users,
         "dau_wau": Q.events_dau_wau,
         "pareto_abc": Q.orders_pareto_abc,
+        "simhash_recall_eval": Q.dedup_simhash_recall,
     }
 
 

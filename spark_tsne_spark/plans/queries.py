@@ -85,7 +85,7 @@ _DRIVER_PRIORITY = [
     "dedup_lsh_recall", "corpus_wap_publish",
     "events_ab_test", "events_cusum_changepoint",
     "events_volume_trend", "events_forget_users",
-    "events_dau_wau", "orders_pareto_abc",
+    "events_dau_wau", "orders_pareto_abc", "dedup_simhash_recall",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -9621,6 +9621,64 @@ def ann_mmr_diverse(spark, sf_dir):
     )
 
 
+
+
+def _recall_eval_docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 5)
+    )
+
+
+def _shingle_jaccard_truth(docs):
+    """EXACT char-5-shingle Jaccard >= 0.5 pairs — the shared ground
+    truth both candidate-generator evals are graded against (bounded
+    200-doc quarantine; threshold in exact integers:
+    3*|inter| >= |A|+|B|)."""
+    from spark_tsne_spark.functions.text import char_shingles
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(char_shingles("text", 5))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("i"),
+                                F.col("n").alias("na")), "i")
+        .join(sizes.select(F.col("doc_id").alias("j"),
+                           F.col("n").alias("nb")), "j")
+        .where(3 * F.col("c") >= F.col("na") + F.col("nb"))
+        .select("i", "j")
+    )
+
+
+def _recall_metrics(truth, cand):
+    hit = cand.select("i", "j").join(truth, ["i", "j"], "inner")
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    nh = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return nt.crossJoin(nc).crossJoin(nh).select(
+        "n_truth", "n_cand", "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.lit(1), F.col("n_truth")), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.lit(1), F.col("n_cand")), 6
+        ).alias("precision_at_t"),
+    )
+
+
 _LSH_RECALL_SQL = r"""
     WITH docs AS (
       SELECT doc_id, text FROM documents
@@ -9681,53 +9739,13 @@ def dedup_lsh_recall(spark, sf_dir):
     quarantine as the dedup family's oracles; threshold compare in
     exact integers: 3*|inter| >= |A|+|B|); the LSH side is the
     identical production operator being graded."""
-    from spark_tsne_spark.functions.text import char_shingles
     from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
 
-    docs = _t(spark, sf_dir, "documents").where(
-        (F.col("doc_id") < 200) & (F.length("text") >= 5)
-    )
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(char_shingles("text", 5))).alias("s"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j")
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    truth = (
-        inter.join(sizes.select(F.col("doc_id").alias("i"),
-                                F.col("n").alias("na")), "i")
-        .join(sizes.select(F.col("doc_id").alias("j"),
-                           F.col("n").alias("nb")), "j")
-        .where(3 * F.col("c") >= F.col("na") + F.col("nb"))
-        .select("i", "j")
-    )
+    docs = _recall_eval_docs(spark, sf_dir)
     cand = minhash_lsh_candidates(
         docs, num_hashes=8, band_size=2, shingle_k=5
     )
-    hit = cand.join(truth, ["i", "j"], "inner")
-    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
-    nh = hit.agg(F.count("*").cast("long").alias("n_hit"))
-    return nt.crossJoin(nc).crossJoin(nh).select(
-        "n_truth", "n_cand", "n_hit",
-        F.round(
-            F.col("n_hit") / F.greatest(F.lit(1), F.col("n_truth")), 6
-        ).alias("recall"),
-        F.round(
-            F.col("n_hit") / F.greatest(F.lit(1), F.col("n_cand")), 6
-        ).alias("precision_at_t"),
-    )
+    return _recall_metrics(_shingle_jaccard_truth(docs), cand)
 
 
 _WAP_SQL = f"""
@@ -10204,3 +10222,86 @@ def orders_pareto_abc(spark, sf_dir):
             F.col("cents") / F.sum("cents").over(Window.partitionBy()), 6
         ).alias("revenue_share"),
     ).orderBy("abc")
+
+
+_SIMHASH_RECALL_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= 5
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(text) - 3),
+                                   i -> substr(text, i, 5))) AS s
+      FROM docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i, j FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.i
+      JOIN sizes sb ON sb.doc_id = inter.j
+      WHERE 3 * c >= sa.n + sb.n
+    ),
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM docs
+    ),
+    h AS (SELECT doc_id, md5(t) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN ('0x' || substr(h, b + 1, 1))::INT >= 8
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN range(16) t2(b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << (15 - b)) ELSE 0 END)
+               ::BIGINT AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, 0 AS c, (simhash // 1024) % 64 AS v FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS c, (simhash // 32) % 32 AS v FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 2 AS c, simhash % 32 AS v FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ),
+    hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / greatest(1, (SELECT count(*) FROM truth)), 6) AS recall,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / greatest(1, (SELECT count(*) FROM cand)), 6)
+             AS precision_at_t
+"""
+
+
+@register("dedup_simhash_recall", _SIMHASH_RECALL_SQL)
+def dedup_simhash_recall(spark, sf_dir):
+    """SimHash eval twin of ``dedup_lsh_recall``: the SAME exact
+    char-5-shingle Jaccard >= 0.5 ground truth grades the simhash
+    hamming<=2 candidate generator, so the two cheap generators'
+    recall/precision are directly comparable numbers and the dedup
+    pipeline's generator choice is measured, not guessed. SimHash
+    approximates token-set similarity, so its recall against a
+    shingle-Jaccard gold standard is exactly the cross-metric loss a
+    production pipeline pays — the eval makes that loss visible."""
+    from spark_tsne_spark.operators.dedup import simhash_near_dups
+
+    docs = _recall_eval_docs(spark, sf_dir)
+    cand = simhash_near_dups(docs, max_hamming=2)
+    return _recall_metrics(_shingle_jaccard_truth(docs), cand)

@@ -341,6 +341,8 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # the exact-Jaccard truth side is the bounded 200-doc eval
         # baseline (same quarantine as the dedup oracles)
         "dedup_lsh_recall",
+        # same eval harness, simhash generator
+        "dedup_simhash_recall",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):

@@ -363,3 +363,15 @@ def test_pareto_abc_partitions_and_thresholds(spark):
         else:
             assert rows[cls]["n_customers"] == n, cls
             assert rows[cls]["cents"] == cents, cls
+
+
+def test_recall_evals_share_the_same_truth(spark):
+    """Both generator evals must grade against the identical ground
+    truth: n_truth equal across the two entries, and metrics obey the
+    same consistency bounds."""
+    lsh = Q.dedup_lsh_recall(spark, SF).head()
+    sim = Q.dedup_simhash_recall(spark, SF).head()
+    assert lsh["n_truth"] == sim["n_truth"]
+    for r in (lsh, sim):
+        assert r["n_hit"] <= min(r["n_truth"], r["n_cand"])
+        assert 0.0 <= r["recall"] <= 1.0
