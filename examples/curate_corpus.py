@@ -19,6 +19,8 @@ Stages (each is a catalog-verified operator; see COVERAGE.md):
                           order (skew-safe bucket classification)
 8. sequence packing       concat-and-chunk into fixed 512-token
                           training blocks (distributed prefix sum)
+9. audit + publish        expectation checks on the STAGED output,
+                          then one atomic rename (write-audit-publish)
 """
 
 from __future__ import annotations
@@ -133,6 +135,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
           f"blocks of 512")
     print(f"ivf index at {idx_path}; sample query:")
     probe.show(9, truncate=False)
+
+    # 9. write-audit-publish: stage the packed blocks, audit, publish
+    # atomically — readers never observe a half-written snapshot.
+    staging = tempfile.mkdtemp(prefix="curate_stage_")
+    packed.write.mode("overwrite").parquet(staging)
+    audit = spark.read.parquet(staging).agg(
+        F.count("*").alias("rows"),
+        F.sum(F.when(F.col("seg_len") <= 0, 1).otherwise(0)).alias("bad"),
+    ).head()
+    published = staging + "_published"
+    if audit["rows"] > 0 and audit["bad"] == 0:
+        os.rename(staging, published)
+        print(f"audit clean ({audit['rows']} rows) -> published at "
+              f"{published}")
+    else:
+        print(f"audit FAILED ({audit['bad']} bad rows) -> left staged at "
+              f"{staging}")
     spark.stop()
 
 
