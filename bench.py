@@ -484,6 +484,7 @@ def bench_queries():
         "dau_wau": Q.events_dau_wau,
         "pareto_abc": Q.orders_pareto_abc,
         "simhash_recall_eval": Q.dedup_simhash_recall,
+        "sq8_recall_eval": Q.embedding_sq8_recall,
     }
 
 

@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = [
     "events_ab_test", "events_cusum_changepoint",
     "events_volume_trend", "events_forget_users",
     "events_dau_wau", "orders_pareto_abc", "dedup_simhash_recall",
+    "embedding_sq8_recall",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -10305,3 +10306,156 @@ def dedup_simhash_recall(spark, sf_dir):
     docs = _recall_eval_docs(spark, sf_dir)
     cand = simhash_near_dups(docs, max_hamming=2)
     return _recall_metrics(_shingle_jaccard_truth(docs), cand)
+
+
+_SQ8_RECALL_SQL = f"""
+    WITH f AS (
+      SELECT vec_id, unnest({_EMB_D}) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY 1
+    ),
+    dqv AS (
+      SELECT vec_id,
+             list(CASE WHEN mx > mn
+                       THEN mn + round((x - mn) / (mx - mn) * 255.0)
+                            * (mx - mn) / 255.0
+                       ELSE x END ORDER BY pos) AS v
+      FROM f JOIN stats USING (pos) GROUP BY vec_id
+    ),
+    q AS (
+      SELECT vec_id, {_EMB_D} AS v, {_NORM_SQL} AS nrm
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM dqv
+    ),
+    approx AS (
+      SELECT i, j FROM (
+        SELECT q.vec_id AS i, c.vec_id AS j,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+                 AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, c.v)
+                                / (q.nrm * c.nrm), 6) DESC, c.vec_id
+               ) AS rank
+        FROM q JOIN c ON q.vec_id <> c.vec_id
+      ) WHERE rank <= 5
+    ),
+    e AS (
+      SELECT vec_id, {_EMB_D} AS v, {_NORM_SQL} AS nrm FROM embeddings
+    ),
+    exact AS (
+      SELECT i, j FROM (
+        SELECT q.vec_id AS i, c.vec_id AS j,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, c.v)
+                                / (q.nrm * c.nrm), 6) DESC, c.vec_id
+               ) AS rank
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rank <= 5
+    )
+    SELECT exact.i,
+           CAST(sum(CASE WHEN approx.j IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(count(*) AS BIGINT) AS k
+    FROM exact LEFT JOIN approx
+      ON exact.i = approx.i AND exact.j = approx.j
+    GROUP BY exact.i
+"""
+
+
+@register("embedding_sq8_recall", _SQ8_RECALL_SQL)
+def embedding_sq8_recall(spark, sf_dir):
+    """Quantization eval twin of ``ann_recall_at_k``: per-query
+    hits@5 of asymmetric retrieval (full-precision query against the
+    int8-dequantized corpus, the ADC convention) vs exact full-
+    precision top-5 — the measured number that decides whether the 4x
+    SQ8 storage cut is free at this corpus's geometry, completing the
+    eval family (truncation / IVF / quantization). The dequantized
+    values replay ``embedding_sq8``'s EXACT grid formula from the
+    same d-row stats (collected driver-side — d doubles, bounded), so
+    both engines walk identical doubles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            )
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mn = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    mx = F.array(*[F.lit(float(r["mx"])) for r in stats])
+
+    def dequant(v):
+        def one(x, i):
+            lo, hi = F.element_at(mn, i + 1), F.element_at(mx, i + 1)
+            return F.when(
+                hi > lo,
+                lo + F.round((x - lo) / (hi - lo) * 255.0) * (hi - lo) / 255.0,
+            ).otherwise(x)
+
+        return F.transform(v, one)
+
+    corpus = emb.select(
+        F.col("vec_id").alias("j"),
+        dequant(F.col("embedding").cast("array<double>")).alias("vj"),
+    ).withColumn("nj", l2_norm("vj"))
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").cast("array<double>").alias("vi"),
+    ).withColumn("ni", l2_norm("vi"))
+
+    def topk(corpus_df, qs_df):
+        pairs = (
+            corpus_df.crossJoin(F.broadcast(qs_df))
+            .where(F.col("i") != F.col("j"))
+            .select(
+                "i", "j",
+                F.round(
+                    F.aggregate(
+                        F.zip_with("vi", "vj", lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / (F.col("ni") * F.col("nj")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("i").orderBy(
+            F.col("cosine").desc(), F.col("j").asc()
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("i", "j")
+        )
+
+    exact_corpus = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").cast("array<double>").alias("vj"),
+    ).withColumn("nj", l2_norm("vj"))
+    approx = topk(corpus, qs).withColumn("hit", F.lit(1))
+    exact = topk(exact_corpus, qs)
+    return (
+        exact.join(approx.select("i", "j", "hit"), ["i", "j"], "left")
+        .groupBy("i")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+            F.count("*").cast("long").alias("k"),
+        )
+    )

@@ -274,6 +274,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "orders_bloom_semijoin",  # builds the bloom bitmap on invocation
         "ann_mmr_diverse",  # collects the candidate head on invocation
         "corpus_wap_publish",  # stages + audits + publishes on invocation
+        "embedding_sq8_recall",  # collects the d-row quant stats on invocation
     }
     # BroadcastNestedLoopJoin intended:
     bnlj_ok = {

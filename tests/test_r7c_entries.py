@@ -375,3 +375,27 @@ def test_recall_evals_share_the_same_truth(spark):
     for r in (lsh, sim):
         assert r["n_hit"] <= min(r["n_truth"], r["n_cand"])
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_sq8_recall_bounds_and_dequant_grid(spark):
+    """hits <= k per query; and the dequantized values land exactly on
+    the 255-step per-dimension grid (code round-trips to an integer in
+    [0, 255])."""
+    rows = Q.embedding_sq8_recall(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hits"] <= r["k"] == 5
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    import numpy as np
+
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    span = np.where(mx > mn, mx - mn, 1.0)
+    dq = mn + np.round((X - mn) / span * 255.0) * span / 255.0
+    codes = (dq - mn) / span * 255.0
+    assert np.allclose(codes, np.round(codes), atol=1e-6)
+    assert codes.min() >= -1e-9 and codes.max() <= 255 + 1e-9
