@@ -80,7 +80,12 @@ _DRIVER_PRIORITY = [
     # New in r7 (never sampled): the unigram tokenizer family and
     # the held-out trigram LM; r7b adds the sketch-quantile /
     # dim-truncation / sorted-neighborhood / matched-sample batch;
-    # r7c adds the funnel report, bloom semi-join, and MMR entries.
+    # r7c/d add funnel/bloom/MMR, the recall-eval family
+    # (LSH/simhash/SQ8), WAP, A/B, CUSUM, trend, forget, DAU/WAU,
+    # Pareto. 63 never-green entries now compete for ~50 slots, so
+    # the tail of the r6 rotation batch (orc_roundtrip ..
+    # video_frame_sample, positions 51+) rotates to the r8 sample —
+    # new-first beats oldest-first per the policy above.
     "corpus_funnel_report", "orders_bloom_semijoin", "ann_mmr_diverse",
     "dedup_lsh_recall", "corpus_wap_publish",
     "events_ab_test", "events_cusum_changepoint",
