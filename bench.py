@@ -485,6 +485,7 @@ def bench_queries():
         "pareto_abc": Q.orders_pareto_abc,
         "simhash_recall_eval": Q.dedup_simhash_recall,
         "sq8_recall_eval": Q.embedding_sq8_recall,
+        "pit_state_join": Q.events_pit_state_join,
     }
 
 

@@ -91,7 +91,7 @@ _DRIVER_PRIORITY = [
     "events_ab_test", "events_cusum_changepoint",
     "events_volume_trend", "events_forget_users",
     "events_dau_wau", "orders_pareto_abc", "dedup_simhash_recall",
-    "embedding_sq8_recall",
+    "embedding_sq8_recall", "events_pit_state_join",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -10464,3 +10464,59 @@ def embedding_sq8_recall(spark, sf_dir):
             F.count("*").cast("long").alias("k"),
         )
     )
+
+
+_PIT_SQL = """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, event_id AS vid, value FROM events
+      WHERE event_type = 'signup'
+    ),
+    m AS (
+      SELECT p.event_id, v.value,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.vid DESC) AS rn
+      FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           m.value AS state_value
+    FROM p LEFT JOIN (SELECT event_id, value FROM m WHERE rn = 1) m
+      USING (event_id)
+    ORDER BY p.event_id
+"""
+
+
+@register("events_pit_state_join", _PIT_SQL)
+def events_pit_state_join(spark, sf_dir):
+    """Point-in-time-correct feature join (the feature-store leakage
+    guard): each purchase gets the user's signup-state value AS OF
+    the purchase instant — never a later version, which would leak
+    the future into training features. Plan is the one-shuffle
+    union+window as-of join (``timeseries.asof_join``): version rows
+    sort before facts at equal ts so the match is inclusive, ties
+    take the largest version id — exactly the SCD2 LEAD ordering, so
+    this is ``scd2_history`` consumed correctly. The oracle's ranked
+    theta join is the semantics; the plan never builds the per-user
+    cross product."""
+    from spark_tsne_spark.operators.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    versions = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("vid"),
+        F.col("value").alias("state_value"),
+    )
+    out = asof_join(
+        purchases, versions, by="user_id", ts="ts",
+        right_cols=["state_value", "vid"], right_order="vid",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("r_state_value").alias("state_value"),
+    ).orderBy("event_id")

@@ -399,3 +399,28 @@ def test_sq8_recall_bounds_and_dequant_grid(spark):
     codes = (dq - mn) / span * 255.0
     assert np.allclose(codes, np.round(codes), atol=1e-6)
     assert codes.min() >= -1e-9 and codes.max() <= 255 + 1e-9
+
+
+def test_pit_join_never_leaks_the_future(spark):
+    """The leakage guard itself: every matched state version must be
+    AT OR BEFORE its purchase, and must be the LATEST such version —
+    re-derived row-by-row from the raw events."""
+    out = Q.events_pit_state_join(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    versions = {}
+    for r in ev.where(F.col("event_type") == "signup").collect():
+        versions.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    for vs in versions.values():
+        vs.sort()
+    n_null = 0
+    for r in out:
+        vs = [v for v in versions.get(r["user_id"], [])
+              if v[0] <= r["purchase_ts"]]
+        if not vs:
+            assert r["state_value"] is None
+            n_null += 1
+        else:
+            assert r["state_value"] == vs[-1][2], r
+    assert n_null >= 0
