@@ -486,6 +486,7 @@ def bench_queries():
         "simhash_recall_eval": Q.dedup_simhash_recall,
         "sq8_recall_eval": Q.embedding_sq8_recall,
         "pit_state_join": Q.events_pit_state_join,
+        "attribution": Q.events_attribution,
     }
 
 

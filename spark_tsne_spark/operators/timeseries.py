@@ -114,9 +114,13 @@ def range_join_buckets(
     lower_s: float,
     upper_s: float,
     bucket_s: float | None = None,
+    by: str | None = None,
 ) -> DataFrame:
     """All (left, right) pairs with ``right.ts`` in
-    ``[left.ts + lower_s, left.ts + upper_s]`` — no equi key required.
+    ``[left.ts + lower_s, left.ts + upper_s]`` — no equi key required
+    (``by`` adds an optional equi key, shrinking each bucket to one
+    key's rows: the keyed variant attribution/asof-window analytics
+    need).
 
     The naive plan is a cartesian product with a theta filter; this
     one buckets time instead: each left row explodes to the buckets
@@ -149,7 +153,8 @@ def range_join_buckets(
         ),
     )
     r_b = right.withColumn("_bkt", F.floor(r_us / F.lit(bus)))
-    joined = l_exp.join(r_b, on="_bkt").where(
+    keys = ["_bkt"] if by is None else [by, "_bkt"]
+    joined = l_exp.join(r_b, on=keys).where(
         (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
     )
     return joined.drop("_bkt")

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = [
     "events_volume_trend", "events_forget_users",
     "events_dau_wau", "orders_pareto_abc", "dedup_simhash_recall",
     "embedding_sq8_recall", "events_pit_state_join",
+    "events_attribution",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -10520,3 +10521,85 @@ def events_pit_state_join(spark, sf_dir):
         "event_id", "user_id", F.col("ts").alias("purchase_ts"),
         F.col("r_state_value").alias("state_value"),
     ).orderBy("event_id")
+
+
+_ATTRIBUTION_SQL = """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS tid, user_id, ts AS t_ts, event_type AS touch
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT p.pid, p.user_id, t.tid, t.t_ts, t.touch
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR AND t.t_ts <= p.p_ts
+    ),
+    ranked AS (
+      SELECT pid, user_id, tid, touch,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY t_ts, tid) AS rn_first,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY t_ts DESC, tid DESC) AS rn_last,
+             count(*) OVER (PARTITION BY pid) AS n_touches
+      FROM pairs
+    )
+    SELECT f.pid, f.user_id,
+           CAST(f.n_touches AS BIGINT) AS n_touches,
+           f.tid AS first_tid, f.touch AS first_touch,
+           l.tid AS last_tid, l.touch AS last_touch
+    FROM (SELECT * FROM ranked WHERE rn_first = 1) f
+    JOIN (SELECT * FROM ranked WHERE rn_last = 1) l USING (pid)
+    ORDER BY f.pid
+"""
+
+
+@register("events_attribution", _ATTRIBUTION_SQL)
+def events_attribution(spark, sf_dir):
+    """First-touch / last-touch attribution: for each purchase, the
+    earliest and latest view/click by the same user inside a 24 h
+    lookback. The pair space is the keyed bucketed range join
+    (``range_join_buckets(by=user_id)`` — each purchase explodes to
+    <=2 time buckets and meets only ITS USER'S touches in that
+    bucket, never a per-user cross product), and both credits come
+    from the same ranked window over the bounded pair set. The
+    oracle's theta join is the semantics, never the plan."""
+    from spark_tsne_spark.operators.timeseries import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch"),
+    )
+    pairs = range_join_buckets(
+        p, t.withColumnRenamed("t_user", "user_id"),
+        "p_ts", "t_ts", lower_s=-86400.0, upper_s=0.0, by="user_id",
+    ).select("pid", "user_id", "tid", "t_ts", "touch")
+    w_first = Window.partitionBy("pid").orderBy("t_ts", "tid")
+    w_last = Window.partitionBy("pid").orderBy(
+        F.col("t_ts").desc(), F.col("tid").desc()
+    )
+    w_all = Window.partitionBy("pid")
+    ranked = pairs.select(
+        "pid", "user_id", "tid", "touch",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+        F.count("*").over(w_all).cast("long").alias("n_touches"),
+    )
+    f = ranked.where("rn_first = 1").select(
+        "pid", "user_id", "n_touches",
+        F.col("tid").alias("first_tid"), F.col("touch").alias("first_touch"),
+    )
+    last = ranked.where("rn_last = 1").select(
+        "pid",
+        F.col("tid").alias("last_tid"), F.col("touch").alias("last_touch"),
+    )
+    return f.join(last, "pid").orderBy("pid")

@@ -424,3 +424,29 @@ def test_pit_join_never_leaks_the_future(spark):
         else:
             assert r["state_value"] == vs[-1][2], r
     assert n_null >= 0
+
+
+def test_attribution_credits_are_correct_and_window_bounded(spark):
+    """First/last credits re-derived row-by-row: both touches lie in
+    [purchase-24h, purchase], first <= last in event time, and the
+    keyed range join found EVERY in-window touch (n_touches exact)."""
+    from datetime import timedelta
+
+    out = Q.events_attribution(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    touches = {}
+    for r in ev.where(F.col("event_type").isin("view", "click")).collect():
+        touches.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    purch = {r["event_id"]: r for r in
+             ev.where(F.col("event_type") == "purchase").collect()}
+    assert out
+    for r in out:
+        p = purch[r["pid"]]
+        lo = p["ts"] - timedelta(hours=24)
+        win = sorted(t for t in touches.get(p["user_id"], [])
+                     if lo <= t[0] <= p["ts"])
+        assert len(win) == r["n_touches"], r["pid"]
+        assert (win[0][1], win[0][2]) == (r["first_tid"], r["first_touch"])
+        assert (win[-1][1], win[-1][2]) == (r["last_tid"], r["last_touch"])
