@@ -487,6 +487,7 @@ def bench_queries():
         "sq8_recall_eval": Q.embedding_sq8_recall,
         "pit_state_join": Q.events_pit_state_join,
         "attribution": Q.events_attribution,
+        "rfm_segments": Q.orders_rfm_segments,
     }
 
 

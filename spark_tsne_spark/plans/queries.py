@@ -92,7 +92,7 @@ _DRIVER_PRIORITY = [
     "events_volume_trend", "events_forget_users",
     "events_dau_wau", "orders_pareto_abc", "dedup_simhash_recall",
     "embedding_sq8_recall", "events_pit_state_join",
-    "events_attribution",
+    "events_attribution", "orders_rfm_segments",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -10603,3 +10603,62 @@ def events_attribution(spark, sf_dir):
         F.col("tid").alias("last_tid"), F.col("touch").alias("last_touch"),
     )
     return f.join(last, "pid").orderBy("pid")
+
+
+_RFM_SQL = """
+    WITH c AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*)::BIGINT AS freq,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT o_custkey, cents,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY freq, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY cents, o_custkey) AS m
+      FROM c
+    )
+    SELECT (r::VARCHAR || f::VARCHAR || m::VARCHAR) AS rfm_segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("orders_rfm_segments", _RFM_SQL)
+def orders_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartiles,
+    4 = best): the classic lifecycle-marketing cut. All three scores
+    are ntile(4) with a FULL total order (metric, custkey) so tile
+    boundaries cannot differ between engines, and monetary folds to
+    exact integer cents first. The windows run over the |customers|
+    aggregate, never the fact table — same scale posture (and same
+    sketch-threshold escape) as ``orders_pareto_abc``."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("freq"),
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    s = c.select(
+        "o_custkey", "cents",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("cents", "o_custkey")).alias("m"),
+    )
+    return (
+        s.groupBy(
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("rfm_segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("rfm_segment")
+    )

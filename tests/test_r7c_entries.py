@@ -450,3 +450,22 @@ def test_attribution_credits_are_correct_and_window_bounded(spark):
         assert len(win) == r["n_touches"], r["pid"]
         assert (win[0][1], win[0][2]) == (r["first_tid"], r["first_touch"])
         assert (win[-1][1], win[-1][2]) == (r["last_tid"], r["last_touch"])
+
+
+def test_rfm_segments_partition_customers_and_scores_are_quartiles(spark):
+    """Segments partition every ordering customer; each score digit is
+    in 1..4; customer counts per R digit are balanced like ntile."""
+    rows = Q.orders_rfm_segments(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    from collections import Counter
+
+    r_digit = Counter()
+    for r in rows:
+        seg = r["rfm_segment"]
+        assert len(seg) == 3 and all(ch in "1234" for ch in seg), seg
+        r_digit[seg[0]] += r["n_customers"]
+    # ntile(4) balance: bucket sizes differ by at most 1
+    sizes = sorted(r_digit.values())
+    assert len(sizes) == 4 and sizes[-1] - sizes[0] <= 1
