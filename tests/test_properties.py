@@ -242,3 +242,51 @@ def test_jpeg_parser_total(payload):
     if out is not None:
         assert out.dtype == np.uint8
         assert out.ndim in (2, 3)
+
+
+bloom_keys = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=200
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    bloom_keys,
+    bloom_keys,
+    st.sampled_from([64, 1 << 10, 1 << 16]),
+    st.integers(min_value=1, max_value=8),
+)
+def test_bloom_bitmap_never_false_negative(build, probe, m_bits, k):
+    """The Bloom membership kernel (the pure-numpy core of
+    ``joins.bloom_semijoin``) must NEVER reject a key that was
+    inserted — for any key set, bitmap size, or hash count, including
+    negative int64 keys (the uint64 wrap path)."""
+    from spark_tsne_spark.operators import joins as J
+
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    bk = np.array(build, dtype=np.int64)
+    J._set_bits(bitmap, J._positions(bk, m_bits, k))
+    pk = np.array(probe + build, dtype=np.int64)
+    pos = J._positions(pk, m_bits, k)
+    member = np.ones(len(pk), dtype=bool)
+    for i in range(k):
+        p = pos[:, i]
+        member &= (bitmap[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+    in_build = np.isin(pk, bk)
+    assert member[in_build].all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(bloom_keys, st.integers(min_value=1, max_value=8))
+def test_bloom_positions_deterministic_and_in_range(keys, k):
+    """Hash positions are a pure function of the key (stable across
+    calls — the property that lets build and probe run in different
+    tasks) and always land inside the bitmap."""
+    from spark_tsne_spark.operators import joins as J
+
+    m_bits = 1 << 12
+    a = np.array(keys, dtype=np.int64)
+    p1 = J._positions(a, m_bits, k)
+    p2 = J._positions(a.copy(), m_bits, k)
+    assert (p1 == p2).all()
+    assert p1.min() >= 0 and p1.max() < m_bits
