@@ -488,6 +488,7 @@ def bench_queries():
         "pit_state_join": Q.events_pit_state_join,
         "attribution": Q.events_attribution,
         "rfm_segments": Q.orders_rfm_segments,
+        "streaming_cusum": Q.streaming_cusum_monitor,
     }
 
 

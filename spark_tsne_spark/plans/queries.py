@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "events_dau_wau", "orders_pareto_abc", "dedup_simhash_recall",
     "embedding_sq8_recall", "events_pit_state_join",
     "events_attribution", "orders_rfm_segments",
+    "streaming_cusum_monitor",
     "orders_sketch_quantiles", "ann_dim_truncation_recall",
     "dedup_sorted_neighborhood", "corpus_matched_sample",
     "dedup_containment", "source_js_divergence", "source_novelty",
@@ -10661,4 +10662,65 @@ def orders_rfm_segments(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents"),
         )
         .orderBy("rfm_segment")
+    )
+
+
+@register("streaming_cusum_monitor", _CUSUM_SQL)
+def streaming_cusum_monitor(spark, sf_dir):
+    """Streaming drift monitor, the lambda topology a production
+    detector runs: Structured Streaming maintains the (type, hour)
+    count aggregate incrementally (watermarked tumbling window,
+    order-insensitive so micro-batch boundaries can't change it), and
+    the CUSUM finisher — windows over the |types|x|hours| aggregate,
+    data-size-independent — runs on the sink table per evaluation
+    tick. Fed the same events, it must equal the batch
+    ``events_cusum_changepoint`` exactly (shared oracle); the
+    order-SENSITIVE part never touches raw facts, which is what makes
+    the detector correct under any arrival order."""
+    import re as _re
+
+    from spark_tsne_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        windowed_counts,
+    )
+
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    path = f"/tmp/spark_graft_events_{tag}"
+    _t(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.catalog.dropTempView("sgq_cusum_counts")
+    stream = windowed_counts(read_events_stream(spark, path))
+    run_to_memory(stream, "sgq_cusum_counts")
+    c = spark.table("sgq_cusum_counts").select(
+        "event_type", "hour_ts", F.col("n_events").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("hour_ts")
+    w = c.select(
+        "event_type", "hour_ts",
+        F.row_number().over(wo).cast("long").alias("h_idx"),
+        F.sum("n")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("running"),
+        F.count("*").over(wt).cast("long").alias("n_hours"),
+        F.sum("n").over(wt).cast("long").alias("total"),
+    ).withColumn(
+        "cusum_scaled",
+        F.col("n_hours") * F.col("running") - F.col("h_idx") * F.col("total"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("hour_ts")
+    )
+    return (
+        w.withColumn("rk", F.row_number().over(rk))
+        .where("rk = 1")
+        .select(
+            "event_type",
+            F.col("hour_ts").alias("change_hour"),
+            "cusum_scaled", "n_hours", "total",
+        )
+        .orderBy("event_type")
     )

@@ -275,6 +275,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "ann_mmr_diverse",  # collects the candidate head on invocation
         "corpus_wap_publish",  # stages + audits + publishes on invocation
         "embedding_sq8_recall",  # collects the d-row quant stats on invocation
+        "streaming_cusum_monitor",  # drains the streaming agg on invocation
     }
     # BroadcastNestedLoopJoin intended:
     bnlj_ok = {

@@ -469,3 +469,12 @@ def test_rfm_segments_partition_customers_and_scores_are_quartiles(spark):
     # ntile(4) balance: bucket sizes differ by at most 1
     sizes = sorted(r_digit.values())
     assert len(sizes) == 4 and sizes[-1] - sizes[0] <= 1
+
+
+def test_streaming_cusum_equals_batch(spark):
+    """The lambda-topology monitor must equal the batch detector
+    exactly when fed the same events — micro-batch boundaries cannot
+    change an order-insensitive aggregate."""
+    batch = sorted(map(tuple, Q.events_cusum_changepoint(spark, SF).collect()))
+    stream = sorted(map(tuple, Q.streaming_cusum_monitor(spark, SF).collect()))
+    assert batch == stream
