@@ -1291,9 +1291,18 @@ def sorted_neighborhood_pairs(
     Scale shape — no global single-partition sort:
     1. global rank via range partitioning: ``repartitionByRange`` on
        the sort key gives ordered, disjoint ranges; per-partition
-       ``row_number`` plus a collected P-row offset table (bounded
-       driver state, the standard two-stage ranking) yields the total
-       rank without ever sorting on one node;
+       ``row_number`` plus a P-row offset table (cumulative sum over
+       per-partition counts, the standard two-stage ranking) yields
+       the total rank without ever sorting on one node. The offsets
+       are computed RELATIONALLY inside the same plan — both the
+       count branch and the rank branch hang off the one range
+       exchange, which ReuseExchange materializes exactly once.
+       (A collect()-then-reuse formulation would run the range
+       exchange twice, and repartitionByRange boundaries come from
+       reservoir sampling — two executions may bucket rows
+       differently, silently corrupting ranks at exactly the scale
+       where partitions outgrow the sample. One plan = one sampling
+       = one consistent pid assignment.);
     2. window join via rank buckets of width ``window``: a pair at
        rank distance ≤ window lies in the same or adjacent bucket, so
        the right side emits into (bucket, bucket-1) — 2× one side,
@@ -1311,18 +1320,28 @@ def sorted_neighborhood_pairs(
     part = sig.repartitionByRange(
         rank_partitions, "simhash", "doc_id"
     ).withColumn("pid", F.spark_partition_id())
-    # P-row offset table: rank offset of partition p = rows in p' < p.
-    pc = {r["pid"]: r["n"] for r in part.groupBy("pid").agg(
-        F.count("*").alias("n")).collect()}
-    offsets, acc = [], 0
-    for pid in sorted(pc):
-        offsets.append((pid, acc))
-        acc += pc[pid]
-    off = docs.sparkSession.createDataFrame(
-        offsets or [(0, 0)], ["pid", "off"]
-    )
     from pyspark.sql import Window as W
 
+    # P-row offset table: rank offset of partition p = rows in p' < p.
+    # Computed as a second branch of the SAME plan so ReuseExchange
+    # materializes the range shuffle once and both branches see one
+    # consistent pid assignment (see docstring). The offset window is
+    # single-partition but runs over only `rank_partitions` rows.
+    off = (
+        part.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("pid").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
     rn = F.row_number().over(
         W.partitionBy("pid").orderBy("simhash", "doc_id")
     )

@@ -86,7 +86,13 @@ def bloom_semijoin(
         if seen:
             yield pd.DataFrame({"bits": [bitmap.tobytes()]})
 
-    build_keys = build.select(F.col(build_key).cast("long").alias("k"))
+    # NULL build keys can never match a semi join — and Arrow hands a
+    # nullable long column to pandas as float64 with NaN, which would
+    # crash .to_numpy(np.int64) (and lose exactness above 2^53), so
+    # drop them in the build projection itself.
+    build_keys = build.select(
+        F.col(build_key).cast("long").alias("k")
+    ).where(F.col("k").isNotNull())
     partials = build_keys.mapInPandas(
         partial_bloom, T.StructType([T.StructField("bits", T.BinaryType())])
     ).collect()

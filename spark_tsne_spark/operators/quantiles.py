@@ -358,7 +358,11 @@ def histogram_sketch_quantiles(
     ``lo``/``hi`` are domain bounds supplied by the caller (the
     monitoring-system convention — e.g. Prometheus histograms);
     out-of-range values clamp into the edge bins, biasing those
-    estimates toward the bounds rather than erroring. Estimate for
+    estimates toward the bounds rather than erroring. NULL values are
+    EXCLUDED before binning (they carry no rank information; counting
+    them would inflate n and — because Spark windows sort NULLS FIRST
+    while other engines sort NULLS LAST — shift every estimate by an
+    engine-dependent amount). Estimate for
     quantile q: with t = ceil(q·n) (integer permille math, no float
     rank), find the covering bin b (first with cum ≥ t) and
     interpolate ``lo + w·(b + (t - cum_prev)/cnt_b)``. All math is
@@ -381,9 +385,11 @@ def histogram_sketch_quantiles(
     v = F.col(value_col).cast("double")
     b = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long")
     b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
-    counts = df.groupBy(
-        F.col(group_col).alias("grp"), b.alias("bin")
-    ).agg(F.count("*").alias("cnt"))
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
     cum = counts.withColumn(
         "cum", F.sum("cnt").over(Window.partitionBy("grp").orderBy("bin"))
     ).withColumn("n", F.sum("cnt").over(Window.partitionBy("grp")))

@@ -71,41 +71,14 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
-    # Round-7 rotation (VERDICT r6 #4): the driver value-checks the
-    # FIRST ~50 entries per round, so ordering = never-driver-green
-    # first (26 entries as of r6 — the re-oracled BPE trio and the
-    # r4 red row events_json_extract lead), then by OLDEST green
-    # round (r3 -> r6), alphabetical within a group. Recompute from
-    # the union of CORRECTNESS_r0*.json when rotating again.
-    # New in r7 (never sampled): the unigram tokenizer family and
-    # the held-out trigram LM; r7b adds the sketch-quantile /
-    # dim-truncation / sorted-neighborhood / matched-sample batch;
-    # r7c/d add funnel/bloom/MMR, the recall-eval family
-    # (LSH/simhash/SQ8), WAP, A/B, CUSUM, trend, forget, DAU/WAU,
-    # Pareto. 63 never-green entries now compete for ~50 slots, so
-    # the tail of the r6 rotation batch (orc_roundtrip ..
-    # video_frame_sample, positions 51+) rotates to the r8 sample —
-    # new-first beats oldest-first per the policy above.
-    "corpus_funnel_report", "orders_bloom_semijoin", "ann_mmr_diverse",
-    "dedup_lsh_recall", "corpus_wap_publish",
-    "events_ab_test", "events_cusum_changepoint",
-    "events_volume_trend", "events_forget_users",
-    "events_dau_wau", "orders_pareto_abc", "dedup_simhash_recall",
-    "embedding_sq8_recall", "events_pit_state_join",
-    "events_attribution", "orders_rfm_segments",
-    "streaming_cusum_monitor",
-    "orders_sketch_quantiles", "ann_dim_truncation_recall",
-    "dedup_sorted_neighborhood", "corpus_matched_sample",
-    "dedup_containment", "source_js_divergence", "source_novelty",
-    "unigram_vocab", "unigram_encode_stats", "unigram_token_histogram",
-    "tokenizer_fertility", "trigram_lm_ppl", "nb_quality_classifier",
-    "classifier_auc", "classifier_calibration", "zorder_layout_stats",
-    "ann_recall_at_k", "cms_heavy_hitters", "rrf_hybrid_search",
-    "schema_evolution_read", "dq_benford_digits",
-    "bpe_vocab", "bpe_encode_stats", "bpe_token_histogram",
-    "events_json_extract", "centroid_similarity", "cube_revenue",
-    "doc_length_histogram", "embedding_kmeans", "embedding_sq8",
-    "event_transitions", "events_anomaly_zscore", "events_ewma",
+    # Round-8 rotation (recomputed from the union of
+    # CORRECTNESS_r0*.json green rows, per the policy above): the 14
+    # entries with NO driver-green hash in any round lead (the tail
+    # of the r7 rotation batch that fell past the 50-cut:
+    # events_nearest_join .. user_activity_span), then every green
+    # entry ordered by OLDEST green round (r3 first, then r4 ... r7),
+    # alphabetical within a round. New r8 entries are inserted ABOVE
+    # this block as they land.
     "events_nearest_join", "events_value_histogram",
     "incremental_agg_merge", "jsonl_roundtrip", "orc_roundtrip",
     "orders_deciles", "part_cooccurrence", "q12_late_shipments",
@@ -116,43 +89,42 @@ _DRIVER_PRIORITY = [
     "text_fingerprint", "text_pii_scrub", "text_winnow_fingerprints",
     "video_frame_sample", "x2p_affinities", "ann_ivf_index_query",
     "ann_ivf_topk", "ann_topk_cosine", "corpus_curation",
-    "customers_without_orders", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_keep_canonical",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_near", "events_asof_join", "events_gapfill_interp",
-    "events_gapfill_locf", "events_hopping_agg", "events_pivot",
-    "events_range_join", "events_sessionize", "events_trailing_window",
-    "events_tumbling_agg", "fuzzy_prefix_pairs", "knn_lsh_approx",
-    "multimodal_features", "multimodal_jpeg", "multimodal_png",
-    "multimodal_resize", "orders_percentiles", "q6_revenue_delta",
-    "rollup_revenue", "s1_csv_source", "text_char_entropy",
-    "text_lang_id", "text_quality_score", "text_repetition_scores",
-    "text_token_counts", "window_top_orders_per_customer",
-    "ann_ivf_pq_topk", "audio_adpcm_features", "audio_ulaw_features",
-    "bm25_search", "corpus_snapshot_diff", "corpus_token_budget",
-    "corpus_upsert", "corpus_weighted_sample", "dedup_bloom_incremental",
+    "customers_without_orders", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_keep_canonical", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_near",
+    "events_asof_join", "events_gapfill_interp", "events_gapfill_locf",
+    "events_hopping_agg", "events_pivot", "events_range_join",
+    "events_sessionize", "events_trailing_window", "events_tumbling_agg",
+    "fuzzy_prefix_pairs", "knn_lsh_approx", "multimodal_features",
+    "multimodal_jpeg", "multimodal_png", "multimodal_resize",
+    "orders_percentiles", "q6_revenue_delta", "rollup_revenue",
+    "s1_csv_source", "text_char_entropy", "text_lang_id",
+    "text_quality_score", "text_repetition_scores", "text_token_counts",
+    "window_top_orders_per_customer", "ann_ivf_pq_topk",
+    "audio_adpcm_features", "audio_ulaw_features", "bm25_search",
+    "corpus_snapshot_diff", "corpus_token_budget", "corpus_upsert",
+    "corpus_weighted_sample", "dedup_bloom_incremental",
     "dedup_boilerplate_lines", "dedup_duplicate_spans",
     "dedup_graph_pagerank", "dedup_incremental_exact",
     "dedup_incremental_minhash", "dedup_minhash_estimate", "doc_chunks",
     "embedding_centroids", "events_cohort_retention",
     "events_distinct_users", "events_funnel", "events_salted_join",
-    "p1_global_stats", "p2_standardize", "p3_pca_project",
-    "passage_dedup", "q10_returned_items", "q1_pricing_summary",
-    "q3_top_orders", "q5_nation_revenue", "q7_volume_shipping",
-    "quality_gate_per_source", "s2_s3_limit_sort",
-    "semantic_contamination", "semdedup_prune", "seq_packing",
-    "shard_plan", "source_overlap", "streaming_incremental_dedup",
-    "streaming_interval_join", "streaming_token_budget", "table_profile",
-    "text_lm_score", "text_normalize", "text_oov_rate", "tfidf_top_terms",
-    "vocab_top_terms", "x1_row_norms", "x3_x5_pairwise_sqdist",
-    "x6_knn_topk", "y1_symmetrize", "allpairs_cosine",
-    "ann_hard_negatives", "approx_distinct_users", "bigram_next_token",
-    "bpe_word_histogram", "cluster_topics", "corpus_temperature_mix",
-    "dedup_graph_communities", "dedup_graph_triangles", "dedup_report",
-    "doc_sentences", "docs_byte_weighted_median",
-    "docs_median_len_per_source", "dq_orders_expectations",
-    "embedding_kmeans_inertia", "embedding_outliers",
-    "events_interarrival", "events_rate_limit",
+    "p1_global_stats", "p2_standardize", "p3_pca_project", "passage_dedup",
+    "q10_returned_items", "q1_pricing_summary", "q3_top_orders",
+    "q5_nation_revenue", "q7_volume_shipping", "quality_gate_per_source",
+    "s2_s3_limit_sort", "semantic_contamination", "semdedup_prune",
+    "seq_packing", "shard_plan", "source_overlap",
+    "streaming_incremental_dedup", "streaming_interval_join",
+    "streaming_token_budget", "table_profile", "text_lm_score",
+    "text_normalize", "text_oov_rate", "tfidf_top_terms", "vocab_top_terms",
+    "x1_row_norms", "x3_x5_pairwise_sqdist", "x6_knn_topk", "y1_symmetrize",
+    "allpairs_cosine", "ann_hard_negatives", "approx_distinct_users",
+    "bigram_next_token", "bpe_word_histogram", "cluster_topics",
+    "corpus_temperature_mix", "dedup_graph_communities",
+    "dedup_graph_triangles", "dedup_report", "doc_sentences",
+    "docs_byte_weighted_median", "docs_median_len_per_source",
+    "dq_orders_expectations", "embedding_kmeans_inertia",
+    "embedding_outliers", "events_interarrival", "events_rate_limit",
     "events_seasonal_baseline", "events_session_transcripts",
     "events_trending_topk", "events_user_features",
     "fuzzy_prefix_pairs_ed2", "key_skew_profile", "leakage_safe_split",
@@ -165,6 +137,23 @@ _DRIVER_PRIORITY = [
     "q9_product_profit", "scd2_history", "source_percent_rank",
     "streaming_enrich_join", "table_checksum", "term_pmi",
     "text_gopher_gate", "text_lang_id_join", "tsne_embedding",
+    "ann_dim_truncation_recall", "ann_mmr_diverse", "ann_recall_at_k",
+    "bpe_encode_stats", "bpe_token_histogram", "bpe_vocab",
+    "centroid_similarity", "classifier_auc", "classifier_calibration",
+    "cms_heavy_hitters", "corpus_funnel_report", "corpus_matched_sample",
+    "corpus_wap_publish", "cube_revenue", "dedup_containment",
+    "dedup_lsh_recall", "dedup_simhash_recall", "dedup_sorted_neighborhood",
+    "doc_length_histogram", "dq_benford_digits", "embedding_kmeans",
+    "embedding_sq8", "embedding_sq8_recall", "event_transitions",
+    "events_ab_test", "events_anomaly_zscore", "events_attribution",
+    "events_cusum_changepoint", "events_dau_wau", "events_ewma",
+    "events_forget_users", "events_json_extract", "events_pit_state_join",
+    "events_volume_trend", "nb_quality_classifier", "orders_bloom_semijoin",
+    "orders_pareto_abc", "orders_rfm_segments", "orders_sketch_quantiles",
+    "rrf_hybrid_search", "schema_evolution_read", "source_js_divergence",
+    "source_novelty", "streaming_cusum_monitor", "tokenizer_fertility",
+    "trigram_lm_ppl", "unigram_encode_stats", "unigram_token_histogram",
+    "unigram_vocab", "zorder_layout_stats",
 ]
 
 
@@ -8991,7 +8980,7 @@ _SKETCH_Q_SQL = """
       SELECT o_orderpriority AS grp,
              least(greatest(floor((o_totalprice - 0.0) / ((500000.0 - 0.0) / 250))::BIGINT, 0), 249) AS bin,
              count(*)::BIGINT AS cnt
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
     ), c AS (
       SELECT grp, bin, cnt,
              sum(cnt) OVER (PARTITION BY grp ORDER BY bin)::BIGINT AS cum,
@@ -9882,9 +9871,17 @@ def events_ab_test(spark, sf_dir):
     )
     a = F.when(F.col("cohort") == 0, F.col("value"))
     b = F.when(F.col("cohort") == 1, F.col("value"))
+    # n_a/n_b count cohort ROWS (F.lit(1)), not non-null values —
+    # count(value) would skip NULL values while the oracle's
+    # count(CASE WHEN cohort=0 THEN 1 END) counts every cohort row,
+    # a latent divergence that only bites on nullable `value`.
     s = ev.groupBy("event_type").agg(
-        F.count(a).cast("long").alias("n_a"),
-        F.count(b).cast("long").alias("n_b"),
+        F.count(F.when(F.col("cohort") == 0, F.lit(1)))
+        .cast("long")
+        .alias("n_a"),
+        F.count(F.when(F.col("cohort") == 1, F.lit(1)))
+        .cast("long")
+        .alias("n_b"),
         F.round(F.avg(a), 6).alias("mean_a"),
         F.round(F.avg(b), 6).alias("mean_b"),
         F.round(F.var_samp(a), 4).alias("var_a"),
