@@ -489,6 +489,12 @@ def bench_queries():
         "attribution": Q.events_attribution,
         "rfm_segments": Q.orders_rfm_segments,
         "streaming_cusum": Q.streaming_cusum_monitor,
+        "survival_km": Q.events_survival_km,
+        "k_anonymity": Q.customers_k_anonymity,
+        "hll_distinct": Q.events_hll_distinct,
+        "linkage_scores": Q.part_linkage_scores,
+        "margin_mine": Q.bitext_margin_mine,
+        "holt_forecast": Q.events_holt_forecast,
     }
 
 

@@ -70,7 +70,41 @@ def ops():
         "source_novelty": _run_novelty,
         "curation_funnel": _run_funnel,
         "bloom_semijoin": _run_bloom_semi,
+        "k_anonymity": _run_kanon,
+        "linkage_scores": _run_linkage,
     }
+
+
+def _run_kanon(d):
+    from spark_tsne_spark.operators.privacy import k_anonymity_report
+
+    dd = d.select(
+        "source", (F.length("text") / 50).cast("long").alias("len_band")
+    )
+    return k_anonymity_report(dd, ["source", "len_band"], k=5)
+
+
+def _run_linkage(d):
+    from spark_tsne_spark.operators.linkage import (
+        FieldRule,
+        linkage_score_pairs,
+    )
+
+    # Block key co-scales with the corpus (doc_id div 64 — the 10x
+    # copies occupy disjoint id ranges), so blocks stay ~64 rows and
+    # the pair budget stays ~32n: the honest deployment contract
+    # (blocking on a FIXED-cardinality key is the known quadratic).
+    dd = d.select(
+        "doc_id",
+        F.expr("doc_id div 64").alias("blk"),
+        F.length("text").alias("n_chars"),
+        F.substring("text", 1, 12).alias("head"),
+    )
+    rules = [
+        FieldRule("n_chars", lambda a, b: F.abs(a - b) <= 5, 4, -1),
+        FieldRule("head", lambda a, b: a == b, 6, -2),
+    ]
+    return linkage_score_pairs(dd, "doc_id", ["blk"], rules, min_score=3)
 
 
 def _run_funnel(d):
@@ -387,11 +421,59 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
                 right_id="click_id", right_ts="ts", tolerance_s=3600.0,
             )
 
+        def run_km(ev):
+            from spark_tsne_spark.operators.survival import km_curve
+
+            t0 = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+            tp = (
+                ev.where(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("tp"))
+            )
+            end = ev.agg(F.max("ts").alias("tend"))
+            subj = (
+                t0.join(tp, "user_id", "left")
+                .crossJoin(F.broadcast(end))
+                .select(
+                    F.when(
+                        F.col("tp").isNotNull(),
+                        F.datediff("tp", "t0"),
+                    )
+                    .otherwise(F.datediff("tend", "t0"))
+                    .cast("long")
+                    .alias("t"),
+                    F.when(F.col("tp").isNotNull(), 1)
+                    .otherwise(0)
+                    .alias("e"),
+                )
+            )
+            return km_curve(subj)
+
+        def run_hll(ev):
+            from spark_tsne_spark.operators.sketches import (
+                hll_estimate,
+                hll_registers,
+            )
+
+            return hll_estimate(hll_registers(ev, "user_id", p=9), p=9)
+
+        def run_holt(ev):
+            from spark_tsne_spark.operators.timeseries import holt_linear
+
+            c = ev.groupBy(
+                "event_type",
+                F.date_trunc("day", F.col("ts")).alias("day"),
+            ).agg(F.count("*").cast("double").alias("y"))
+            return holt_linear(c, "event_type", "day", "y", horizon=3)
+
         return {
             "asof_join": run_asof,
             "range_join": run_range,
             "ewma": run_ewma,
             "nearest_join": run_nearest,
+            "survival_km": run_km,
+            "hll_distinct": run_hll,
+            "holt_forecast": run_holt,
         }
 
     # Iteration aid: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those ops.
@@ -442,16 +524,26 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
     emb10.count()
 
     from spark_tsne_spark.operators.clustering import kmeans_assign
+    from spark_tsne_spark.operators.similarity import margin_mine
 
-    for name, pair in {"kmeans": (emb1, emb10)}.items():
+    def run_kmeans(d):
+        return kmeans_assign(d, k=8, num_iters=3)
+
+    def run_margin(d):
+        # FIXED 20-query batch (only copy 0 holds vec_id < 40), the
+        # mining contract; the candidate side is what scales.
+        return margin_mine(
+            d.where(F.col("vec_id") < 40), d, k=4, top_per_query=2
+        )
+
+    for name, fn in {"kmeans": run_kmeans,
+                     "margin_mine": run_margin}.items():
         if only and name not in only:
             continue
         ts = []
-        for d in pair:
+        for d in (emb1, emb10):
             t0 = time.time()
-            kmeans_assign(d, k=8, num_iters=3).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            fn(d).write.format("noop").mode("overwrite").save()
             ts.append(time.time() - t0)
         results[name] = ts
         print(f"{name:16s} 1x={ts[0]:6.2f}s 10x={ts[1]:6.2f}s "

@@ -982,3 +982,106 @@ def mmr_rerank(
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def margin_mine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 4,
+    top_per_query: int = 1,
+) -> DataFrame:
+    """Margin-based candidate mining (Artetxe & Schwenk, ACL 2019 —
+    the bitext-mining criterion): score a (query, candidate) pair not
+    by raw cosine but by cosine RELATIVE to each side's neighborhood
+    density, ``margin = cos(a,b) / (0.5*(avgtop_k(a) + avgtop_k(b)))``.
+    Raw cosine retrieves hubs — vectors near everything; the margin
+    denominator discounts them, which is why margin beats absolute
+    thresholds for parallel-corpus mining and works as a general
+    hubness-corrected retrieval score.
+
+    Inputs: ``queries``/``candidates`` as ``(vec_id, embedding)``;
+    the query side is broadcast (mining runs one direction at a
+    time; at 100 TB you shard the candidate side and keep the query
+    batch bounded). The backward average for a candidate is taken
+    over THIS query batch — the standard minibatch approximation.
+
+    Cross-engine exactness: cosines are binned to integer
+    micro-units (round(cos*1e6) as BIGINT) so both top-k sums are
+    exact integer window sums; the margin is then ONE division,
+    ``2k*ci / (fwd_sum + bwd_sum)``, of exact longs — no float
+    accumulation order crosses an engine boundary.
+
+    Output: per query the ``top_per_query`` best-margin candidates:
+    ``(src, tgt, cosine, margin, rank)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = queries.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").cast("array<double>").alias("vq"),
+    ).withColumn("nq", l2_norm("vq"))
+    c = candidates.select(
+        F.col("vec_id").alias("tgt"),
+        F.col("embedding").cast("array<double>").alias("vc"),
+    ).withColumn("nc", l2_norm("vc"))
+    ci = F.round(
+        F.aggregate(
+            F.zip_with("vq", "vc", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / (F.col("nq") * F.col("nc"))
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .select("src", "tgt", ci.alias("ci"))
+    )
+    w_fwd = Window.partitionBy("src").orderBy(
+        F.col("ci").desc(), F.col("tgt").asc()
+    )
+    w_bwd = Window.partitionBy("tgt").orderBy(
+        F.col("ci").desc(), F.col("src").asc()
+    )
+    ranked = pairs.withColumn(
+        "r_f", F.row_number().over(w_fwd)
+    ).withColumn("r_b", F.row_number().over(w_bwd))
+    fwd = (
+        ranked.where(F.col("r_f") <= k)
+        .groupBy("src")
+        .agg(F.sum("ci").cast("long").alias("fwd_sum"))
+    )
+    bwd = (
+        ranked.where(F.col("r_b") <= k)
+        .groupBy("tgt")
+        .agg(F.sum("ci").cast("long").alias("bwd_sum"))
+    )
+    margin = F.round(
+        (F.lit(2 * k) * F.col("ci")).cast("double")
+        / (F.col("fwd_sum") + F.col("bwd_sum")).cast("double"),
+        6,
+    )
+    w_pick = Window.partitionBy("src").orderBy(
+        (
+            (F.lit(2 * k) * F.col("ci")).cast("double")
+            / (F.col("fwd_sum") + F.col("bwd_sum")).cast("double")
+        ).desc(),
+        F.col("tgt").asc(),
+    )
+    return (
+        pairs.join(F.broadcast(fwd), "src")
+        .join(bwd, "tgt")
+        .withColumn("margin", margin)
+        .withColumn("rank", F.row_number().over(w_pick).cast("long"))
+        .where(F.col("rank") <= top_per_query)
+        .select(
+            "src",
+            "tgt",
+            F.round(F.col("ci").cast("double") / 1_000_000.0, 6).alias(
+                "cosine"
+            ),
+            "margin",
+            "rank",
+        )
+    )

@@ -449,3 +449,87 @@ def nearest_join(
         F.col("_rid").alias(right_id),
         ((F.col("_rus") - F.col("_lus")) / F.lit(1_000_000.0)).alias("dt_s"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    by: str,
+    ts: str,
+    value: str,
+    horizon: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per series,
+    with alpha = beta = 0.5 and the l1 = y1, b1 = 0 initialization:
+
+        l_t = 0.5*y_t + 0.5*(l_{t-1} + b_{t-1})
+        b_t = 0.5*(l_t - l_{t-1}) + 0.5*b_{t-1}
+
+    the level-plus-trend upgrade of ``ewma_smooth`` — EWMA lags a
+    trending series by design; Holt tracks the slope and can
+    extrapolate, which is what a volume-forecast alert actually
+    needs. Forecast at horizon h is ``l_T + h*b_T``.
+
+    The recursion is inherently sequential PER SERIES, so the engine
+    parallelism is across series (one shuffle on ``by``), and each
+    series folds its ordered value array with a strict left-to-right
+    ``aggregate`` HOF. The smoothing constants are fixed at 0.5 —
+    a dyadic multiplier, so every fold step is exact-double
+    reproducible and DuckDB's ``list_reduce`` replays the identical
+    IEEE sequence (same trick as the Kaplan-Meier product fold; a
+    tunable alpha would also work, it just weakens the bit-parity
+    argument to "same rounding" rather than "mostly exact ops").
+    State per fold step is the [level, trend] pair, encoded as a
+    2-element array because a fold's accumulator must match the
+    element type in both engines' HOFs.
+
+    Output per series: ``(by, n_obs, level, trend, fc_1..fc_h)``.
+    Series with fewer than 2 observations are dropped (no trend to
+    estimate).
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    ordered = (
+        df.groupBy(F.col(by).alias("series"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(ts).alias("o"), F.col(value).alias("y"))
+                )
+            ).alias("pts")
+        )
+        .where(F.size("pts") >= 2)
+        .select(
+            "series",
+            F.size("pts").cast("long").alias("n_obs"),
+            F.expr(
+                "aggregate("
+                "  slice(transform(pts, p -> CAST(p.y AS DOUBLE)), 2,"
+                "        size(pts) - 1),"
+                "  array(CAST(element_at(pts, 1).y AS DOUBLE),"
+                "        CAST(0.0 AS DOUBLE)),"
+                "  (acc, y) -> array("
+                "    0.5D * y + 0.5D * (element_at(acc, 1)"
+                "                       + element_at(acc, 2)),"
+                "    0.5D * ((0.5D * y + 0.5D * (element_at(acc, 1)"
+                "                                + element_at(acc, 2)))"
+                "            - element_at(acc, 1))"
+                "    + 0.5D * element_at(acc, 2)))"
+            ).alias("st"),
+        )
+    )
+    out = ordered.select(
+        F.col("series").alias(by),
+        "n_obs",
+        F.round(F.element_at("st", 1), decimals).alias("level"),
+        F.round(F.element_at("st", 2), decimals).alias("trend"),
+        *[
+            F.round(
+                F.element_at("st", 1)
+                + F.lit(float(h)) * F.element_at("st", 2),
+                decimals,
+            ).alias(f"fc_{h}")
+            for h in range(1, horizon + 1)
+        ],
+    )
+    return out

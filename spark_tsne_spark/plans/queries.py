@@ -71,6 +71,10 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
+    # New in r8 (never sampled): survival analysis, k-anonymity,
+    # HLL sketch, record-linkage scoring, margin mining, Holt.
+    "events_survival_km", "customers_k_anonymity", "events_hll_distinct",
+    "part_linkage_scores", "bitext_margin_mine", "events_holt_forecast",
     # Round-8 rotation (recomputed from the union of
     # CORRECTNESS_r0*.json green rows, per the policy above): the 14
     # entries with NO driver-green hash in any round lead (the tail
@@ -10721,3 +10725,397 @@ def streaming_cusum_monitor(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8: survival analysis, privacy audit, mergeable HLL sketch,
+# record-linkage scoring, margin-based mining, Holt forecasting
+# --------------------------------------------------------------------------
+
+_SURVIVAL_KM_SQL = """
+    WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+    tp AS (
+      SELECT user_id, min(ts) AS tp FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    e AS (SELECT max(ts) AS tend FROM events),
+    subj AS (
+      SELECT CASE WHEN tp.tp IS NOT NULL
+                  THEN datediff('day', t0.t0, tp.tp)
+                  ELSE datediff('day', t0.t0, e.tend) END::BIGINT AS t,
+             CASE WHEN tp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 LEFT JOIN tp USING (user_id) CROSS JOIN e
+    ),
+    per_t AS (
+      SELECT t, count(*)::BIGINT AS m, sum(ev)::BIGINT AS d
+      FROM subj GROUP BY t
+    ),
+    curve AS (
+      SELECT t, d, n FROM (
+        SELECT t, d, sum(m) OVER (ORDER BY t DESC)::BIGINT AS n
+        FROM per_t
+      ) WHERE d > 0
+    ),
+    l AS (
+      SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS arr
+      FROM curve
+    )
+    SELECT arr[i].t AS t, arr[i].n AS n_risk, arr[i].d AS d_events,
+           round(list_reduce(
+             list_transform(arr[1:i],
+               z -> CAST(z.n - z.d AS DOUBLE) / CAST(z.n AS DOUBLE)),
+             (a, b) -> a * b), 6) AS km
+    FROM l, UNNEST(range(1, len(arr) + 1)) AS u(i)
+    ORDER BY t
+"""
+
+
+@register("events_survival_km", _SURVIVAL_KM_SQL)
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion: per user, days from first
+    event to first 'purchase'; users who never purchase are
+    right-CENSORED at the observation-window end rather than dropped
+    (dropping them biases the curve optimistic - the reason KM exists).
+    One groupBy(user) builds subjects, one groupBy(duration) collapses
+    to a <= max-days curve table, and the survival column is a strict
+    left-to-right product fold over that bounded table - DuckDB's
+    list_reduce replays the identical IEEE multiply sequence, so no
+    exp(sum(ln)) libm drift crosses the engine boundary."""
+    from spark_tsne_spark.operators.survival import km_curve
+
+    ev = _t(spark, sf_dir, "events")
+    t0 = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    tp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    end = ev.agg(F.max("ts").alias("tend"))
+    subj = (
+        t0.join(tp, "user_id", "left")
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.datediff(F.col("tp"), F.col("t0")),
+            )
+            .otherwise(F.datediff(F.col("tend"), F.col("t0")))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("tp").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("e"),
+        )
+    )
+    return km_curve(subj, "t", "e").orderBy("t")
+
+
+_K_ANON_SQL = """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             floor(c_acctbal / 1000.0)::BIGINT AS bal_band,
+             count(*)::BIGINT AS sz
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT sum(sz)::BIGINT AS n_total FROM classes)
+    SELECT CASE WHEN sz <= 1 THEN '1' WHEN sz <= 4 THEN '2-4'
+                WHEN sz <= 9 THEN '5-9' WHEN sz <= 49 THEN '10-49'
+                ELSE '50+' END AS size_band,
+           count(*)::BIGINT AS n_classes,
+           sum(sz)::BIGINT AS n_rows,
+           sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT
+             AS n_rows_below_k,
+           round(CAST(sum(sz) AS DOUBLE) / CAST(any_value(n_total) AS DOUBLE), 6)
+             AS pct_rows
+    FROM classes CROSS JOIN tot
+    GROUP BY 1 ORDER BY size_band
+"""
+
+
+@register("customers_k_anonymity", _K_ANON_SQL)
+def customers_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=5) of the customer quasi-identifier
+    tuple (nation, segment, account-balance band): class-size-band
+    report with the count of rows living in classes smaller than k -
+    the pre-release re-identification risk readout. One groupBy over
+    the QI tuple (bounded by the QI domain, not the row count), then
+    a |classes|-sized fold; all exact integers plus one final
+    share-of-rows division."""
+    from spark_tsne_spark.operators.privacy import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    ).orderBy("size_band")
+
+
+_HLL_SQL = """
+    WITH h AS (
+      SELECT ('0x' || substring(md5('hll:' || user_id::VARCHAR), 1, 15))
+               ::BIGINT % 512 AS register,
+             CASE WHEN length(regexp_replace(
+                    substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                    '^0+', '')) = 0
+                  THEN 53
+                  ELSE 4 * (13 - length(regexp_replace(
+                         substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                         '^0+', '')))
+                       + CASE WHEN ('0x' || substring(regexp_replace(
+                                substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                                '^0+', ''), 1, 1))::BIGINT >= 8 THEN 0
+                              WHEN ('0x' || substring(regexp_replace(
+                                substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                                '^0+', ''), 1, 1))::BIGINT >= 4 THEN 1
+                              WHEN ('0x' || substring(regexp_replace(
+                                substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                                '^0+', ''), 1, 1))::BIGINT >= 2 THEN 2
+                              ELSE 3 END
+                       + 1 END::BIGINT AS rho
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (SELECT register, max(rho)::BIGINT AS max_rho FROM h GROUP BY 1),
+    a AS (
+      SELECT count(*)::BIGINT AS n_regs,
+             coalesce(sum(1::BIGINT << CAST(53 - max_rho AS INT)), 0)::BIGINT
+               AS present FROM regs
+    ),
+    x AS (SELECT count(DISTINCT user_id)::BIGINT AS n_exact FROM events),
+    est AS (
+      SELECT 512::BIGINT AS m, (512 - n_regs)::BIGINT AS v_empty,
+             (present + (512 - n_regs) * (1::BIGINT << 53))::BIGINT
+               AS denom_scaled
+      FROM a
+    )
+    SELECT m, v_empty, denom_scaled, n_exact,
+           round(CASE WHEN v_empty > 0
+                       AND CAST(188686.82445861166 AS DOUBLE)
+                           * CAST(9007199254740992.0 AS DOUBLE)
+                           / CAST(denom_scaled AS DOUBLE) <= 1280.0
+                      THEN 512.0 * ln(512.0 / CAST(v_empty AS DOUBLE))
+                      ELSE CAST(188686.82445861166 AS DOUBLE)
+                           * CAST(9007199254740992.0 AS DOUBLE)
+                           / CAST(denom_scaled AS DOUBLE) END, 3) AS est
+    FROM est CROSS JOIN x
+"""
+
+
+@register("events_hll_distinct", _HLL_SQL)
+def events_hll_distinct(spark, sf_dir):
+    """Explicit HyperLogLog register sketch over event users (p=9,
+    512 registers) plus its estimate, next to the exact distinct
+    count. The POINT vs approx_count_distinct is the materialized
+    sketch: per-shard (register, max_rho) rows merge by
+    groupBy(register).max - daily shards roll up without re-reading
+    history, same contract as the histogram quantile sketch. The
+    harmonic denominator is kept as an EXACT integer (sum of
+    2^(53-rho) in BIGINT) so no float accumulation order crosses the
+    engine boundary; only the small-range linear-counting branch
+    touches libm (ln), invisible at the 3-decimal grid."""
+    from spark_tsne_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", p=9)
+    est = hll_estimate(regs, p=9)
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m", "v_empty", "denom_scaled", "n_exact", "est"
+    )
+
+
+_LINKAGE_SQL = """
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_type, p_size, p_name,
+             floor(p_retailprice / 100.0)::BIGINT AS price_band,
+             p_size // 4 AS size_blk
+      FROM part
+    )
+    SELECT a.p_partkey AS a, b.p_partkey AS b,
+           (a.p_type = b.p_type)::BIGINT AS p_type_agree,
+           (abs(a.p_size - b.p_size) <= 1)::BIGINT AS p_size_agree,
+           (a.price_band = b.price_band)::BIGINT AS price_band_agree,
+           (len(list_intersect(string_split(a.p_name, ' '),
+                               string_split(b.p_name, ' '))) >= 1)::BIGINT
+             AS p_name_agree,
+           (CASE WHEN a.p_type = b.p_type THEN 6 ELSE -2 END
+            + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 2 ELSE -1 END
+            + CASE WHEN a.price_band = b.price_band THEN 3 ELSE -1 END
+            + CASE WHEN len(list_intersect(string_split(a.p_name, ' '),
+                                           string_split(b.p_name, ' '))) >= 1
+                   THEN 5 ELSE -1 END)::BIGINT AS score
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.size_blk = b.size_blk
+     AND a.p_partkey < b.p_partkey
+    WHERE (CASE WHEN a.p_type = b.p_type THEN 6 ELSE -2 END
+           + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 2 ELSE -1 END
+           + CASE WHEN a.price_band = b.price_band THEN 3 ELSE -1 END
+           + CASE WHEN len(list_intersect(string_split(a.p_name, ' '),
+                                          string_split(b.p_name, ' '))) >= 1
+                  THEN 5 ELSE -1 END) >= 10
+"""
+
+
+@register("part_linkage_scores", _LINKAGE_SQL)
+def part_linkage_scores(spark, sf_dir):
+    """Fellegi-Sunter-shaped record-linkage scoring over the part
+    catalog: block on (brand, size//4), compare the comparison
+    vector (type equality, size within 1, price band, name-token
+    overlap) and sum fixed integer log-odds weights; pairs scoring
+    >= 10 are match candidates WITH their agreement pattern, so a
+    reviewer sees why. Shuffle is on the blocking key only - never
+    all-pairs - and every score is an exact BIGINT sum."""
+    from spark_tsne_spark.operators.linkage import (
+        FieldRule,
+        linkage_score_pairs,
+    )
+
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_name",
+        F.floor(F.col("p_retailprice") / 100.0)
+        .cast("long")
+        .alias("price_band"),
+        F.expr("p_size div 4").alias("size_blk"),
+    )
+    rules = [
+        FieldRule("p_type", lambda a, b: a == b, 6, -2),
+        FieldRule("p_size", lambda a, b: F.abs(a - b) <= 1, 2, -1),
+        FieldRule("price_band", lambda a, b: a == b, 3, -1),
+        FieldRule(
+            "p_name",
+            lambda a, b: F.size(
+                F.array_intersect(F.split(a, " "), F.split(b, " "))
+            )
+            >= 1,
+            5,
+            -1,
+        ),
+    ]
+    return linkage_score_pairs(
+        parts, "p_partkey", ["p_brand", "size_blk"], rules, min_score=10
+    )
+
+
+_MARGIN_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x*x))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS src, v, nrm FROM e
+          WHERE vec_id % 2 = 0 AND vec_id < 40),
+    c AS (SELECT vec_id AS tgt, v, nrm FROM e WHERE vec_id % 2 = 1),
+    p AS (
+      SELECT src, tgt,
+             CAST(round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                        * 1000000.0, 0) AS BIGINT) AS ci
+      FROM q, c
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src ORDER BY ci DESC, tgt)
+               AS r_f,
+             row_number() OVER (PARTITION BY tgt ORDER BY ci DESC, src)
+               AS r_b
+      FROM p
+    ),
+    f AS (SELECT src, sum(ci)::BIGINT AS fwd_sum FROM r
+          WHERE r_f <= 4 GROUP BY src),
+    b AS (SELECT tgt, sum(ci)::BIGINT AS bwd_sum FROM r
+          WHERE r_b <= 4 GROUP BY tgt),
+    m AS (
+      SELECT p.src, p.tgt, p.ci,
+             CAST(8 * p.ci AS DOUBLE)
+               / CAST(f.fwd_sum + b.bwd_sum AS DOUBLE) AS mg
+      FROM p JOIN f USING (src) JOIN b USING (tgt)
+    )
+    SELECT src, tgt,
+           round(CAST(ci AS DOUBLE) / 1000000.0, 6) AS cosine,
+           round(mg, 6) AS margin, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY mg DESC, tgt)
+                  ::BIGINT AS rank
+      FROM m
+    ) WHERE rank <= 2
+"""
+
+
+@register("bitext_margin_mine", _MARGIN_SQL)
+def bitext_margin_mine(spark, sf_dir):
+    """Margin-based mining (Artetxe-Schwenk): hubness-corrected
+    retrieval where a pair's cosine is normalized by both sides'
+    top-k neighborhood averages - the standard bitext/parallel-pair
+    criterion, demonstrated here with even vec_ids as the query
+    batch and odd as candidates. Cosines are binned to integer
+    micro-units so both neighborhood sums are exact BIGINTs and the
+    margin is one division; the margin ORDER (not just its rounded
+    value) is therefore identical across engines."""
+    from spark_tsne_spark.operators.similarity import margin_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40))
+    cs = emb.where(F.col("vec_id") % 2 == 1)
+    return margin_mine(qs, cs, k=4, top_per_query=2)
+
+
+_HOLT_SQL = """
+    WITH c AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, count(*)::BIGINT AS n_obs,
+             list(y ORDER BY day) AS ys
+      FROM c GROUP BY 1
+    ),
+    s AS (
+      SELECT event_type, n_obs,
+             list_reduce(
+               list_transform(ys, y -> [y, 0.0]),
+               (acc, x) -> [
+                 0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                 0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                   + 0.5 * acc[2]
+               ]) AS st
+      FROM l WHERE n_obs >= 2
+    )
+    SELECT event_type, n_obs,
+           round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[1] + 1.0 * st[2], 6) AS fc_1,
+           round(st[1] + 2.0 * st[2], 6) AS fc_2,
+           round(st[1] + 3.0 * st[2], 6) AS fc_3
+    FROM s ORDER BY event_type
+"""
+
+
+@register("events_holt_forecast", _HOLT_SQL)
+def events_holt_forecast(spark, sf_dir):
+    """Holt linear-trend smoothing of daily event volume per type,
+    with a 3-day-ahead forecast: the level+trend upgrade of the EWMA
+    entry (EWMA lags trending series by construction; Holt tracks
+    slope and extrapolates). The per-series recursion folds the
+    ordered daily counts with a strict left-to-right HOF; with the
+    dyadic alpha=beta=0.5 every step is reproducible and DuckDB's
+    list_reduce walks the identical IEEE sequence."""
+    from spark_tsne_spark.operators.timeseries import holt_linear
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    return holt_linear(
+        c, by="event_type", ts="day", value="y", horizon=3
+    ).orderBy("event_type")

@@ -345,6 +345,15 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "dedup_lsh_recall",
         # same eval harness, simhash generator
         "dedup_simhash_recall",
+        # 1-row scalar-broadcast crossJoins: observation-window end
+        # into censoring; QI row total into the band shares; exact
+        # distinct count next to the sketch estimate
+        "events_survival_km",
+        "customers_k_anonymity",
+        "events_hll_distinct",
+        # query-batch broadcast into the candidate matrix (mining
+        # contract: bounded |Q| x sharded candidates)
+        "bitext_margin_mine",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
