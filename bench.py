@@ -495,6 +495,11 @@ def bench_queries():
         "linkage_scores": Q.part_linkage_scores,
         "margin_mine": Q.bitext_margin_mine,
         "holt_forecast": Q.events_holt_forecast,
+        "kmv_intersection": Q.events_kmv_intersection,
+        "negative_sampling": Q.vocab_negative_sampling,
+        "quarantine_bitmask": Q.orders_quarantine_bitmask,
+        "robust_scale": Q.orders_robust_scale,
+        "streaming_sessionize": Q.streaming_sessionize,
     }
 
 

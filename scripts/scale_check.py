@@ -72,7 +72,27 @@ def ops():
         "bloom_semijoin": _run_bloom_semi,
         "k_anonymity": _run_kanon,
         "linkage_scores": _run_linkage,
+        "negative_sampling": _run_negsample,
     }
+
+
+def _run_negsample(d):
+    from spark_tsne_spark.operators.search import tokens
+
+    tf_tbl = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .where(F.length("term") >= 1)
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    wt = tf_tbl.withColumn(
+        "w_micro",
+        F.expr("CAST(round(pow(tf, 0.75) * 1000000.0, 0) AS BIGINT)"),
+    )
+    tot = wt.agg(F.sum("w_micro").alias("w_total"))
+    return wt.orderBy(F.col("tf").desc(), "term").limit(200).crossJoin(
+        F.broadcast(tot)
+    )
 
 
 def _run_kanon(d):
@@ -466,6 +486,16 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             ).agg(F.count("*").cast("double").alias("y"))
             return holt_linear(c, "event_type", "day", "y", horizon=3)
 
+        def run_kmv(ev):
+            from spark_tsne_spark.operators.sketches import (
+                kmv_pair_estimates,
+                kmv_sketches,
+            )
+
+            return kmv_pair_estimates(
+                kmv_sketches(ev, "event_type", "user_id", k=128), k=128
+            )
+
         return {
             "asof_join": run_asof,
             "range_join": run_range,
@@ -474,6 +504,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             "survival_km": run_km,
             "hll_distinct": run_hll,
             "holt_forecast": run_holt,
+            "kmv_intersection": run_kmv,
         }
 
     # Iteration aid: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those ops.
@@ -732,8 +763,43 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             F.countDistinct("l_suppkey").alias("supplier_cnt")
         )
 
+    def run_robust(d):
+        # robust-scale shape: one sort window per group + broadcast
+        # back (grp from suppkey to keep cardinality fixed at 10x —
+        # a fixed group count with 10x members is the stress case
+        # for the per-group sort).
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(F.col("l_suppkey") % 4).orderBy(
+            "unit_cents", "l_partkey"
+        )
+        r = d.select(
+            (F.col("l_suppkey") % 4).alias("grp"),
+            F.col("unit_cents").alias("v"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(
+                W.partitionBy(F.col("l_suppkey") % 4)
+            ).alias("n"),
+        )
+        qs = r.groupBy("grp").agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v"))
+            ).alias("median"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("v"))
+            ).alias("q1"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("v"))
+            ).alias("q3"),
+        )
+        return r.join(F.broadcast(qs), "grp").where(
+            F.abs(F.col("v") - F.col("median"))
+            > 3 * (F.col("q3") - F.col("q1"))
+        ).groupBy("grp").count()
+
     for name, fn in {"q2_min_join_back": run_q2,
-                     "q16_count_distinct": run_q16}.items():
+                     "q16_count_distinct": run_q16,
+                     "robust_scale": run_robust}.items():
         if only and name not in only:
             continue
         ts = []

@@ -133,3 +133,120 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
             ).alias("est"),
         )
     )
+
+
+def kmv_sketches(
+    df: DataFrame, group: str, key, k: int = 256, salt: str = "kmv:"
+) -> DataFrame:
+    """Per-group KMV (k minimum values / bottom-k) distinct sketch:
+    the k smallest md5 hash values of the group's distinct keys.
+
+    The complement to HLL: HLL registers merge (union) but cannot
+    INTERSECT; KMV sketches support both — the bottom-k of a union
+    is the bottom-k of the combined sketches, and because every
+    sketch retains actual hash VALUES, set membership across
+    sketches is observable, giving the Beyer et al. (SIGMOD 2007)
+    intersection estimator (see ``kmv_pair_estimates``). Sketch size
+    is k rows per group regardless of cardinality; build cost is one
+    distinct + one bounded window.
+
+    Everything is deterministic (md5 order), so the sketch — not
+    just its estimate — is value-checkable in plain SQL.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from spark_tsne_spark.operators.sampling import hash_bucket
+
+    hashed = (
+        df.where(F.col(key).isNotNull())
+        .select(
+            F.col(group).alias("grp"),
+            hash_bucket(F.col(key).cast("string"), salt).alias("h"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashed.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("grp", "h")
+    )
+
+
+# 60-bit hash space of the shared md5 hash_bucket primitive.
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_pair_estimates(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-union and distinct-intersection estimates for every
+    unordered group pair from their KMV sketches.
+
+    For a pair (a, b): pool both sketches, keep the k smallest
+    distinct hashes U (identical keys hash identically, so the pool
+    dedups by hash). If the pool holds fewer than k distinct hashes,
+    BOTH sets were exhaustively sketched and the numbers are exact.
+    Otherwise with kth = max(U):
+
+        union_est = (k - 1) * SPACE / kth        (KMV cardinality)
+        inter_est = (c / k) * union_est          (Jaccard c/k scaled)
+
+    where c = |{h in U : h in sketch(a) AND h in sketch(b)}| (Beyer
+    et al., SIGMOD 2007). All set math is exact integers; each
+    estimate is ONE division of exact values, so both engines emit
+    identical doubles.
+
+    Plan shape: every sketch row fans out to the |groups|-1 pairs it
+    participates in (a |groups|-bounded broadcast fan-out, NOT a
+    data-sized join), membership flags max-merge in one groupBy, and
+    the bottom-k window runs over <= 2k rows per pair.
+
+    Output: ``(grp_a, grp_b, k_used, n_common, union_est,
+    inter_est)`` rounded to 3.
+    """
+    from pyspark.sql import Window
+
+    groups = sketches.select(F.col("grp").alias("other")).distinct()
+    fan = sketches.crossJoin(F.broadcast(groups)).where(
+        F.col("grp") != F.col("other")
+    )
+    tagged = fan.select(
+        F.least("grp", "other").alias("grp_a"),
+        F.greatest("grp", "other").alias("grp_b"),
+        "h",
+        F.when(F.col("grp") < F.col("other"), 1).otherwise(0).alias("ia"),
+        F.when(F.col("grp") > F.col("other"), 1).otherwise(0).alias("ib"),
+    )
+    pooled = tagged.groupBy("grp_a", "grp_b", "h").agg(
+        F.max("ia").alias("in_a"), F.max("ib").alias("in_b")
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    u = pooled.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= k
+    )
+    agg = u.groupBy("grp_a", "grp_b").agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("h").cast("long").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+    )
+    exact_regime = F.col("k_used") < k
+    union_raw = (
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("kth").cast("double")
+    )
+    union_est = F.when(
+        exact_regime, F.col("k_used").cast("double")
+    ).otherwise(union_raw)
+    inter_est = F.when(
+        exact_regime, F.col("n_common").cast("double")
+    ).otherwise(
+        F.col("n_common").cast("double") / F.lit(float(k)) * union_raw
+    )
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "k_used",
+        "n_common",
+        F.round(union_est, 3).alias("union_est"),
+        F.round(inter_est, 3).alias("inter_est"),
+    )

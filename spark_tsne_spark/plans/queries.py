@@ -72,9 +72,14 @@ def register(name: str, sql: Optional[str]):
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
     # New in r8 (never sampled): survival analysis, k-anonymity,
-    # HLL sketch, record-linkage scoring, margin mining, Holt.
+    # HLL sketch, record-linkage scoring, margin mining, Holt,
+    # KMV intersection, negative sampling, quarantine bitmask,
+    # robust scaling, streaming sessionize.
     "events_survival_km", "customers_k_anonymity", "events_hll_distinct",
     "part_linkage_scores", "bitext_margin_mine", "events_holt_forecast",
+    "events_kmv_intersection", "vocab_negative_sampling",
+    "orders_quarantine_bitmask", "orders_robust_scale",
+    "streaming_sessionize",
     # Round-8 rotation (recomputed from the union of
     # CORRECTNESS_r0*.json green rows, per the policy above): the 14
     # entries with NO driver-green hash in any round lead (the tail
@@ -11119,3 +11124,394 @@ def events_holt_forecast(spark, sf_dir):
     return holt_linear(
         c, by="event_type", ts="day", value="y", horizon=3
     ).orderBy("event_type")
+
+
+_KMV_SQL = """
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS grp,
+             ('0x' || substring(md5('kmv:' || user_id::VARCHAR), 1, 15))
+               ::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+      SELECT grp, h FROM (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+        FROM hashed
+      ) WHERE r <= 128
+    ),
+    gs AS (SELECT DISTINCT grp AS other FROM sk),
+    fan AS (
+      SELECT least(grp, other) AS grp_a, greatest(grp, other) AS grp_b, h,
+             CASE WHEN grp < other THEN 1 ELSE 0 END AS ia,
+             CASE WHEN grp > other THEN 1 ELSE 0 END AS ib
+      FROM sk CROSS JOIN gs WHERE grp <> other
+    ),
+    pooled AS (
+      SELECT grp_a, grp_b, h, max(ia) AS in_a, max(ib) AS in_b
+      FROM fan GROUP BY 1, 2, 3
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY grp_a, grp_b ORDER BY h) AS r
+        FROM pooled
+      ) WHERE r <= 128
+    ),
+    agg AS (
+      SELECT grp_a, grp_b, count(*)::BIGINT AS k_used,
+             max(h)::BIGINT AS kth,
+             sum(in_a * in_b)::BIGINT AS n_common
+      FROM u GROUP BY 1, 2
+    )
+    SELECT grp_a, grp_b, k_used, n_common,
+           round(CASE WHEN k_used < 128 THEN CAST(k_used AS DOUBLE)
+                      ELSE 127.0 * CAST(1152921504606846976.0 AS DOUBLE)
+                           / CAST(kth AS DOUBLE) END, 3) AS union_est,
+           round(CASE WHEN k_used < 128 THEN CAST(n_common AS DOUBLE)
+                      ELSE CAST(n_common AS DOUBLE) / 128.0
+                           * (127.0 * CAST(1152921504606846976.0 AS DOUBLE)
+                              / CAST(kth AS DOUBLE)) END, 3) AS inter_est
+    FROM agg
+"""
+
+
+@register("events_kmv_intersection", _KMV_SQL)
+def events_kmv_intersection(spark, sf_dir):
+    """KMV (bottom-k) distinct sketches of each event type's user
+    set, plus union AND intersection estimates for every type pair -
+    the question HLL structurally cannot answer (HLL merges unions
+    only; KMV keeps actual hash values, so cross-sketch membership
+    is observable - Beyer et al., SIGMOD 2007). Audience-overlap in
+    one bounded pass: sketch build is one distinct + a k-bounded
+    window per type; the pair stage fans each sketch row to its
+    |types|-1 pairs. Everything is exact integer set math except the
+    final one-division estimates, so both engines emit identical
+    doubles. At the fixture scale the sketches are exhaustive
+    (k_used < k) and the estimates are EXACT - the regime switch is
+    part of the contract."""
+    from spark_tsne_spark.operators.sketches import (
+        kmv_pair_estimates,
+        kmv_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketches(ev, group="event_type", key="user_id", k=128)
+    return kmv_pair_estimates(sk, k=128)
+
+
+_NEGSAMPLE_SQL = rf"""
+    WITH terms AS (
+      SELECT unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf_tbl AS (
+      SELECT term, count(*)::BIGINT AS tf FROM terms
+      WHERE length(term) >= 1 GROUP BY 1
+    ),
+    wt AS (
+      SELECT term, tf,
+             CAST(round(pow(tf, 0.75) * 1000000.0, 0) AS BIGINT) AS w_micro
+      FROM tf_tbl
+    ),
+    tot AS (
+      SELECT sum(w_micro)::BIGINT AS w_total, sum(tf)::BIGINT AS tf_total
+      FROM wt
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT term, tf, w_micro,
+               row_number() OVER (ORDER BY tf DESC, term ASC)::BIGINT
+                 AS "rank"
+        FROM wt
+      ) WHERE "rank" <= 200
+    )
+    SELECT term, tf, w_micro, "rank",
+           round(CAST(w_micro AS DOUBLE) * 1000000.0
+                 / CAST(w_total AS DOUBLE), 3) AS ppm_smoothed,
+           round(CAST(tf AS DOUBLE) * 1000000.0
+                 / CAST(tf_total AS DOUBLE), 3) AS ppm_raw
+    FROM top CROSS JOIN tot
+"""
+
+
+@register("vocab_negative_sampling", _NEGSAMPLE_SQL)
+def vocab_negative_sampling(spark, sf_dir):
+    """word2vec-style negative-sampling table: unigram frequencies
+    smoothed by the 3/4 power (Mikolov et al., NeurIPS 2013) - the
+    flattening that keeps frequent tokens from dominating contrastive
+    negatives. Weights are binned to integer micro-units IMMEDIATELY
+    after the pow() (the only libm call), so the full-vocab
+    normalizer is an exact BIGINT sum - order-independent across
+    engines - and each emitted probability is one division. Top-200
+    rows ship with both smoothed and raw ppm so the flattening is
+    visible; the normalizer covers the WHOLE vocabulary."""
+    from spark_tsne_spark.operators.search import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tf_tbl = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .where(F.length("term") >= 1)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    wt = tf_tbl.withColumn(
+        "w_micro",
+        F.expr("CAST(round(pow(tf, 0.75) * 1000000.0, 0) AS BIGINT)"),
+    )
+    tot = wt.agg(
+        F.sum("w_micro").cast("long").alias("w_total"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    top = (
+        wt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 200)
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "tf",
+        "w_micro",
+        "rank",
+        F.round(
+            F.col("w_micro").cast("double")
+            * 1000000.0
+            / F.col("w_total").cast("double"),
+            3,
+        ).alias("ppm_smoothed"),
+        F.round(
+            F.col("tf").cast("double")
+            * 1000000.0
+            / F.col("tf_total").cast("double"),
+            3,
+        ).alias("ppm_raw"),
+    )
+
+
+_QUARANTINE_SQL = """
+    WITH checked AS (
+      SELECT o.o_orderkey,
+             (CASE WHEN o.o_totalprice IS NULL OR o.o_totalprice > 400000
+                   THEN 1 ELSE 0 END
+              + CASE WHEN o.o_orderdate IS NULL
+                          OR o.o_orderdate >= TIMESTAMP '2000-01-01'
+                     THEN 2 ELSE 0 END
+              + CASE WHEN o.o_orderstatus NOT IN ('O', 'F')
+                     THEN 4 ELSE 0 END
+              + CASE WHEN c.c_custkey IS NULL THEN 8 ELSE 0 END
+             )::BIGINT AS fail_mask
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+    )
+    SELECT fail_mask, count(*)::BIGINT AS n_rows,
+           min(o_orderkey)::BIGINT AS example_orderkey
+    FROM checked GROUP BY 1 ORDER BY fail_mask
+"""
+
+
+@register("orders_quarantine_bitmask", _QUARANTINE_SQL)
+def orders_quarantine_bitmask(spark, sf_dir):
+    """Row-level data-contract quarantine: every row gets a bitmask
+    of the checks it FAILED (1=price cap, 2=date window, 4=status
+    domain, 8=referential orphan), then one aggregation reports the
+    failure-combination census - the artifact that routes rows to
+    quarantine with machine-readable reasons, vs dq_orders_
+    expectations' table-level pass/fail. The referential check is a
+    broadcast join against the distinct key side; everything is
+    exact integers."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("ck"))
+        .distinct()
+    )
+    mask = (
+        F.when(
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") > 400000),
+            1,
+        ).otherwise(0)
+        + F.when(
+            F.col("o_orderdate").isNull()
+            | (
+                F.col("o_orderdate")
+                >= F.to_timestamp(F.lit("2000-01-01"))
+            ),
+            2,
+        ).otherwise(0)
+        + F.when(~F.col("o_orderstatus").isin("O", "F"), 4).otherwise(0)
+        + F.when(F.col("ck").isNull(), 8).otherwise(0)
+    )
+    return (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["ck"],
+            "left",
+        )
+        .select("o_orderkey", mask.cast("long").alias("fail_mask"))
+        .groupBy("fail_mask")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("example_orderkey"),
+        )
+        .orderBy("fail_mask")
+    )
+
+
+_ROBUST_SCALE_SQL = """
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority)::BIGINT AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    qs AS (
+      SELECT grp, max(n)::BIGINT AS n,
+             max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
+             max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median,
+             max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3
+      FROM r GROUP BY grp
+    )
+    SELECT r.grp AS o_orderpriority, qs.n, qs.q1, qs.median, qs.q3,
+           round(qs.q3 - qs.q1, 6) AS iqr,
+           sum(CASE WHEN abs(r.v - qs.median) > 3.0 * (qs.q3 - qs.q1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM r JOIN qs USING (grp)
+    GROUP BY 1, 2, 3, 4, 5, 6
+    ORDER BY o_orderpriority
+"""
+
+
+@register("orders_robust_scale", _ROBUST_SCALE_SQL)
+def orders_robust_scale(spark, sf_dir):
+    """Robust (median/IQR) scaling stats per order priority with a
+    3-IQR outlier census - the preprocessing standardize (P2) cannot
+    survive heavy tails, so feature pipelines publish THIS table
+    instead of mean/stdev. Quantiles are exact SELECTED data values
+    (percentile_disc lower convention, integer rank math - no
+    interpolation float), so both engines pick the identical rows;
+    the outlier compare multiplies instead of divides so no
+    division-by-zero guard is needed for constant groups. One sort
+    window per group + one broadcast-back pass; the iterative-
+    narrowing operator is the same computation at 100 TB without the
+    per-group sort."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    r = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("n"),
+    )
+    qs = r.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("v"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v"))
+        ).alias("median"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("v"))
+        ).alias("q3"),
+    )
+    joined = r.select("grp", "v").join(F.broadcast(qs), "grp")
+    return (
+        joined.groupBy(
+            F.col("grp").alias("o_orderpriority"),
+            "n",
+            "q1",
+            "median",
+            "q3",
+            F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("median"))
+                    > 3.0 * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_STREAM_SESSION_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY 1, 2
+"""
+
+
+@register("streaming_sessionize", _STREAM_SESSION_SQL)
+def streaming_sessionize(spark, sf_dir):
+    """Structured Streaming gap-sessionization with the BUILT-IN
+    session_window operator (Spark-first: no custom state needed for
+    plain gap sessions), drained complete-mode over the events
+    replay and numbered per user afterward - pinned to the batch
+    lag+running-sum sessionizer's SQL. Boundary semantics are the
+    session_window interval contract ([start, last+gap)): a gap of
+    EXACTLY 30 min starts a new session, hence the oracle's
+    ``ts >= prev + gap`` test. Production shape: append mode + a real
+    watermark (state for closed sessions is dropped; the final open
+    session per user holds back until the watermark passes) -
+    complete mode here only because the replay is bounded."""
+    import re as _re
+
+    from spark_tsne_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    path = f"/tmp/spark_graft_events_sess_{tag}"
+    _t(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.catalog.dropTempView("sgq_sessions")
+    stream = session_counts(
+        read_events_stream(spark, path),
+        gap="30 minutes",
+        watermark="100 days",
+    )
+    run_to_memory(stream, "sgq_sessions", mode="complete")
+    t = spark.table("sgq_sessions")
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return t.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start",
+        (
+            F.col("session_end") - F.expr("INTERVAL 30 MINUTES")
+        ).alias("session_end"),
+    )

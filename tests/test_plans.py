@@ -276,6 +276,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "corpus_wap_publish",  # stages + audits + publishes on invocation
         "embedding_sq8_recall",  # collects the d-row quant stats on invocation
         "streaming_cusum_monitor",  # drains the streaming agg on invocation
+        "streaming_sessionize",  # drains the session stream on invocation
     }
     # BroadcastNestedLoopJoin intended:
     bnlj_ok = {
@@ -354,6 +355,11 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # query-batch broadcast into the candidate matrix (mining
         # contract: bounded |Q| x sharded candidates)
         "bitext_margin_mine",
+        # |types|-bounded pair fan-out of the k-row sketches (the
+        # KMV pair stage is sketch-sized, never data-sized)
+        "events_kmv_intersection",
+        # 1-row scalar-broadcast crossJoin (full-vocab normalizer)
+        "vocab_negative_sampling",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):
