@@ -500,6 +500,10 @@ def bench_queries():
         "quarantine_bitmask": Q.orders_quarantine_bitmask,
         "robust_scale": Q.orders_robust_scale,
         "streaming_sessionize": Q.streaming_sessionize,
+        "incident_overlap": Q.sessions_incident_overlap,
+        "anomaly_mad": Q.events_anomaly_mad,
+        "trimmed_mean": Q.orders_trimmed_mean,
+        "forecast_conformal": Q.events_forecast_conformal,
     }
 
 

@@ -496,6 +496,95 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
                 kmv_sketches(ev, "event_type", "user_id", k=128), k=128
             )
 
+        def run_overlap(ev):
+            from pyspark.sql import Window as W
+
+            from spark_tsne_spark.operators.timeseries import (
+                interval_overlap_join,
+            )
+
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            sess = (
+                ev.withColumn(
+                    "new_s",
+                    F.when(
+                        F.lag("ts").over(w).isNull()
+                        | (
+                            F.col("ts")
+                            >= F.lag("ts").over(w)
+                            + F.expr("INTERVAL 30 MINUTES")
+                        ),
+                        1,
+                    ).otherwise(0),
+                )
+                .withColumn(
+                    "sid",
+                    F.sum("new_s").over(
+                        w.rowsBetween(W.unboundedPreceding, 0)
+                    ),
+                )
+                .groupBy("user_id", "sid")
+                .agg(
+                    F.min("ts").alias("s_start"),
+                    (
+                        F.max("ts") + F.expr("INTERVAL 1 MICROSECOND")
+                    ).alias("s_end"),
+                )
+            )
+            inc = (
+                ev.where(F.col("event_type") == "error")
+                .groupBy(F.date_trunc("hour", F.col("ts")).alias("i0"))
+                .agg(F.count("*").alias("ne"))
+                .where(F.col("ne") >= 6)
+                .withColumn("i1", F.col("i0") + F.expr("INTERVAL 1 HOUR"))
+            )
+            return interval_overlap_join(
+                sess, inc, "s_start", "s_end", "i0", "i1", bucket_s=3600.0
+            )
+
+        def run_mad(ev):
+            from spark_tsne_spark.plans import queries as Q
+
+            # same shape as the catalog entry, inlined over the
+            # harness events (two sort windows + broadcast stats)
+            from pyspark.sql import Window as W
+
+            w1 = W.partitionBy("event_type").orderBy("value", "event_id")
+            r = ev.where(F.col("value").isNotNull()).select(
+                "event_type", "value", "event_id",
+                F.row_number().over(w1).alias("rn"),
+                F.count("*").over(
+                    W.partitionBy("event_type")
+                ).alias("n"),
+            )
+            med = r.groupBy("event_type").agg(
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 1) div 2"),
+                        F.col("value"),
+                    )
+                ).alias("median")
+            )
+            d = r.join(F.broadcast(med), "event_type").withColumn(
+                "dev", F.abs(F.col("value") - F.col("median"))
+            )
+            w2 = W.partitionBy("event_type").orderBy("dev", "event_id")
+            dr = d.withColumn("rn2", F.row_number().over(w2))
+            mad = dr.groupBy("event_type").agg(
+                F.max(
+                    F.when(
+                        F.col("rn2") == F.expr("(n + 1) div 2"),
+                        F.col("dev"),
+                    )
+                ).alias("mad")
+            )
+            return (
+                d.join(F.broadcast(mad), "event_type")
+                .where(F.col("dev") > 3.0 * F.col("mad"))
+                .groupBy("event_type")
+                .count()
+            )
+
         return {
             "asof_join": run_asof,
             "range_join": run_range,
@@ -505,6 +594,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             "hll_distinct": run_hll,
             "holt_forecast": run_holt,
             "kmv_intersection": run_kmv,
+            "incident_overlap": run_overlap,
+            "anomaly_mad": run_mad,
         }
 
     # Iteration aid: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those ops.

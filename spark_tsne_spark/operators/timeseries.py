@@ -533,3 +533,68 @@ def holt_linear(
         ],
     )
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_s: float = 3600.0,
+    by: str | None = None,
+) -> DataFrame:
+    """All (left, right) interval pairs that OVERLAP:
+    ``l_start < r_end AND r_start < l_end`` (half-open convention) —
+    the interval-x-interval upgrade of ``range_join_buckets``'s
+    point-in-window shape. The canonical use: sessions vs incident
+    windows, uptime vs maintenance, contract validity vs billing
+    periods.
+
+    Plan: BOTH sides explode to the ``bucket_s``-wide time buckets
+    their interval covers (bounded fan-out ceil(len/bucket)+1 per
+    row), pairs meet in an equi join on the bucket id, and the exact
+    theta predicate filters the survivors. Because two overlapping
+    intervals can share SEVERAL buckets, each pair elects ONE
+    responsibility bucket — max(first bucket of each side) is
+    covered by both by construction — so every pair is emitted
+    exactly once with no distinct pass. Never a cartesian; skewed
+    (hot) buckets are AQE's skew-join case.
+
+    Output: all left + right columns plus ``overlap_us`` (exact
+    integer microseconds of overlap). Caller aliases collisions.
+    """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be > 0, got {bucket_s}")
+    bus = int(bucket_s * 1_000_000)
+    ls, le = _micros(l_start), _micros(l_end)
+    rs, re = _micros(r_start), _micros(r_end)
+    # half-open intervals: the end instant belongs to the NEXT bucket
+    # only if the interval actually extends into it, hence (end-1).
+    l_exp = left.withColumn("_lb0", F.floor(ls / F.lit(bus))).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.col("_lb0"), F.floor((le - F.lit(1)) / F.lit(bus))
+            )
+        ),
+    )
+    r_exp = right.withColumn("_rb0", F.floor(rs / F.lit(bus))).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.col("_rb0"), F.floor((re - F.lit(1)) / F.lit(bus))
+            )
+        ),
+    )
+    keys = ["_bkt"] if by is None else [by, "_bkt"]
+    joined = (
+        l_exp.join(r_exp, on=keys)
+        .where((ls < re) & (rs < le))
+        .where(F.col("_bkt") == F.greatest("_lb0", "_rb0"))
+    )
+    overlap = F.least(le, re) - F.greatest(ls, rs)
+    return joined.withColumn(
+        "overlap_us", overlap.cast("long")
+    ).drop("_bkt", "_lb0", "_rb0")

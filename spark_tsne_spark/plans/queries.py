@@ -79,7 +79,9 @@ _DRIVER_PRIORITY = [
     "part_linkage_scores", "bitext_margin_mine", "events_holt_forecast",
     "events_kmv_intersection", "vocab_negative_sampling",
     "orders_quarantine_bitmask", "orders_robust_scale",
-    "streaming_sessionize",
+    "streaming_sessionize", "sessions_incident_overlap",
+    "events_anomaly_mad", "orders_trimmed_mean",
+    "events_forecast_conformal",
     # Round-8 rotation (recomputed from the union of
     # CORRECTNESS_r0*.json green rows, per the policy above): the 14
     # entries with NO driver-green hash in any round lead (the tail
@@ -11515,3 +11517,462 @@ def streaming_sessionize(spark, sf_dir):
             F.col("session_end") - F.expr("INTERVAL 30 MINUTES")
         ).alias("session_end"),
     )
+
+
+_OVERLAP_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, session_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 1 MICROSECOND AS s_end
+      FROM sess GROUP BY 1, 2
+    ),
+    inc AS (
+      SELECT date_trunc('hour', ts) AS i_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS i_end,
+             count(*)::BIGINT AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2 HAVING count(*) >= 6
+    )
+    SELECT s.user_id, s.session_id, i.i_start AS incident_hour,
+           i.n_errors,
+           (epoch_us(least(s.s_end, i.i_end))
+            - epoch_us(greatest(s.s_start, i.i_start)))::BIGINT
+             AS overlap_us
+    FROM sessions s JOIN inc i
+      ON s.s_start < i.i_end AND i.i_start < s.s_end
+"""
+
+
+@register("sessions_incident_overlap", _OVERLAP_SQL)
+def sessions_incident_overlap(spark, sf_dir):
+    """Interval-x-interval OVERLAP join: user sessions against
+    high-error incident windows (hours with >= 6 errors), with the
+    exact overlap duration - the blast-radius question (which
+    sessions were exposed, for how long) that point-in-window range
+    joins can't pose. Both sides explode to their covering hour
+    buckets, pairs meet in an equi join, and each pair is emitted
+    exactly once via its responsibility bucket (max of first
+    buckets) - never a cartesian, no distinct pass. Sessions are
+    closed intervals shifted to half-open (+1 us), so single-event
+    sessions still attribute. The oracle replays the theta join
+    directly; the bucket plan must produce the identical pair set."""
+    from spark_tsne_spark.operators.timeseries import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    sessions = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("s_end"),
+    )
+    inc = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("i_start"))
+        .agg(F.count("*").cast("long").alias("n_errors"))
+        .where(F.col("n_errors") >= 6)
+        .withColumn("i_end", F.col("i_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    out = interval_overlap_join(
+        sessions, inc, "s_start", "s_end", "i_start", "i_end",
+        bucket_s=3600.0,
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        F.col("i_start").alias("incident_hour"),
+        "n_errors",
+        "overlap_us",
+    )
+
+
+_MAD_SQL = """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, max(n)::BIGINT AS n,
+             max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median
+      FROM r GROUP BY event_type
+    ),
+    d AS (
+      SELECT r.event_type, abs(r.value - med.median) AS dev,
+             r.event_id, med.n, med.median
+      FROM r JOIN med USING (event_type)
+    ),
+    dr AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type ORDER BY dev, event_id) AS rn2
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, max(n) AS n, max(median) AS median,
+             max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) AS mad
+      FROM dr GROUP BY event_type
+    )
+    SELECT d.event_type, mad.n, round(mad.median, 6) AS median,
+           round(mad.mad, 6) AS mad,
+           sum(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY event_type
+"""
+
+
+@register("events_anomaly_mad", _MAD_SQL)
+def events_anomaly_mad(spark, sf_dir):
+    """Median/MAD robust anomaly census per event type - the
+    heavy-tail-safe twin of events_anomaly_zscore: one extreme value
+    shifts a mean/stdev gate but leaves median and MAD untouched.
+    Both medians are exact SELECTED data values (percentile_disc
+    rank math), the deviation compare multiplies (3*MAD) instead of
+    dividing, and the only floats crossing engines are identical
+    subtraction/abs chains on identical doubles. Two sort windows
+    per type + broadcast joins of the |types|-row stats."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+        ).alias("median"),
+    )
+    d = r.select("event_type", "value", "event_id").join(
+        F.broadcast(med), "event_type"
+    ).withColumn("dev", F.abs(F.col("value") - F.col("median")))
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    dr = d.withColumn("rn2", F.row_number().over(w2))
+    mad = dr.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("median").alias("median"),
+        F.max(
+            F.when(F.col("rn2") == F.expr("(n + 1) div 2"), F.col("dev"))
+        ).alias("mad"),
+    )
+    return (
+        d.select("event_type", "dev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            "n",
+            F.round("median", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > 3.0 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .orderBy("event_type")
+    )
+
+
+_TRIMMED_SQL = """
+    WITH r AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority)::BIGINT AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    b AS (SELECT *, (n * 5) // 100 AS lo FROM r),
+    lim AS (
+      SELECT grp, max(n)::BIGINT AS n, max(lo)::BIGINT AS n_trimmed_each,
+             sum(cents)::BIGINT AS sum_all,
+             sum(CASE WHEN rn > lo AND rn <= n - lo THEN cents ELSE 0 END)
+               ::BIGINT AS sum_trim,
+             max(CASE WHEN rn = lo + 1 THEN cents END) AS p05,
+             max(CASE WHEN rn = n - lo THEN cents END) AS p95
+      FROM b GROUP BY grp
+    ),
+    wins AS (
+      SELECT b.grp,
+             sum(least(greatest(b.cents, lim.p05), lim.p95))::BIGINT
+               AS sum_wins
+      FROM b JOIN lim USING (grp) GROUP BY 1
+    )
+    SELECT lim.grp AS o_orderpriority, lim.n, lim.n_trimmed_each,
+           round(CAST(lim.sum_all AS DOUBLE) / CAST(lim.n AS DOUBLE)
+                 / 100.0, 6) AS mean_raw,
+           round(CAST(lim.sum_trim AS DOUBLE)
+                 / CAST(lim.n - 2 * lim.n_trimmed_each AS DOUBLE)
+                 / 100.0, 6) AS mean_trimmed,
+           round(CAST(wins.sum_wins AS DOUBLE) / CAST(lim.n AS DOUBLE)
+                 / 100.0, 6) AS mean_winsorized
+    FROM lim JOIN wins USING (grp)
+    ORDER BY o_orderpriority
+"""
+
+
+@register("orders_trimmed_mean", _TRIMMED_SQL)
+def orders_trimmed_mean(spark, sf_dir):
+    """5% trimmed and winsorized means per priority next to the raw
+    mean - the robust location estimates a reporting layer publishes
+    when tails are suspect (trim DROPS the tails, winsorize CLAMPS
+    them to the p05/p95 data values). Prices fold to exact integer
+    cents, so every sum - including the clamped one - is an exact
+    BIGINT in any accumulation order, and each mean is one division
+    chain written identically in both engines."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    r = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100.0, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("n"),
+    ).withColumn("lo", F.expr("(n * 5) div 100"))
+    lim = r.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("lo").cast("long").alias("n_trimmed_each"),
+        F.sum("cents").cast("long").alias("sum_all"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("lo"))
+                & (F.col("rn") <= F.col("n") - F.col("lo")),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_trim"),
+        F.max(
+            F.when(F.col("rn") == F.col("lo") + 1, F.col("cents"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("lo"), F.col("cents"))
+        ).alias("p95"),
+    )
+    wins = (
+        r.select("grp", "cents")
+        .join(F.broadcast(lim.select("grp", "p05", "p95")), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.least(
+                    F.greatest(F.col("cents"), F.col("p05")), F.col("p95")
+                )
+            )
+            .cast("long")
+            .alias("sum_wins")
+        )
+    )
+    return (
+        lim.join(wins, "grp")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n",
+            "n_trimmed_each",
+            F.round(
+                F.col("sum_all").cast("double")
+                / F.col("n").cast("double")
+                / 100.0,
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.col("sum_trim").cast("double")
+                / (F.col("n") - 2 * F.col("n_trimmed_each")).cast("double")
+                / 100.0,
+                6,
+            ).alias("mean_trimmed"),
+            F.round(
+                F.col("sum_wins").cast("double")
+                / F.col("n").cast("double")
+                / 100.0,
+                6,
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# Shared Holt fold lambda (alpha=beta=0.5, l1=y1, b1=0) over
+# [level, trend] pairs — Spark HOF spelling and DuckDB list_reduce
+# spelling of the SAME IEEE op sequence.
+_HOLT_LAM_SPARK = (
+    "(acc, x) -> array("
+    " 0.5D * element_at(x, 1)"
+    " + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),"
+    " 0.5D * ((0.5D * element_at(x, 1)"
+    "          + 0.5D * (element_at(acc, 1) + element_at(acc, 2)))"
+    "         - element_at(acc, 1))"
+    " + 0.5D * element_at(acc, 2))"
+)
+_HOLT_LAM_DUCK = (
+    "(acc, x2) -> ["
+    " 0.5 * x2[1] + 0.5 * (acc[1] + acc[2]),"
+    " 0.5 * ((0.5 * x2[1] + 0.5 * (acc[1] + acc[2])) - acc[1])"
+    " + 0.5 * acc[2]]"
+)
+
+_CONFORMAL_SQL = f"""
+    WITH c AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, count(*)::BIGINT AS n_obs,
+             list(y ORDER BY day) AS ys
+      FROM c GROUP BY 1
+    ),
+    s AS (
+      SELECT event_type, n_obs,
+             list_reduce(list_transform(ys, y -> [y, 0.0]),
+                         {_HOLT_LAM_DUCK}) AS stf,
+             list_transform(range(2, len(ys) + 1), t ->
+               abs(ys[t]
+                   - (list_reduce(
+                        list_transform(ys[1:t-1], y -> [y, 0.0]),
+                        {_HOLT_LAM_DUCK})[1]
+                      + list_reduce(
+                          list_transform(ys[1:t-1], y -> [y, 0.0]),
+                          {_HOLT_LAM_DUCK})[2]))) AS resids
+      FROM l WHERE n_obs >= 2
+    )
+    SELECT event_type, n_obs,
+           round(stf[1] + stf[2], 6) AS fc_next,
+           round(list_sort(resids)[(9 * len(resids) + 9) // 10], 6)
+             AS q90_resid,
+           round(stf[1] + stf[2]
+                 - list_sort(resids)[(9 * len(resids) + 9) // 10], 6)
+             AS lo_90,
+           round(stf[1] + stf[2]
+                 + list_sort(resids)[(9 * len(resids) + 9) // 10], 6)
+             AS hi_90
+    FROM s ORDER BY event_type
+"""
+
+
+@register("events_forecast_conformal", _CONFORMAL_SQL)
+def events_forecast_conformal(spark, sf_dir):
+    """Conformal prediction band for the Holt volume forecast: replay
+    the one-step-ahead forecast at every historical day (state folded
+    over each PREFIX), take the 90th-percentile absolute residual by
+    exact rank selection, and publish fc_next +/- that band - the
+    distribution-free calibration (split/backtest conformal) that
+    turns a point forecast into an alertable interval without any
+    normality assumption. The prefix replay is O(T^2) fold steps
+    inside ONE codegen'd expression per series - T is days, bounded -
+    and every step is the same dyadic-coefficient fold as the Holt
+    entry, so both engines walk identical doubles end to end; the
+    band is a SELECTED residual, not an interpolated one."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    l = (
+        c.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("day").alias("o"), F.col("y")))
+            ).alias("pts")
+        )
+        .where(F.size("pts") >= 2)
+        .select(
+            "event_type",
+            F.size("pts").cast("long").alias("n_obs"),
+            F.expr("transform(pts, p -> CAST(p.y AS DOUBLE))").alias("ys"),
+        )
+    )
+    st_full = (
+        "aggregate(slice(transform(ys, y -> array(y, 0D)), 2,"
+        " size(ys) - 1), element_at(transform(ys, y -> array(y, 0D)), 1),"
+        f" {_HOLT_LAM_SPARK})"
+    )
+    st_pref = (
+        "aggregate(slice(transform(ys, y -> array(y, 0D)), 2, t - 2),"
+        " element_at(transform(ys, y -> array(y, 0D)), 1),"
+        f" {_HOLT_LAM_SPARK})"
+    )
+    s = l.select(
+        "event_type",
+        "n_obs",
+        F.expr(f"{st_full}").alias("stf"),
+        F.expr(
+            "transform(sequence(2, size(ys)), t ->"
+            f" abs(element_at(ys, t) - (element_at({st_pref}, 1)"
+            f" + element_at({st_pref}, 2))))"
+        ).alias("resids"),
+    )
+    q90 = (
+        "element_at(array_sort(resids),"
+        " CAST((9 * size(resids) + 9) div 10 AS INT))"
+    )
+    return s.select(
+        "event_type",
+        "n_obs",
+        F.round(
+            F.element_at("stf", 1) + F.element_at("stf", 2), 6
+        ).alias("fc_next"),
+        F.round(F.expr(q90), 6).alias("q90_resid"),
+        F.round(
+            F.element_at("stf", 1)
+            + F.element_at("stf", 2)
+            - F.expr(q90),
+            6,
+        ).alias("lo_90"),
+        F.round(
+            F.element_at("stf", 1)
+            + F.element_at("stf", 2)
+            + F.expr(q90),
+            6,
+        ).alias("hi_90"),
+    ).orderBy("event_type")
