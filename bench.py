@@ -504,6 +504,8 @@ def bench_queries():
         "anomaly_mad": Q.events_anomaly_mad,
         "trimmed_mean": Q.orders_trimmed_mean,
         "forecast_conformal": Q.events_forecast_conformal,
+        "shard_rebalance": Q.docs_shard_rebalance,
+        "decayed_topk": Q.events_decayed_topk,
     }
 
 

@@ -71,6 +71,9 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
+    # New in r8 (never sampled): rendezvous-shard rebalance audit,
+    # decayed top-k leaderboard.
+    "docs_shard_rebalance", "events_decayed_topk",
     # New in r8 (never sampled): survival analysis, k-anonymity,
     # HLL sketch, record-linkage scoring, margin mining, Holt,
     # KMV intersection, negative sampling, quarantine bitmask,
@@ -11976,3 +11979,167 @@ def events_forecast_conformal(spark, sf_dir):
             6,
         ).alias("hi_90"),
     ).orderBy("event_type")
+
+
+_REBALANCE_SQL = """
+    WITH h AS (
+      SELECT doc_id,
+             [('0x' || substring(md5('shard:' || s::VARCHAR || ':'
+                                     || doc_id::VARCHAR), 1, 15))::BIGINT
+              FOR s IN range(0, 9)] AS hs
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             (list_indexof(hs[1:8], list_aggregate(hs[1:8], 'max')) - 1)
+               ::BIGINT AS shard_old,
+             (list_indexof(hs, list_aggregate(hs, 'max')) - 1)::BIGINT
+               AS shard_new,
+             (doc_id % 8)::BIGINT AS mod_old, (doc_id % 9)::BIGINT AS mod_new
+      FROM h
+    )
+    SELECT shard_old, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END)::BIGINT
+             AS n_moved_rendezvous,
+           sum(CASE WHEN mod_new <> mod_old THEN 1 ELSE 0 END)::BIGINT
+             AS n_moved_mod
+    FROM a GROUP BY shard_old ORDER BY shard_old
+"""
+
+
+@register("docs_shard_rebalance", _REBALANCE_SQL)
+def docs_shard_rebalance(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard assignment and the
+    8->9-shard rebalance audit, next to naive mod-N: rendezvous moves
+    only the ~1/9 of keys the NEW shard wins (every move is INTO the
+    added shard), while mod-N reshuffles ~8/9 of the corpus - the
+    measured reason consistent assignment exists. Per doc the shard
+    is argmax over per-shard md5 weights (one array expression, no
+    join); the audit is one groupBy. Everything is exact integer
+    hashing - no ring approximation, no float."""
+    docs = _t(spark, sf_dir, "documents")
+    hs = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"shard:{s}:"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            for s in range(9)
+        ]
+    )
+    a = docs.select(
+        "doc_id",
+        hs.alias("hs"),
+    ).select(
+        "doc_id",
+        (
+            F.expr(
+                "array_position(slice(hs, 1, 8),"
+                " array_max(slice(hs, 1, 8))) - 1"
+            )
+        )
+        .cast("long")
+        .alias("shard_old"),
+        (F.expr("array_position(hs, array_max(hs)) - 1"))
+        .cast("long")
+        .alias("shard_new"),
+        (F.col("doc_id") % 8).cast("long").alias("mod_old"),
+        (F.col("doc_id") % 9).cast("long").alias("mod_new"),
+    )
+    return (
+        a.groupBy("shard_old")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard_new") != F.col("shard_old"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved_rendezvous"),
+            F.sum(
+                F.when(F.col("mod_new") != F.col("mod_old"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved_mod"),
+        )
+        .orderBy("shard_old")
+    )
+
+
+_DECAYED_SQL = """
+    WITH mx AS (
+      SELECT date_trunc('day', max(ts)) AS today FROM events
+    ),
+    d AS (
+      SELECT event_type, user_id,
+             1.0 / CAST((1::BIGINT << least(
+               datediff('day', date_trunc('day', ts), mx.today), 50))
+               AS DOUBLE) AS w
+      FROM events CROSS JOIN mx
+    ),
+    s AS (
+      SELECT event_type, user_id, count(*)::BIGINT AS n_events,
+             sum(w) AS decayed
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, n_events, round(decayed, 6) AS decayed,
+           rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY decayed DESC, user_id)::BIGINT
+        AS rank
+      FROM s
+    ) WHERE rank <= 10
+"""
+
+
+@register("events_decayed_topk", _DECAYED_SQL)
+def events_decayed_topk(spark, sf_dir):
+    """Exponentially-decayed activity leaderboard: per event type the
+    top-10 users by sum(2^-age_days) - recency-weighted heavy hitters,
+    the freshness-aware twin of the raw trending top-k. The decay
+    weights are exact DYADIC doubles (1 / (1 << age), never libm pow),
+    and integer day ages bound the exponent spread under 53 bits, so
+    the per-user sums are EXACT in any accumulation order - the rank
+    itself is engine-identical, not just the rounded score. One
+    (type, user) aggregate + a |keys|-bounded window."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("today"))
+    d = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "user_id",
+        (
+            F.lit(1.0)
+            / F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(least("
+                "datediff(today, date_trunc('day', ts)), 50) AS INT))"
+                " AS DOUBLE)"
+            )
+        ).alias("w"),
+    )
+    s = d.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("w").alias("decayed"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("decayed").desc(), F.col("user_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "event_type",
+            "user_id",
+            "n_events",
+            F.round("decayed", 6).alias("decayed"),
+            "rank",
+        )
+    )

@@ -317,6 +317,8 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # recall eval: the EXACT side is the query-bounded brute-force
         # baseline (|q| x n broadcast block) — BNLJ is its contract
         "ann_recall_at_k",
+        # 1-row scalar-broadcast crossJoin (max-ts "today" anchor)
+        "events_decayed_topk",
         # 1-row scalar-broadcast crossJoin (global avg-balance threshold)
         "q22_dormant_customers",
         # 1-row scalar-broadcast crossJoin (global value-total threshold)
