@@ -506,6 +506,10 @@ def bench_queries():
         "forecast_conformal": Q.events_forecast_conformal,
         "shard_rebalance": Q.docs_shard_rebalance,
         "decayed_topk": Q.events_decayed_topk,
+        "woe_iv": Q.orders_woe_iv,
+        "target_encoding": Q.orders_target_encoding_loo,
+        "gini_lorenz": Q.customers_gini_lorenz,
+        "psi_drift": Q.events_psi_drift,
     }
 
 

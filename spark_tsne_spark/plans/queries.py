@@ -72,8 +72,11 @@ def register(name: str, sql: Optional[str]):
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
     # New in r8 (never sampled): rendezvous-shard rebalance audit,
-    # decayed top-k leaderboard.
-    "docs_shard_rebalance", "events_decayed_topk",
+    # decayed top-k leaderboard, WOE/IV binning, leave-one-out target
+    # encoding, Gini/Lorenz concentration, PSI drift monitor.
+    "docs_shard_rebalance", "events_decayed_topk", "orders_woe_iv",
+    "orders_target_encoding_loo", "customers_gini_lorenz",
+    "events_psi_drift",
     # New in r8 (never sampled): survival analysis, k-anonymity,
     # HLL sketch, record-linkage scoring, margin mining, Holt,
     # KMV intersection, negative sampling, quarantine bitmask,
@@ -12143,3 +12146,328 @@ def events_decayed_topk(spark, sf_dir):
             "rank",
         )
     )
+
+
+_WOE_SQL = """
+    WITH b AS (
+      SELECT ntile(4) OVER (
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderkey) AS bin,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    p AS (
+      SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+             (count(*) - sum(y))::BIGINT AS n_neg
+      FROM b GROUP BY bin
+    ),
+    t AS (
+      SELECT sum(n_pos)::BIGINT AS pos_tot, sum(n_neg)::BIGINT AS neg_tot
+      FROM p
+    ),
+    s AS (
+      SELECT bin, n, n_pos, n_neg,
+             round(ln(CAST(n_pos * neg_tot AS DOUBLE)
+                      / CAST(n_neg * pos_tot AS DOUBLE)), 6) AS woe,
+             round((CAST(n_pos * neg_tot - n_neg * pos_tot AS DOUBLE)
+                    / CAST(pos_tot * neg_tot AS DOUBLE))
+                   * ln(CAST(n_pos * neg_tot AS DOUBLE)
+                        / CAST(n_neg * pos_tot AS DOUBLE)), 6) AS iv_term
+      FROM p CROSS JOIN t
+    )
+    SELECT bin, n, n_pos, n_neg, woe, iv_term,
+           round(sum(iv_term) OVER (), 6) AS iv_total
+    FROM s ORDER BY bin
+"""
+
+
+@register("orders_woe_iv", _WOE_SQL)
+def orders_woe_iv(spark, sf_dir):
+    """Weight-of-evidence binning + information value of order price
+    against the urgent-priority target - the classic supervised
+    credit-scoring encoding. Equal-frequency quartile bins on exact
+    integer cents (integer tie-break, so ntile is engine-stable, the
+    proven rfm_segments discipline); WOE/IV are scalar expressions of
+    exact BIGINT counts - the log argument is one integer rational,
+    never a float accumulation. One window + one groupBy; at scale
+    the global ntile becomes the repartitionByRange global-rank path
+    (operators/quantiles.py)."""
+    from spark_tsne_spark.operators.features import woe_iv
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("urgent"),
+    )
+    return woe_iv(o, "cents", "urgent", "o_orderkey", n_bins=4)
+
+
+_TENC_SQL = """
+    WITH j AS (
+      SELECT c.c_mktsegment AS category,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    p AS (
+      SELECT category, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+      FROM j GROUP BY category
+    ),
+    t AS (
+      SELECT sum(n)::BIGINT AS n_tot, sum(n_pos)::BIGINT AS pos_tot FROM p
+    )
+    SELECT category, n, n_pos,
+           CASE WHEN n > 1 THEN round(CAST(n_pos - 1 AS DOUBLE)
+                                      / CAST(n - 1 AS DOUBLE), 6) END
+             AS enc_if_pos,
+           CASE WHEN n > 1 THEN round(CAST(n_pos AS DOUBLE)
+                                      / CAST(n - 1 AS DOUBLE), 6) END
+             AS enc_if_neg,
+           round((CAST(n_pos AS DOUBLE)
+                  + 10.0 * (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) + 10.0), 6) AS enc_smoothed
+    FROM p CROSS JOIN t ORDER BY category
+"""
+
+
+@register("orders_target_encoding_loo", _TENC_SQL)
+def orders_target_encoding_loo(spark, sf_dir):
+    """Leakage-safe target encoding of market segment against the
+    urgent-priority target: leave-one-out in closed form (a binary
+    target admits only TWO distinct LOO values per category, so the
+    audit is |categories| rows with zero per-row materialization)
+    plus the m-estimate shrinkage toward the global prior (m=10).
+    One equi join + one groupBy over exact integer counts; every
+    ratio is a single IEEE division of BIGINTs."""
+    from spark_tsne_spark.operators.features import target_encoding_loo
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("urgent"),
+    )
+    return target_encoding_loo(j, "segment", "urgent", m=10.0)
+
+
+_GINI_SQL = """
+    WITH c AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM c
+    ),
+    t AS (
+      SELECT sum(CAST(i AS DECIMAL(38,0)) * cents) AS s1,
+             sum(CAST(cents AS DECIMAL(38,0))) AS tot,
+             count(*)::BIGINT AS n
+      FROM r
+    ),
+    d AS (
+      SELECT decile, count(*)::BIGINT AS n_customers,
+             sum(cents)::BIGINT AS cents
+      FROM r GROUP BY decile
+    )
+    SELECT decile, n_customers, cents,
+           round(CAST(sum(cents) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(t.tot AS DOUBLE), 6) AS cum_share,
+           round((2.0 * CAST(t.s1 AS DOUBLE)
+                  - CAST(t.n + 1 AS DOUBLE) * CAST(t.tot AS DOUBLE))
+                 / (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)), 6)
+             AS gini
+    FROM d CROSS JOIN t ORDER BY decile
+"""
+
+
+@register("customers_gini_lorenz", _GINI_SQL)
+def customers_gini_lorenz(spark, sf_dir):
+    """Spend-concentration report: the Lorenz curve at deciles plus
+    the exact Gini coefficient of per-customer order spend. All mass
+    arithmetic is exact - integer cents, DECIMAL(38,0) rank-weighted
+    sums (sum(i*cents) threatens int64 past ~sf3, so both engines
+    accumulate in 128-bit) - and the ONLY floats are the two final
+    ratios, rounded once. Rank/decile are engine-stable via the
+    integer tie-break; the cumulative share is a 10-row window over
+    exact BIGINTs. Gini = (2*sum(i*x_i) - (n+1)*tot) / (n*tot) on the
+    ascending-sorted spend vector."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    r = c.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    t = r.agg(
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"),
+        F.count("*").cast("long").alias("n"),
+    )
+    d = r.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    wc = Window.partitionBy(F.lit(1)).orderBy("decile")
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_customers",
+            "cents",
+            F.round(
+                F.sum("cents").over(wc).cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("cum_share"),
+            F.round(
+                (
+                    F.lit(2.0) * F.col("s1").cast("double")
+                    - (F.col("n") + 1).cast("double")
+                    * F.col("tot").cast("double")
+                )
+                / (F.col("n").cast("double") * F.col("tot").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("decile")
+    )
+
+
+_PSI_SQL = """
+    WITH g AS (
+      SELECT min(value) AS vmin, max(value) AS vmax,
+             min(epoch_us(ts))::BIGINT AS tmin,
+             max(epoch_us(ts))::BIGINT AS tmax
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < tmin + (tmax - tmin) // 2
+                  THEN 0 ELSE 1 END AS period,
+             least(CAST(floor((value - vmin) * 10.0 / (vmax - vmin))
+                        AS BIGINT), 9) AS bin
+      FROM events CROSS JOIN g
+    ),
+    p AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN period = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_before,
+             sum(CASE WHEN period = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_after
+      FROM b GROUP BY event_type, bin
+    ),
+    s AS (
+      SELECT *,
+             sum(n_before) OVER (PARTITION BY event_type)::BIGINT AS tb,
+             sum(n_after) OVER (PARTITION BY event_type)::BIGINT AS ta,
+             count(*) OVER (PARTITION BY event_type)::BIGINT AS nb
+      FROM p
+    ),
+    e AS (
+      SELECT event_type, bin, n_before, n_after,
+             round((CAST(n_before + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE)
+                    - CAST(n_after + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE))
+                   * ln((CAST(n_before + 1 AS DOUBLE)
+                         / CAST(tb + nb AS DOUBLE))
+                        / (CAST(n_after + 1 AS DOUBLE)
+                           / CAST(ta + nb AS DOUBLE))), 6) AS psi_term
+      FROM s
+    )
+    SELECT event_type, bin, n_before, n_after, psi_term,
+           round(sum(psi_term) OVER (PARTITION BY event_type), 6)
+             AS psi_total
+    FROM e ORDER BY event_type, bin
+"""
+
+
+@register("events_psi_drift", _PSI_SQL)
+def events_psi_drift(spark, sf_dir):
+    """Population Stability Index drift monitor: per event type,
+    compare the value distribution of the FIRST half of the time
+    range against the SECOND (integer-microsecond midpoint split) over
+    10 fixed-width bins, with Laplace (+1) smoothing so empty bins
+    stay finite. Per-bin PSI terms are scalar expressions of exact
+    integer counts (one division + one log each - no float
+    accumulation across rows); the per-type total sums <=10 ROUNDED
+    terms, stable on the 1e-6 grid. One scan for global bounds + one
+    grouped count; the per-type windows are |types x bins|-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("tmin"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("tmax"),
+    )
+    b = ev.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            < F.col("tmin")
+            + F.floor((F.col("tmax") - F.col("tmin")) / 2).cast("long"),
+            0,
+        )
+        .otherwise(1)
+        .alias("period"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                * 10.0
+                / (F.col("vmax") - F.col("vmin"))
+            ).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+    )
+    p = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_before"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_after"),
+    )
+    wt = Window.partitionBy("event_type")
+    s = p.select(
+        "*",
+        F.sum("n_before").over(wt).cast("long").alias("tb"),
+        F.sum("n_after").over(wt).cast("long").alias("ta"),
+        F.count("*").over(wt).cast("long").alias("nb"),
+    )
+    pb = (F.col("n_before") + 1).cast("double") / (
+        F.col("tb") + F.col("nb")
+    ).cast("double")
+    pa = (F.col("n_after") + 1).cast("double") / (
+        F.col("ta") + F.col("nb")
+    ).cast("double")
+    e = s.select(
+        "event_type",
+        "bin",
+        "n_before",
+        "n_after",
+        F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
+    )
+    return e.select(
+        "*",
+        F.round(F.sum("psi_term").over(wt), 6).alias("psi_total"),
+    ).orderBy("event_type", "bin")

@@ -319,6 +319,12 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "ann_recall_at_k",
         # 1-row scalar-broadcast crossJoin (max-ts "today" anchor)
         "events_decayed_topk",
+        # 1-row scalar-broadcast crossJoins (class totals / global
+        # prior / gini totals / global bin bounds)
+        "orders_woe_iv",
+        "orders_target_encoding_loo",
+        "customers_gini_lorenz",
+        "events_psi_drift",
         # 1-row scalar-broadcast crossJoin (global avg-balance threshold)
         "q22_dormant_customers",
         # 1-row scalar-broadcast crossJoin (global value-total threshold)
