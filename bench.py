@@ -510,6 +510,10 @@ def bench_queries():
         "target_encoding": Q.orders_target_encoding_loo,
         "gini_lorenz": Q.customers_gini_lorenz,
         "psi_drift": Q.events_psi_drift,
+        "ltv_cohort": Q.customers_ltv_cohort,
+        "chi2_independence": Q.orders_chi2_independence,
+        "readability": Q.docs_readability,
+        "graph_assortativity": Q.dedup_graph_assortativity,
     }
 
 

@@ -488,3 +488,67 @@ def triangle_counts(pairs: DataFrame, src: str = "i", dst: str = "j") -> DataFra
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def degree_assortativity(
+    pairs: DataFrame, src: str = "i", dst: str = "j", decimals: int = 6
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    the degrees at the two ends of every edge — positive when hubs
+    attach to hubs, negative when hubs attach to leaves. ``pairs`` is
+    an undirected edge list with each edge appearing ONCE.
+
+    Computed over the SYMMETRIZED orientation set (each edge counted
+    both ways), which makes the two endpoint marginals identical, so
+    Pearson collapses to (n·sxy − sx²)/(n·sxx − sx²) — a ratio of two
+    exact integers. Degrees are integers, the products are accumulated
+    in DECIMAL(38,0) (deg ≤ 1e6 on a 1e12-edge graph puts sum(x·y)
+    near 1e18·1e6 — past int64), and the ONLY float is the final
+    rounded division. Plan: one degree aggregation, two equi joins of
+    the edge list against the broadcast-or-shuffled degree table, one
+    global agg — no quadratic stage, no driver state.
+
+    Returns one row: ``n_directed, sx, sxx, sxy`` (accumulated in
+    decimal, emitted as BIGINT — callers with >int64 sums should read
+    the ratio, not the raw moments) plus ``assortativity`` (double,
+    rounded). A degree-regular graph has zero endpoint variance — the
+    0/0 ratio comes back NULL (try_divide), the documented degenerate
+    case.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    j = sym.join(du, "u").join(dv, "v")
+    s = j.agg(
+        F.count("*").cast("long").alias("n_directed"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("dx").cast("decimal(38,0)") * F.col("dx")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+        F.sum(
+            (F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxy"),
+    )
+    return s.select(
+        "n_directed",
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.round(
+            F.try_divide(
+                F.col("n_directed").cast("double")
+                * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double"),
+                F.col("n_directed").cast("double")
+                * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double"),
+            ),
+            decimals,
+        ).alias("assortativity"),
+    )

@@ -76,7 +76,9 @@ _DRIVER_PRIORITY = [
     # encoding, Gini/Lorenz concentration, PSI drift monitor.
     "docs_shard_rebalance", "events_decayed_topk", "orders_woe_iv",
     "orders_target_encoding_loo", "customers_gini_lorenz",
-    "events_psi_drift",
+    "events_psi_drift", "customers_ltv_cohort",
+    "orders_chi2_independence", "docs_readability",
+    "dedup_graph_assortativity",
     # New in r8 (never sampled): survival analysis, k-anonymity,
     # HLL sketch, record-linkage scoring, margin mining, Holt,
     # KMV intersection, negative sampling, quarantine bitmask,
@@ -12471,3 +12473,309 @@ def events_psi_drift(spark, sf_dir):
         "*",
         F.round(F.sum("psi_term").over(wt), 6).alias("psi_total"),
     ).orderBy("event_type", "bin")
+
+
+_LTV_SQL = """
+    WITH f AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT date_trunc('month', f.first_dt) AS cohort_month,
+             ((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+              - (year(f.first_dt) * 12 + month(f.first_dt)))::BIGINT
+               AS age_months,
+             o.o_custkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+    ),
+    a AS (
+      SELECT cohort_month, age_months,
+             count(DISTINCT o_custkey)::BIGINT AS n_active,
+             sum(cents)::BIGINT AS cents
+      FROM j GROUP BY cohort_month, age_months
+    )
+    SELECT cohort_month, age_months, n_active, cents,
+           sum(cents) OVER (PARTITION BY cohort_month
+                            ORDER BY age_months)::BIGINT AS cum_cents
+    FROM a ORDER BY cohort_month, age_months
+"""
+
+
+@register("customers_ltv_cohort", _LTV_SQL)
+def customers_ltv_cohort(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers grouped by FIRST-order
+    month, revenue tracked by integer months-since-first-order, with
+    the running cumulative (the LTV curve each cohort traces). The
+    retention twin counts users; this accumulates money - in exact
+    integer cents, ages as exact integer month arithmetic
+    (year*12+month differences, no calendar-float), and the cumulative
+    is a window over |cohorts x ages|-bounded aggregate rows. Two
+    shuffles total: first-order agg + the (cohort, age) agg."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    j = o.join(f, "o_custkey").select(
+        F.date_trunc("month", F.col("first_dt")).alias("cohort_month"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("first_dt") * 12 + F.month("first_dt"))
+        )
+        .cast("long")
+        .alias("age_months"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    a = j.groupBy("cohort_month", "age_months").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months")
+    return a.select(
+        "cohort_month",
+        "age_months",
+        "n_active",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    ).orderBy("cohort_month", "age_months")
+
+
+_CHI2_SQL = """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cell AS (
+      SELECT segment, priority, count(*)::BIGINT AS obs
+      FROM j GROUP BY segment, priority
+    ),
+    m AS (
+      SELECT *,
+             sum(obs) OVER (PARTITION BY segment)::BIGINT AS row_tot,
+             sum(obs) OVER (PARTITION BY priority)::BIGINT AS col_tot,
+             sum(obs) OVER ()::BIGINT AS n,
+             count(DISTINCT segment) OVER ()::BIGINT AS nr,
+             count(DISTINCT priority) OVER ()::BIGINT AS nc
+      FROM cell
+    ),
+    e AS (
+      SELECT segment, priority, obs,
+             round(CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS expected,
+             round((CAST(obs AS DOUBLE)
+                    - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(obs AS DOUBLE)
+                      - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE)),
+                   6) AS chi2_term,
+             (nr - 1) * (nc - 1) AS dof
+      FROM m
+    )
+    SELECT segment, priority, obs, expected, chi2_term,
+           round(sum(chi2_term) OVER (), 6) AS chi2_total,
+           dof::BIGINT AS dof
+    FROM e ORDER BY segment, priority
+"""
+
+
+@register("orders_chi2_independence", _CHI2_SQL)
+def orders_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence between customer market
+    segment and order priority: the full contingency table with
+    per-cell expected counts and chi-square contributions, the
+    statistic, and its degrees of freedom. Observed/marginal counts
+    are exact BIGINTs (the expected value is ONE division of exact
+    integer products); the |segments x priorities|-bounded windows
+    run over 25 aggregate rows, and the statistic sums 25 ROUNDED
+    terms - stable on the 1e-6 grid. One equi join + one groupBy at
+    corpus scale; everything after is bounded."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cell = j.groupBy("segment", "priority").agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    wr = Window.partitionBy("segment")
+    wc = Window.partitionBy("priority")
+    wg = Window.partitionBy(F.lit(1))
+    m = cell.select(
+        "*",
+        F.sum("obs").over(wr).cast("long").alias("row_tot"),
+        F.sum("obs").over(wc).cast("long").alias("col_tot"),
+        F.sum("obs").over(wg).cast("long").alias("n"),
+        F.size(F.collect_set("segment").over(wg)).cast("long").alias("nr"),
+        F.size(F.collect_set("priority").over(wg)).cast("long").alias("nc"),
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    e = m.select(
+        "segment",
+        "priority",
+        "obs",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("obs").cast("double") - expected)
+            * (F.col("obs").cast("double") - expected)
+            / expected,
+            6,
+        ).alias("chi2_term"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+    )
+    return e.select(
+        "segment",
+        "priority",
+        "obs",
+        "expected",
+        "chi2_term",
+        F.round(F.sum("chi2_term").over(wg), 6).alias("chi2_total"),
+        "dof",
+    ).orderBy("segment", "priority")
+
+
+_READABILITY_SQL = r"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '\S+'))::BIGINT AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+               AS syllables
+      FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(words)::BIGINT AS words,
+             sum(sentences)::BIGINT AS sentences,
+             sum(syllables)::BIGINT AS syllables
+      FROM d GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           round(CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE), 4)
+             AS words_per_sentence,
+           round(CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 4)
+             AS syllables_per_word,
+           round(206.835
+                 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)),
+                 4) AS flesch
+    FROM s ORDER BY source
+"""
+
+
+@register("docs_readability", _READABILITY_SQL)
+def docs_readability(spark, sf_dir):
+    """Flesch reading-ease per source: words = non-space runs,
+    sentences = terminal-punctuation runs (floored at 1 per doc),
+    syllables = the standard vowel-group heuristic. All three are
+    exact integer regexp-match counts summed per source - the only
+    floats are the two final ratios inside the Flesch formula, each a
+    single division of BIGINTs, rounded once. One scan + one groupBy;
+    the regexp counts are JVM codegen expressions (no Python in the
+    hot path)."""
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias(
+            "words"
+        ),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("syllables"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sentences").cast("long").alias("sentences"),
+        F.sum("syllables").cast("long").alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return s.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(spw, 4).alias("syllables_per_word"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch"),
+    ).orderBy("source")
+
+
+_ASSORT_SQL = """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= 5
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) - 3),
+                                           i -> substr(text, i, 5))) AS s
+      FROM docs
+    ),
+    hx AS (
+      SELECT doc_id, k, min(md5(k::VARCHAR || ':' || s)) AS mh
+      FROM sh CROSS JOIN range(8) t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 2 AS INT) AS band,
+             string_agg(mh, '|' ORDER BY k) AS sig
+      FROM hx GROUP BY doc_id, CAST(k // 2 AS INT)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT i AS u, j AS v FROM pairs
+      UNION ALL SELECT j, i FROM pairs
+    ),
+    deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY u),
+    m AS (
+      SELECT count(*)::BIGINT AS n_directed,
+             sum(du.d)::BIGINT AS sx,
+             sum(du.d * du.d)::BIGINT AS sxx,
+             sum(du.d * dv.d)::BIGINT AS sxy
+      FROM sym
+      JOIN deg du ON sym.u = du.u
+      JOIN deg dv ON sym.v = dv.u
+    )
+    SELECT n_directed, sx, sxx, sxy,
+           round((CAST(n_directed AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n_directed AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS assortativity
+    FROM m
+"""
+
+
+@register("dedup_graph_assortativity", _ASSORT_SQL)
+def dedup_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the MinHash-LSH near-dup graph (same
+    capped pair source as the pagerank/triangle entries): do heavily-
+    duplicated documents cluster with each other (positive) or hang
+    off hubs (negative)? Symmetrized-orientation Pearson collapses to
+    a ratio of exact integer moments (operators/graph.py:
+    degree_assortativity - decimal accumulation, one rounded
+    division). Degree agg + two equi joins + one global agg; no
+    quadratic stage beyond the shared candidate generator."""
+    from spark_tsne_spark.operators.dedup import minhash_lsh_candidates
+    from spark_tsne_spark.operators.graph import degree_assortativity
+
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 5)
+    )
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_k=5)
+    return degree_assortativity(pairs)
