@@ -514,6 +514,10 @@ def bench_queries():
         "chi2_independence": Q.orders_chi2_independence,
         "readability": Q.docs_readability,
         "graph_assortativity": Q.dedup_graph_assortativity,
+        "positional_deletes": Q.docs_positional_deletes,
+        "ks_test": Q.events_ks_test,
+        "mannwhitney_u": Q.events_mannwhitney_u,
+        "zipf_fit": Q.vocab_zipf_fit,
     }
 
 

@@ -78,7 +78,8 @@ _DRIVER_PRIORITY = [
     "orders_target_encoding_loo", "customers_gini_lorenz",
     "events_psi_drift", "customers_ltv_cohort",
     "orders_chi2_independence", "docs_readability",
-    "dedup_graph_assortativity",
+    "dedup_graph_assortativity", "docs_positional_deletes",
+    "events_ks_test", "events_mannwhitney_u", "vocab_zipf_fit",
     # New in r8 (never sampled): survival analysis, k-anonymity,
     # HLL sketch, record-linkage scoring, margin mining, Holt,
     # KMV intersection, negative sampling, quarantine bitmask,
@@ -12779,3 +12780,399 @@ def dedup_graph_assortativity(spark, sf_dir):
     )
     pairs = minhash_lsh_candidates(docs, num_hashes=8, band_size=2, shingle_k=5)
     return degree_assortativity(pairs)
+
+
+_POSDEL_SQL = """
+    WITH base AS (
+      SELECT doc_id, (doc_id // 100)::BIGINT AS file_id,
+             (doc_id % 100)::BIGINT AS pos,
+             ('0x' || substring(md5(text), 1, 13))::BIGINT AS row_hash,
+             ('0x' || substring(md5('del:' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT % 10 AS del_bucket
+      FROM documents
+    ),
+    dv AS (
+      SELECT file_id, pos FROM base WHERE del_bucket = 0
+    ),
+    live AS (
+      SELECT b.file_id, b.row_hash
+      FROM base b ANTI JOIN dv
+        ON b.file_id = dv.file_id AND b.pos = dv.pos
+    ),
+    f AS (
+      SELECT file_id, count(*)::BIGINT AS n_rows
+      FROM base GROUP BY file_id
+    ),
+    l AS (
+      SELECT file_id, count(*)::BIGINT AS n_live,
+             sum(row_hash)::BIGINT AS live_checksum
+      FROM live GROUP BY file_id
+    )
+    SELECT f.file_id, f.n_rows,
+           (f.n_rows - coalesce(l.n_live, 0))::BIGINT AS n_deleted,
+           coalesce(l.n_live, 0)::BIGINT AS n_live,
+           coalesce(l.live_checksum, 0)::BIGINT AS live_checksum
+    FROM f LEFT JOIN l ON f.file_id = l.file_id
+    ORDER BY f.file_id
+"""
+
+
+@register("docs_positional_deletes", _POSDEL_SQL)
+def docs_positional_deletes(spark, sf_dir):
+    """Merge-on-read with POSITIONAL delete vectors (Iceberg v2 /
+    Delta deletion-vector read path): documents partitioned into
+    synthetic 100-row files, a (file_id, pos) delete vector (~10% of
+    rows, hash-selected), and the reconstruction = one LEFT ANTI join
+    of the base scan against the vector - never a rewrite of the base
+    files. The audit emits per-file row/deleted/live counts and an
+    order-insensitive BIGINT checksum of the surviving rows, which is
+    exactly how a reader validates a snapshot without sorting it.
+    Anti join + two groupBys; the delete vector is a thin projection
+    so the join broadcasts at real file sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") / 100).cast("long").alias("file_id"),
+        (F.col("doc_id") % 100).cast("long").alias("pos"),
+        F.conv(F.substring(F.md5("text"), 1, 13), 16, 10)
+        .cast("long")
+        .alias("row_hash"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("del:"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        ).alias("del_bucket"),
+    )
+    dv = base.where(F.col("del_bucket") == 0).select("file_id", "pos")
+    live = base.join(F.broadcast(dv), ["file_id", "pos"], "left_anti")
+    f = base.groupBy("file_id").agg(F.count("*").cast("long").alias("n_rows"))
+    l = live.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_live"),
+        F.sum("row_hash").cast("long").alias("live_checksum"),
+    )
+    return (
+        f.join(l, "file_id", "left")
+        .select(
+            "file_id",
+            "n_rows",
+            (F.col("n_rows") - F.coalesce(F.col("n_live"), F.lit(0)))
+            .cast("long")
+            .alias("n_deleted"),
+            F.coalesce(F.col("n_live"), F.lit(0)).cast("long").alias("n_live"),
+            F.coalesce(F.col("live_checksum"), F.lit(0))
+            .cast("long")
+            .alias("live_checksum"),
+        )
+        .orderBy("file_id")
+    )
+
+
+_KS_SQL = """
+    WITH c AS (
+      SELECT value,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+      FROM events GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             sum(c0) OVER (ORDER BY value)::BIGINT AS cum0,
+             sum(c1) OVER (ORDER BY value)::BIGINT AS cum1,
+             sum(c0) OVER ()::BIGINT AS n0,
+             sum(c1) OVER ()::BIGINT AS n1
+      FROM c
+    ),
+    d AS (
+      SELECT value, n0, n1,
+             abs(cum0 * n1 - cum1 * n0)::BIGINT AS d_num
+      FROM cum
+    ),
+    best AS (
+      SELECT n0, n1, d_num, value AS at_value,
+             row_number() OVER (ORDER BY d_num DESC, value ASC) AS rn
+      FROM d
+    )
+    SELECT n0, n1, d_num, (n0 * n1)::BIGINT AS d_den, at_value,
+           round(CAST(d_num AS DOUBLE) / CAST(n0 * n1 AS DOUBLE), 6) AS d,
+           round(2.0 * exp(-2.0
+                 * (CAST(d_num AS DOUBLE) / CAST(n0 * n1 AS DOUBLE))
+                 * (CAST(d_num AS DOUBLE) / CAST(n0 * n1 AS DOUBLE))
+                 * (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                    / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))), 6)
+             AS p_approx
+    FROM best WHERE rn = 1
+"""
+
+
+@register("events_ks_test", _KS_SQL)
+def events_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test between even- and odd-user
+    event values. The supremum gap is found in EXACT integer
+    arithmetic: at each distinct value the scaled ECDF gap is
+    |cum0*n1 - cum1*n0| (cross-multiplied, no division), so the argmax
+    and the tie-break (smallest value) are engine-identical; the only
+    floats are the final D ratio and the asymptotic p-value, each a
+    scalar. Per-value counts are one groupBy; the cumulative is a
+    sort-window over |distinct values| rows (at 100 TB: the
+    repartitionByRange + partition-offset global-rank path,
+    operators/quantiles.py)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    wv = Window.partitionBy(F.lit(1)).orderBy("value")
+    wg = Window.partitionBy(F.lit(1))
+    cum = c.select(
+        "value",
+        F.sum("c0").over(wv).cast("long").alias("cum0"),
+        F.sum("c1").over(wv).cast("long").alias("cum1"),
+        F.sum("c0").over(wg).cast("long").alias("n0"),
+        F.sum("c1").over(wg).cast("long").alias("n1"),
+    )
+    d = cum.select(
+        F.col("value").alias("at_value"),
+        "n0",
+        "n1",
+        F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0"))
+        .cast("long")
+        .alias("d_num"),
+    )
+    best = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.col("d_num").desc(), F.col("at_value").asc()
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    dd = F.col("d_num").cast("double") / (
+        F.col("n0") * F.col("n1")
+    ).cast("double")
+    return best.select(
+        "n0",
+        "n1",
+        "d_num",
+        (F.col("n0") * F.col("n1")).cast("long").alias("d_den"),
+        "at_value",
+        F.round(dd, 6).alias("d"),
+        F.round(
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-2.0)
+                * dd
+                * dd
+                * (
+                    F.col("n0").cast("double")
+                    * F.col("n1").cast("double")
+                    / (F.col("n0").cast("double") + F.col("n1").cast("double"))
+                )
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+_MWU_SQL = """
+    WITH c AS (
+      SELECT value,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY value
+    ),
+    r AS (
+      SELECT c0, cnt,
+             (2 * (sum(cnt) OVER (ORDER BY value) - cnt) + cnt + 1)::BIGINT
+               AS rank2
+      FROM c
+    ),
+    s AS (
+      SELECT sum(CAST(c0 AS HUGEINT) * rank2) AS r0_2,
+             sum(c0)::BIGINT AS n0,
+             sum(cnt - c0)::BIGINT AS n1,
+             sum(cnt)::BIGINT AS n,
+             sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_term
+      FROM r
+    )
+    SELECT n0, n1,
+           (r0_2 - CAST(n0 AS HUGEINT) * (n0 + 1))::BIGINT AS u_doubled,
+           tie_term::BIGINT AS tie_term,
+           round((CAST(r0_2 - CAST(n0 AS HUGEINT) * (n0 + 1) AS DOUBLE)
+                  - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                 / (2.0 * sqrt((CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)
+                    * (CAST(n + 1 AS DOUBLE)
+                       - CAST(tie_term AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))), 6)
+             AS z
+    FROM s
+"""
+
+
+@register("events_mannwhitney_u", _MWU_SQL)
+def events_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U rank test between even- and odd-user event
+    values - the nonparametric twin of the Welch A/B readout. Average
+    ranks land on the half-integer grid, so everything is kept in
+    DOUBLED units: rank2 = 2*(cum-before) + ties + 1 is an exact
+    integer, the rank sum accumulates in 128-bit (c0*rank2 overflows
+    int64 past ~2^31.5 rows), and U (doubled) is exact. The only
+    floats are inside the final tie-corrected z statistic - one
+    scalar expression. One groupBy + one sort-window over distinct
+    values (same global-rank scale path as the KS entry)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    wv = Window.partitionBy(F.lit(1)).orderBy("value")
+    r = c.select(
+        "c0",
+        "cnt",
+        (
+            2 * (F.sum("cnt").over(wv) - F.col("cnt"))
+            + F.col("cnt")
+            + 1
+        )
+        .cast("long")
+        .alias("rank2"),
+    )
+    s = r.agg(
+        F.sum(F.col("c0").cast("decimal(38,0)") * F.col("rank2")).alias(
+            "r0_2"
+        ),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(F.col("cnt") - F.col("c0")).cast("long").alias("n1"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    u2 = F.col("r0_2") - F.col("n0").cast("decimal(38,0)") * (
+        F.col("n0") + 1
+    )
+    sigma2 = (
+        F.col("n0").cast("double") * F.col("n1").cast("double") / F.lit(12.0)
+    ) * (
+        (F.col("n") + 1).cast("double")
+        - F.col("tie_term").cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    )
+    return s.select(
+        "n0",
+        "n1",
+        u2.cast("long").alias("u_doubled"),
+        F.col("tie_term").cast("long").alias("tie_term"),
+        F.round(
+            (
+                u2.cast("double")
+                - F.col("n0").cast("double") * F.col("n1").cast("double")
+            )
+            / (F.lit(2.0) * F.sqrt(sigma2)),
+            6,
+        ).alias("z"),
+    )
+
+
+_ZIPF_SQL = r"""
+    WITH terms AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT term, count(*)::BIGINT AS tf FROM terms
+      WHERE length(term) >= 1 GROUP BY term
+    ),
+    k AS (
+      SELECT term, tf, row_number() OVER (
+        ORDER BY tf DESC, term ASC)::BIGINT AS "rank"
+      FROM tf
+    ),
+    top AS (
+      SELECT term, tf, "rank",
+             round(ln(CAST("rank" AS DOUBLE)), 8) AS lx,
+             round(ln(CAST(tf AS DOUBLE)), 8) AS ly
+      FROM k WHERE "rank" <= 64
+    ),
+    s AS (
+      SELECT term, tf, "rank", lx, ly,
+             count(*) OVER ()::BIGINT AS n,
+             sum(lx) OVER () AS sx, sum(ly) OVER () AS sy,
+             sum(lx * ly) OVER () AS sxy, sum(lx * lx) OVER () AS sxx
+      FROM top
+    )
+    SELECT term, tf, "rank", lx, ly,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS zipf_intercept
+    FROM s ORDER BY "rank"
+"""
+
+
+@register("vocab_zipf_fit", _ZIPF_SQL)
+def vocab_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit: OLS slope of ln(frequency) on
+    ln(rank) over the top-64 vocabulary terms - a well-formed natural
+    corpus fits slope near -1, so the slope is a one-number corpus
+    health check. Term counts are exact integers with a deterministic
+    (tf desc, term) rank; each log is rounded to the 1e-8 grid BEFORE
+    the moment products so both engines sum identical doubles over a
+    BOUNDED 64-row set. One tokenize+groupBy at corpus scale;
+    everything after the top-k cut is constant-size."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    ).where(F.length("term") >= 1)
+    tf = terms.groupBy("term").agg(F.count("*").cast("long").alias("tf"))
+    wk = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    )
+    top = (
+        tf.select(
+            "term", "tf", F.row_number().over(wk).cast("long").alias("rank")
+        )
+        .where(F.col("rank") <= 64)
+        .select(
+            "term",
+            "tf",
+            "rank",
+            F.round(F.log(F.col("rank").cast("double")), 8).alias("lx"),
+            F.round(F.log(F.col("tf").cast("double")), 8).alias("ly"),
+        )
+    )
+    wg = Window.partitionBy(F.lit(1))
+    s = top.select(
+        "*",
+        F.count("*").over(wg).cast("long").alias("n"),
+        F.sum("lx").over(wg).alias("sx"),
+        F.sum("ly").over(wg).alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).over(wg).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).over(wg).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "term",
+        "tf",
+        "rank",
+        "lx",
+        "ly",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    ).orderBy("rank")
