@@ -518,6 +518,11 @@ def bench_queries():
         "ks_test": Q.events_ks_test,
         "mannwhitney_u": Q.events_mannwhitney_u,
         "zipf_fit": Q.vocab_zipf_fit,
+        "bootstrap_ci": Q.events_bootstrap_ci,
+        "autocorrelation": Q.events_autocorrelation,
+        "correlation_matrix": Q.lineitem_correlation_matrix,
+        "gate_kappa": Q.docs_gate_agreement_kappa,
+        "trigram_paths": Q.events_top_trigram_paths,
     }
 
 

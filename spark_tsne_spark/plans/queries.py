@@ -80,6 +80,9 @@ _DRIVER_PRIORITY = [
     "orders_chi2_independence", "docs_readability",
     "dedup_graph_assortativity", "docs_positional_deletes",
     "events_ks_test", "events_mannwhitney_u", "vocab_zipf_fit",
+    "events_bootstrap_ci", "events_autocorrelation",
+    "lineitem_correlation_matrix", "docs_gate_agreement_kappa",
+    "events_top_trigram_paths",
     # New in r8 (never sampled): survival analysis, k-anonymity,
     # HLL sketch, record-linkage scoring, margin mining, Holt,
     # KMV intersection, negative sampling, quarantine bitmask,
@@ -13176,3 +13179,543 @@ def vocab_zipf_fit(spark, sf_dir):
             "zipf_intercept"
         ),
     ).orderBy("rank")
+
+
+_BOOT_THRESHOLDS = [1656781714176974, 3313563428353948, 4141954285442435, 4418084571138597, 4487117142562638, 4500923656847446, 4503224742561580, 4503553469092171, 4503594559908495]
+_BOOT_B = 20
+
+_BOOT_SQL = """
+    WITH w AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             (CASE WHEN ('0x' || substring(md5('boot:0:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:0:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:0:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:0:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:0:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:0:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:0:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:0:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:0:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w0,
+             (CASE WHEN ('0x' || substring(md5('boot:1:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:1:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:1:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:1:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:1:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:1:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:1:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:1:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:1:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w1,
+             (CASE WHEN ('0x' || substring(md5('boot:2:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:2:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:2:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:2:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:2:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:2:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:2:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:2:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:2:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w2,
+             (CASE WHEN ('0x' || substring(md5('boot:3:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:3:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:3:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:3:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:3:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:3:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:3:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:3:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:3:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w3,
+             (CASE WHEN ('0x' || substring(md5('boot:4:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:4:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:4:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:4:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:4:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:4:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:4:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:4:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:4:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w4,
+             (CASE WHEN ('0x' || substring(md5('boot:5:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:5:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:5:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:5:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:5:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:5:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:5:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:5:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:5:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w5,
+             (CASE WHEN ('0x' || substring(md5('boot:6:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:6:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:6:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:6:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:6:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:6:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:6:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:6:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:6:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w6,
+             (CASE WHEN ('0x' || substring(md5('boot:7:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:7:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:7:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:7:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:7:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:7:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:7:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:7:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:7:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w7,
+             (CASE WHEN ('0x' || substring(md5('boot:8:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:8:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:8:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:8:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:8:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:8:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:8:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:8:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:8:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w8,
+             (CASE WHEN ('0x' || substring(md5('boot:9:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:9:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:9:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:9:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:9:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:9:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:9:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:9:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:9:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w9,
+             (CASE WHEN ('0x' || substring(md5('boot:10:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:10:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:10:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:10:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:10:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:10:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:10:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:10:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:10:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w10,
+             (CASE WHEN ('0x' || substring(md5('boot:11:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:11:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:11:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:11:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:11:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:11:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:11:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:11:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:11:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w11,
+             (CASE WHEN ('0x' || substring(md5('boot:12:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:12:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:12:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:12:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:12:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:12:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:12:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:12:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:12:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w12,
+             (CASE WHEN ('0x' || substring(md5('boot:13:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:13:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:13:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:13:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:13:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:13:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:13:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:13:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:13:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w13,
+             (CASE WHEN ('0x' || substring(md5('boot:14:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:14:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:14:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:14:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:14:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:14:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:14:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:14:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:14:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w14,
+             (CASE WHEN ('0x' || substring(md5('boot:15:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:15:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:15:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:15:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:15:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:15:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:15:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:15:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:15:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w15,
+             (CASE WHEN ('0x' || substring(md5('boot:16:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:16:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:16:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:16:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:16:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:16:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:16:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:16:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:16:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w16,
+             (CASE WHEN ('0x' || substring(md5('boot:17:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:17:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:17:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:17:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:17:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:17:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:17:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:17:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:17:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w17,
+             (CASE WHEN ('0x' || substring(md5('boot:18:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:18:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:18:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:18:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:18:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:18:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:18:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:18:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:18:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w18,
+             (CASE WHEN ('0x' || substring(md5('boot:19:' || event_id::VARCHAR), 1, 13))::BIGINT >= 1656781714176974 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:19:' || event_id::VARCHAR), 1, 13))::BIGINT >= 3313563428353948 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:19:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4141954285442435 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:19:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4418084571138597 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:19:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4487117142562638 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:19:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4500923656847446 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:19:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503224742561580 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:19:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503553469092171 THEN 1 ELSE 0 END + CASE WHEN ('0x' || substring(md5('boot:19:' || event_id::VARCHAR), 1, 13))::BIGINT >= 4503594559908495 THEN 1 ELSE 0 END)::BIGINT AS w19
+      FROM events
+    ),
+    s AS MATERIALIZED (
+      SELECT sum(w0 * cents)::BIGINT AS sv0, sum(w0)::BIGINT AS sw0,
+             sum(w1 * cents)::BIGINT AS sv1, sum(w1)::BIGINT AS sw1,
+             sum(w2 * cents)::BIGINT AS sv2, sum(w2)::BIGINT AS sw2,
+             sum(w3 * cents)::BIGINT AS sv3, sum(w3)::BIGINT AS sw3,
+             sum(w4 * cents)::BIGINT AS sv4, sum(w4)::BIGINT AS sw4,
+             sum(w5 * cents)::BIGINT AS sv5, sum(w5)::BIGINT AS sw5,
+             sum(w6 * cents)::BIGINT AS sv6, sum(w6)::BIGINT AS sw6,
+             sum(w7 * cents)::BIGINT AS sv7, sum(w7)::BIGINT AS sw7,
+             sum(w8 * cents)::BIGINT AS sv8, sum(w8)::BIGINT AS sw8,
+             sum(w9 * cents)::BIGINT AS sv9, sum(w9)::BIGINT AS sw9,
+             sum(w10 * cents)::BIGINT AS sv10, sum(w10)::BIGINT AS sw10,
+             sum(w11 * cents)::BIGINT AS sv11, sum(w11)::BIGINT AS sw11,
+             sum(w12 * cents)::BIGINT AS sv12, sum(w12)::BIGINT AS sw12,
+             sum(w13 * cents)::BIGINT AS sv13, sum(w13)::BIGINT AS sw13,
+             sum(w14 * cents)::BIGINT AS sv14, sum(w14)::BIGINT AS sw14,
+             sum(w15 * cents)::BIGINT AS sv15, sum(w15)::BIGINT AS sw15,
+             sum(w16 * cents)::BIGINT AS sv16, sum(w16)::BIGINT AS sw16,
+             sum(w17 * cents)::BIGINT AS sv17, sum(w17)::BIGINT AS sw17,
+             sum(w18 * cents)::BIGINT AS sv18, sum(w18)::BIGINT AS sw18,
+             sum(w19 * cents)::BIGINT AS sv19, sum(w19)::BIGINT AS sw19
+      FROM w
+    ),
+    r AS MATERIALIZED (
+      SELECT 0::BIGINT AS replica, sw0 AS n_eff, sv0 AS cents FROM s
+      UNION ALL SELECT 1::BIGINT AS replica, sw1 AS n_eff, sv1 AS cents FROM s
+      UNION ALL SELECT 2::BIGINT AS replica, sw2 AS n_eff, sv2 AS cents FROM s
+      UNION ALL SELECT 3::BIGINT AS replica, sw3 AS n_eff, sv3 AS cents FROM s
+      UNION ALL SELECT 4::BIGINT AS replica, sw4 AS n_eff, sv4 AS cents FROM s
+      UNION ALL SELECT 5::BIGINT AS replica, sw5 AS n_eff, sv5 AS cents FROM s
+      UNION ALL SELECT 6::BIGINT AS replica, sw6 AS n_eff, sv6 AS cents FROM s
+      UNION ALL SELECT 7::BIGINT AS replica, sw7 AS n_eff, sv7 AS cents FROM s
+      UNION ALL SELECT 8::BIGINT AS replica, sw8 AS n_eff, sv8 AS cents FROM s
+      UNION ALL SELECT 9::BIGINT AS replica, sw9 AS n_eff, sv9 AS cents FROM s
+      UNION ALL SELECT 10::BIGINT AS replica, sw10 AS n_eff, sv10 AS cents FROM s
+      UNION ALL SELECT 11::BIGINT AS replica, sw11 AS n_eff, sv11 AS cents FROM s
+      UNION ALL SELECT 12::BIGINT AS replica, sw12 AS n_eff, sv12 AS cents FROM s
+      UNION ALL SELECT 13::BIGINT AS replica, sw13 AS n_eff, sv13 AS cents FROM s
+      UNION ALL SELECT 14::BIGINT AS replica, sw14 AS n_eff, sv14 AS cents FROM s
+      UNION ALL SELECT 15::BIGINT AS replica, sw15 AS n_eff, sv15 AS cents FROM s
+      UNION ALL SELECT 16::BIGINT AS replica, sw16 AS n_eff, sv16 AS cents FROM s
+      UNION ALL SELECT 17::BIGINT AS replica, sw17 AS n_eff, sv17 AS cents FROM s
+      UNION ALL SELECT 18::BIGINT AS replica, sw18 AS n_eff, sv18 AS cents FROM s
+      UNION ALL SELECT 19::BIGINT AS replica, sw19 AS n_eff, sv19 AS cents FROM s
+    ),
+    m AS (
+      SELECT replica, n_eff,
+             round(CAST(cents AS DOUBLE) / (100.0 * CAST(n_eff AS DOUBLE)), 6)
+               AS mean_value
+      FROM r
+    ),
+    k AS (
+      SELECT *, row_number() OVER (
+        ORDER BY mean_value, replica)::BIGINT AS rk
+      FROM m
+    )
+    SELECT replica, n_eff, mean_value,
+           min(CASE WHEN rk = 2 THEN mean_value END) OVER () AS ci_lo,
+           min(CASE WHEN rk = 19 THEN mean_value END) OVER () AS ci_hi
+    FROM k ORDER BY replica
+"""
+
+
+@register("events_bootstrap_ci", _BOOT_SQL)
+def events_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap of the mean event value - THE distributed
+    bootstrap: instead of resampling rows (impossible without a
+    global index), each row gets an independent Poisson(1) weight per
+    replica, so all 20 replicas run in ONE aggregation pass with
+    2x20 conditional sums (no explode, no second scan). Determinism
+    is total: weights come from comparing a 52-bit per-(row, replica)
+    hash against PRECOMPUTED INTEGER thresholds floor(CDF_k * 2^52) -
+    zero float parsing - and each replica mean is an exact integer-
+    cents rational rounded once. The 90% CI is rank-2/rank-19 of
+    the 20 rounded replica means (replica tie-break). At 100 TB this
+    is exactly one corpus scan regardless of B."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def w(b):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"boot:{b}:"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        expr = F.lit(0)
+        for t in _BOOT_THRESHOLDS:
+            expr = expr + F.when(h >= F.lit(t), 1).otherwise(0)
+        return expr.cast("long")
+
+    base = ev.select(
+        cents.alias("cents"),
+        *[w(b).alias(f"w{b}") for b in range(_BOOT_B)],
+    )
+    aggs = []
+    for b in range(_BOOT_B):
+        aggs.append(
+            F.sum(F.col(f"w{b}") * F.col("cents"))
+            .cast("long")
+            .alias(f"sv{b}")
+        )
+        aggs.append(F.sum(f"w{b}").cast("long").alias(f"sw{b}"))
+    s = base.agg(*aggs)
+    reps = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("replica"),
+                        F.col(f"sw{b}").alias("n_eff"),
+                        F.col(f"sv{b}").alias("cents"),
+                    )
+                    for b in range(_BOOT_B)
+                ]
+            )
+        ).alias("r")
+    ).select("r.replica", "r.n_eff", "r.cents")
+    m = reps.select(
+        "replica",
+        "n_eff",
+        F.round(
+            F.col("cents").cast("double")
+            / (F.lit(100.0) * F.col("n_eff").cast("double")),
+            6,
+        ).alias("mean_value"),
+    )
+    wk = Window.partitionBy(F.lit(1)).orderBy("mean_value", "replica")
+    wg = Window.partitionBy(F.lit(1))
+    k = m.withColumn("rk", F.row_number().over(wk).cast("long"))
+    return k.select(
+        "replica",
+        "n_eff",
+        "mean_value",
+        F.min(F.when(F.col("rk") == 2, F.col("mean_value"))).over(wg).alias(
+            "ci_lo"
+        ),
+        F.min(
+            F.when(F.col("rk") == _BOOT_B - 1, F.col("mean_value"))
+        )
+        .over(wg)
+        .alias("ci_hi"),
+    ).orderBy("replica")
+
+
+_ACF_SQL = """
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, count(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, row_number() OVER (ORDER BY hour_ts)::BIGINT AS h
+      FROM hc
+    ),
+    g AS (
+      SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s FROM idx
+    ),
+    c AS (
+      SELECT h, (g.n * y - g.s)::BIGINT AS cv, g.n AS n FROM idx, g
+    ),
+    den AS (
+      SELECT sum(CAST(cv AS HUGEINT) * cv) AS d FROM c
+    ),
+    lags AS (SELECT unnest(range(1, 25))::BIGINT AS lag),
+    num AS (
+      SELECT l.lag, count(*)::BIGINT AS n_pairs,
+             sum(CAST(a.cv AS HUGEINT) * b.cv) AS nm
+      FROM lags l
+      JOIN c a ON TRUE
+      JOIN c b ON b.h = a.h + l.lag
+      GROUP BY l.lag
+    )
+    SELECT lag, n_pairs,
+           round(CAST(nm AS DOUBLE) / CAST(den.d AS DOUBLE), 6) AS acf
+    FROM num, den ORDER BY lag
+"""
+
+
+@register("events_autocorrelation", _ACF_SQL)
+def events_autocorrelation(spark, sf_dir):
+    """Autocorrelation function of the hourly event-volume series at
+    lags 1..24 - the seasonality detector (a daily cycle shows as a
+    lag-24 peak). EXACT integer arithmetic throughout: centering by
+    the mean is done in n-scaled units (c_t = n*y_t - S, an integer),
+    the lag products and the variance denominator accumulate in
+    128-bit, and the shared n^2 factor cancels in the ratio - the
+    ONLY float is the final rounded division per lag. One groupBy to
+    hourly counts (map-side combined), then the series is
+    |hours|-bounded: the 24 lag joins run on thousands of rows, not
+    the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    idx = hc.select(
+        "y",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy("hour_ts"))
+        .cast("long")
+        .alias("h"),
+    )
+    g = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    c = idx.crossJoin(F.broadcast(g)).select(
+        "h", (F.col("n") * F.col("y") - F.col("s")).cast("long").alias("cv")
+    )
+    den = c.agg(
+        F.sum(F.col("cv").cast("decimal(38,0)") * F.col("cv")).alias("d")
+    )
+    lags = spark.range(1, 25).select(F.col("id").cast("long").alias("lag"))
+    a = c.select(F.col("h").alias("ha"), F.col("cv").alias("ca"))
+    b = c.select(F.col("h").alias("hb"), F.col("cv").alias("cb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias(
+                "nm"
+            ),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("nm").cast("double") / F.col("d").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_CORRMAT_SQL = """
+    WITH v AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+      FROM lineitem
+    ),
+    m AS MATERIALIZED (
+      SELECT count(*)::HUGEINT AS n,
+             sum(qty)::HUGEINT AS s1, sum(price_cents)::HUGEINT AS s2,
+             sum(disc_pct)::HUGEINT AS s3, sum(tax_pct)::HUGEINT AS s4,
+             sum(qty::HUGEINT * qty) AS s11,
+             sum(price_cents::HUGEINT * price_cents) AS s22,
+             sum(disc_pct::HUGEINT * disc_pct) AS s33,
+             sum(tax_pct::HUGEINT * tax_pct) AS s44,
+             sum(qty::HUGEINT * price_cents) AS s12,
+             sum(qty::HUGEINT * disc_pct) AS s13,
+             sum(qty::HUGEINT * tax_pct) AS s14,
+             sum(price_cents::HUGEINT * disc_pct) AS s23,
+             sum(price_cents::HUGEINT * tax_pct) AS s24,
+             sum(disc_pct::HUGEINT * tax_pct) AS s34
+      FROM v
+    )
+    SELECT col_x, col_y,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS pearson_r
+    FROM (
+      SELECT 'qty' AS col_x, 'price_cents' AS col_y,
+             n, s1 AS sx, s2 AS sy, s11 AS sxx, s22 AS syy, s12 AS sxy FROM m
+      UNION ALL SELECT 'qty', 'disc_pct',
+             n, s1, s3, s11, s33, s13 FROM m
+      UNION ALL SELECT 'qty', 'tax_pct',
+             n, s1, s4, s11, s44, s14 FROM m
+      UNION ALL SELECT 'price_cents', 'disc_pct',
+             n, s2, s3, s22, s33, s23 FROM m
+      UNION ALL SELECT 'price_cents', 'tax_pct',
+             n, s2, s4, s22, s44, s24 FROM m
+      UNION ALL SELECT 'disc_pct', 'tax_pct',
+             n, s3, s4, s33, s44, s34 FROM m
+    ) ORDER BY col_x, col_y
+"""
+
+
+@register("lineitem_correlation_matrix", _CORRMAT_SQL)
+def lineitem_correlation_matrix(spark, sf_dir):
+    """Exact Pearson correlation matrix of the four lineitem
+    measures. Every column is integer-scalable (quantity, cents,
+    discount/tax percent), so all 14 moments accumulate EXACTLY in
+    128-bit integers in ONE aggregation pass over one scan; the six
+    pairwise correlations are then scalar expressions of that single
+    moment row (float enters only at the final sqrt/division,
+    rounded once). This is the corr() a profiler should run at
+    100 TB: no second pass, no per-pair scans, no float drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
+    )
+    cols = ["qty", "price_cents", "disc_pct", "tax_pct"]
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    for i, x in enumerate(cols):
+        aggs.append(F.sum(d(x)).alias(f"s{i+1}"))
+    for i, x in enumerate(cols):
+        for j, y in enumerate(cols):
+            if i <= j:
+                aggs.append(F.sum(d(x) * F.col(y)).alias(f"s{i+1}{j+1}"))
+    m = v.agg(*aggs)
+    pairs = []
+    for i, x in enumerate(cols):
+        for j, y in enumerate(cols):
+            if i < j:
+                pairs.append(
+                    F.struct(
+                        F.lit(x).alias("col_x"),
+                        F.lit(y).alias("col_y"),
+                        F.col("n").cast("double").alias("n"),
+                        F.col(f"s{i+1}").cast("double").alias("sx"),
+                        F.col(f"s{j+1}").cast("double").alias("sy"),
+                        F.col(f"s{i+1}{i+1}").cast("double").alias("sxx"),
+                        F.col(f"s{j+1}{j+1}").cast("double").alias("syy"),
+                        F.col(f"s{i+1}{j+1}").cast("double").alias("sxy"),
+                    )
+                )
+    e = m.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+    return e.select(
+        "col_x",
+        "col_y",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("col_x", "col_y")
+
+
+_KAPPA_SQL = r"""
+    WITH g AS (
+      SELECT CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1 ELSE 0 END
+               AS gate_a,
+             CASE WHEN len(regexp_extract_all(lower(text),
+                          '\b(the|and|of|to|in)\b')) >= 3
+                  THEN 1 ELSE 0 END AS gate_b
+      FROM documents
+    ),
+    c AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(gate_a * gate_b)::BIGINT AS n11,
+             sum(gate_a * (1 - gate_b))::BIGINT AS n10,
+             sum((1 - gate_a) * gate_b)::BIGINT AS n01,
+             sum((1 - gate_a) * (1 - gate_b))::BIGINT AS n00
+      FROM g
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           round(CAST((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           round(CAST(n * (n11 + n00)
+                      - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                 / CAST(n * n - ((n11 + n10) * (n11 + n01)
+                                 + (n01 + n00) * (n10 + n00)) AS DOUBLE), 6)
+             AS kappa
+    FROM c
+"""
+
+
+@register("docs_gate_agreement_kappa", _KAPPA_SQL)
+def docs_gate_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between two independent quality gates - a length
+    gate and an English-function-word gate - the chance-corrected
+    agreement score used to audit whether two filters are redundant
+    (high kappa) or complementary (low). The confusion matrix is one
+    conditional-sum aggregation row; kappa itself is computed
+    CROSS-MULTIPLIED at denominator n^2 so the whole statistic is a
+    ratio of two exact integers, rounded once. One scan, one
+    aggregate; the regexp gate is a JVM codegen expression."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        F.when(F.col("n_chars").between(200, 20000), 1)
+        .otherwise(0)
+        .alias("gate_a"),
+        F.when(
+            F.regexp_count(
+                F.lower(F.col("text")), F.lit(r"\b(the|and|of|to|in)\b")
+            )
+            >= 3,
+            1,
+        )
+        .otherwise(0)
+        .alias("gate_b"),
+    )
+    c = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("gate_a") * F.col("gate_b")).cast("long").alias("n11"),
+        F.sum(F.col("gate_a") * (1 - F.col("gate_b")))
+        .cast("long")
+        .alias("n10"),
+        F.sum((1 - F.col("gate_a")) * F.col("gate_b"))
+        .cast("long")
+        .alias("n01"),
+        F.sum((1 - F.col("gate_a")) * (1 - F.col("gate_b")))
+        .cast("long")
+        .alias("n00"),
+    )
+    agree = F.col("n11") + F.col("n00")
+    chance = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(agree.cast("double") / F.col("n").cast("double"), 6).alias(
+            "po"
+        ),
+        F.round(
+            chance.cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("pe"),
+        F.round(
+            (F.col("n") * agree - chance).cast("double")
+            / (F.col("n") * F.col("n") - chance).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+_TRIPATH_SQL = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    ),
+    p AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             count(*)::BIGINT AS support,
+             count(DISTINCT user_id)::BIGINT AS n_users
+      FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, support, n_users,
+           row_number() OVER (ORDER BY support DESC, path ASC)::BIGINT
+             AS rank
+    FROM p ORDER BY rank LIMIT 20
+"""
+
+
+@register("events_top_trigram_paths", _TRIPATH_SQL)
+def events_top_trigram_paths(spark, sf_dir):
+    """Sequential pattern mining, window form: the top-20 3-step
+    event-type paths users actually walk (consecutive by time within
+    user), with total support and distinct-user support - the
+    3-gram extension of the Markov transition matrix. Two lead()
+    calls over ONE per-user sort window (no self-joins, no candidate
+    explosion - contiguous-subsequence semantics make PrefixSpan's
+    lattice unnecessary), then a path groupBy. All counts exact;
+    rank tie-breaks on the path string."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    p = s.groupBy(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).agg(
+        F.count("*").cast("long").alias("support"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("support").desc(), F.col("path").asc()
+    )
+    return (
+        p.select(
+            "path",
+            "support",
+            "n_users",
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

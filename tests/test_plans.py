@@ -319,6 +319,9 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "ann_recall_at_k",
         # 1-row scalar-broadcast crossJoin (max-ts "today" anchor)
         "events_decayed_topk",
+        # bounded crossJoins: 1-row (n, S) + 24-row lag table + 1-row
+        # variance denominator, all against the |hours|-bounded series
+        "events_autocorrelation",
         # 1-row scalar-broadcast crossJoins (class totals / global
         # prior / gini totals / global bin bounds)
         "orders_woe_iv",
