@@ -523,6 +523,9 @@ def bench_queries():
         "correlation_matrix": Q.lineitem_correlation_matrix,
         "gate_kappa": Q.docs_gate_agreement_kappa,
         "trigram_paths": Q.events_top_trigram_paths,
+        "mann_kendall": Q.events_mann_kendall,
+        "theil_sen": Q.events_theil_sen,
+        "ks_fdr": Q.events_ks_per_type_fdr,
     }
 
 

@@ -82,7 +82,8 @@ _DRIVER_PRIORITY = [
     "events_ks_test", "events_mannwhitney_u", "vocab_zipf_fit",
     "events_bootstrap_ci", "events_autocorrelation",
     "lineitem_correlation_matrix", "docs_gate_agreement_kappa",
-    "events_top_trigram_paths",
+    "events_top_trigram_paths", "events_mann_kendall",
+    "events_theil_sen", "events_ks_per_type_fdr",
     # New in r8 (never sampled): survival analysis, k-anonymity,
     # HLL sketch, record-linkage scoring, margin mining, Holt,
     # KMV intersection, negative sampling, quarantine bitmask,
@@ -13719,3 +13720,373 @@ def events_top_trigram_paths(spark, sf_dir):
         .where(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+_MK_SQL = """
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, count(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, row_number() OVER (ORDER BY hour_ts)::BIGINT AS h FROM hc
+    ),
+    s AS (
+      SELECT sum(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s_stat,
+             count(*)::BIGINT AS n_pairs
+      FROM idx a JOIN idx b ON b.h > a.h
+    ),
+    t AS (
+      SELECT sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tie18
+      FROM (SELECT count(*)::BIGINT AS c FROM idx GROUP BY y)
+    ),
+    g AS (SELECT count(*)::BIGINT AS n FROM idx)
+    SELECT g.n, s.n_pairs, s.s_stat,
+           (g.n * (g.n - 1) * (2 * g.n + 5) - t.tie18)::BIGINT AS var18,
+           round(CAST(2 * s.s_stat AS DOUBLE)
+                 / CAST(g.n * (g.n - 1) AS DOUBLE), 6) AS tau_a,
+           round(CASE
+                   WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                   WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                   ELSE 0.0
+                 END
+                 / sqrt(CAST(g.n * (g.n - 1) * (2 * g.n + 5) - t.tie18
+                             AS DOUBLE) / 18.0), 6) AS z
+    FROM s, t, g
+"""
+
+
+@register("events_mann_kendall", _MK_SQL)
+def events_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test on the hourly event-volume
+    series - the nonparametric twin of the exact-OLS volume trend
+    (robust to outliers and any monotone transform). S, the tie
+    correction (kept as 18*Var, an integer), Kendall's tau_a, and the
+    continuity-corrected z. Everything up to the final z is EXACT
+    integer arithmetic over the |hours|-bounded pair join (720 hours
+    -> 259k pairs at sf0.1; the corpus-sized work is only the hourly
+    groupBy). Pairs of the AGGREGATED series, never of raw events."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    idx = hc.select(
+        "y",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy("hour_ts"))
+        .cast("long")
+        .alias("h"),
+    )
+    a = idx.select(F.col("h").alias("ha"), F.col("y").alias("ya"))
+    b = idx.select(F.col("h").alias("hb"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, F.col("hb") > F.col("ha"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    t = (
+        idx.groupBy("y")
+        .agg(F.count("*").cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5))
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    g = idx.agg(F.count("*").cast("long").alias("n"))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie18")
+    ).cast("long")
+    cc = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n",
+            "n_pairs",
+            "s_stat",
+            var18.alias("var18"),
+            F.round(
+                (2 * F.col("s_stat")).cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double"),
+                6,
+            ).alias("tau_a"),
+            F.round(
+                cc / F.sqrt(var18.cast("double") / F.lit(18.0)), 6
+            ).alias("z"),
+        )
+    )
+
+
+_TSEN_SQL = """
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, count(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, row_number() OVER (ORDER BY hour_ts)::BIGINT AS h FROM hc
+    ),
+    sl AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.h - a.h AS DOUBLE)
+               AS slope
+      FROM idx a JOIN idx b ON b.h > a.h
+    ),
+    ms AS (
+      SELECT slope AS ts_slope, n_pairs FROM (
+        SELECT slope, count(*) OVER ()::BIGINT AS n_pairs,
+               row_number() OVER (ORDER BY slope) AS rk
+        FROM sl
+      ) WHERE rk = (n_pairs + 1) // 2
+    ),
+    res AS (
+      SELECT CAST(idx.y AS DOUBLE)
+             - round(ms.ts_slope, 8) * CAST(idx.h AS DOUBLE) AS r,
+             ms.ts_slope, ms.n_pairs
+      FROM idx CROSS JOIN ms
+    )
+    SELECT max(n_pairs)::BIGINT AS n_pairs,
+           round(max(ts_slope), 8) AS ts_slope,
+           round(max(ic), 8) AS ts_intercept
+    FROM (
+      SELECT n_pairs, ts_slope, r AS ic,
+             row_number() OVER (ORDER BY r) AS rk,
+             count(*) OVER ()::BIGINT AS nn
+      FROM res
+    ) WHERE rk = (nn + 1) // 2
+    GROUP BY 1.0
+"""
+
+
+@register("events_theil_sen", _TSEN_SQL)
+def events_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of the hourly event volume: the MEDIAN
+    of all pairwise slopes (up to 29% outlier breakdown where OLS has
+    0%), plus the companion median-residual intercept. Slopes are
+    identical IEEE divisions of exact integers in both engines, so
+    the lower-median rank selection (rank (m+1)//2) picks the same
+    VALUE everywhere - equal slopes are bitwise equal, no tie-break
+    needed for value selection. Pair join and rank run on the
+    |hours|-bounded series; the intercept pass reuses the ROUNDED
+    slope so its residual ordering is grid-stable."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    idx = hc.select(
+        "y",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy("hour_ts"))
+        .cast("long")
+        .alias("h"),
+    )
+    a = idx.select(F.col("h").alias("ha"), F.col("y").alias("ya"))
+    b = idx.select(F.col("h").alias("hb"), F.col("y").alias("yb"))
+    sl = a.join(b, F.col("hb") > F.col("ha")).select(
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("hb") - F.col("ha")).cast("double")
+        ).alias("slope")
+    )
+    wg = Window.partitionBy(F.lit(1))
+    ws = Window.partitionBy(F.lit(1)).orderBy("slope")
+    ms = (
+        sl.select(
+            "slope",
+            F.count("*").over(wg).cast("long").alias("n_pairs"),
+            F.row_number().over(ws).alias("rk"),
+        )
+        .where(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select(F.col("slope").alias("ts_slope"), "n_pairs")
+    )
+    res = idx.crossJoin(F.broadcast(ms)).select(
+        (
+            F.col("y").cast("double")
+            - F.round(F.col("ts_slope"), 8) * F.col("h").cast("double")
+        ).alias("ic"),
+        "ts_slope",
+        "n_pairs",
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy("ic")
+    return (
+        res.select(
+            "ic",
+            "ts_slope",
+            "n_pairs",
+            F.row_number().over(wr).alias("rk"),
+            F.count("*").over(wg).cast("long").alias("nn"),
+        )
+        .where(F.col("rk") == F.floor((F.col("nn") + 1) / 2))
+        .select(
+            "n_pairs",
+            F.round("ts_slope", 8).alias("ts_slope"),
+            F.round("ic", 8).alias("ts_intercept"),
+        )
+    )
+
+
+_KSFDR_SQL = """
+    WITH c AS (
+      SELECT event_type, value,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+      FROM events GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type,
+             sum(c0) OVER (PARTITION BY event_type ORDER BY value)::BIGINT
+               AS cum0,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY value)::BIGINT
+               AS cum1,
+             sum(c0) OVER (PARTITION BY event_type)::BIGINT AS n0,
+             sum(c1) OVER (PARTITION BY event_type)::BIGINT AS n1
+      FROM c
+    ),
+    d AS (
+      SELECT event_type, n0, n1,
+             max(abs(cum0 * n1 - cum1 * n0))::BIGINT AS d_num
+      FROM cum GROUP BY event_type, n0, n1
+    ),
+    p AS (
+      SELECT event_type, n0, n1,
+             round(CAST(d_num AS DOUBLE) / CAST(n0 * n1 AS DOUBLE), 6) AS d,
+             round(least(1.0, 2.0 * exp(-2.0
+                   * (CAST(d_num AS DOUBLE) / CAST(n0 * n1 AS DOUBLE))
+                   * (CAST(d_num AS DOUBLE) / CAST(n0 * n1 AS DOUBLE))
+                   * (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))))), 6)
+               AS p_value
+      FROM d
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p_value, event_type)::BIGINT
+               AS "rank",
+             count(*) OVER ()::BIGINT AS m
+      FROM p
+    ),
+    k AS (
+      SELECT *,
+             round(0.05 * CAST("rank" AS DOUBLE) / CAST(m AS DOUBLE), 6)
+               AS bh_critical,
+             max(CASE WHEN p_value
+                           <= 0.05 * CAST("rank" AS DOUBLE) / CAST(m AS DOUBLE)
+                      THEN "rank" ELSE 0 END) OVER ()::BIGINT AS k_star
+      FROM r
+    )
+    SELECT event_type, n0, n1, d, p_value, "rank", bh_critical,
+           CASE WHEN "rank" <= k_star THEN 1 ELSE 0 END::BIGINT AS reject
+    FROM k ORDER BY "rank"
+"""
+
+
+@register("events_ks_per_type_fdr", _KSFDR_SQL)
+def events_ks_per_type_fdr(spark, sf_dir):
+    """Multiple-testing pipeline: per-event-type KS test (even vs odd
+    users) with Benjamini-Hochberg FDR control across the family -
+    the procedure a metrics platform runs when it screens MANY
+    segments at once. Each test's sup gap is exact cross-multiplied
+    integers per type (one grouped window pass); the BH step ranks
+    the m p-values, takes k* = max{k: p_(k) <= alpha*k/m} via one
+    bounded window, and rejects ranks <= k* - the step-up rule, NOT
+    the naive per-row compare (BH rejects below-threshold gaps under
+    k*). All windows after the per-value groupBy are |types|- or
+    |values|-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        F.sum("c0").over(wv).cast("long").alias("cum0"),
+        F.sum("c1").over(wv).cast("long").alias("cum1"),
+        F.sum("c0").over(wt).cast("long").alias("n0"),
+        F.sum("c1").over(wt).cast("long").alias("n1"),
+    )
+    d = cum.groupBy("event_type", "n0", "n1").agg(
+        F.max(
+            F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0"))
+        )
+        .cast("long")
+        .alias("d_num")
+    )
+    dd = F.col("d_num").cast("double") / (F.col("n0") * F.col("n1")).cast(
+        "double"
+    )
+    p = d.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round(dd, 6).alias("d"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.exp(
+                    F.lit(-2.0)
+                    * dd
+                    * dd
+                    * (
+                        F.col("n0").cast("double")
+                        * F.col("n1").cast("double")
+                        / (
+                            F.col("n0").cast("double")
+                            + F.col("n1").cast("double")
+                        )
+                    )
+                ),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy("p_value", "event_type")
+    wg = Window.partitionBy(F.lit(1))
+    r = p.select(
+        "*",
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.count("*").over(wg).cast("long").alias("m"),
+    )
+    crit = F.lit(0.05) * F.col("rank").cast("double") / F.col("m").cast(
+        "double"
+    )
+    k = r.select(
+        "*",
+        F.round(crit, 6).alias("bh_critical"),
+        F.max(
+            F.when(F.col("p_value") <= crit, F.col("rank")).otherwise(0)
+        )
+        .over(wg)
+        .cast("long")
+        .alias("k_star"),
+    )
+    return k.select(
+        "event_type",
+        "n0",
+        "n1",
+        "d",
+        "p_value",
+        "rank",
+        "bh_critical",
+        F.when(F.col("rank") <= F.col("k_star"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject"),
+    ).orderBy("rank")

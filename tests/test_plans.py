@@ -322,6 +322,10 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # bounded crossJoins: 1-row (n, S) + 24-row lag table + 1-row
         # variance denominator, all against the |hours|-bounded series
         "events_autocorrelation",
+        # contract-quadratic PAIR joins of the |hours|-bounded hourly
+        # series (h_j > h_i theta join) + 1-row scalar broadcasts
+        "events_mann_kendall",
+        "events_theil_sen",
         # 1-row scalar-broadcast crossJoins (class totals / global
         # prior / gini totals / global bin bounds)
         "orders_woe_iv",
