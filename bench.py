@@ -526,6 +526,10 @@ def bench_queries():
         "mann_kendall": Q.events_mann_kendall,
         "theil_sen": Q.events_theil_sen,
         "ks_fdr": Q.events_ks_per_type_fdr,
+        "streaming_decayed_topk": Q.streaming_decayed_topk,
+        "supplier_hhi": Q.nation_supplier_hhi,
+        "entropy_rate": Q.events_entropy_rate,
+        "runs_test": Q.events_runs_test,
     }
 
 

@@ -84,6 +84,8 @@ _DRIVER_PRIORITY = [
     "lineitem_correlation_matrix", "docs_gate_agreement_kappa",
     "events_top_trigram_paths", "events_mann_kendall",
     "events_theil_sen", "events_ks_per_type_fdr",
+    "streaming_decayed_topk", "nation_supplier_hhi",
+    "events_entropy_rate", "events_runs_test",
     # New in r8 (never sampled): survival analysis, k-anonymity,
     # HLL sketch, record-linkage scoring, margin mining, Holt,
     # KMV intersection, negative sampling, quarantine bitmask,
@@ -14090,3 +14092,328 @@ def events_ks_per_type_fdr(spark, sf_dir):
         .cast("long")
         .alias("reject"),
     ).orderBy("rank")
+
+
+@register("streaming_decayed_topk", _DECAYED_SQL)
+def streaming_decayed_topk(spark, sf_dir):
+    """Streaming twin of ``events_decayed_topk`` (shared oracle): the
+    lambda topology for a freshness-weighted leaderboard. Structured
+    Streaming maintains ONE count per (day, type, user) — a
+    watermarked tumbling-day aggregate, order-insensitive across
+    micro-batches — and the finisher folds the dyadic 2^-age weights
+    over that sink table per evaluation tick. Because the weight
+    depends only on the DAY and the weights are exact dyadic doubles,
+    sum(n_d * 2^-age_d) over the sink is bit-identical to the batch
+    per-event sum under ANY arrival order; the rank is therefore
+    engine- and topology-exact. Finisher cost is |days x types x
+    users|-bounded, independent of raw event volume."""
+    import re as _re
+
+    from spark_tsne_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        user_daily_counts,
+    )
+
+    tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir)
+    path = f"/tmp/spark_graft_events_{tag}"
+    _t(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.catalog.dropTempView("sgq_decayed_daily")
+    stream = user_daily_counts(read_events_stream(spark, path))
+    run_to_memory(stream, "sgq_decayed_daily")
+    c = spark.table("sgq_decayed_daily")
+    mx = c.agg(F.max("day_ts").alias("today"))
+    d = c.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "user_id",
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            / F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(least("
+                "datediff(today, day_ts), 50) AS INT)) AS DOUBLE)"
+            )
+        ).alias("wsum"),
+    )
+    s = d.groupBy("event_type", "user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("wsum").alias("decayed"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("decayed").desc(), F.col("user_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "event_type",
+            "user_id",
+            "n_events",
+            F.round("decayed", 6).alias("decayed"),
+            "rank",
+        )
+    )
+
+
+_HHI_SQL = """
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             sum(round(l.l_extendedprice * 100)::BIGINT
+                 * (100 - round(l.l_discount * 100)::BIGINT))::HUGEINT
+               AS rev_e4
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT n.n_name AS nation,
+           count(*)::BIGINT AS n_suppliers,
+           sum(rev_e4)::BIGINT AS total_revenue_e4,
+           round(CAST(sum(rev_e4 * rev_e4) AS DOUBLE)
+                 / (CAST(sum(rev_e4) AS DOUBLE)
+                    * CAST(sum(rev_e4) AS DOUBLE)), 6) AS hhi
+    FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+"""
+
+
+@register("nation_supplier_hhi", _HHI_SQL)
+def nation_supplier_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation - the antitrust-style market-structure metric (1/n
+    for perfectly even markets, 1.0 for a monopoly). Shares never
+    materialize: HHI = sum(rev_i^2) / (sum rev_i)^2 over exact
+    1e-4-dollar integers with 128-bit squares (rev^2 overflows int64
+    at ~$9.5M per supplier), so the only float is the final rounded
+    ratio. One orderless fact aggregate per (nation, supplier) + a
+    |nations|-bounded regroup; the nation dimension broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            )
+            .cast("decimal(38,0)")
+            .alias("rev_e4")
+        )
+    )
+    return (
+        rev.join(F.broadcast(n), rev.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum("rev_e4").cast("long").alias("total_revenue_e4"),
+            F.round(
+                F.sum(F.col("rev_e4") * F.col("rev_e4")).cast("double")
+                / (
+                    F.sum("rev_e4").cast("double")
+                    * F.sum("rev_e4").cast("double")
+                ),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+_ENTRATE_SQL = """
+    WITH s AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    t AS (
+      SELECT a, b, count(*)::BIGINT AS n_ab FROM s
+      WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    m AS (
+      SELECT *,
+             sum(n_ab) OVER (PARTITION BY a)::BIGINT AS n_a,
+             sum(n_ab) OVER ()::BIGINT AS n
+      FROM t
+    ),
+    e AS (
+      SELECT a, n_a, n,
+             round(-sum(round((CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE))
+                   * ln(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)), 8)),
+                   6) AS h_conditional
+      FROM m GROUP BY a, n_a, n
+    )
+    SELECT a AS from_type, n_a AS n_from, h_conditional,
+           round(sum(round(CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)
+                           * h_conditional, 8)) OVER (), 6) AS entropy_rate
+    FROM e ORDER BY from_type
+"""
+
+
+@register("events_entropy_rate", _ENTRATE_SQL)
+def events_entropy_rate(spark, sf_dir):
+    """Entropy rate of the user-journey Markov chain: per source type
+    the conditional next-step entropy H(next | from), and the chain's
+    entropy rate sum(pi_a * H_a) under the empirical occupancy - how
+    PREDICTABLE user behavior is (0 bits = deterministic journeys).
+    Transition counts come from ONE lead() window per user (the same
+    pass as the transition matrix); every entropy term is a scalar
+    log of an exact integer ratio rounded to the 1e-8 grid before
+    the |types|-bounded sums, so the aggregation order can't move
+    the result. Nats, not bits."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    t = s.groupBy("a", "b").agg(F.count("*").cast("long").alias("n_ab"))
+    wa = Window.partitionBy("a")
+    wg = Window.partitionBy(F.lit(1))
+    m = t.select(
+        "*",
+        F.sum("n_ab").over(wa).cast("long").alias("n_a"),
+        F.sum("n_ab").over(wg).cast("long").alias("n"),
+    )
+    pj = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    e = m.groupBy("a", "n_a", "n").agg(
+        F.round(-F.sum(F.round(pj * F.log(pj), 8)), 6).alias(
+            "h_conditional"
+        )
+    )
+    return e.select(
+        F.col("a").alias("from_type"),
+        F.col("n_a").alias("n_from"),
+        "h_conditional",
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("n_a").cast("double")
+                    / F.col("n").cast("double")
+                    * F.col("h_conditional"),
+                    8,
+                )
+            ).over(wg),
+            6,
+        ).alias("entropy_rate"),
+    ).orderBy("from_type")
+
+
+_RUNS_SQL = """
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, count(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT y AS med FROM (
+        SELECT y, row_number() OVER (ORDER BY y, hour_ts) AS rk,
+               count(*) OVER ()::BIGINT AS n
+        FROM hc
+      ) WHERE rk = (n + 1) // 2
+    ),
+    sgn AS (
+      SELECT hour_ts, CASE WHEN y > med THEN 1 ELSE -1 END AS sg
+      FROM hc CROSS JOIN med WHERE y <> med
+    ),
+    runs AS (
+      SELECT sg,
+             lag(sg) OVER (ORDER BY hour_ts) AS prev
+      FROM sgn
+    ),
+    c AS (
+      SELECT sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             (1 + sum(CASE WHEN prev IS NOT NULL AND sg <> prev
+                           THEN 1 ELSE 0 END))::BIGINT AS n_runs
+      FROM runs
+    )
+    SELECT n1, n2, n_runs,
+           round((CAST(n_runs AS DOUBLE)
+                  - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                 / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 - 1 AS DOUBLE))), 6) AS z
+    FROM c
+"""
+
+
+@register("events_runs_test", _RUNS_SQL)
+def events_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of the hourly volume
+    series around its median: too FEW runs means clustering/trend,
+    too many means oscillation. The median is an exact rank-selected
+    data value (integer tie-break), equal-to-median hours are dropped
+    (the standard convention), the run count is one lag() pass over
+    the |hours|-bounded signed series, and the only floats live in
+    the final z scalar. Complements Mann-Kendall: MK detects monotone
+    trend, runs detects ANY non-randomness in sign structure."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    wm = Window.partitionBy(F.lit(1)).orderBy("y", "hour_ts")
+    wg = Window.partitionBy(F.lit(1))
+    med = (
+        hc.select(
+            "y",
+            F.row_number().over(wm).alias("rk"),
+            F.count("*").over(wg).cast("long").alias("n"),
+        )
+        .where(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("y").alias("med"))
+    )
+    sgn = (
+        hc.crossJoin(F.broadcast(med))
+        .where(F.col("y") != F.col("med"))
+        .select(
+            "hour_ts",
+            F.when(F.col("y") > F.col("med"), 1).otherwise(-1).alias("sg"),
+        )
+    )
+    wo = Window.partitionBy(F.lit(1)).orderBy("hour_ts")
+    runs = sgn.select("sg", F.lag("sg").over(wo).alias("prev"))
+    c = runs.agg(
+        F.sum(F.when(F.col("sg") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("sg") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("sg") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = 2.0 * n1d * n2d / nd + 1.0
+    var = (
+        2.0
+        * n1d
+        * n2d
+        * (2.0 * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - 1.0))
+    )
+    return c.select(
+        "n1",
+        "n2",
+        "n_runs",
+        F.round((F.col("n_runs").cast("double") - mu) / F.sqrt(var), 6).alias(
+            "z"
+        ),
+    )

@@ -171,3 +171,34 @@ def enrich_with_profile(
         "user_avg",
         F.round(F.col("value") - F.col("user_avg"), decimals).alias("delta"),
     )
+
+
+def user_daily_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Tumbling DAILY window counts per (event type, user).
+
+    The incremental state a streaming leaderboard needs: one count
+    per (day, type, user), merged order-insensitively across
+    micro-batches, so any decay-weighted finisher over the sink is
+    exactly reproducible from batch (weights depend only on the day,
+    never on arrival order). Watermark bounds state to the open day
+    plus the allowed lateness.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("event_type"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("day_ts"),
+            "event_type",
+            "user_id",
+            "n_events",
+        )
+    )

@@ -277,6 +277,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "embedding_sq8_recall",  # collects the d-row quant stats on invocation
         "streaming_cusum_monitor",  # drains the streaming agg on invocation
         "streaming_sessionize",  # drains the session stream on invocation
+        "streaming_decayed_topk",  # drains the daily-count stream
     }
     # BroadcastNestedLoopJoin intended:
     bnlj_ok = {
@@ -326,6 +327,8 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # series (h_j > h_i theta join) + 1-row scalar broadcasts
         "events_mann_kendall",
         "events_theil_sen",
+        # 1-row scalar-broadcast crossJoin (exact median anchor)
+        "events_runs_test",
         # 1-row scalar-broadcast crossJoins (class totals / global
         # prior / gini totals / global bin bounds)
         "orders_woe_iv",
