@@ -71,9 +71,32 @@ def register(name: str, sql: Optional[str]):
 # whose most recent driver-green row is OLDEST (r3 before r4 ...), so
 # every entry's hash gets re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
-    # New in r8 (never sampled): rendezvous-shard rebalance audit,
-    # decayed top-k leaderboard, WOE/IV binning, leave-one-out target
-    # encoding, Gini/Lorenz concentration, PSI drift monitor.
+    # 55 entries have no driver-green hash in any CORRECTNESS_r0*;
+    # only ~50 fit the sample, so within the never-green set the
+    # LONGEST-WAITING lead: first the 14 pre-r7 stragglers that have
+    # fallen past the 50-cut twice (events_nearest_join ..
+    # user_activity_span), then the 15 r7-session additions, then the
+    # 26 r8-session additions oldest-batch-first (the last ~5 r8
+    # entries wait for r9's head). After the never-green block, green
+    # entries rotate by OLDEST green round.
+    "events_nearest_join", "events_value_histogram",
+    "incremental_agg_merge", "jsonl_roundtrip", "orc_roundtrip",
+    "orders_deciles", "part_cooccurrence", "q12_late_shipments",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
+    "q4_priority_exists", "top_terms_per_source", "user_activity_span",
+    # r7-session additions (never sampled): survival analysis,
+    # k-anonymity, HLL sketch, record linkage, margin mining, Holt,
+    # KMV intersection, negative sampling, quarantine bitmask,
+    # robust scaling, streaming sessionize, interval overlap, MAD,
+    # trimmed mean, conformal band.
+    "events_survival_km", "customers_k_anonymity", "events_hll_distinct",
+    "part_linkage_scores", "bitext_margin_mine", "events_holt_forecast",
+    "events_kmv_intersection", "vocab_negative_sampling",
+    "orders_quarantine_bitmask", "orders_robust_scale",
+    "streaming_sessionize", "sessions_incident_overlap",
+    "events_anomaly_mad", "orders_trimmed_mean",
+    "events_forecast_conformal",
+    # r8-session additions (never sampled), oldest batch first.
     "docs_shard_rebalance", "events_decayed_topk", "orders_woe_iv",
     "orders_target_encoding_loo", "customers_gini_lorenz",
     "events_psi_drift", "customers_ltv_cohort",
@@ -86,30 +109,8 @@ _DRIVER_PRIORITY = [
     "events_theil_sen", "events_ks_per_type_fdr",
     "streaming_decayed_topk", "nation_supplier_hhi",
     "events_entropy_rate", "events_runs_test",
-    # New in r8 (never sampled): survival analysis, k-anonymity,
-    # HLL sketch, record-linkage scoring, margin mining, Holt,
-    # KMV intersection, negative sampling, quarantine bitmask,
-    # robust scaling, streaming sessionize.
-    "events_survival_km", "customers_k_anonymity", "events_hll_distinct",
-    "part_linkage_scores", "bitext_margin_mine", "events_holt_forecast",
-    "events_kmv_intersection", "vocab_negative_sampling",
-    "orders_quarantine_bitmask", "orders_robust_scale",
-    "streaming_sessionize", "sessions_incident_overlap",
-    "events_anomaly_mad", "orders_trimmed_mean",
-    "events_forecast_conformal",
-    # Round-8 rotation (recomputed from the union of
-    # CORRECTNESS_r0*.json green rows, per the policy above): the 14
-    # entries with NO driver-green hash in any round lead (the tail
-    # of the r7 rotation batch that fell past the 50-cut:
-    # events_nearest_join .. user_activity_span), then every green
-    # entry ordered by OLDEST green round (r3 first, then r4 ... r7),
-    # alphabetical within a round. New r8 entries are inserted ABOVE
-    # this block as they land.
-    "events_nearest_join", "events_value_histogram",
-    "incremental_agg_merge", "jsonl_roundtrip", "orc_roundtrip",
-    "orders_deciles", "part_cooccurrence", "q12_late_shipments",
-    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
-    "q4_priority_exists", "top_terms_per_source", "user_activity_span",
+    # Green rotation: every green entry ordered by OLDEST green round
+    # (r3 first, then r4 ... r7), alphabetical within a round.
     "audio_features", "contamination_check", "corpus_hash_sample",
     "corpus_stratified_sample", "streaming_windowed_counts",
     "text_fingerprint", "text_pii_scrub", "text_winnow_fingerprints",
