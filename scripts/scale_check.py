@@ -585,6 +585,127 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
                 .count()
             )
 
+        def run_bootstrap(ev):
+            # one-pass Poisson bootstrap: cost must track the scan,
+            # not B (2xB conditional sums in a single aggregate)
+            from spark_tsne_spark.plans.queries import (
+                _BOOT_B,
+                _BOOT_THRESHOLDS,
+            )
+
+            cents = F.round(F.col("value") * 100).cast("long")
+
+            def w(b):
+                h = F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"boot:{b}:"),
+                                F.col("event_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                e = F.lit(0)
+                for t in _BOOT_THRESHOLDS:
+                    e = e + F.when(h >= F.lit(t), 1).otherwise(0)
+                return e.cast("long")
+
+            base = ev.select(
+                cents.alias("cents"),
+                *[w(b).alias(f"w{b}") for b in range(_BOOT_B)],
+            )
+            aggs = []
+            for b in range(_BOOT_B):
+                aggs.append(
+                    F.sum(F.col(f"w{b}") * F.col("cents")).alias(f"sv{b}")
+                )
+                aggs.append(F.sum(f"w{b}").alias(f"sw{b}"))
+            return base.agg(*aggs)
+
+        def run_theil_sen(ev):
+            # DELIBERATE stress: pairs grow as |hours|^2, so 10x MORE
+            # DAYS of data is ~100x pairs — measures the documented
+            # bound (the series is aggregate-sized, so even 100x of a
+            # tiny table must stay cheap; past ~50k hours, subsample)
+            from pyspark.sql import Window as W
+
+            hc = ev.groupBy(
+                F.date_trunc("hour", "ts").alias("hour_ts")
+            ).agg(F.count("*").cast("long").alias("y"))
+            idx = hc.select(
+                "y",
+                F.row_number()
+                .over(W.partitionBy(F.lit(1)).orderBy("hour_ts"))
+                .cast("long")
+                .alias("h"),
+            )
+            a = idx.select(F.col("h").alias("ha"), F.col("y").alias("ya"))
+            b = idx.select(F.col("h").alias("hb"), F.col("y").alias("yb"))
+            sl = a.join(b, F.col("hb") > F.col("ha")).select(
+                (
+                    (F.col("yb") - F.col("ya")).cast("double")
+                    / (F.col("hb") - F.col("ha")).cast("double")
+                ).alias("slope")
+            )
+            wg = W.partitionBy(F.lit(1))
+            ws = W.partitionBy(F.lit(1)).orderBy("slope")
+            return (
+                sl.select(
+                    "slope",
+                    F.count("*").over(wg).alias("np"),
+                    F.row_number().over(ws).alias("rk"),
+                )
+                .where(F.col("rk") == F.floor((F.col("np") + 1) / 2))
+            )
+
+        def run_trigram_paths(ev):
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            s = ev.select(
+                "user_id",
+                "event_type",
+                F.lead("event_type", 1).over(w).alias("e2"),
+                F.lead("event_type", 2).over(w).alias("e3"),
+            ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+            return s.groupBy(
+                F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+            ).agg(
+                F.count("*").alias("support"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+
+        def run_decayed(ev):
+            from pyspark.sql import Window as W
+
+            mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("today"))
+            d = ev.crossJoin(F.broadcast(mx)).select(
+                "event_type",
+                "user_id",
+                (
+                    F.lit(1.0)
+                    / F.expr(
+                        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(least("
+                        "datediff(today, date_trunc('day', ts)), 50)"
+                        " AS INT)) AS DOUBLE)"
+                    )
+                ).alias("w"),
+            )
+            s = d.groupBy("event_type", "user_id").agg(
+                F.count("*").alias("n_events"), F.sum("w").alias("decayed")
+            )
+            w = W.partitionBy("event_type").orderBy(
+                F.col("decayed").desc(), F.col("user_id").asc()
+            )
+            return s.withColumn("rank", F.row_number().over(w)).where(
+                F.col("rank") <= 10
+            )
+
         return {
             "asof_join": run_asof,
             "range_join": run_range,
@@ -596,6 +717,10 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             "kmv_intersection": run_kmv,
             "incident_overlap": run_overlap,
             "anomaly_mad": run_mad,
+            "bootstrap_ci": run_bootstrap,
+            "theil_sen": run_theil_sen,
+            "trigram_paths": run_trigram_paths,
+            "decayed_topk": run_decayed,
         }
 
     # Iteration aid: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those ops.
