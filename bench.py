@@ -530,6 +530,9 @@ def bench_queries():
         "supplier_hhi": Q.nation_supplier_hhi,
         "entropy_rate": Q.events_entropy_rate,
         "runs_test": Q.events_runs_test,
+        "similar_items": Q.part_similar_items,
+        "rolling_hll": Q.events_rolling_distinct_hll,
+        "feature_hashing": Q.vocab_feature_hashing_collisions,
     }
 
 

@@ -108,7 +108,8 @@ _DRIVER_PRIORITY = [
     "events_top_trigram_paths", "events_mann_kendall",
     "events_theil_sen", "events_ks_per_type_fdr",
     "streaming_decayed_topk", "nation_supplier_hhi",
-    "events_entropy_rate", "events_runs_test",
+    "events_entropy_rate", "events_runs_test", "part_similar_items",
+    "events_rolling_distinct_hll", "vocab_feature_hashing_collisions",
     # Green rotation: every green entry ordered by OLDEST green round
     # (r3 first, then r4 ... r7), alphabetical within a round.
     "audio_features", "contamination_check", "corpus_hash_sample",
@@ -14417,4 +14418,369 @@ def events_runs_test(spark, sf_dir):
         F.round((F.col("n_runs").cast("double") - mu) / F.sqrt(var), 6).alias(
             "z"
         ),
+    )
+
+
+_ITEMSIM_SQL = """
+    WITH oi AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    cnt AS (
+      SELECT l_partkey, count(*)::BIGINT AS n_ord FROM oi GROUP BY 1
+    ),
+    pr AS (
+      SELECT a.l_partkey AS i, b.l_partkey AS j, count(*)::BIGINT AS n_pair
+      FROM oi a JOIN oi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT i AS part, j AS neighbor, n_pair FROM pr
+      UNION ALL SELECT j, i, n_pair FROM pr
+    ),
+    sc AS (
+      SELECT s.part, s.neighbor, s.n_pair,
+             round(CAST(s.n_pair AS DOUBLE)
+                   / sqrt(CAST(ci.n_ord AS DOUBLE)
+                          * CAST(cj.n_ord AS DOUBLE)), 6) AS cosine
+      FROM sym s
+      JOIN cnt ci ON s.part = ci.l_partkey
+      JOIN cnt cj ON s.neighbor = cj.l_partkey
+    )
+    SELECT part, neighbor, n_pair, cosine, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY part
+        ORDER BY cosine DESC, n_pair DESC, neighbor ASC)::BIGINT AS rnk
+      FROM sc
+    ) WHERE rnk <= 5 ORDER BY part, rnk
+"""
+
+
+@register("part_similar_items", _ITEMSIM_SQL)
+def part_similar_items(spark, sf_dir):
+    """Item-item collaborative filtering: per part the top-5
+    co-purchased neighbors by basket cosine n_ij/sqrt(n_i*n_j) - the
+    classic Amazon-style recommender built entirely relationally.
+    Pair generation is the per-basket self-join, whose fan-out is
+    bounded by BASKET SIZE squared (TPC-H baskets hold ~4 parts, so
+    ~6 pairs/order regardless of corpus size - the reason item-item
+    scales where user-user doesn't); a min-support 2 cut bounds the
+    pair table, counts are exact integers, and the cosine ranking
+    orders by the ROUNDED score with integer tie-breaks so top-5
+    sets are engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    oi = li.select("l_orderkey", "l_partkey").distinct()
+    cnt = oi.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_ord")
+    )
+    a = oi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("i"))
+    b = oi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("j"))
+    pr = (
+        a.join(b, "ok")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    sym = pr.select(
+        F.col("i").alias("part"), F.col("j").alias("neighbor"), "n_pair"
+    ).union(
+        pr.select(
+            F.col("j").alias("part"), F.col("i").alias("neighbor"), "n_pair"
+        )
+    )
+    ci = cnt.select(F.col("l_partkey").alias("part"), F.col("n_ord").alias("ni"))
+    cj = cnt.select(
+        F.col("l_partkey").alias("neighbor"), F.col("n_ord").alias("nj")
+    )
+    sc = (
+        sym.join(ci, "part")
+        .join(cj, "neighbor")
+        .select(
+            "part",
+            "neighbor",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                / F.sqrt(F.col("ni").cast("double") * F.col("nj").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("cosine").desc(), F.col("n_pair").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .orderBy("part", "rnk")
+    )
+
+
+_ROLLHLL_SQL = """
+    WITH h AS (
+      SELECT date_trunc('day', ts) AS day_ts,
+             ('0x' || substring(md5('hll:' || user_id::VARCHAR), 1, 15))
+               ::BIGINT % 512 AS register,
+             CASE WHEN length(regexp_replace(
+                    substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                    '^0+', '')) = 0
+                  THEN 53
+                  ELSE 4 * (13 - length(regexp_replace(
+                         substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                         '^0+', '')))
+                       + CASE WHEN ('0x' || substring(regexp_replace(
+                                substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                                '^0+', ''), 1, 1))::BIGINT >= 8 THEN 0
+                              WHEN ('0x' || substring(regexp_replace(
+                                substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                                '^0+', ''), 1, 1))::BIGINT >= 4 THEN 1
+                              WHEN ('0x' || substring(regexp_replace(
+                                substring(md5('hll:' || user_id::VARCHAR), 16, 13),
+                                '^0+', ''), 1, 1))::BIGINT >= 2 THEN 2
+                              ELSE 3 END
+                       + 1 END::BIGINT AS rho
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    dregs AS (
+      SELECT day_ts, register, max(rho)::BIGINT AS max_rho
+      FROM h GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day_ts FROM dregs),
+    merged AS (
+      SELECT d.day_ts, r.register, max(r.max_rho)::BIGINT AS max_rho
+      FROM days d JOIN dregs r
+        ON r.day_ts <= d.day_ts
+       AND r.day_ts > d.day_ts - INTERVAL 7 DAY
+      GROUP BY d.day_ts, r.register
+    ),
+    a AS (
+      SELECT day_ts,
+             count(*)::BIGINT AS n_regs,
+             sum(1::BIGINT << CAST(53 - max_rho AS INT))::BIGINT
+               AS denom_scaled
+      FROM merged GROUP BY day_ts
+    )
+    SELECT day_ts, n_regs, denom_scaled,
+           round(CASE
+             WHEN n_regs < 512
+              AND 0.7197 * 512.0 * 512.0
+                  / (CAST(denom_scaled AS DOUBLE) / 9007199254740992.0
+                     + CAST(512 - n_regs AS DOUBLE)) <= 2.5 * 512.0
+             THEN 512.0 * ln(512.0 / CAST(512 - n_regs AS DOUBLE))
+             ELSE 0.7197 * 512.0 * 512.0
+                  / (CAST(denom_scaled AS DOUBLE) / 9007199254740992.0
+                     + CAST(512 - n_regs AS DOUBLE))
+           END, 3) AS est
+    FROM a ORDER BY day_ts
+"""
+
+
+@register("events_rolling_distinct_hll", _ROLLHLL_SQL)
+def events_rolling_distinct_hll(spark, sf_dir):
+    """7-day rolling distinct users via HLL register MERGE - the
+    mergeability demo that makes sketches the scale answer for
+    sliding windows: one register set per DAY (bounded at 512 rows
+    each), and every trailing window is a groupBy-max UNION of 7
+    register sets, never a re-scan of raw events. The register state
+    and the exact-integer harmonic denominator (sum 2^(53-rho), the
+    same auditable form as events_hll_distinct) are hash-stable; the
+    raw alpha-corrected estimate is one scalar expression. Corpus
+    cost: ONE scan + one (day, register) groupBy; everything after is
+    |days x 512|-bounded."""
+    from spark_tsne_spark.operators.sketches import hll_registers
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev_d = ev.select(
+        F.date_trunc("day", "ts").alias("day_ts"), "user_id"
+    )
+    # per-day registers: reuse the sketch hash, grouped by day too
+    from spark_tsne_spark.operators.sampling import hash_bucket  # noqa: F401
+
+    h = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    stripped = F.regexp_replace(F.substring(h, 16, 13), "^0+", "")
+    first = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("long")
+    rho = (
+        F.when(F.length(stripped) == 0, F.lit(53))
+        .otherwise(
+            4 * (13 - F.length(stripped))
+            + F.when(first >= 8, 0)
+            .when(first >= 4, 1)
+            .when(first >= 2, 2)
+            .otherwise(3)
+            + 1
+        )
+        .cast("long")
+    )
+    reg = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 512
+    ).alias("register")
+    dregs = (
+        ev_d.select("day_ts", reg, rho.alias("rho"))
+        .groupBy("day_ts", "register")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+    days = dregs.select("day_ts").distinct().select(
+        F.col("day_ts").alias("d")
+    )
+    merged = (
+        days.join(
+            dregs,
+            (F.col("day_ts") <= F.col("d"))
+            & (F.col("day_ts") > F.col("d") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy("d", "register")
+        .agg(F.max("max_rho").cast("long").alias("max_rho"))
+    )
+    denom = F.sum(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - max_rho AS INT))")
+    ).cast("long")
+    return (
+        merged.groupBy(F.col("d").alias("day_ts"))
+        .agg(
+            F.count("*").cast("long").alias("n_regs"),
+            denom.alias("denom_scaled"),
+        )
+        .select(
+            "day_ts",
+            "n_regs",
+            "denom_scaled",
+            F.round(
+                F.when(
+                    (F.col("n_regs") < 512)
+                    & (
+                        F.lit(0.7197 * 512.0 * 512.0)
+                        / (
+                            F.col("denom_scaled").cast("double")
+                            / F.lit(9007199254740992.0)
+                            + (F.lit(512) - F.col("n_regs")).cast("double")
+                        )
+                        <= F.lit(2.5 * 512.0)
+                    ),
+                    F.lit(512.0)
+                    * F.log(
+                        F.lit(512.0)
+                        / (F.lit(512) - F.col("n_regs")).cast("double")
+                    ),
+                )
+                .otherwise(
+                    F.lit(0.7197 * 512.0 * 512.0)
+                    / (
+                        F.col("denom_scaled").cast("double")
+                        / F.lit(9007199254740992.0)
+                        + (F.lit(512) - F.col("n_regs")).cast("double")
+                    )
+                ),
+                3,
+            ).alias("est"),
+        )
+        .orderBy("day_ts")
+    )
+
+
+_FEATHASH_SQL = r"""
+    WITH sh AS (
+      SELECT DISTINCT unnest(list_transform(range(1, length(text) - 3),
+                                            i -> substr(text, i, 5)))
+               AS feat
+      FROM documents WHERE length(text) >= 5
+    ),
+    b AS (
+      SELECT ('0x' || substring(md5('feat:' || feat), 1, 15))::BIGINT
+               % 256 AS bucket
+      FROM sh
+    ),
+    occ AS (
+      SELECT bucket, count(*)::BIGINT AS occupancy FROM b GROUP BY bucket
+    ),
+    hist AS (
+      SELECT occupancy, count(*)::BIGINT AS n_buckets
+      FROM occ GROUP BY occupancy
+    ),
+    tot AS (
+      SELECT sum(occupancy * n_buckets)::BIGINT AS n_feats,
+             sum(n_buckets)::BIGINT AS buckets_used,
+             max(occupancy)::BIGINT AS max_occupancy,
+             sum(CASE WHEN occupancy > 1
+                      THEN (occupancy - 1) * n_buckets
+                      ELSE 0 END)::BIGINT AS n_collided
+      FROM hist
+    )
+    SELECT occupancy, n_buckets, n_feats, buckets_used, max_occupancy,
+           round(CAST(n_collided AS DOUBLE) / CAST(n_feats AS DOUBLE), 6)
+             AS collision_rate
+    FROM hist CROSS JOIN tot ORDER BY occupancy
+"""
+
+
+@register("vocab_feature_hashing_collisions", _FEATHASH_SQL)
+def vocab_feature_hashing_collisions(spark, sf_dir):
+    """Hashing-trick audit: hash the distinct character-5-shingle
+    feature space into 256 buckets and report the occupancy histogram
+    plus the collision rate (features sharing a bucket with another
+    feature, the fraction of signal that gets aliased). The question
+    every hashed-feature pipeline must answer BEFORE training - and
+    the birthday arithmetic says it must be answered at the REAL
+    feature cardinality, not the vocabulary head. All counts exact
+    integers; the only float is the final rounded rate. One shingle
+    explode + distinct + two map-side-combined groupBys; the
+    histogram is |max_occupancy|-bounded."""
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") >= 5)
+    sh = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 4),"
+                    " i -> substring(text, i, 5))"
+                )
+            ).alias("feat")
+        )
+        .distinct()
+    )
+    b = sh.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("feat:"), F.col("feat"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        ).alias("bucket")
+    )
+    occ = b.groupBy("bucket").agg(F.count("*").cast("long").alias("occupancy"))
+    hist = occ.groupBy("occupancy").agg(
+        F.count("*").cast("long").alias("n_buckets")
+    )
+    tot = hist.agg(
+        F.sum(F.col("occupancy") * F.col("n_buckets"))
+        .cast("long")
+        .alias("n_feats"),
+        F.sum("n_buckets").cast("long").alias("buckets_used"),
+        F.max("occupancy").cast("long").alias("max_occupancy"),
+        F.sum(
+            F.when(
+                F.col("occupancy") > 1,
+                (F.col("occupancy") - 1) * F.col("n_buckets"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_collided"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "occupancy",
+            "n_buckets",
+            "n_feats",
+            "buckets_used",
+            "max_occupancy",
+            F.round(
+                F.col("n_collided").cast("double")
+                / F.col("n_feats").cast("double"),
+                6,
+            ).alias("collision_rate"),
+        )
+        .orderBy("occupancy")
     )

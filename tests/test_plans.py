@@ -329,6 +329,11 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "events_theil_sen",
         # 1-row scalar-broadcast crossJoin (exact median anchor)
         "events_runs_test",
+        # |days|-bounded range join of day list vs per-day registers
+        # + nothing corpus-sized (30 x 30*512 at sf0.1)
+        "events_rolling_distinct_hll",
+        # 1-row scalar-broadcast crossJoin (collision totals)
+        "vocab_feature_hashing_collisions",
         # 1-row scalar-broadcast crossJoins (class totals / global
         # prior / gini totals / global bin bounds)
         "orders_woe_iv",
