@@ -533,6 +533,8 @@ def bench_queries():
         "similar_items": Q.part_similar_items,
         "rolling_hll": Q.events_rolling_distinct_hll,
         "feature_hashing": Q.vocab_feature_hashing_collisions,
+        "kneser_ney": Q.bigram_kneser_ney,
+        "topic_coherence": Q.docs_topic_coherence,
     }
 
 

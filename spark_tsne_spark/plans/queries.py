@@ -110,6 +110,7 @@ _DRIVER_PRIORITY = [
     "streaming_decayed_topk", "nation_supplier_hhi",
     "events_entropy_rate", "events_runs_test", "part_similar_items",
     "events_rolling_distinct_hll", "vocab_feature_hashing_collisions",
+    "bigram_kneser_ney", "docs_topic_coherence",
     # Green rotation: every green entry ordered by OLDEST green round
     # (r3 first, then r4 ... r7), alphabetical within a round.
     "audio_features", "contamination_check", "corpus_hash_sample",
@@ -14783,4 +14784,225 @@ def vocab_feature_hashing_collisions(spark, sf_dir):
             ).alias("collision_rate"),
         )
         .orderBy("occupancy")
+    )
+
+
+_KN_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+               generate_subscripts(regexp_split_to_array(trim(text),
+                                                         '\s+'), 1) AS pos,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    bg AS (
+      SELECT a.tok AS w1, b.tok AS w2, count(*)::BIGINT AS c12
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT w1, sum(c12)::BIGINT AS c1,
+             count(*)::BIGINT AS followers
+      FROM bg GROUP BY w1
+    ),
+    pc AS (
+      SELECT w2, count(*)::BIGINT AS predecessors FROM bg GROUP BY w2
+    ),
+    nb AS (SELECT count(*)::BIGINT AS n_bigram_types FROM bg),
+    s AS (
+      SELECT bg.w1, bg.w2, bg.c12, u.c1, u.followers,
+             pc.predecessors, nb.n_bigram_types,
+             round((CAST(4 * bg.c12 - 3 AS DOUBLE) / 4.0)
+                     / CAST(u.c1 AS DOUBLE)
+                   + (0.75 * CAST(u.followers AS DOUBLE)
+                      / CAST(u.c1 AS DOUBLE))
+                     * (CAST(pc.predecessors AS DOUBLE)
+                        / CAST(nb.n_bigram_types AS DOUBLE)), 6) AS p_kn
+      FROM bg
+      JOIN u ON bg.w1 = u.w1
+      JOIN pc ON bg.w2 = pc.w2
+      CROSS JOIN nb
+    )
+    SELECT w1, w2, c12, c1, followers, predecessors, p_kn,
+           row_number() OVER (ORDER BY c12 DESC, w1, w2)::BIGINT AS rnk
+    FROM s QUALIFY rnk <= 30 ORDER BY rnk
+"""
+
+
+@register("bigram_kneser_ney", _KN_SQL)
+def bigram_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities - THE modern
+    n-gram smoothing (continuation counts, not raw frequency, back
+    off the unigram): P(w2|w1) = max(c12 - D, 0)/c1 +
+    D*followers(w1)/c1 * predecessors(w2)/|bigram types|, with
+    D = 0.75 chosen DYADIC so the discounted numerator (4c-3)/4 is
+    exact in both engines; every other term is a ratio of exact
+    integer counts, combined in ONE scalar expression rounded once.
+    Corpus cost: one adjacency self-join on (doc, pos) - or
+    equivalently one lead() pass - then three bounded-vocabulary
+    aggregates. Top-30 by count with full tie-breaks."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    ).where(F.length("tok") > 0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    u = bg.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("followers"),
+    )
+    pc = bg.groupBy("w2").agg(
+        F.count("*").cast("long").alias("predecessors")
+    )
+    nb = bg.agg(F.count("*").cast("long").alias("n_bigram_types"))
+    s = (
+        bg.join(u, "w1")
+        .join(pc, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "followers",
+            "predecessors",
+            F.round(
+                ((4 * F.col("c12") - 3).cast("double") / F.lit(4.0))
+                / F.col("c1").cast("double")
+                + (
+                    F.lit(0.75)
+                    * F.col("followers").cast("double")
+                    / F.col("c1").cast("double")
+                )
+                * (
+                    F.col("predecessors").cast("double")
+                    / F.col("n_bigram_types").cast("double")
+                ),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= 30)
+        .orderBy("rnk")
+    )
+
+
+_COHERENCE_SQL = r"""
+    WITH t AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, term FROM t WHERE length(term) >= 1),
+    dfc AS (
+      SELECT term, count(*)::BIGINT AS df FROM t2 GROUP BY term
+    ),
+    top AS (
+      SELECT term, df, row_number() OVER (
+        ORDER BY df DESC, term ASC)::BIGINT AS rnk
+      FROM dfc QUALIFY rnk <= 6
+    ),
+    co AS (
+      SELECT hi.term AS w_i, lo.term AS w_j, hi.df AS d_i, lo.df AS d_j,
+             count(*)::BIGINT AS d_ij
+      FROM top hi
+      JOIN top lo ON hi.rnk < lo.rnk
+      JOIN t2 a ON a.term = hi.term
+      JOIN t2 b ON b.term = lo.term AND b.doc_id = a.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT w_i, w_j, d_i, d_j, d_ij,
+           round(ln(CAST(d_ij + 1 AS DOUBLE) / CAST(d_i AS DOUBLE)), 6)
+             AS pair_score,
+           round(sum(round(ln(CAST(d_ij + 1 AS DOUBLE)
+                              / CAST(d_i AS DOUBLE)), 6)) OVER (), 6)
+             AS umass_coherence
+    FROM co ORDER BY w_i, w_j
+"""
+
+
+@register("docs_topic_coherence", _COHERENCE_SQL)
+def docs_topic_coherence(spark, sf_dir):
+    """UMass topic coherence of the corpus's top-6 terms: sum over
+    ordered term pairs of ln((D(wi,wj)+1)/D(wi)) - the standard
+    intrinsic quality score for topic/term lists (near 0 = terms
+    genuinely co-occur, strongly negative = an incoherent topic).
+    Doc frequencies and co-doc counts are exact integers from ONE
+    distinct (doc, term) projection; the top-6 cut makes the pair
+    stage 15 rows, and each score is a scalar log of an integer
+    ratio, rounded to the same grid in both engines before the
+    bounded sum. The co-occurrence join touches only rows whose term
+    is in the top set (a broadcast semi filter at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .where(F.length("term") >= 1)
+        .distinct()
+    )
+    dfc = t2.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    wr = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    top = (
+        dfc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= 6)
+    )
+    hi = top.select(
+        F.col("term").alias("w_i"), F.col("df").alias("d_i"),
+        F.col("rnk").alias("r_i"),
+    )
+    lo = top.select(
+        F.col("term").alias("w_j"), F.col("df").alias("d_j"),
+        F.col("rnk").alias("r_j"),
+    )
+    a = t2.select(F.col("term").alias("w_i"), F.col("doc_id").alias("da"))
+    b = t2.select(F.col("term").alias("w_jb"), F.col("doc_id").alias("db"))
+    co = (
+        hi.join(lo, F.col("r_i") < F.col("r_j"))
+        .join(a, "w_i")
+        .join(
+            b,
+            (F.col("w_j") == F.col("w_jb")) & (F.col("da") == F.col("db")),
+        )
+        .groupBy("w_i", "w_j", "d_i", "d_j")
+        .agg(F.count("*").cast("long").alias("d_ij"))
+    )
+    score = F.round(
+        F.log((F.col("d_ij") + 1).cast("double") / F.col("d_i").cast("double")),
+        6,
+    )
+    wg = Window.partitionBy(F.lit(1))
+    return (
+        co.select(
+            "w_i", "w_j", "d_i", "d_j", "d_ij", score.alias("pair_score")
+        )
+        .select(
+            "*",
+            F.round(F.sum("pair_score").over(wg), 6).alias(
+                "umass_coherence"
+            ),
+        )
+        .orderBy("w_i", "w_j")
     )

@@ -334,6 +334,10 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "events_rolling_distinct_hll",
         # 1-row scalar-broadcast crossJoin (collision totals)
         "vocab_feature_hashing_collisions",
+        # 1-row scalar-broadcast crossJoin (|bigram types| normalizer)
+        "bigram_kneser_ney",
+        # 6x6 bounded rank theta-join of the top-term list (15 pairs)
+        "docs_topic_coherence",
         # 1-row scalar-broadcast crossJoins (class totals / global
         # prior / gini totals / global bin bounds)
         "orders_woe_iv",
