@@ -456,6 +456,51 @@ def test_part_cooccurrence_joins_after_aggregation(spark, sf_dir):
     assert "n_pair" in plan, plan
 
 
+def test_bootstrap_ci_single_scan(spark, sf_dir):
+    """All 20 Poisson replicas must come from ONE events scan — the
+    whole point of the hash-weighted bootstrap is that B replicas
+    never multiply the read. A second FileScan here means someone
+    broke the single-aggregate shape."""
+    plan = plan_of(Q.events_bootstrap_ci(spark, sf_dir))
+    assert len(scan_lines(plan)) == 1, plan
+
+
+def test_correlation_matrix_single_scan_single_aggregate(spark, sf_dir):
+    """All 14 moments accumulate in ONE pass: one lineitem scan, and
+    the six pair rows come from exploding the single moment row —
+    never per-pair scans."""
+    plan = plan_of(Q.lineitem_correlation_matrix(spark, sf_dir))
+    assert len(scan_lines(plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_positional_deletes_anti_join_broadcasts(spark, sf_dir):
+    """The delete vector is a thin (file, pos) projection — the
+    reconstruction anti join must broadcast it, not shuffle the base
+    scan."""
+    plan = plan_of(Q.docs_positional_deletes(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_similar_items_joins_after_pair_aggregation(spark, sf_dir):
+    """Degree tables join onto the AGGREGATED pair table (support
+    ≥ 2 applied before the join), and the basket self-join is an
+    equi join on the order key — never a cartesian."""
+    plan = plan_of(Q.part_similar_items(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "n_pair" in plan, plan
+
+
+def test_readability_stays_jvm_side(spark, sf_dir):
+    """The three regexp counts are codegen expressions — any
+    BatchEvalPython here means a Python UDF crept into the scan
+    path."""
+    plan = plan_of(Q.docs_readability(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 # Rows-only entries burn a driver correctness slot every round they
 # sit in the top-50 sample (`err: "no_oracle"` counts as red — VERDICT
 # r6 #1: the three BPE entries shipped sql=None and were the only red
