@@ -535,6 +535,9 @@ def bench_queries():
         "feature_hashing": Q.vocab_feature_hashing_collisions,
         "kneser_ney": Q.bigram_kneser_ney,
         "topic_coherence": Q.docs_topic_coherence,
+        "abc_xyz": Q.part_abc_xyz_matrix,
+        "hill_tail": Q.events_hill_tail_index,
+        "seasonality_strength": Q.events_seasonality_strength,
     }
 
 

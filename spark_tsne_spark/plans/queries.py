@@ -110,7 +110,8 @@ _DRIVER_PRIORITY = [
     "streaming_decayed_topk", "nation_supplier_hhi",
     "events_entropy_rate", "events_runs_test", "part_similar_items",
     "events_rolling_distinct_hll", "vocab_feature_hashing_collisions",
-    "bigram_kneser_ney", "docs_topic_coherence",
+    "bigram_kneser_ney", "docs_topic_coherence", "part_abc_xyz_matrix",
+    "events_hill_tail_index", "events_seasonality_strength",
     # Green rotation: every green entry ordered by OLDEST green round
     # (r3 first, then r4 ... r7), alphabetical within a round.
     "audio_features", "contamination_check", "corpus_hash_sample",
@@ -15005,4 +15006,309 @@ def docs_topic_coherence(spark, sf_dir):
             ),
         )
         .orderBy("w_i", "w_j")
+    )
+
+
+_ABCXYZ_SQL = """
+    WITH wk AS (
+      SELECT l_partkey,
+             date_trunc('week', l_shipdate) AS week_ts,
+             sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT l_partkey,
+             count(*)::BIGINT AS n_weeks,
+             sum(qty)::BIGINT AS total_qty,
+             sum(CAST(qty AS HUGEINT) * qty) AS sq
+      FROM wk GROUP BY 1
+    ),
+    rv AS (
+      SELECT l_partkey,
+             sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT st.l_partkey, st.n_weeks, st.total_qty, rv.cents,
+             CASE WHEN st.n_weeks >= 2 AND st.total_qty > 0
+                  THEN sqrt(greatest(
+                         CAST(st.n_weeks * st.sq
+                              - CAST(st.total_qty AS HUGEINT)
+                                * st.total_qty AS DOUBLE)
+                         / CAST(st.n_weeks * (st.n_weeks - 1) AS DOUBLE),
+                         0.0))
+                       / (CAST(st.total_qty AS DOUBLE)
+                          / CAST(st.n_weeks AS DOUBLE))
+             END AS cv
+      FROM st JOIN rv ON st.l_partkey = rv.l_partkey
+    ),
+    r AS (
+      SELECT *,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey)::BIGINT
+               AS cum_cents,
+             sum(cents) OVER ()::BIGINT AS tot_cents
+      FROM j
+    ),
+    cls AS (
+      SELECT CASE WHEN cum_cents * 10 <= tot_cents * 8 THEN 'A'
+                  WHEN cum_cents * 100 <= tot_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN cv IS NULL THEN 'Z'
+                  WHEN cv < 0.5 THEN 'X'
+                  WHEN cv < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz,
+             cents
+      FROM r
+    )
+    SELECT abc, xyz, count(*)::BIGINT AS n_parts,
+           sum(cents)::BIGINT AS cents
+    FROM cls GROUP BY abc, xyz ORDER BY abc, xyz
+"""
+
+
+@register("part_abc_xyz_matrix", _ABCXYZ_SQL)
+def part_abc_xyz_matrix(spark, sf_dir):
+    """ABC-XYZ inventory classification matrix: parts cut by revenue
+    concentration (A = first 80% of cumulative revenue, B = to 95%,
+    C = tail) crossed with demand variability (weekly-demand
+    coefficient of variation: X < 0.5, Y < 1.0, Z otherwise or
+    too-short history) - the planning grid behind every
+    stock-policy decision. The ABC boundary compares are CROSS-
+    MULTIPLIED exact integers (cum*10 <= tot*8, no percentage
+    floats); the CV's variance uses the n*sq - s^2 identity over
+    128-bit integer moments, so the only floats are one sqrt and one
+    division per part. Two fact aggregates + a |parts|-bounded rank
+    window (the quantile-narrowing escape applies past ~1e8 parts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("week_ts")
+    ).agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("qty"))
+    st = wk.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_weeks"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum(F.col("qty").cast("decimal(38,0)") * F.col("qty")).alias("sq"),
+    )
+    rv = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    cv = F.when(
+        (F.col("n_weeks") >= 2) & (F.col("total_qty") > 0),
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("n_weeks").cast("decimal(38,0)") * F.col("sq")
+                    - F.col("total_qty").cast("decimal(38,0)")
+                    * F.col("total_qty")
+                ).cast("double")
+                / (F.col("n_weeks") * (F.col("n_weeks") - 1)).cast("double"),
+                F.lit(0.0),
+            )
+        )
+        / (
+            F.col("total_qty").cast("double")
+            / F.col("n_weeks").cast("double")
+        ),
+    )
+    j = st.join(rv, "l_partkey").select(
+        "l_partkey", "n_weeks", "total_qty", "cents", cv.alias("cv")
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("cents").desc(), F.col("l_partkey").asc()
+    )
+    wg = Window.partitionBy(F.lit(1))
+    r = j.select(
+        "*",
+        F.sum("cents").over(wr).cast("long").alias("cum_cents"),
+        F.sum("cents").over(wg).cast("long").alias("tot_cents"),
+    )
+    cls = r.select(
+        F.when(
+            F.col("cum_cents") * 10 <= F.col("tot_cents") * 8, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("tot_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("cv").isNull(), "Z")
+        .when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "cents",
+    )
+    return (
+        cls.groupBy("abc", "xyz")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+_HILL_SQL = """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      WHERE value > 0
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC)::BIGINT AS rk
+      FROM v
+    ),
+    xk AS (SELECT cents AS c_k FROM r WHERE rk = 101),
+    s AS (
+      SELECT count(*)::BIGINT AS k,
+             sum(round(ln(CAST(r.cents AS DOUBLE)
+                          / CAST(xk.c_k AS DOUBLE)), 8)) AS logsum,
+             max(xk.c_k)::BIGINT AS c_k
+      FROM r CROSS JOIN xk WHERE r.rk <= 100
+    )
+    SELECT k, c_k,
+           round(logsum / CAST(k AS DOUBLE), 6) AS hill_gamma,
+           round(CAST(k AS DOUBLE) / (logsum / CAST(k AS DOUBLE))
+                 / CAST(k AS DOUBLE), 6) AS alpha_inv_check,
+           round(1.0 / (logsum / CAST(k AS DOUBLE)), 6) AS tail_alpha
+    FROM s
+"""
+
+
+@register("events_hill_tail_index", _HILL_SQL)
+def events_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the value distribution's tail index over the
+    top-100 order statistics: gamma = mean log-excess over the k+1-th
+    largest value, alpha = 1/gamma - THE heavy-tail diagnostic
+    (alpha <= 2 means infinite variance, so means/z-tests lie). The
+    order statistics are exact integer cents selected by rank
+    (deterministic DESC ordering; ties share the value so the
+    selected THRESHOLD is engine-identical), each log-excess is a
+    scalar of an exact integer ratio rounded to the 1e-8 grid, and
+    the 100-term sum is grid-stable. The rank window runs over values
+    (the |distinct|-bounded aggregate at scale via the top-k
+    TakeOrdered escape); everything after is 100 rows."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    v = ev.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    wr = Window.partitionBy(F.lit(1)).orderBy(F.col("cents").desc())
+    r = v.select(
+        "cents", F.row_number().over(wr).cast("long").alias("rk")
+    )
+    xk = r.where(F.col("rk") == 101).select(F.col("cents").alias("c_k"))
+    s = (
+        r.where(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(
+                F.round(
+                    F.log(
+                        F.col("cents").cast("double")
+                        / F.col("c_k").cast("double")
+                    ),
+                    8,
+                )
+            ).alias("logsum"),
+            F.max("c_k").cast("long").alias("c_k"),
+        )
+    )
+    gamma = F.col("logsum") / F.col("k").cast("double")
+    return s.select(
+        "k",
+        "c_k",
+        F.round(gamma, 6).alias("hill_gamma"),
+        F.round(
+            F.col("k").cast("double") / gamma / F.col("k").cast("double"), 6
+        ).alias("alpha_inv_check"),
+        F.round(F.lit(1.0) / gamma, 6).alias("tail_alpha"),
+    )
+
+
+_SEASTR_SQL = """
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, count(*)::BIGINT AS y
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+             sum(CAST(y AS HUGEINT) * y) AS sq
+      FROM hc
+    ),
+    hod AS (
+      SELECT hour(hour_ts)::BIGINT AS hod, count(*)::BIGINT AS m,
+             sum(y)::BIGINT AS sy, sum(CAST(y AS HUGEINT) * y) AS sqy
+      FROM hc GROUP BY 1
+    ),
+    w AS (
+      SELECT sum(sqy - (CAST(sy AS HUGEINT) * sy) // m) AS ss_within,
+             count(*)::BIGINT AS n_groups
+      FROM hod
+    )
+    SELECT g.n, w.n_groups,
+           round(CAST(g.sq - (CAST(g.s AS HUGEINT) * g.s) // g.n AS DOUBLE),
+                 4) AS ss_total,
+           round(CAST(w.ss_within AS DOUBLE), 4) AS ss_within,
+           round(1.0 - CAST(w.ss_within AS DOUBLE)
+                       / CAST(g.sq - (CAST(g.s AS HUGEINT) * g.s) // g.n
+                              AS DOUBLE), 6) AS seasonality_strength
+    FROM g, w
+"""
+
+
+@register("events_seasonality_strength", _SEASTR_SQL)
+def events_seasonality_strength(spark, sf_dir):
+    """Hour-of-day seasonality strength of the event volume: the
+    variance-explained ratio 1 - SS_within/SS_total across the 24
+    hour-of-day groups (eta-squared - near 1 means the daily profile
+    explains the series, near 0 means no daily cycle; the ANOVA twin
+    of the lag-24 ACF peak). Integer counts make all sums of squares
+    exact 128-bit integers - EXCEPT the mean-correction terms s*s/n,
+    which both engines FLOOR to an exact integer quotient (DuckDB
+    // on HUGEINT, Spark floor() on the decimal division) so the
+    sums of squares stay integer-exact and engine-identical. The final ratio is one rounded float.
+    One hourly groupBy + two bounded aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    g = hc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("sq"),
+    )
+    hod = hc.groupBy(F.hour("hour_ts").cast("long").alias("hod")).agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("sqy"),
+    )
+    w = hod.agg(
+        F.sum(
+            F.col("sqy")
+            - F.floor(
+                F.col("sy").cast("decimal(38,0)") * F.col("sy")
+                / F.col("m")
+            ).cast("decimal(38,0)")
+        ).alias("ss_within"),
+        F.count("*").cast("long").alias("n_groups"),
+    )
+    ss_total = (
+        F.col("sq")
+        - F.floor(
+            F.col("s").cast("decimal(38,0)") * F.col("s") / F.col("n")
+        ).cast("decimal(38,0)")
+    ).cast("double")
+    return (
+        g.crossJoin(F.broadcast(w))
+        .select(
+            "n",
+            "n_groups",
+            F.round(ss_total, 4).alias("ss_total"),
+            F.round(F.col("ss_within").cast("double"), 4).alias(
+                "ss_within"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.col("ss_within").cast("double") / ss_total,
+                6,
+            ).alias("seasonality_strength"),
+        )
     )

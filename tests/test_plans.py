@@ -336,6 +336,10 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "vocab_feature_hashing_collisions",
         # 1-row scalar-broadcast crossJoin (|bigram types| normalizer)
         "bigram_kneser_ney",
+        # 1-row scalar-broadcast crossJoins (k+1-th order statistic /
+        # within-group sum-of-squares row)
+        "events_hill_tail_index",
+        "events_seasonality_strength",
         # 6x6 bounded rank theta-join of the top-term list (15 pairs)
         "docs_topic_coherence",
         # 1-row scalar-broadcast crossJoins (class totals / global
