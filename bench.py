@@ -538,6 +538,9 @@ def bench_queries():
         "abc_xyz": Q.part_abc_xyz_matrix,
         "hill_tail": Q.events_hill_tail_index,
         "seasonality_strength": Q.events_seasonality_strength,
+        "rfm_migration": Q.customers_rfm_migration,
+        "moments": Q.lineitem_moments,
+        "burstiness": Q.text_term_burstiness,
     }
 
 

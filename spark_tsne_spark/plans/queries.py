@@ -112,6 +112,8 @@ _DRIVER_PRIORITY = [
     "events_rolling_distinct_hll", "vocab_feature_hashing_collisions",
     "bigram_kneser_ney", "docs_topic_coherence", "part_abc_xyz_matrix",
     "events_hill_tail_index", "events_seasonality_strength",
+    "customers_rfm_migration", "lineitem_moments",
+    "text_term_burstiness",
     # Green rotation: every green entry ordered by OLDEST green round
     # (r3 first, then r4 ... r7), alphabetical within a round.
     "audio_features", "contamination_check", "corpus_hash_sample",
@@ -15312,3 +15314,312 @@ def events_seasonality_strength(spark, sf_dir):
             ).alias("seasonality_strength"),
         )
     )
+
+
+_RFM_MIG_SQL = """
+    WITH mx AS (
+      SELECT min(o_orderdate) AS t0,
+             min(o_orderdate)
+               + (max(o_orderdate) - min(o_orderdate)) / 2 AS cut
+      FROM orders
+    ),
+    per AS (
+      SELECT o.o_custkey,
+             CASE WHEN o.o_orderdate < mx.cut THEN 0 ELSE 1 END AS half,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN mx
+    ),
+    c AS (
+      SELECT o_custkey, half, count(*)::BIGINT AS freq,
+             sum(cents)::BIGINT AS cents
+      FROM per GROUP BY o_custkey, half
+    ),
+    s AS (
+      SELECT o_custkey, half,
+             ntile(4) OVER (PARTITION BY half
+                            ORDER BY cents, o_custkey) AS m
+      FROM c
+    ),
+    p AS (
+      SELECT a.m AS seg_before, b.m AS seg_after
+      FROM s a JOIN s b
+        ON a.o_custkey = b.o_custkey AND a.half = 0 AND b.half = 1
+    )
+    SELECT seg_before::BIGINT AS seg_before, seg_after::BIGINT AS seg_after,
+           count(*)::BIGINT AS n_customers,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER (PARTITION BY seg_before)
+                        AS DOUBLE), 6) AS row_share
+    FROM p GROUP BY seg_before, seg_after
+    ORDER BY seg_before, seg_after
+"""
+
+
+@register("customers_rfm_migration", _RFM_MIG_SQL)
+def customers_rfm_migration(spark, sf_dir):
+    """Segment-migration matrix: customers' monetary quartile in the
+    FIRST half of the order history vs the SECOND - the CRM question
+    behind every lifecycle program (who upgraded, who churned down).
+    The midpoint split is exact timestamp arithmetic, quartiles are
+    the proven engine-stable ntile (cents, custkey) total order
+    computed PER HALF, and the matrix is one self-join on customer
+    key over the |customers x 2| aggregate. Row shares are one
+    division over exact counts. Customers active in only one half
+    drop out of the join - the standard paired-cohort convention."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.min("o_orderdate").alias("t0"),
+        (
+            F.min("o_orderdate")
+            + F.make_interval(
+                secs=F.floor(
+                    (
+                        F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+                        - F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+                    )
+                    / 2
+                )
+                / 1e6
+            )
+        ).alias("cut"),
+    )
+    per = o.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < F.col("cut"), 0).otherwise(1).alias(
+            "half"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = per.groupBy("o_custkey", "half").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    s = c.select(
+        "o_custkey",
+        "half",
+        F.ntile(4)
+        .over(
+            Window.partitionBy("half").orderBy(
+                F.col("cents").asc(), F.col("o_custkey").asc()
+            )
+        )
+        .alias("m"),
+    )
+    a = s.where(F.col("half") == 0).select(
+        "o_custkey", F.col("m").alias("seg_before")
+    )
+    b = s.where(F.col("half") == 1).select(
+        "o_custkey", F.col("m").alias("seg_after")
+    )
+    p = a.join(b, "o_custkey")
+    wrow = Window.partitionBy("seg_before")
+    return (
+        p.groupBy("seg_before", "seg_after")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(
+            F.col("seg_before").cast("long").alias("seg_before"),
+            F.col("seg_after").cast("long").alias("seg_after"),
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double")
+                / F.sum("n_customers").over(wrow).cast("double"),
+                6,
+            ).alias("row_share"),
+        )
+        .orderBy("seg_before", "seg_after")
+    )
+
+
+_MOMENTS_SQL = """
+    WITH v AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x FROM lineitem
+    ),
+    m1 AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM v
+    ),
+    c AS (
+      SELECT v.x - (m1.s // m1.n) AS d, m1.n AS n, m1.s AS s
+      FROM v CROSS JOIN m1
+    ),
+    m AS (
+      SELECT max(n)::BIGINT AS n,
+             max(s)::BIGINT AS s,
+             sum(d)::BIGINT AS s1,
+             sum(CAST(d AS HUGEINT) * d) AS s2,
+             sum(CAST(d AS HUGEINT) * d * d) AS s3,
+             sum(CAST(d AS HUGEINT) * d * d * d) AS s4
+      FROM c
+    )
+    SELECT n, s1, s2::BIGINT AS s2, s3::BIGINT AS s3, s4::BIGINT AS s4,
+           round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 + CAST(s // n AS DOUBLE), 6) AS mean,
+           round(
+             (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5),
+             6) AS skewness,
+           round(
+             (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+              - 3.0 * pow(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4.0))
+             / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 2.0)
+             - 3.0, 6) AS excess_kurtosis
+    FROM m
+"""
+
+
+@register("lineitem_moments", _MOMENTS_SQL)
+def lineitem_moments(spark, sf_dir):
+    """Exact higher moments of order quantity: skewness and excess
+    kurtosis from OFFSET-CENTERED integer power sums. Naive raw
+    moments overflow (sum x^4 and s^3 blow past 128 bits at real
+    corpus sizes), so both engines first shift by the exact floor
+    mean c = s div n - residuals are small integers, their 2nd/3rd/
+    4th power sums stay 128-bit-exact at ANY corpus size - then the
+    binomial shift to true central moments happens in scalar float
+    arithmetic on the single moment row. One scan + one 1-row
+    aggregate; the shift constant comes from a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(F.round("l_quantity").cast("long").alias("x"))
+    m1 = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    c = v.crossJoin(F.broadcast(m1)).select(
+        (F.col("x") - F.floor(F.col("s") / F.col("n")).cast("long")).alias(
+            "d"
+        ),
+        "n",
+        "s",
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    m = c.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("s").cast("long").alias("s"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(dd * F.col("d")).alias("s2"),
+        F.sum(dd * F.col("d") * F.col("d")).alias("s3"),
+        F.sum(dd * F.col("d") * F.col("d") * F.col("d")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    u1 = F.col("s1").cast("double") / nd
+    u2 = F.col("s2").cast("double") / nd
+    u3 = F.col("s3").cast("double") / nd
+    u4 = F.col("s4").cast("double") / nd
+    var = u2 - u1 * u1
+    skew = (u3 - 3.0 * u1 * u2 + 2.0 * u1 * u1 * u1) / F.pow(var, 1.5)
+    kurt = (
+        u4 - 4.0 * u1 * u3 + 6.0 * u1 * u1 * u2 - 3.0 * F.pow(u1, 4.0)
+    ) / F.pow(var, 2.0) - 3.0
+    return m.select(
+        "n",
+        "s1",
+        F.col("s2").cast("long").alias("s2"),
+        F.col("s3").cast("long").alias("s3"),
+        F.col("s4").cast("long").alias("s4"),
+        F.round(
+            u1 + F.floor(F.col("s") / F.col("n")).cast("double"), 6
+        ).alias("mean"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
+
+
+_BURST_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, tok AS term FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    pd AS (
+      SELECT doc_id, term, count(*)::BIGINT AS k FROM t GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT term, count(*)::BIGINT AS df, sum(k)::BIGINT AS tf,
+             sum(CAST(k AS HUGEINT) * k) AS sk2
+      FROM pd GROUP BY term
+    ),
+    nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents)
+    SELECT term, df, tf,
+           round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness,
+           round((CAST(df * sk2 - CAST(tf AS HUGEINT) * tf AS DOUBLE)
+                  / CAST(df AS DOUBLE))
+                 / CAST(greatest(df - 1, 1) AS DOUBLE), 6)
+             AS within_doc_var,
+           round(CAST(df AS DOUBLE) / CAST(nd.n_docs AS DOUBLE), 6)
+             AS doc_rate
+    FROM st CROSS JOIN nd
+    WHERE df >= 3
+    ORDER BY burstiness DESC, term ASC
+    LIMIT 25
+"""
+
+
+@register("text_term_burstiness", _BURST_SQL)
+def text_term_burstiness(spark, sf_dir):
+    """Church-Gale term burstiness: tf/df (mean occurrences per
+    CONTAINING doc) with the within-doc count variance - content
+    words burst (appear many times once they appear at all), function
+    words don't, so the ratio separates topical vocabulary from glue
+    without any stopword list. Per-(doc, term) counts are one
+    groupBy; per-term stats another (128-bit k^2 sums); both ratios
+    are scalars of exact integers rounded once, and the top-25
+    ranking orders by the rounded score with a term tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    pd_ = t.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    st = pd_.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("k").cast("long").alias("tf"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("sk2"),
+    )
+    nd = docs.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    out = (
+        st.where(F.col("df") >= 3)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "df",
+            "tf",
+            F.round(
+                F.col("tf").cast("double") / F.col("df").cast("double"), 6
+            ).alias("burstiness"),
+            F.round(
+                (
+                    (
+                        F.col("df").cast("decimal(38,0)") * F.col("sk2")
+                        - F.col("tf").cast("decimal(38,0)") * F.col("tf")
+                    ).cast("double")
+                    / F.col("df").cast("double")
+                )
+                / F.greatest(F.col("df") - 1, F.lit(1)).cast("double"),
+                6,
+            ).alias("within_doc_var"),
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("doc_rate"),
+        )
+    )
+    return out.orderBy(
+        F.col("burstiness").desc(), F.col("term").asc()
+    ).limit(25)

@@ -340,6 +340,11 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         # within-group sum-of-squares row)
         "events_hill_tail_index",
         "events_seasonality_strength",
+        # 1-row scalar-broadcast crossJoins (midpoint cut / floor-mean
+        # offset / corpus doc count)
+        "customers_rfm_migration",
+        "lineitem_moments",
+        "text_term_burstiness",
         # 6x6 bounded rank theta-join of the top-term list (15 pairs)
         "docs_topic_coherence",
         # 1-row scalar-broadcast crossJoins (class totals / global
