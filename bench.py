@@ -541,6 +541,8 @@ def bench_queries():
         "rfm_migration": Q.customers_rfm_migration,
         "moments": Q.lineitem_moments,
         "burstiness": Q.text_term_burstiness,
+        "lead_time_p90": Q.nation_lead_time_p90,
+        "heaps_law": Q.text_heaps_law,
     }
 
 

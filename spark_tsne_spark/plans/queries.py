@@ -113,7 +113,7 @@ _DRIVER_PRIORITY = [
     "bigram_kneser_ney", "docs_topic_coherence", "part_abc_xyz_matrix",
     "events_hill_tail_index", "events_seasonality_strength",
     "customers_rfm_migration", "lineitem_moments",
-    "text_term_burstiness",
+    "text_term_burstiness", "nation_lead_time_p90", "text_heaps_law",
     # Green rotation: every green entry ordered by OLDEST green round
     # (r3 first, then r4 ... r7), alphabetical within a round.
     "audio_features", "contamination_check", "corpus_hash_sample",
@@ -15623,3 +15623,233 @@ def text_term_burstiness(spark, sf_dir):
     return out.orderBy(
         F.col("burstiness").desc(), F.col("term").asc()
     ).limit(25)
+
+
+_LEADTIME_SQL = """
+    WITH lt AS (
+      SELECT n.n_name AS nation,
+             datediff('day', o.o_orderdate, l.l_shipdate)::BIGINT AS days
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ),
+    r AS (
+      SELECT nation, days,
+             row_number() OVER (PARTITION BY nation ORDER BY days)
+               AS rn,
+             count(*) OVER (PARTITION BY nation) AS n
+      FROM lt
+    )
+    SELECT nation,
+           max(CASE WHEN rn = (900 * n + 999) // 1000
+                    THEN days END)::BIGINT AS q_value
+    FROM r GROUP BY nation
+"""
+
+
+@register("nation_lead_time_p90", _LEADTIME_SQL)
+def nation_lead_time_p90(spark, sf_dir):
+    """Exact p90 order-to-ship lead time per supplier NATION - the
+    SLA metric a procurement scorecard runs, computed with the shared
+    grouped histogram narrowing (operators/quantiles.py): every
+    nation's bracket narrows inside ONE aggregation per round, so the
+    whole population costs ~2-3 aggregation-only scans - while the
+    oracle's row_number window sorts the full joined fact. Lead time
+    is exact integer days from equi joins (supplier/nation dims
+    broadcast); p90 is a real data value (lower-quantile rank
+    ceil(0.9 n)). Grouping is nation-level (25 groups) because the
+    narrowing's routing when-chain is O(groups) codegen - per-
+    supplier granularity belongs to the row_number form the oracle
+    shows, or to a two-level narrowing."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = sup.join(
+        F.broadcast(n), sup.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    lt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .select(
+            "nation",
+            F.datediff("l_shipdate", "o_orderdate")
+            .cast("long")
+            .alias("days"),
+        )
+    )
+    from spark_tsne_spark.operators.quantiles import exact_group_quantile
+
+    # the narrowing re-scans its input once per round (2-3x): cache
+    # the JOINED fact for the loop, release before returning (the
+    # result is a driver-materialized 25-row frame)
+    lt = lt.cache()
+    try:
+        return exact_group_quantile(lt, "nation", "days", 0.9)
+    finally:
+        lt.unpersist()
+
+
+_HEAPS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, tok FROM t WHERE length(tok) > 0),
+    dr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id)::BIGINT AS drank,
+             count(*) OVER ()::BIGINT AS n_docs
+      FROM (SELECT DISTINCT doc_id FROM documents)
+    ),
+    dtok AS (
+      SELECT tk.doc_id, count(*)::BIGINT AS n_toks
+      FROM tk GROUP BY tk.doc_id
+    ),
+    cumtok AS (
+      SELECT dr.drank, dr.n_docs,
+             sum(coalesce(dtok.n_toks, 0))
+               OVER (ORDER BY dr.drank)::BIGINT AS tokens
+      FROM dr LEFT JOIN dtok ON dr.doc_id = dtok.doc_id
+    ),
+    firstd AS (
+      SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok
+    ),
+    newt AS (
+      SELECT dr.drank, count(*)::BIGINT AS new_terms
+      FROM firstd JOIN dr ON firstd.first_doc = dr.doc_id
+      GROUP BY dr.drank
+    ),
+    cumtyp AS (
+      SELECT c.drank, c.n_docs, c.tokens,
+             sum(coalesce(n.new_terms, 0))
+               OVER (ORDER BY c.drank)::BIGINT AS types
+      FROM cumtok c LEFT JOIN newt n ON c.drank = n.drank
+    ),
+    pts AS (
+      SELECT decile, drank, tokens, types,
+             round(ln(CAST(tokens AS DOUBLE)), 8) AS lx,
+             round(ln(CAST(types AS DOUBLE)), 8) AS ly
+      FROM (
+        SELECT *, (10 * drank) // n_docs AS decile FROM cumtyp
+      ) WHERE decile >= 1
+        AND drank = (decile * n_docs + 9) // 10
+    ),
+    s AS (
+      SELECT decile, drank AS n_docs, tokens, types, lx, ly,
+             count(*) OVER ()::BIGINT AS n,
+             sum(lx) OVER () AS sx, sum(ly) OVER () AS sy,
+             sum(lx * ly) OVER () AS sxy, sum(lx * lx) OVER () AS sxx
+      FROM pts
+    )
+    SELECT decile, n_docs, tokens, types,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS heaps_beta,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS heaps_logk
+    FROM s ORDER BY decile
+"""
+
+
+@register("text_heaps_law", _HEAPS_SQL)
+def text_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve: distinct types vs
+    cumulative tokens at each decile of the doc sequence, plus the
+    log-log OLS fit V = K * n^beta (natural corpora land beta in
+    0.4-0.6; a flat curve means boilerplate, a linear one means
+    noise/IDs - a one-glance corpus-health readout that pairs with
+    the Zipf fit). The growth curve never re-scans prefixes: each
+    term contributes ONE first-occurrence row (min doc), per-rank
+    new-term counts cumulate in a |docs|-bounded window, and the
+    10-point fit uses grid-rounded logs like the Zipf entry. Corpus
+    cost: one tokenize + two groupBys."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    dr = (
+        docs.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.partitionBy(F.lit(1)).orderBy("doc_id"))
+            .cast("long")
+            .alias("drank"),
+            F.count("*")
+            .over(Window.partitionBy(F.lit(1)))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+    dtok = tk.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_toks")
+    )
+    wo = Window.partitionBy(F.lit(1)).orderBy("drank")
+    cumtok = dr.join(dtok, "doc_id", "left").select(
+        "drank",
+        "n_docs",
+        F.sum(F.coalesce(F.col("n_toks"), F.lit(0)))
+        .over(wo)
+        .cast("long")
+        .alias("tokens"),
+    )
+    firstd = tk.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    newt = (
+        firstd.join(dr, firstd.first_doc == dr.doc_id)
+        .groupBy("drank")
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    cumtyp = cumtok.join(newt, "drank", "left").select(
+        "drank",
+        "n_docs",
+        "tokens",
+        F.sum(F.coalesce(F.col("new_terms"), F.lit(0)))
+        .over(wo)
+        .cast("long")
+        .alias("types"),
+    )
+    pts = (
+        cumtyp.withColumn(
+            "decile", F.floor(10 * F.col("drank") / F.col("n_docs"))
+        )
+        .where(
+            F.col("drank")
+            == F.floor(
+                (F.col("decile") * F.col("n_docs") + 9) / 10
+            )
+        )
+        .where(F.col("decile") >= 1)
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("drank").alias("n_docs"),
+            "tokens",
+            "types",
+            F.round(F.log(F.col("tokens").cast("double")), 8).alias("lx"),
+            F.round(F.log(F.col("types").cast("double")), 8).alias("ly"),
+        )
+    )
+    wg = Window.partitionBy(F.lit(1))
+    s = pts.select(
+        "*",
+        F.count("*").over(wg).cast("long").alias("n"),
+        F.sum("lx").over(wg).alias("sx"),
+        F.sum("ly").over(wg).alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).over(wg).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).over(wg).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "decile",
+        "n_docs",
+        "tokens",
+        "types",
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("heaps_logk"),
+    ).orderBy("decile")
