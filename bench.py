@@ -543,6 +543,7 @@ def bench_queries():
         "burstiness": Q.text_term_burstiness,
         "lead_time_p90": Q.nation_lead_time_p90,
         "heaps_law": Q.text_heaps_law,
+        "procrustes": Q.embedding_procrustes_align,
     }
 
 

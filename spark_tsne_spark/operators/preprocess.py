@@ -256,3 +256,48 @@ def key_skew_profile(df: DataFrame, cols: list[str], k: int = 5) -> DataFrame:
             "rnk",
         )
     )
+
+
+def procrustes_rotation(
+    x_df, y_df, id_col: str, x_col: str = "embedding", y_col: str = "embedding"
+):
+    """Orthogonal Procrustes between two embedding versions: the
+    rotation R (d x d numpy array) minimizing ||X R - Y||_F over
+    orthogonal matrices, plus the singular values of the cross-
+    covariance — the standard tool for migrating vector stores across
+    model versions without re-embedding-dependent consumers.
+
+    R = U V^T from the SVD of M = X^T Y (Schönemann 1966). The ONLY
+    distributed work is accumulating M: one id-equi join and one
+    ``mapInPandas`` pass emitting per-partition d x d partial sums
+    (each partition reduces to d² floats regardless of row count), so
+    driver state and the SVD are O(d²)/O(d³) — corpus-size-
+    independent. Like the PCA path, the numerics are float sums whose
+    partition-order wobble is ~1e-12 relative; callers comparing
+    against a golden should round.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    x = x_df.select(F.col(id_col).alias("_pid"), F.col(x_col).alias("_x"))
+    y = y_df.select(F.col(id_col).alias("_pid"), F.col(y_col).alias("_y"))
+    j = x.join(y, "_pid").select("_x", "_y")
+
+    def partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            X = _np.array(pdf["_x"].tolist(), dtype=_np.float64)
+            Y = _np.array(pdf["_y"].tolist(), dtype=_np.float64)
+            M = X.T @ Y
+            yield _pd.DataFrame({"m": [M.reshape(-1).tolist()]})
+
+    d = len(j.first()["_x"])
+    parts = j.mapInPandas(partials, "m array<double>").collect()
+    M = np.zeros((d, d), dtype=np.float64)
+    for row in parts:
+        M += np.array(row["m"], dtype=np.float64).reshape(d, d)
+    U, S, Vt = np.linalg.svd(M)
+    R = U @ Vt
+    return R, S

@@ -114,6 +114,7 @@ _DRIVER_PRIORITY = [
     "events_hill_tail_index", "events_seasonality_strength",
     "customers_rfm_migration", "lineitem_moments",
     "text_term_burstiness", "nation_lead_time_p90", "text_heaps_law",
+    "embedding_procrustes_align",
     # Green rotation: every green entry ordered by OLDEST green round
     # (r3 first, then r4 ... r7), alphabetical within a round.
     "audio_features", "contamination_check", "corpus_hash_sample",
@@ -15853,3 +15854,81 @@ def text_heaps_law(spark, sf_dir):
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("heaps_logk"),
     ).orderBy("decile")
+
+
+_PROCRUSTES_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "golden",
+    "procrustes_sf001.parquet",
+)
+
+# Golden-parquet oracle (scripts/make_procrustes_golden.py): an
+# independent one-shot numpy twin (single-product M, not partition
+# partials) recovers the same rotation to ~1e-12 before the shared
+# 6-decimal rounding. Valid at sf0.01 (the driver's correctness sf).
+_PROCRUSTES_SQL = (
+    f"SELECT i, j, r FROM read_parquet('{_PROCRUSTES_GOLDEN}') "
+    "ORDER BY i, j"
+)
+
+
+@register("embedding_procrustes_align", _PROCRUSTES_SQL)
+def embedding_procrustes_align(spark, sf_dir):
+    """Orthogonal Procrustes alignment between two embedding-model
+    versions - the migration tool that lets a vector store upgrade
+    models without invalidating downstream consumers: find the
+    rotation R minimizing ||X R - Y||_F (Schönemann 1966), here
+    recovering a PLANTED deterministic rotation (seeded QR
+    orthogonal) so correctness is self-evident: the recovered R must
+    equal the planted one to ~1e-12. Distributed cost is ONE id-equi
+    join + one mapInPandas pass emitting d x d partial sums per
+    partition (corpus-size-independent driver state, O(d^3) SVD on
+    64x64). Output is the long-form rotation, rounded on the shared
+    grid with the golden twin."""
+    import numpy as np
+
+    from spark_tsne_spark.operators.preprocess import procrustes_rotation
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = len(emb.first()["embedding"])
+    rng = np.random.default_rng(20240815)
+    A = rng.standard_normal((d, d))
+    Q, Rq = np.linalg.qr(A)
+    Q = Q * np.sign(np.diag(Rq))
+    # ship the rotation columns as a literal array-of-arrays column
+    r0_cols = [[Q[i][j] for i in range(d)] for j in range(d)]
+    y = (
+        emb.withColumn(
+            "r0m",
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in col])
+                    for col in r0_cols
+                ]
+            ),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(0, {n}), j -> aggregate("
+                "  zip_with(embedding, element_at(r0m, j + 1),"
+                "           (a, b) -> a * b),"
+                "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))".format(
+                    n=d - 1
+                )
+            ).alias("embedding"),
+        )
+    )
+    R, _sv = procrustes_rotation(emb, y, "vec_id")
+    import pandas as pd
+
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    pdf = pd.DataFrame(
+        {
+            "i": ii.reshape(-1).astype("int64"),
+            "j": jj.reshape(-1).astype("int64"),
+            "r": np.round(R.reshape(-1), 6),
+        }
+    )
+    return spark.createDataFrame(pdf).orderBy("i", "j")

@@ -36,6 +36,7 @@ GOLDEN_SF_DIR = {
     "ann_recall_at_k": "/root/testdata/sf0.01",
     # oracle reads the batch files the entry writes at the sf0.01 path
     "schema_evolution_read": "/root/testdata/sf0.01",
+    "embedding_procrustes_align": "/root/testdata/sf0.01",
 }
 
 

@@ -279,6 +279,7 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "streaming_sessionize",  # drains the session stream on invocation
         "streaming_decayed_topk",  # drains the daily-count stream
         "nation_lead_time_p90",  # runs the narrowing loop on invocation
+        "embedding_procrustes_align",  # accumulates M + SVD on invocation
     }
     # BroadcastNestedLoopJoin intended:
     bnlj_ok = {
