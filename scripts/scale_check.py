@@ -627,22 +627,29 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
                 aggs.append(F.sum(f"w{b}").alias(f"sw{b}"))
             return base.agg(*aggs)
 
-        def run_theil_sen(ev):
-            # DELIBERATE stress: pairs grow as |hours|^2, so 10x MORE
-            # DAYS of data is ~100x pairs — measures the documented
-            # bound (the series is aggregate-sized, so even 100x of a
-            # tiny table must stay cheap; past ~50k hours, subsample)
+        def _tsen_core(ev, cap):
+            # r9: the gate is CODE now (queries.py::_tsen_gate), not
+            # prose. Two points below: the production cap (2000 —
+            # 10x days lands just at the cap, pairs bounded at 2M
+            # forever after), and a low-cap variant where BOTH scales
+            # exceed the cap, demonstrating the asymptote: pair work
+            # becomes constant in |days| once the gate engages.
             from pyspark.sql import Window as W
+
+            from spark_tsne_spark.plans.queries import _tsen_gate
 
             hc = ev.groupBy(
                 F.date_trunc("hour", "ts").alias("hour_ts")
             ).agg(F.count("*").cast("long").alias("y"))
-            idx = hc.select(
-                "y",
-                F.row_number()
-                .over(W.partitionBy(F.lit(1)).orderBy("hour_ts"))
-                .cast("long")
-                .alias("h"),
+            idx = _tsen_gate(
+                hc.select(
+                    "y",
+                    F.row_number()
+                    .over(W.partitionBy(F.lit(1)).orderBy("hour_ts"))
+                    .cast("long")
+                    .alias("h"),
+                ),
+                cap=cap,
             )
             a = idx.select(F.col("h").alias("ha"), F.col("y").alias("ya"))
             b = idx.select(F.col("h").alias("hb"), F.col("y").alias("yb"))
@@ -662,6 +669,18 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
                 )
                 .where(F.col("rk") == F.floor((F.col("np") + 1) / 2))
             )
+
+        def run_theil_sen(ev):
+            from spark_tsne_spark.plans.queries import TSEN_MAX_POINTS
+
+            return _tsen_core(ev, TSEN_MAX_POINTS)
+
+        def run_theil_sen_gated(ev):
+            # cap low enough that 1x (720 h) AND 10x (7200 h) both
+            # exceed it -> point counts 360 vs 480, pair work ~1.8x
+            # for 10x days (vs 100x ungated). This is the asymptote
+            # the production gate reaches past 2000 hours.
+            return _tsen_core(ev, 500)
 
         def run_trigram_paths(ev):
             from pyspark.sql import Window as W
@@ -719,6 +738,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             "anomaly_mad": run_mad,
             "bootstrap_ci": run_bootstrap,
             "theil_sen": run_theil_sen,
+            "theil_sen_gated": run_theil_sen_gated,
             "trigram_paths": run_trigram_paths,
             "decayed_topk": run_decayed,
         }

@@ -66,57 +66,27 @@ def register(name: str, sql: Optional[str]):
 
 
 # The grading driver value-checks the FIRST ~50 catalog entries per
-# round (registration order). Rotation policy: new entries and any
-# entry without a driver-verified hash go first, then the entries
-# whose most recent driver-green row is OLDEST (r3 before r4 ...), so
-# every entry's hash gets re-confirmed on a bounded staleness cycle.
+# round (registration order). Rotation policy: entries without any
+# driver-verified hash go first (longest-waiting first), then new
+# r9-session entries, then every green entry ordered by its OLDEST
+# most-recent-green round (r3 before r4 ...), so each entry's hash is
+# re-confirmed on a bounded staleness cycle.
 _DRIVER_PRIORITY = [
-    # 55 entries have no driver-green hash in any CORRECTNESS_r0*;
-    # only ~50 fit the sample, so within the never-green set the
-    # LONGEST-WAITING lead: first the 14 pre-r7 stragglers that have
-    # fallen past the 50-cut twice (events_nearest_join ..
-    # user_activity_span), then the 15 r7-session additions, then the
-    # 26 r8-session additions oldest-batch-first (the last ~5 r8
-    # entries wait for r9's head). After the never-green block, green
-    # entries rotate by OLDEST green round.
-    "events_nearest_join", "events_value_histogram",
-    "incremental_agg_merge", "jsonl_roundtrip", "orc_roundtrip",
-    "orders_deciles", "part_cooccurrence", "q12_late_shipments",
-    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
-    "q4_priority_exists", "top_terms_per_source", "user_activity_span",
-    # r7-session additions (never sampled): survival analysis,
-    # k-anonymity, HLL sketch, record linkage, margin mining, Holt,
-    # KMV intersection, negative sampling, quarantine bitmask,
-    # robust scaling, streaming sessionize, interval overlap, MAD,
-    # trimmed mean, conformal band.
-    "events_survival_km", "customers_k_anonymity", "events_hll_distinct",
-    "part_linkage_scores", "bitext_margin_mine", "events_holt_forecast",
-    "events_kmv_intersection", "vocab_negative_sampling",
-    "orders_quarantine_bitmask", "orders_robust_scale",
-    "streaming_sessionize", "sessions_incident_overlap",
-    "events_anomaly_mad", "orders_trimmed_mean",
-    "events_forecast_conformal",
-    # r8-session additions (never sampled), oldest batch first.
-    "docs_shard_rebalance", "events_decayed_topk", "orders_woe_iv",
-    "orders_target_encoding_loo", "customers_gini_lorenz",
-    "events_psi_drift", "customers_ltv_cohort",
-    "orders_chi2_independence", "docs_readability",
-    "dedup_graph_assortativity", "docs_positional_deletes",
-    "events_ks_test", "events_mannwhitney_u", "vocab_zipf_fit",
-    "events_bootstrap_ci", "events_autocorrelation",
-    "lineitem_correlation_matrix", "docs_gate_agreement_kappa",
-    "events_top_trigram_paths", "events_mann_kendall",
-    "events_theil_sen", "events_ks_per_type_fdr",
-    "streaming_decayed_topk", "nation_supplier_hhi",
-    "events_entropy_rate", "events_runs_test", "part_similar_items",
-    "events_rolling_distinct_hll", "vocab_feature_hashing_collisions",
-    "bigram_kneser_ney", "docs_topic_coherence", "part_abc_xyz_matrix",
+    # 19 entries with no driver-green hash in any CORRECTNESS_r0*
+    # (all r8-session additions that fell past r8's 50-sample cut;
+    # VERDICT r8 task 1 - these MUST lead round 9's sample).
+    "events_ks_per_type_fdr", "streaming_decayed_topk",
+    "nation_supplier_hhi", "events_entropy_rate", "events_runs_test",
+    "part_similar_items", "events_rolling_distinct_hll",
+    "vocab_feature_hashing_collisions", "bigram_kneser_ney",
+    "docs_topic_coherence", "part_abc_xyz_matrix",
     "events_hill_tail_index", "events_seasonality_strength",
-    "customers_rfm_migration", "lineitem_moments",
-    "text_term_burstiness", "nation_lead_time_p90", "text_heaps_law",
-    "embedding_procrustes_align",
-    # Green rotation: every green entry ordered by OLDEST green round
-    # (r3 first, then r4 ... r7), alphabetical within a round.
+    "customers_rfm_migration", "lineitem_moments", "text_term_burstiness",
+    "nation_lead_time_p90", "text_heaps_law", "embedding_procrustes_align",
+    # r9-session additions (never sampled) go here, newest last.
+    # Green rotation: every green entry ordered by the round of its
+    # most recent driver-green hash (r3 first), alphabetical within
+    # a round - r9's post-never-green slots re-prove the oldest.
     "audio_features", "contamination_check", "corpus_hash_sample",
     "corpus_stratified_sample", "streaming_windowed_counts",
     "text_fingerprint", "text_pii_scrub", "text_winnow_fingerprints",
@@ -149,19 +119,19 @@ _DRIVER_PRIORITY = [
     "seq_packing", "shard_plan", "source_overlap",
     "streaming_incremental_dedup", "streaming_interval_join",
     "streaming_token_budget", "table_profile", "text_lm_score",
-    "text_normalize", "text_oov_rate", "tfidf_top_terms", "vocab_top_terms",
-    "x1_row_norms", "x3_x5_pairwise_sqdist", "x6_knn_topk", "y1_symmetrize",
-    "allpairs_cosine", "ann_hard_negatives", "approx_distinct_users",
-    "bigram_next_token", "bpe_word_histogram", "cluster_topics",
-    "corpus_temperature_mix", "dedup_graph_communities",
-    "dedup_graph_triangles", "dedup_report", "doc_sentences",
-    "docs_byte_weighted_median", "docs_median_len_per_source",
-    "dq_orders_expectations", "embedding_kmeans_inertia",
-    "embedding_outliers", "events_interarrival", "events_rate_limit",
-    "events_seasonal_baseline", "events_session_transcripts",
-    "events_trending_topk", "events_user_features",
-    "fuzzy_prefix_pairs_ed2", "key_skew_profile", "leakage_safe_split",
-    "orders_exact_quantiles", "orders_price_bands",
+    "text_normalize", "text_oov_rate", "tfidf_top_terms",
+    "vocab_top_terms", "x1_row_norms", "x3_x5_pairwise_sqdist",
+    "x6_knn_topk", "y1_symmetrize", "allpairs_cosine",
+    "ann_hard_negatives", "approx_distinct_users", "bigram_next_token",
+    "bpe_word_histogram", "cluster_topics", "corpus_temperature_mix",
+    "dedup_graph_communities", "dedup_graph_triangles", "dedup_report",
+    "doc_sentences", "docs_byte_weighted_median",
+    "docs_median_len_per_source", "dq_orders_expectations",
+    "embedding_kmeans_inertia", "embedding_outliers",
+    "events_interarrival", "events_rate_limit", "events_seasonal_baseline",
+    "events_session_transcripts", "events_trending_topk",
+    "events_user_features", "fuzzy_prefix_pairs_ed2", "key_skew_profile",
+    "leakage_safe_split", "orders_exact_quantiles", "orders_price_bands",
     "partitioned_prune_roundtrip", "q11_important_parts",
     "q13_order_distribution", "q15_top_supplier",
     "q16_part_supplier_counts", "q17_small_quantity",
@@ -175,18 +145,39 @@ _DRIVER_PRIORITY = [
     "centroid_similarity", "classifier_auc", "classifier_calibration",
     "cms_heavy_hitters", "corpus_funnel_report", "corpus_matched_sample",
     "corpus_wap_publish", "cube_revenue", "dedup_containment",
-    "dedup_lsh_recall", "dedup_simhash_recall", "dedup_sorted_neighborhood",
-    "doc_length_histogram", "dq_benford_digits", "embedding_kmeans",
-    "embedding_sq8", "embedding_sq8_recall", "event_transitions",
-    "events_ab_test", "events_anomaly_zscore", "events_attribution",
+    "dedup_lsh_recall", "dedup_simhash_recall",
+    "dedup_sorted_neighborhood", "doc_length_histogram",
+    "dq_benford_digits", "embedding_kmeans", "embedding_sq8",
+    "embedding_sq8_recall", "event_transitions", "events_ab_test",
+    "events_anomaly_zscore", "events_attribution",
     "events_cusum_changepoint", "events_dau_wau", "events_ewma",
     "events_forget_users", "events_json_extract", "events_pit_state_join",
-    "events_volume_trend", "nb_quality_classifier", "orders_bloom_semijoin",
-    "orders_pareto_abc", "orders_rfm_segments", "orders_sketch_quantiles",
-    "rrf_hybrid_search", "schema_evolution_read", "source_js_divergence",
-    "source_novelty", "streaming_cusum_monitor", "tokenizer_fertility",
-    "trigram_lm_ppl", "unigram_encode_stats", "unigram_token_histogram",
-    "unigram_vocab", "zorder_layout_stats",
+    "events_volume_trend", "nb_quality_classifier",
+    "orders_bloom_semijoin", "orders_pareto_abc", "orders_rfm_segments",
+    "orders_sketch_quantiles", "rrf_hybrid_search",
+    "schema_evolution_read", "source_js_divergence", "source_novelty",
+    "streaming_cusum_monitor", "tokenizer_fertility", "trigram_lm_ppl",
+    "unigram_encode_stats", "unigram_token_histogram", "unigram_vocab",
+    "zorder_layout_stats", "bitext_margin_mine", "customers_gini_lorenz",
+    "customers_k_anonymity", "customers_ltv_cohort",
+    "dedup_graph_assortativity", "docs_gate_agreement_kappa",
+    "docs_positional_deletes", "docs_readability", "docs_shard_rebalance",
+    "events_anomaly_mad", "events_autocorrelation", "events_bootstrap_ci",
+    "events_decayed_topk", "events_forecast_conformal",
+    "events_hll_distinct", "events_holt_forecast",
+    "events_kmv_intersection", "events_ks_test", "events_mann_kendall",
+    "events_mannwhitney_u", "events_nearest_join", "events_psi_drift",
+    "events_survival_km", "events_theil_sen", "events_top_trigram_paths",
+    "events_value_histogram", "incremental_agg_merge", "jsonl_roundtrip",
+    "lineitem_correlation_matrix", "orc_roundtrip",
+    "orders_chi2_independence", "orders_deciles",
+    "orders_quarantine_bitmask", "orders_robust_scale",
+    "orders_target_encoding_loo", "orders_trimmed_mean", "orders_woe_iv",
+    "part_cooccurrence", "part_linkage_scores", "q12_late_shipments",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive",
+    "q4_priority_exists", "sessions_incident_overlap",
+    "streaming_sessionize", "top_terms_per_source", "user_activity_span",
+    "vocab_negative_sampling", "vocab_zipf_fit",
 ]
 
 
@@ -13839,13 +13830,46 @@ def events_mann_kendall(spark, sf_dir):
     )
 
 
-_TSEN_SQL = """
+#: Hard cap on the Theil-Sen series length BEFORE the quadratic pair
+#: join — the same enforced-gate contract as graph.py's
+#: DRIVER_EDGE_CAP. Past the cap the series is deterministically
+#: stride-subsampled on the time axis (keep every ceil(n/cap)-th
+#: hour by rank — time-stratified, order-stable, engine-identical),
+#: bounding pairs at cap^2/2 = 2M no matter how many years of data
+#: arrive. SCALE.md measured the uncapped join at 12.4x wall for 10x
+#: days; with the gate the pair count is constant above the cap.
+TSEN_MAX_POINTS = 2000
+
+
+def _tsen_gate(idx, cap: int = TSEN_MAX_POINTS):
+    """Deterministic stride subsample of an indexed series ``(y, h)``:
+    keep every ``ceil(n/cap)``-th point by rank so at most ``cap``
+    survive the downstream pairwise join. Identity when ``n <= cap``
+    (stride 1 keeps every row), so small series are bit-identical to
+    the ungated path — pinned by tests/test_r9_fixes.py."""
+    wg = Window.partitionBy(F.lit(1))
+    stride = F.floor(
+        (F.count("*").over(wg).cast("long") + F.lit(cap - 1)) / F.lit(cap)
+    )
+    return (
+        idx.withColumn("_stride", stride)
+        .where((F.col("h") - 1) % F.col("_stride") == 0)
+        .drop("_stride")
+    )
+
+
+_TSEN_SQL = f"""
     WITH hc AS (
       SELECT date_trunc('hour', ts) AS hour_ts, count(*)::BIGINT AS y
       FROM events GROUP BY 1
     ),
-    idx AS (
+    idx0 AS (
       SELECT y, row_number() OVER (ORDER BY hour_ts)::BIGINT AS h FROM hc
+    ),
+    idx AS (
+      SELECT y, h FROM (
+        SELECT y, h, count(*) OVER ()::BIGINT AS nn FROM idx0
+      ) WHERE (h - 1) % ((nn + {TSEN_MAX_POINTS - 1}) // {TSEN_MAX_POINTS}) = 0
     ),
     sl AS (
       SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.h - a.h AS DOUBLE)
@@ -13886,19 +13910,24 @@ def events_theil_sen(spark, sf_dir):
     identical IEEE divisions of exact integers in both engines, so
     the lower-median rank selection (rank (m+1)//2) picks the same
     VALUE everywhere - equal slopes are bitwise equal, no tie-break
-    needed for value selection. Pair join and rank run on the
-    |hours|-bounded series; the intercept pass reuses the ROUNDED
-    slope so its residual ordering is grid-stable."""
+    needed for value selection. The pair join is GATED: series longer
+    than TSEN_MAX_POINTS hours are deterministically stride-subsampled
+    on the time axis first (enforced in code, not prose - see
+    TSEN_MAX_POINTS), so the quadratic stage is bounded at ~2M pairs
+    regardless of how many years of events arrive; the intercept pass
+    reuses the ROUNDED slope so its residual ordering is grid-stable."""
     ev = _t(spark, sf_dir, "events")
     hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
         F.count("*").cast("long").alias("y")
     )
-    idx = hc.select(
-        "y",
-        F.row_number()
-        .over(Window.partitionBy(F.lit(1)).orderBy("hour_ts"))
-        .cast("long")
-        .alias("h"),
+    idx = _tsen_gate(
+        hc.select(
+            "y",
+            F.row_number()
+            .over(Window.partitionBy(F.lit(1)).orderBy("hour_ts"))
+            .cast("long")
+            .alias("h"),
+        )
     )
     a = idx.select(F.col("h").alias("ha"), F.col("y").alias("ya"))
     b = idx.select(F.col("h").alias("hb"), F.col("y").alias("yb"))
@@ -14426,9 +14455,42 @@ def events_runs_test(spark, sf_dir):
     )
 
 
-_ITEMSIM_SQL = """
-    WITH oi AS (
+#: Hot-basket gate for the item-item pair generator: baskets with
+#: more than this many distinct parts are DROPPED before the
+#: per-basket self-join (the same enforced-skew-cap contract as
+#: dedup.py's max_df hot-shingle cut). The fan-out bound then becomes
+#: an operator guarantee — <= cap^2/2 pairs per basket — instead of a
+#: TPC-H data property (<= 7 lineitems/order); one pathological
+#: 10k-part basket would otherwise contribute 50M pairs. Dropping
+#: (not truncating) keeps the cosine denominators consistent: n_ord
+#: counts and pair counts are computed from the SAME gated set.
+ITEMSIM_MAX_BASKET = 64
+
+
+def _basket_gate(oi, cap: int = ITEMSIM_MAX_BASKET):
+    """Drop (order, part) rows belonging to baskets with more than
+    ``cap`` distinct parts. Identity when every basket fits (TPC-H
+    baskets hold <= 7 parts) — pinned by tests/test_r9_fixes.py,
+    which also plants a 1k-part basket and proves the pair table
+    stays bounded."""
+    w = Window.partitionBy("l_orderkey")
+    return (
+        oi.withColumn("_bsz", F.count("*").over(w))
+        .where(F.col("_bsz") <= cap)
+        .drop("_bsz")
+    )
+
+
+_ITEMSIM_SQL = f"""
+    WITH oi0 AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    oi AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               count(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM oi0
+      ) WHERE bsz <= {ITEMSIM_MAX_BASKET}
     ),
     cnt AS (
       SELECT l_partkey, count(*)::BIGINT AS n_ord FROM oi GROUP BY 1
@@ -14466,15 +14528,16 @@ def part_similar_items(spark, sf_dir):
     """Item-item collaborative filtering: per part the top-5
     co-purchased neighbors by basket cosine n_ij/sqrt(n_i*n_j) - the
     classic Amazon-style recommender built entirely relationally.
-    Pair generation is the per-basket self-join, whose fan-out is
-    bounded by BASKET SIZE squared (TPC-H baskets hold ~4 parts, so
-    ~6 pairs/order regardless of corpus size - the reason item-item
-    scales where user-user doesn't); a min-support 2 cut bounds the
-    pair table, counts are exact integers, and the cosine ranking
-    orders by the ROUNDED score with integer tie-breaks so top-5
-    sets are engine-identical."""
+    Pair generation is the per-basket self-join, whose fan-out is an
+    ENFORCED operator guarantee: baskets above ITEMSIM_MAX_BASKET
+    distinct parts are dropped by _basket_gate before the join (<=
+    cap^2/2 pairs per basket no matter how pathological the order),
+    identity on TPC-H where baskets hold <= 7 parts; a min-support 2
+    cut bounds the pair table, counts are exact integers, and the
+    cosine ranking orders by the ROUNDED score with integer
+    tie-breaks so top-5 sets are engine-identical."""
     li = _t(spark, sf_dir, "lineitem")
-    oi = li.select("l_orderkey", "l_partkey").distinct()
+    oi = _basket_gate(li.select("l_orderkey", "l_partkey").distinct())
     cnt = oi.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("n_ord")
     )
@@ -15896,30 +15959,27 @@ def embedding_procrustes_align(spark, sf_dir):
     A = rng.standard_normal((d, d))
     Q, Rq = np.linalg.qr(A)
     Q = Q * np.sign(np.diag(Rq))
-    # ship the rotation columns as a literal array-of-arrays column
-    r0_cols = [[Q[i][j] for i in range(d)] for j in range(d)]
-    y = (
-        emb.withColumn(
-            "r0m",
-            F.array(
-                *[
-                    F.array(*[F.lit(float(v)) for v in col])
-                    for col in r0_cols
-                ]
-            ),
-        )
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(sequence(0, {n}), j -> aggregate("
-                "  zip_with(embedding, element_at(r0m, j + 1),"
-                "           (a, b) -> a * b),"
-                "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))".format(
-                    n=d - 1
-                )
-            ).alias("embedding"),
-        )
-    )
+    # Apply the planted rotation inside an Arrow-batched kernel with
+    # Q captured in the closure (task-shipped once per executor, like
+    # a broadcast) — NOT as a d^2 nested-F.lit Column, which made
+    # Catalyst compile a 4,096-node expression per run and would be
+    # the wrong shape entirely at d=1024. The matmul result is
+    # mathematically identical; the ~1e-16 BLAS-vs-fold summation
+    # wobble is absorbed by the rotation recovery (exact to ~1e-12)
+    # long before the shared 6-decimal rounding.
+    Qb = np.ascontiguousarray(Q, dtype=np.float64)
+
+    def _rotate(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Y = X @ Qb
+            yield _pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": list(Y)}
+            )
+
+    y = emb.mapInPandas(_rotate, "vec_id long, embedding array<double>")
     R, _sv = procrustes_rotation(emb, y, "vec_id")
     import pandas as pd
 
