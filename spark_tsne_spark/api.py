@@ -316,15 +316,31 @@ def _loop(
                     iter_secs.append(round(_time.time() - it0, 3))
                 continue
         else:
+            # First-iteration sub-stage attribution (verdict r8 #6):
+            # iteration 1 historically ran ~2-3x the steady-state mean;
+            # these timers say whether that is tree build, broadcast
+            # first-ship, or the first force-pass job (Python-worker /
+            # Arrow warmup) — recorded once, zero cost afterwards.
+            attribute = profile is not None and iteration == 1
             if mode == "exact":
                 bc_state = sc.broadcast((Y, None))
                 pass_df = exact_gradient_pass(adjacency, bc_state, bc_ids, exaggeration)
             else:
-                bc_state = sc.broadcast((Y, FlatTree.from_matrix(Y)))
+                tb0 = _time.time()
+                tree = FlatTree.from_matrix(Y)
+                if attribute:
+                    profile["iter1_tree_build_sec"] = round(_time.time() - tb0, 3)
+                bb0 = _time.time()
+                bc_state = sc.broadcast((Y, tree))
+                if attribute:
+                    profile["iter1_broadcast_sec"] = round(_time.time() - bb0, 3)
                 pass_df = bh_gradient_pass(
                     adjacency, bc_state, bc_ids, theta, exaggeration
                 )
+            fp0 = _time.time()
             res = pass_df.toPandas()
+            if attribute:
+                profile["iter1_force_pass_sec"] = round(_time.time() - fp0, 3)
         dY, Z, loss = assemble(res, ids, n, no_dims, mode)
         update(Y, dY, iY, gains, iteration, param)
         if not local:

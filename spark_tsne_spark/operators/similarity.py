@@ -101,7 +101,7 @@ def cosine_topk_block(
     b_Q = sc.broadcast(Qn)
 
     def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         Qn_ = b_Q.value
@@ -267,7 +267,7 @@ def _make_cell_fanout(b_C, n_top: int):
     one-shot :func:`ivf_topk` and the persistent :class:`IvfIndex`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         C_ = b_C.value
@@ -579,7 +579,7 @@ def _make_pq_encode(b_C, b_books):
     broadcast codebooks, vectorized per-subspace argmin, no shuffle."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         C_, B_ = b_C.value, b_books.value

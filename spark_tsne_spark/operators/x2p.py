@@ -81,6 +81,109 @@ def _calibrate_row(d: np.ndarray, log_u: float, tol: float, max_tries: int = 50)
     return beta, p
 
 
+_CAL_WS: dict = {}
+
+
+def _calibrate_rows(
+    D: np.ndarray, log_u: float, tol: float, max_tries: int = 50
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch form of :func:`_calibrate_row` over an (m, k) distance
+    matrix — bit-identical outputs, one vectorized bisection.
+
+    The per-row scalar loop spent most of its time in numpy call
+    dispatch (90-element arrays, ~30 ufunc calls per bisection step);
+    here every row advances one bisection step per pass with
+    matrix-wide ``exp``/row-sums. Bit-identity with the scalar path
+    holds because numpy's ``exp``, last-axis pairwise row sums, and
+    elementwise multiplication/division produce identical floats for
+    identical row data regardless of batch shape (pinned by
+    ``tests/test_r9_fixes.py``); the one op where the vector path
+    diverges from the scalar one — ``np.log`` vs ``math.log`` — stays
+    a scalar ``math.log`` per row, exactly as in ``hbeta``.
+
+    Allocation discipline (this host's private-anon page faults run
+    ~6 MB/s — runtime.py): the two (m, k) work matrices live in a
+    process-cached :func:`shared_empty` workspace and every matrix op
+    lands in them via ``out=``; NO per-iteration compaction (shrinking
+    fancy-index copies re-fault fresh heap every pass — the first
+    version of this function lost 5x more to page faults than it
+    saved in dispatch). Finished rows simply stop having their β/P
+    overwritten; the extra masked flops on a 256×90 block are noise.
+    """
+    D = np.ascontiguousarray(D, dtype=np.float64)
+    m, k = D.shape
+    ws = _CAL_WS.get("buf")
+    if ws is None or ws[0].shape[0] < m or ws[0].shape[1] != k:
+        from spark_tsne_spark.runtime import shared_empty
+
+        rows = max(m, 256)
+        ws = (shared_empty((rows, k)), shared_empty((rows, k)))
+        _CAL_WS["buf"] = ws
+    P = ws[0][:m]
+    T = ws[1][:m]
+
+    beta = np.ones(m, dtype=np.float64)
+    beta_min = np.full(m, -math.inf)
+    beta_max = np.full(m, math.inf)
+    beta_out = np.empty(m, dtype=np.float64)
+    P_out = np.empty((m, k), dtype=np.float64)
+    h_diff = np.empty(m, dtype=np.float64)
+    open_rows = np.ones(m, dtype=bool)  # not yet converged/capped
+
+    def _eval_rows(rows_idx) -> None:
+        # hbeta for the given rows: P=exp(−D·β) into the workspace;
+        # h−log_u into h_diff. Zero-sum rows get h=0 (scalar guard).
+        np.multiply(D, beta[:, None], out=T)
+        np.negative(T, out=T)
+        np.exp(T, out=P)
+        sum_p = P.sum(axis=1)
+        np.multiply(D, P, out=T)
+        dp = T.sum(axis=1)
+        for r in rows_idx:
+            sp = sum_p[r]
+            if sp == 0.0:
+                h = 0.0
+            else:
+                h = math.log(sp) + beta[r] * dp[r] / sp
+            h_diff[r] = h - log_u
+
+    def _freeze(rows_idx) -> None:
+        # capture a row's (β, normalized P) at ITS exit iteration
+        sum_p = P.sum(axis=1)
+        for r in rows_idx:
+            beta_out[r] = beta[r]
+            sp = sum_p[r]
+            P_out[r] = P[r] / sp if sp != 0.0 else 0.0
+
+    all_rows = np.arange(m)
+    _eval_rows(all_rows)
+    tries = 0
+    while True:
+        with np.errstate(invalid="ignore"):
+            newly_done = open_rows & ~(
+                (np.abs(h_diff) > tol) & (tries < max_tries)
+            )
+        if newly_done.any():
+            _freeze(np.flatnonzero(newly_done))
+            open_rows &= ~newly_done
+            if not open_rows.any():
+                break
+        up = h_diff > 0
+        beta_min = np.where(open_rows & up, beta, beta_min)
+        beta_max = np.where(open_rows & ~up, beta, beta_max)
+        # doubling/halving while one-sided, else midpoint — same update
+        # rule as the scalar path (X2P.scala:36-70)
+        step = np.where(
+            up,
+            np.where(np.isinf(beta_max), beta * 2.0, (beta + beta_max) / 2.0),
+            np.where(np.isinf(beta_min), beta / 2.0, (beta + beta_min) / 2.0),
+        )
+        beta = np.where(open_rows, step, beta)
+        _eval_rows(np.flatnonzero(open_rows))
+        tries += 1
+    return beta_out, P_out
+
+
 def calibrate(
     neighbors: DataFrame, perplexity: float = 30.0, tol: float = 1e-5
 ) -> DataFrame:
@@ -95,11 +198,23 @@ def calibrate(
     log_u = math.log(perplexity)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         for pdf in batches:
             if len(pdf) == 0:
+                continue
+            lens = {len(x) for x in pdf["ds"]}
+            if len(lens) == 1:
+                # rectangular neighbor lists (the usual case): one
+                # batched bisection over the whole Arrow batch
+                D = np.array(pdf["ds"].tolist(), dtype=np.float64)
+                betas_a, P = _calibrate_rows(D, log_u, tol)
+                betas = betas_a.tolist()
+                ps_out = list(P)
+                yield pd.DataFrame(
+                    {"i": pdf["i"], "js": pdf["js"], "ps": ps_out, "beta": betas}
+                )
                 continue
             betas, ps_out = [], []
             for ds in pdf["ds"]:

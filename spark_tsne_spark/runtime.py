@@ -54,6 +54,87 @@ def tune_malloc() -> None:
         pass
 
 
+_blas_pinned = False
+
+
+def pin_blas_threads(n: int = 1) -> None:
+    """Cap this process's OpenBLAS pool (default: serial).
+
+    OpenBLAS sizes its pool to nproc (32 here). Inside a Spark Python
+    worker that means every GEMM fans out 32 spin-waiting threads
+    while 31 sibling workers do the same — 1024 runnable threads on
+    32 cores. Measured on the 50k-row kNN block pass: ~7 s/task for a
+    GEMM whose single-threaded time is ~1.3 s; per-task aggregate
+    GEMM time dropped 229 s → ~45 s after pinning. One BLAS thread
+    per worker is the right shape — the executor already runs one
+    task per core. Driver-side code keeps the full pool (the local
+    small-input t-SNE path WANTS the 32-way GEMM), which is why this
+    is NOT folded into :func:`tune_malloc`.
+    """
+    global _blas_pinned
+    if _blas_pinned:
+        return
+    _blas_pinned = True
+    try:
+        import os
+
+        for line in open("/proc/self/maps"):
+            path = line.rsplit(None, 1)[-1]
+            if not path.startswith("/"):
+                continue
+            if "openblas" not in os.path.basename(path).lower():
+                continue
+            lib = ctypes.CDLL(path)
+            for sym in (
+                "openblas_set_num_threads64_",
+                "openblas_set_num_threads",
+                "goto_set_num_threads64_",
+                "goto_set_num_threads",
+            ):
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    fn(int(n))
+                    return
+    except Exception:
+        pass
+
+
+def tune_worker() -> None:
+    """Per-Python-worker setup: malloc thresholds + serial BLAS.
+
+    Call at the top of every Arrow-batched kernel (replaces the bare
+    ``tune_malloc()`` there). Idempotent and cheap after the first
+    call.
+    """
+    tune_malloc()
+    pin_blas_threads(1)
+
+
+_WS_CACHE: dict = {}
+_WS_CACHE_MAX = 4
+
+
+def cached_shared_empty(name: str, shape, dtype=np.float64) -> np.ndarray:
+    """Process-cached :func:`shared_empty` workspace.
+
+    First-touch zero-fill of a fresh mmap is real time at 100+ MB per
+    task; Spark reuses worker processes across tasks and jobs, so one
+    mapping per (name, shape) serves every task the worker ever runs.
+    Exact-shape keying keeps every returned array C-contiguous (BLAS
+    ``out=`` targets). A small LRU bounds worker memory when one
+    worker serves tables of several sizes.
+    """
+    shape = (shape,) if isinstance(shape, int) else tuple(shape)
+    key = (name, shape, np.dtype(dtype).str)
+    arr = _WS_CACHE.pop(key, None)
+    if arr is None:
+        arr = shared_empty(shape, dtype)
+    _WS_CACHE[key] = arr  # re-insert = move to MRU position
+    while len(_WS_CACHE) > _WS_CACHE_MAX:
+        _WS_CACHE.pop(next(iter(_WS_CACHE)))
+    return arr
+
+
 def shared_empty(shape, dtype=np.float64) -> np.ndarray:
     """Uninitialized numpy array on a MAP_SHARED anonymous mapping.
 

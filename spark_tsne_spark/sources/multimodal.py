@@ -653,7 +653,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     ship_package(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         for pdf in batches:
@@ -732,7 +732,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     ship_package(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         for pdf in batches:
@@ -767,7 +767,7 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     ship_package(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         for pdf in batches:
@@ -852,7 +852,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     ys_tpl = np.arange(height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_malloc
+        from spark_tsne_spark.runtime import tune_worker as tune_malloc
 
         tune_malloc()
         for pdf in batches:

@@ -219,11 +219,19 @@ class FlatTree:
         maxs = Y.max(axis=0)
         root_width = maxs - mins
 
-        centers: list[np.ndarray] = [Y.sum(axis=0) / n]
-        counts: list[int] = [n]
-        radii: list[float] = [float((root_width * root_width).sum())]
-        leaves: list[bool] = [True]
-        children: list[np.ndarray] = [np.full(n_child, -1, dtype=np.int64)]
+        # Per-LEVEL array accumulators (concatenated once at the end) —
+        # per-node Python list appends made the build O(nodes) in
+        # interpreter time, which at 50k points was ~3/4 of the 174 ms
+        # driver build (the tree rebuilds EVERY iteration, so this is
+        # pure per-iteration latency).
+        center_lv: list[np.ndarray] = [(Y.sum(axis=0) / n)[None, :]]
+        count_lv: list[np.ndarray] = [np.array([n], dtype=np.int64)]
+        radius_lv: list[np.ndarray] = [
+            np.array([(root_width * root_width).sum()], dtype=np.float64)
+        ]
+        # (slots, child-rows) per level, patched into the flat children
+        # array after the loop; every patched slot is non-leaf.
+        kidrow_fix: list[tuple[np.ndarray, np.ndarray]] = []
         total_slots = 1
 
         root_is_leaf = bool((Y == Y[0]).all()) or max_depth <= 0
@@ -258,29 +266,25 @@ class FlatTree:
             parent_g = uniq // n_child
             cellno = uniq % n_child
 
-            # write children rows + clear leaf flag on the subdivided nodes
+            # children rows of the subdivided nodes (patched in at the end)
             rows = np.full((g_slot.size, n_child), -1, dtype=np.int64)
             rows[parent_g, cellno] = kid_slot
-            for g in range(g_slot.size):
-                children[g_slot[g]] = rows[g]
-                leaves[g_slot[g]] = False
+            kidrow_fix.append((g_slot, rows))
 
             # child metadata, all groups at once
-            sums = np.add.reduceat(Y[spts], starts, axis=0)
+            Ys = Y[spts]
+            sums = np.add.reduceat(Ys, starts, axis=0)
             centers_k = sums / sizes[:, None]
             radius_k = (child_width[parent_g] ** 2).sum(axis=1)
             bits = ((cellno[:, None] >> bit_shifts[None, :]) & 1).astype(np.float64)
             corner_k = g_corner[parent_g] + bits * child_width[parent_g]
-            gmin = np.minimum.reduceat(Y[spts], starts, axis=0)
-            gmax = np.maximum.reduceat(Y[spts], starts, axis=0)
+            gmin = np.minimum.reduceat(Ys, starts, axis=0)
+            gmax = np.maximum.reduceat(Ys, starts, axis=0)
             identical = (gmin == gmax).all(axis=1)
 
-            centers.extend(centers_k)
-            counts.extend(sizes.tolist())
-            radii.extend(radius_k.tolist())
-            leaves.extend([True] * K)
-            neg_row = np.full(n_child, -1, dtype=np.int64)
-            children.extend([neg_row] * K)
+            center_lv.append(centers_k)
+            count_lv.append(sizes.astype(np.int64, copy=False))
+            radius_lv.append(radius_k)
             total_slots += K
 
             # next level: children holding >1 distinct point, depth permitting
@@ -297,12 +301,17 @@ class FlatTree:
             g_width = child_width[parent_g[expand]]
             depth += 1
 
+        leaves_arr = np.ones(total_slots, dtype=bool)
+        children_arr = np.full((total_slots, n_child), -1, dtype=np.int32)
+        for slots, rows in kidrow_fix:  # O(depth) vectorized patches
+            children_arr[slots] = rows
+            leaves_arr[slots] = False
         return cls(
-            np.asarray(centers, dtype=np.float64),
-            np.asarray(counts, dtype=np.int64),
-            np.asarray(radii, dtype=np.float64),
-            np.asarray(leaves, dtype=bool),
-            np.asarray(children, dtype=np.int32),
+            np.concatenate(center_lv, axis=0),
+            np.concatenate(count_lv),
+            np.concatenate(radius_lv),
+            leaves_arr,
+            children_arr,
         )
 
 

@@ -183,3 +183,70 @@ def test_procrustes_entry_source_has_no_nested_lit():
     src = inspect.getsource(Q.embedding_procrustes_align)
     assert "F.lit(float(v))" not in src
     assert "mapInPandas" in src
+
+
+# ----------------------------------------------------- batch β calibration
+
+
+def test_calibrate_rows_bit_identical_to_scalar():
+    """The vectorized bisection must reproduce _calibrate_row EXACTLY
+    (same betas, same probabilities, bit for bit) — it replaces the
+    scalar loop inside the fused kNN+calibration pass, whose output
+    feeds the hash-checked x2p oracle."""
+    import math
+
+    import numpy as np
+
+    from spark_tsne_spark.operators.x2p import _calibrate_row, _calibrate_rows
+
+    rng = np.random.default_rng(123)
+    # mixed regimes: ordinary rows, tiny distances (beta grows), huge
+    # distances (exp underflow -> zero-sum guard), constant rows
+    blocks = [
+        rng.random((200, 90)) * 10,
+        rng.random((50, 90)) * 1e-8,
+        rng.random((50, 90)) * 1e4,          # exp(-d) underflows at beta=1
+        np.full((5, 90), 3.14),
+        np.zeros((3, 90)),
+    ]
+    D = np.concatenate(blocks)
+    perm = rng.permutation(len(D))
+    D = D[perm]
+    log_u = math.log(30.0)
+    betas, P = _calibrate_rows(D, log_u, 1e-5)
+    for r in range(len(D)):
+        b_ref, p_ref = _calibrate_row(D[r].copy(), log_u, 1e-5)
+        assert betas[r] == b_ref, r
+        assert np.array_equal(P[r], p_ref), r
+
+
+def test_flat_tree_build_matches_insert_path_after_vectorization():
+    """Array-accumulator rewrite of FlatTree.build: node order, counts,
+    centers, radii, leaf flags and child links all equal the
+    SPTree-insert flattening (the original invariant), re-pinned on a
+    fresh point set."""
+    import numpy as np
+
+    from spark_tsne_spark.sptree import FlatTree, SPTree
+
+    rng = np.random.default_rng(77)
+    Y = np.concatenate(
+        [rng.standard_normal((400, 2)) * 0.01, rng.standard_normal((100, 2)) * 3 + 5]
+    )
+    Y[50] = Y[10]  # duplicate point (leaf duplicate semantics)
+    built = FlatTree.build(Y)
+    ref = FlatTree.from_sptree(SPTree.from_matrix(Y))
+    # same multiset of OCCUPIED nodes (the insert path materializes
+    # empty sibling cells the bulk build never allocates — they carry
+    # no mass and the walk skips them)
+    def canon(t):
+        occ = t.count > 0
+        c, n_, r, lf = t.center[occ], t.count[occ], t.radius_sq[occ], t.leaf[occ]
+        key = np.lexsort((n_, r, c[:, 1], c[:, 0]))
+        return c[key], n_[key], r[key], lf[key]
+
+    bc, bn, br, bl = canon(built)
+    rc, rn, rr, rl = canon(ref)
+    assert bc.shape == rc.shape
+    assert np.allclose(bc, rc) and (bn == rn).all()
+    assert np.allclose(br, rr) and (bl == rl).all()
