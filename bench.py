@@ -544,6 +544,12 @@ def bench_queries():
         "lead_time_p90": Q.nation_lead_time_p90,
         "heaps_law": Q.text_heaps_law,
         "procrustes": Q.embedding_procrustes_align,
+        "grouping_sets": Q.revenue_grouping_sets,
+        "anova_f": Q.events_anova_f,
+        "l_diversity": Q.customers_l_diversity,
+        "bucketed_join": Q.bucketed_join_no_shuffle,
+        "ngram_novelty": Q.docs_ngram_novelty,
+        "lateness_audit": Q.events_lateness_audit,
     }
 
 

@@ -84,6 +84,9 @@ _DRIVER_PRIORITY = [
     "customers_rfm_migration", "lineitem_moments", "text_term_burstiness",
     "nation_lead_time_p90", "text_heaps_law", "embedding_procrustes_align",
     # r9-session additions (never sampled) go here, newest last.
+    "revenue_grouping_sets", "events_anova_f", "customers_l_diversity",
+    "bucketed_join_no_shuffle", "docs_ngram_novelty",
+    "events_lateness_audit",
     # Green rotation: every green entry ordered by the round of its
     # most recent driver-green hash (r3 first), alphabetical within
     # a round - r9's post-never-green slots re-prove the oldest.
@@ -15992,3 +15995,442 @@ def embedding_procrustes_align(spark, sf_dir):
         }
     )
     return spark.createDataFrame(pdf).orderBy("i", "j")
+
+
+# --------------------------------------------------------------------------
+# r9-session additions: multi-level OLAP (grouping sets, bucketed
+# co-located join), stats battery (one-way ANOVA), privacy audit
+# (l-diversity), corpus curation (per-decile novelty decay), and the
+# streaming-design lateness audit.
+
+
+_GSETS_SQL = """
+    SELECT coalesce(c.c_mktsegment, 'ALL') AS segment,
+           coalesce(o.o_orderpriority, 'ALL') AS priority,
+           grouping(c.c_mktsegment)::BIGINT AS g_seg,
+           grouping(o.o_orderpriority)::BIGINT AS g_pri,
+           count(*)::BIGINT AS n_orders,
+           sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c.c_mktsegment, o.o_orderpriority),
+                            (c.c_mktsegment), (o.o_orderpriority), ())
+    ORDER BY g_seg, g_pri, segment, priority
+"""
+
+
+@register("revenue_grouping_sets", _GSETS_SQL)
+def revenue_grouping_sets(spark, sf_dir):
+    """Multi-level revenue summary in ONE pass: GROUPING SETS over
+    (segment x priority), segment-only, priority-only, and grand
+    total — Catalyst's Expand operator emits all four grouping
+    levels map-side, so the fact table is scanned once instead of
+    four times (the 100 TB argument for grouping sets over UNION ALL
+    of four aggregates). grouping() flags disambiguate real values
+    from the 'ALL' rollup rows; revenue stays an exact cents BIGINT.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j.createOrReplaceTempView("sgq_gsets_oc")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_c
+        FROM sgq_gsets_oc
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                                (c_mktsegment), (o_orderpriority), ())
+        ORDER BY g_seg, g_pri, segment, priority
+        """
+    )
+
+
+_ANOVA_SQL = """
+    WITH g AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(round(value * 1000000)::BIGINT)::BIGINT AS s_e6,
+             sum(round(value * 1000000)::HUGEINT
+                 * round(value * 1000000)::HUGEINT) AS q_e12
+      FROM events GROUP BY event_type
+    ),
+    folded AS (
+      -- ordered left fold: bit-identical to Spark's F.aggregate
+      SELECT list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list((s_e6 / 1e6) * (s_e6 / 1e6) / CAST(n AS DOUBLE)
+                      ORDER BY event_type)),
+               (acc, x) -> acc + x) AS a,
+             sum(n)::BIGINT AS n_total,
+             sum(s_e6)::BIGINT AS s_total_e6,
+             CAST(sum(q_e12) AS DOUBLE) / 1e12 AS q_total,
+             count(*)::BIGINT AS k
+      FROM g
+    )
+    SELECT k, n_total,
+           round(a - (s_total_e6 / 1e6) * (s_total_e6 / 1e6)
+                     / CAST(n_total AS DOUBLE), 6) AS ss_between,
+           round(q_total - a, 6) AS ss_within,
+           round(((a - (s_total_e6 / 1e6) * (s_total_e6 / 1e6)
+                       / CAST(n_total AS DOUBLE)) / (k - 1))
+                 / ((q_total - a) / (n_total - k)), 6) AS f_stat
+    FROM folded
+"""
+
+
+@register("events_anova_f", _ANOVA_SQL)
+def events_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic of event value across event types —
+    the 'does the group matter at all' omnibus test the per-pair KS /
+    Mann-Whitney entries don't answer. One scan: per-group exact
+    integer moments (micro-units; 128-bit squares), then SSB/SSW from
+    the sufficient statistics. The only floating-point reduction —
+    sum over the k per-group terms S_g^2/n_g — runs as an ORDERED
+    left fold (sort_array + F.aggregate here, list_reduce in the
+    oracle) so both engines add the k doubles in the same sequence:
+    group-by SUM of doubles has no deterministic order in either
+    engine and WILL drift in the last ulp. Same one-scan shape at
+    any corpus size; k = |event types| rows of driver state."""
+    e = _t(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1000000).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v6).cast("long").alias("s_e6"),
+        F.sum(
+            v6.cast("decimal(38,0)") * v6.cast("decimal(38,0)")
+        ).alias("q_e12"),
+    )
+    term = F.struct(
+        F.col("event_type").alias("t"),
+        (
+            (F.col("s_e6") / 1e6) * (F.col("s_e6") / 1e6)
+            / F.col("n").cast("double")
+        ).alias("v"),
+    )
+    folded = g.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("a"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s_e6").cast("long").alias("s_total_e6"),
+        (F.sum("q_e12").cast("double") / F.lit(1e12)).alias("q_total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    sm = F.col("s_total_e6") / 1e6
+    ssb = F.col("a") - sm * sm / F.col("n_total").cast("double")
+    ssw = F.col("q_total") - F.col("a")
+    return folded.select(
+        "k",
+        "n_total",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n_total") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+_LDIV_SQL = """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             sum(band_n)::BIGINT AS group_n,
+             count(*)::BIGINT AS l_distinct,
+             max(band_n)::BIGINT AS max_band_n
+      FROM (
+        SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS band_n
+        FROM s GROUP BY c_nationkey, c_mktsegment, bal_band
+      ) GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
+           group_n, l_distinct, max_band_n,
+           CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END::BIGINT AS vulnerable
+    FROM qi ORDER BY nationkey, segment
+"""
+
+
+@register("customers_l_diversity", _LDIV_SQL)
+def customers_l_diversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al., ICDE'06) — the
+    privacy check k-anonymity misses: a quasi-identifier group can
+    be large (k-anonymous) yet expose everyone in it if the
+    SENSITIVE attribute (account-balance band) is homogeneous.
+    Per (nation, segment) QI group: size, number of distinct
+    sensitive bands (distinct-l), the dominant band's count, and a
+    vulnerable flag at l < 3. Pure integer two-level aggregation —
+    one shuffle on the QI key, band cardinality bounded (~11 bands),
+    no driver state."""
+    c = _t(spark, sf_dir, "customer")
+    s = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    per_band = s.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("band_n")
+    )
+    qi = per_band.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("band_n").cast("long").alias("group_n"),
+        F.count("*").cast("long").alias("l_distinct"),
+        F.max("band_n").cast("long").alias("max_band_n"),
+    )
+    return qi.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        "group_n",
+        "l_distinct",
+        "max_band_n",
+        F.when(F.col("l_distinct") < 3, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("vulnerable"),
+    ).orderBy("nationkey", "segment")
+
+
+_BKT_SQL = """
+    SELECT o.o_orderpriority AS priority,
+           count(*)::BIGINT AS n_items,
+           sum(round(l.l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_c
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority ORDER BY priority
+"""
+
+
+def _bucketed_tables(spark, sf_dir):
+    """Write orders + lineitem ONCE per (session, sf) as co-bucketed,
+    co-sorted tables on the join key and return them. 8 buckets on
+    orderkey: both scans then report the SAME HashPartitioning, so
+    the sort-merge join needs NO Exchange and NO Sort — the executed
+    plan is scan→join. THE technique for a 100 TB fact-fact join:
+    the shuffle happens once at write time and every subsequent join
+    on the key is free (tests/test_r9_entries.py pins the
+    exchange-free plan)."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir)  # no dots: table ident
+    names = (f"sgq_bkt_orders_{tag}", f"sgq_bkt_lineitem_{tag}")
+    base = f"/tmp/spark_graft_bkt_{tag}"
+    # repartition(8, key) BEFORE bucketBy(8, key): both use the same
+    # Murmur3 HashPartitioning, so every write task holds exactly one
+    # bucket and emits ONE pre-sorted file per bucket — the condition
+    # under which the read side can also skip the per-bucket Sort.
+    # (Without it, files-per-bucket = write tasks and the join keeps
+    # a Sort even though the Exchange is gone.)
+    if not spark.catalog.tableExists(names[0]):
+        _t(spark, sf_dir, "orders").repartition(8, "o_orderkey").write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").option("path", f"{base}/orders").mode(
+            "overwrite"
+        ).saveAsTable(names[0])
+    if not spark.catalog.tableExists(names[1]):
+        _t(spark, sf_dir, "lineitem").repartition(
+            8, "l_orderkey"
+        ).write.bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").option("path", f"{base}/lineitem").mode(
+            "overwrite"
+        ).saveAsTable(names[1])
+    return spark.table(names[0]), spark.table(names[1])
+
+
+def _bucketed_join(spark, sf_dir):
+    o, li = _bucketed_tables(spark, sf_dir)
+    # merge hint: at small SF the planner would broadcast instead,
+    # which hides the property under test (bucket-aligned SMJ)
+    return o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+
+
+@register("bucketed_join_no_shuffle", _BKT_SQL)
+def bucketed_join_no_shuffle(spark, sf_dir):
+    """Revenue per order priority over a CO-LOCATED orders⋈lineitem
+    join: both sides pre-bucketed (8 buckets, sorted) on the join
+    key, so the only exchange in the whole plan is the final
+    |priorities|-row aggregation — the join itself is shuffle-free
+    (see :func:`_bucketed_tables`). Results are
+    byte-identical to the plain join (the oracle runs one)."""
+    j = _bucketed_join(spark, sf_dir)
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_c"),
+        )
+        .orderBy("priority")
+    )
+
+
+_DOCNOV_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    bounds AS (
+      SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+                 AS g
+        FROM d
+      )
+    ),
+    first_doc AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY g),
+    per_doc AS (
+      SELECT gr.doc_id,
+             count(*)::BIGINT AS total_g,
+             sum(CASE WHEN fd.fd = gr.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS novel_g
+      FROM grams gr JOIN first_doc fd ON gr.g = fd.g
+      GROUP BY gr.doc_id
+    )
+    SELECT ((p.doc_id - b.lo) * 10 // (b.hi - b.lo + 1))::BIGINT AS decile,
+           count(*)::BIGINT AS n_docs,
+           sum(p.total_g)::BIGINT AS total_shingles,
+           sum(p.novel_g)::BIGINT AS novel_shingles,
+           round(sum(p.novel_g) / CAST(sum(p.total_g) AS DOUBLE), 6)
+             AS novelty
+    FROM per_doc p, bounds b
+    GROUP BY 1 ORDER BY decile
+"""
+
+
+@register("docs_ngram_novelty", _DOCNOV_SQL)
+def docs_ngram_novelty(spark, sf_dir):
+    """Marginal-novelty decay curve over ingestion order: for each
+    doc-id decile, what fraction of its documents' distinct word
+    trigrams had never been seen in any earlier document. THE curve
+    a crawl pipeline reads to decide when additional data stops
+    adding information (novelty → boilerplate asymptote). Same
+    bounded shape as ``source_novelty`` but per-position: one
+    distinct (doc, shingle) shuffle, one min-doc-per-shingle
+    aggregate, and a decile regroup keyed by integer arithmetic on
+    doc_id (NO global sort/row_number — a width bucket from the
+    broadcast min/max keeps it embarrassingly parallel at any n)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(word_ngrams("text", 3))).alias(
+                "g"
+            ),
+        )
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("total_g"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_g"),
+        )
+    )
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            # integer DIV, not double '/': a quotient like 3.999…97
+            # can round UP to 4.0 in IEEE division and then truncate
+            # to 4 while the oracle's BIGINT // stays at 3
+            F.expr(
+                "CAST((doc_id - lo) * 10 DIV (hi - lo + 1) AS BIGINT)"
+            ).alias("decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("total_g").cast("long").alias("total_shingles"),
+            F.sum("novel_g").cast("long").alias("novel_shingles"),
+            F.round(
+                F.sum("novel_g") / F.sum("total_g").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("decile")
+    )
+
+
+_LATENESS_SQL = """
+    WITH w AS (
+      SELECT user_id,
+             greatest(0, max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - epoch_us(ts))::BIGINT AS late_us
+      FROM events
+    ),
+    b AS (
+      SELECT CASE WHEN late_us = 0 THEN 0
+                  WHEN late_us < 1000000 THEN 1
+                  WHEN late_us < 10000000 THEN 2
+                  WHEN late_us < 60000000 THEN 3
+                  WHEN late_us < 600000000 THEN 4
+                  ELSE 5 END::BIGINT AS bucket,
+             late_us
+      FROM w
+    )
+    SELECT bucket, count(*)::BIGINT AS n_events,
+           max(late_us)::BIGINT AS max_late_us,
+           sum(late_us)::BIGINT AS sum_late_us
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("events_lateness_audit", _LATENESS_SQL)
+def events_lateness_audit(spark, sf_dir):
+    """Watermark-design audit: per user, how far each event's time
+    lags the running maximum event-time at its ARRIVAL position
+    (event_id = ingestion order), bucketed into the delay bands a
+    Structured Streaming watermark would be chosen from (on-time /
+    <1s / <10s / <1m / <10m / worse). This is the batch measurement
+    that justifies ``withWatermark`` settings in streaming/windows.py
+    — pick the band covering ~99.9% and the rest is documented loss.
+    One per-user window (parallel over users, no global order), then
+    a 6-row regroup; all integer microseconds."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    late = F.greatest(F.lit(0), F.max(us).over(w) - us).alias("late_us")
+    b = e.select(late).select(
+        F.when(F.col("late_us") == 0, 0)
+        .when(F.col("late_us") < 1000000, 1)
+        .when(F.col("late_us") < 10000000, 2)
+        .when(F.col("late_us") < 60000000, 3)
+        .when(F.col("late_us") < 600000000, 4)
+        .otherwise(5)
+        .cast("long")
+        .alias("bucket"),
+        "late_us",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+            F.sum("late_us").cast("long").alias("sum_late_us"),
+        )
+        .orderBy("bucket")
+    )
