@@ -73,7 +73,38 @@ def ops():
         "k_anonymity": _run_kanon,
         "linkage_scores": _run_linkage,
         "negative_sampling": _run_negsample,
+        "ngram_novelty": _run_ngram_novelty,
     }
+
+
+def _run_ngram_novelty(d):
+    from spark_tsne_spark.functions.text import word_ngrams
+
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(word_ngrams("text", 3))).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_g"),
+            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "novel_g"
+            ),
+        )
+    )
+    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    return per_doc.crossJoin(F.broadcast(bounds)).groupBy(
+        F.expr("CAST((doc_id - lo) * 10 DIV (hi - lo + 1) AS BIGINT)").alias(
+            "decile"
+        )
+    ).agg(F.sum("total_g"), F.sum("novel_g"))
 
 
 def _run_negsample(d):
@@ -725,6 +756,50 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
                 F.col("rank") <= 10
             )
 
+        def run_anova(ev):
+            v6 = F.round(F.col("value") * 1000000).cast("long")
+            g = ev.groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.sum(v6).alias("s_e6"),
+                F.sum(
+                    v6.cast("decimal(38,0)") * v6.cast("decimal(38,0)")
+                ).alias("q_e12"),
+            )
+            term = F.struct(
+                F.col("event_type").alias("t"),
+                (
+                    (F.col("s_e6") / 1e6) * (F.col("s_e6") / 1e6)
+                    / F.col("n").cast("double")
+                ).alias("v"),
+            )
+            return g.agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(term)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ).alias("a"),
+                F.sum("n"),
+                F.sum("s_e6"),
+                F.sum("q_e12"),
+            )
+
+        def run_lateness(ev):
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+            late = F.greatest(F.lit(0), F.max(us).over(w) - us).alias(
+                "late_us"
+            )
+            return (
+                ev.select("user_id", "event_id", "ts")
+                .select(late)
+                .groupBy((F.col("late_us") > 0).alias("late"))
+                .agg(F.count("*"), F.max("late_us"))
+            )
+
         return {
             "asof_join": run_asof,
             "range_join": run_range,
@@ -741,6 +816,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> None:
             "theil_sen_gated": run_theil_sen_gated,
             "trigram_paths": run_trigram_paths,
             "decayed_topk": run_decayed,
+            "anova_f": run_anova,
+            "lateness_audit": run_lateness,
         }
 
     # Iteration aid: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those ops.
