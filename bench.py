@@ -550,6 +550,8 @@ def bench_queries():
         "bucketed_join": Q.bucketed_join_no_shuffle,
         "ngram_novelty": Q.docs_ngram_novelty,
         "lateness_audit": Q.events_lateness_audit,
+        "welch_t": Q.events_welch_t,
+        "cramers_v": Q.events_cramers_v,
     }
 
 

@@ -86,7 +86,7 @@ _DRIVER_PRIORITY = [
     # r9-session additions (never sampled) go here, newest last.
     "revenue_grouping_sets", "events_anova_f", "customers_l_diversity",
     "bucketed_join_no_shuffle", "docs_ngram_novelty",
-    "events_lateness_audit",
+    "events_lateness_audit", "events_welch_t", "events_cramers_v",
     # Green rotation: every green entry ordered by the round of its
     # most recent driver-green hash (r3 first), alphabetical within
     # a round - r9's post-never-green slots re-prove the oldest.
@@ -16433,4 +16433,252 @@ def events_lateness_audit(spark, sf_dir):
             F.sum("late_us").cast("long").alias("sum_late_us"),
         )
         .orderBy("bucket")
+    )
+
+
+_WELCH_SQL = """
+    WITH g AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(round(value * 1000000)::BIGINT)::BIGINT AS s_e6,
+             sum(round(value * 1000000)::HUGEINT
+                 * round(value * 1000000)::HUGEINT) AS q_e12
+      FROM events GROUP BY event_type
+    ),
+    ab AS (SELECT min(event_type) AS ta, max(event_type) AS tb FROM g),
+    p AS (
+      SELECT ab.ta, ab.tb,
+             max(CASE WHEN g.event_type = ab.ta THEN g.n END) AS n1,
+             max(CASE WHEN g.event_type = ab.ta THEN g.s_e6 END) AS s1,
+             max(CASE WHEN g.event_type = ab.ta THEN g.q_e12 END) AS q1,
+             max(CASE WHEN g.event_type = ab.tb THEN g.n END) AS n2,
+             max(CASE WHEN g.event_type = ab.tb THEN g.s_e6 END) AS s2,
+             max(CASE WHEN g.event_type = ab.tb THEN g.q_e12 END) AS q2
+      FROM g CROSS JOIN ab GROUP BY ab.ta, ab.tb
+    )
+    SELECT ta AS type_a, tb AS type_b, n1, n2,
+           round(s1 / 1e6 / n1, 6) AS mean_a,
+           round(s2 / 1e6 / n2, 6) AS mean_b,
+           round((s1 / 1e6 / n1 - s2 / 1e6 / n2)
+                 / sqrt(((CAST(q1 AS DOUBLE) / 1e12
+                          - (s1 / 1e6) * (s1 / 1e6) / n1) / (n1 - 1)) / n1
+                        + ((CAST(q2 AS DOUBLE) / 1e12
+                            - (s2 / 1e6) * (s2 / 1e6) / n2) / (n2 - 1)) / n2),
+                 6) AS t_stat,
+           round(((((CAST(q1 AS DOUBLE) / 1e12
+                     - (s1 / 1e6) * (s1 / 1e6) / n1) / (n1 - 1)) / n1
+                   + ((CAST(q2 AS DOUBLE) / 1e12
+                       - (s2 / 1e6) * (s2 / 1e6) / n2) / (n2 - 1)) / n2)
+                  * (((CAST(q1 AS DOUBLE) / 1e12
+                       - (s1 / 1e6) * (s1 / 1e6) / n1) / (n1 - 1)) / n1
+                     + ((CAST(q2 AS DOUBLE) / 1e12
+                         - (s2 / 1e6) * (s2 / 1e6) / n2) / (n2 - 1)) / n2))
+                 / ((((CAST(q1 AS DOUBLE) / 1e12
+                       - (s1 / 1e6) * (s1 / 1e6) / n1) / (n1 - 1)) / n1)
+                    * ((((CAST(q1 AS DOUBLE) / 1e12
+                          - (s1 / 1e6) * (s1 / 1e6) / n1) / (n1 - 1)) / n1))
+                    / (n1 - 1)
+                    + ((((CAST(q2 AS DOUBLE) / 1e12
+                          - (s2 / 1e6) * (s2 / 1e6) / n2) / (n2 - 1)) / n2)
+                       * (((CAST(q2 AS DOUBLE) / 1e12
+                            - (s2 / 1e6) * (s2 / 1e6) / n2) / (n2 - 1)) / n2))
+                    / (n2 - 1)), 4) AS df_welch
+    FROM p
+"""
+
+
+@register("events_welch_t", _WELCH_SQL)
+def events_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t between the two extreme event types
+    (lexicographic min/max — a deterministic pair choice), with the
+    Welch-Satterthwaite degrees of freedom. Completes the two-sample
+    battery: KS (distribution), Mann-Whitney (rank), and now the
+    parametric mean test that A/B dashboards actually report. One
+    scan to k group moments (exact micro-integers, 128-bit squares);
+    every float after that is a fixed scalar expression on the two
+    chosen groups' statistics — no float reduction at all, so no
+    summation-order hazard."""
+    e = _t(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1000000).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v6).cast("long").alias("s_e6"),
+        F.sum(
+            v6.cast("decimal(38,0)") * v6.cast("decimal(38,0)")
+        ).alias("q_e12"),
+    )
+    ab = g.agg(
+        F.min("event_type").alias("ta"), F.max("event_type").alias("tb")
+    )
+    p = (
+        g.crossJoin(F.broadcast(ab))
+        .groupBy("ta", "tb")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("event_type") == F.col(t), F.col(c))
+                ).alias(f"{c[0]}{i}")
+                for i, t in ((1, "ta"), (2, "tb"))
+                for c in ("n", "s_e6", "q_e12")
+            ]
+        )
+    )
+    # se_g = (Q_g - S_g^2/n_g)/(n_g-1)/n_g, from exact ints
+    def se(i):
+        s = F.col(f"s{i}") / 1e6
+        q = F.col(f"q{i}").cast("double") / F.lit(1e12)
+        n = F.col(f"n{i}").cast("double")
+        return (q - s * s / n) / (n - 1) / n
+
+    mean = lambda i: F.col(f"s{i}") / 1e6 / F.col(f"n{i}")
+    v1, v2 = se(1), se(2)
+    return p.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n1",
+        "n2",
+        F.round(mean(1), 6).alias("mean_a"),
+        F.round(mean(2), 6).alias("mean_b"),
+        F.round((mean(1) - mean(2)) / F.sqrt(v1 + v2), 6).alias("t_stat"),
+        F.round(
+            ((v1 + v2) * (v1 + v2))
+            / (
+                v1 * v1 / (F.col("n1").cast("double") - 1)
+                + v2 * v2 / (F.col("n2").cast("double") - 1)
+            ),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+_CRAMER_SQL = """
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value < 10 THEN 0 WHEN value < 100 THEN 1
+                  WHEN value < 1000 THEN 2 ELSE 3 END::BIGINT AS band
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type, band, count(*)::BIGINT AS o
+      FROM b GROUP BY event_type, band
+    ),
+    -- FULL r x c grid: zero-observed cells still contribute E to
+    -- chi2; folding observed cells only understates the statistic
+    cell AS (
+      SELECT t.event_type, bb.band, coalesce(obs.o, 0)::BIGINT AS o
+      FROM (SELECT DISTINCT event_type FROM obs) t
+      CROSS JOIN (SELECT DISTINCT band FROM obs) bb
+      LEFT JOIN obs ON obs.event_type = t.event_type
+                   AND obs.band = bb.band
+    ),
+    tot AS (
+      SELECT sum(o)::BIGINT AS n,
+             count(DISTINCT event_type)::BIGINT AS r,
+             count(DISTINCT band)::BIGINT AS c
+      FROM cell
+    ),
+    m AS (
+      SELECT cell.event_type, cell.band, cell.o,
+             sum(cell.o) OVER (PARTITION BY cell.event_type) AS rt,
+             sum(cell.o) OVER (PARTITION BY cell.band) AS ct
+      FROM cell
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list((o - CAST(rt AS DOUBLE) * ct / t.n)
+                      * (o - CAST(rt AS DOUBLE) * ct / t.n)
+                      / (CAST(rt AS DOUBLE) * ct / t.n)
+                      ORDER BY event_type, band)),
+               (acc, x) -> acc + x) AS chi2,
+             any_value(t.n) AS n, any_value(t.r) AS r, any_value(t.c) AS c
+      FROM m CROSS JOIN tot t
+    )
+    SELECT n, r, c, round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM folded
+"""
+
+
+@register("events_cramers_v", _CRAMER_SQL)
+def events_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for the event-type x value-band
+    contingency — the 'how strong' companion to a chi-squared 'is
+    there any' test (V in [0,1], comparable across table sizes).
+    Cells are exact integer counts; expected counts and the chi2 sum
+    run over the |types|x4-bounded cell list as an ORDERED left fold
+    (F.aggregate <-> list_reduce) so both engines accumulate the
+    handful of doubles identically. One scan, bounded state."""
+    e = _t(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 10, 0)
+        .when(F.col("value") < 100, 1)
+        .when(F.col("value") < 1000, 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    obs = e.groupBy("event_type", band.alias("band")).agg(
+        F.count("*").cast("long").alias("o")
+    )
+    # full r x c grid (bounded dims): zero-observed cells still
+    # contribute E to chi2 — the |types| x |bands| crossJoin is a
+    # dim x dim product, never data-sized
+    types = obs.select("event_type").distinct()
+    bands = obs.select("band").distinct()
+    cell = (
+        types.crossJoin(bands)
+        .join(obs, ["event_type", "band"], "left")
+        .select(
+            "event_type", "band", F.coalesce("o", F.lit(0)).alias("o")
+        )
+    )
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("band")
+    m = cell.select(
+        "event_type",
+        "band",
+        "o",
+        F.sum("o").over(w_r).alias("rt"),
+        F.sum("o").over(w_c).alias("ct"),
+    )
+    term = F.struct(
+        F.col("event_type").alias("t"),
+        F.col("band").alias("b"),
+        (
+            (F.col("o") - F.col("rt").cast("double") * F.col("ct") / F.col("n"))
+            * (F.col("o") - F.col("rt").cast("double") * F.col("ct") / F.col("n"))
+            / (F.col("rt").cast("double") * F.col("ct") / F.col("n"))
+        ).alias("v"),
+    )
+    tot = cell.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("band").cast("long").alias("c"),
+    )
+    folded = (
+        m.crossJoin(F.broadcast(tot))
+        .groupBy("n", "r", "c")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(term)),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            ).alias("chi2")
+        )
+    )
+    return folded.select(
+        "n",
+        "r",
+        "c",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                ).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
     )

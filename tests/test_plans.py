@@ -398,6 +398,14 @@ def test_catalog_wide_no_accidental_cartesians(spark):
         "events_kmv_intersection",
         # 1-row scalar-broadcast crossJoin (full-vocab normalizer)
         "vocab_negative_sampling",
+        # 1-row (min,max) doc-id bounds broadcast into the decile
+        # width-bucket — the no-global-sort alternative to row_number
+        "docs_ngram_novelty",
+        # |types| x |bands| dim-x-dim grid (zero-observed chi2 cells
+        # must still contribute E) + the 1-row totals broadcast
+        "events_cramers_v",
+        # 1-row (min,max event_type) broadcast selecting the pair
+        "events_welch_t",
     }
     offenders = {}
     for name, q in sorted(catalog().items()):

@@ -161,3 +161,39 @@ def test_lateness_audit_planted_buckets(spark):
     assert out.loc[1].n_events == 1          # 0.5 s late
     assert out.loc[4].n_events == 1          # 60 s late -> [1m, 10m)
     assert out.loc[4].max_late_us == 60_000_000
+
+
+def test_welch_t_matches_numpy(spark):
+    from spark_tsne_spark.plans.queries import events_welch_t
+    from spark_tsne_spark.sources.tables import load_table
+
+    out = events_welch_t(spark, SF).toPandas().iloc[0]
+    e = load_table(spark, "events", SF).select("event_type", "value").toPandas()
+    e["v"] = np.round(e.value * 1e6) / 1e6
+    ta, tb = e.event_type.min(), e.event_type.max()
+    a = e[e.event_type == ta].v.to_numpy()
+    b = e[e.event_type == tb].v.to_numpy()
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t_ref = (a.mean() - b.mean()) / np.sqrt(va + vb)
+    df_ref = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
+    assert out.type_a == ta and out.type_b == tb
+    assert int(out.n1) == len(a) and int(out.n2) == len(b)
+    assert abs(out.t_stat - t_ref) < 1e-4 * max(1.0, abs(t_ref))
+    assert abs(out.df_welch - df_ref) < 1e-3 * max(1.0, df_ref)
+
+
+def test_cramers_v_matches_numpy(spark):
+    from spark_tsne_spark.plans.queries import events_cramers_v
+    from spark_tsne_spark.sources.tables import load_table
+
+    out = events_cramers_v(spark, SF).toPandas().iloc[0]
+    e = load_table(spark, "events", SF).select("event_type", "value").toPandas()
+    band = np.digitize(e.value, [10, 100, 1000])
+    ct = pd.crosstab(e.event_type, band).to_numpy().astype(float)
+    n = ct.sum()
+    exp = ct.sum(1)[:, None] * ct.sum(0)[None, :] / n
+    chi2 = np.where(exp > 0, (ct - exp) ** 2 / np.where(exp > 0, exp, 1), 0).sum()
+    v_ref = np.sqrt(chi2 / (n * (min(ct.shape[0] - 1, ct.shape[1] - 1))))
+    assert int(out.n) == int(n)
+    assert abs(out.chi2 - chi2) < 1e-3 * max(1.0, chi2)
+    assert abs(out.cramers_v - v_ref) < 1e-5
