@@ -250,3 +250,66 @@ def test_flat_tree_build_matches_insert_path_after_vectorization():
     assert bc.shape == rc.shape
     assert np.allclose(bc, rc) and (bn == rn).all()
     assert np.allclose(br, rr) and (bl == rl).all()
+
+
+# ------------------------------------------------- HOF lambda outer refs
+
+
+def _lambda_bodies(plan: str) -> str:
+    """Concatenated lambdafunction(...) fragments of a plan string."""
+    import re
+
+    return " ".join(re.findall(r"lambdafunction\([^)]*", plan))
+
+
+def test_word_ngrams_lambda_has_no_expensive_outer_refs(spark):
+    """word_ngrams must not re-evaluate split()/trim() per element:
+    the zip_with form keeps the tokenization at row level (the r9
+    2.7s -> 0.54s explode fix). A regression reintroduces split()
+    inside a lambdafunction."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.functions.text import char_shingles, word_ngrams
+
+    d = spark.createDataFrame([("a b c d e",)], "text string")
+    plan = (
+        d.select(F.explode(word_ngrams("text", 3)))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    bodies = _lambda_bodies(plan)
+    assert "split(" not in bodies, bodies
+    # char_shingles: no substring/lower re-derivation per element
+    plan2 = (
+        d.select(F.explode(char_shingles(F.lower("text"), 3)))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    bodies2 = _lambda_bodies(plan2)
+    assert "lower(" not in bodies2, bodies2
+    assert "substring(" not in bodies2, bodies2
+
+
+def test_project_barrier_blocks_collapse(spark):
+    """project_barrier must keep the fenced alias OUT of downstream
+    HOF lambdas (CollapseProject would otherwise inline lower(text)
+    into the shingle transform and re-lower the doc per trigram)."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.functions.text import project_barrier
+
+    d = spark.createDataFrame([("ABCDEF",)], "text string")
+    fenced = project_barrier(d, F.lower("text").alias("_t"))
+    out = fenced.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - 2),
+                lambda i: F.substring(F.col("_t"), i, 3),
+            )
+        ).alias("g")
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "lower(" not in _lambda_bodies(plan), plan
+    assert [r.g for r in out.collect()] == ["abc", "bcd", "cde", "def"]
