@@ -680,9 +680,23 @@ def main():
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     stages: dict[str, dict] = {}
+    qi = 0
     for name, fn in bench_queries().items():
         if only and name not in only:
             continue
+        # Periodic driver GC (untimed): Spark's ContextCleaner only
+        # reclaims finished broadcasts/shuffles when the DRIVER GC
+        # collects their references, and a 100 GB mostly-empty heap
+        # can go the whole 189-query session without one — the
+        # accumulated block debris measurably degrades late-session
+        # queries (the flagship's affinity stage ran 2x its isolated
+        # time at position ~150 of the suite).
+        qi += 1
+        if qi % 10 == 1:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         reps = max(1, min(repeat, heavy_repeat.get(name, repeat)))
         runs: list[float] = []
         best_stage: dict | None = None

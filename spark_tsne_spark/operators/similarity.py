@@ -101,9 +101,12 @@ def cosine_topk_block(
     b_Q = sc.broadcast(Qn)
 
     def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_worker as tune_malloc
+        from spark_tsne_spark.runtime import tune_malloc, unpin_blas_threads
 
         tune_malloc()
+        # narrow query-batch kernel: restore the full BLAS pool (a
+        # prior wide pass may have pinned this worker to 1 thread)
+        unpin_blas_threads()
         Qn_ = b_Q.value
         qids_ = b_qids.value
         for pdf in batches:
@@ -267,9 +270,12 @@ def _make_cell_fanout(b_C, n_top: int):
     one-shot :func:`ivf_topk` and the persistent :class:`IvfIndex`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_worker as tune_malloc
+        from spark_tsne_spark.runtime import tune_malloc, unpin_blas_threads
 
         tune_malloc()
+        # narrow query-batch kernel: restore the full BLAS pool (a
+        # prior wide pass may have pinned this worker to 1 thread)
+        unpin_blas_threads()
         C_ = b_C.value
         m = min(n_top, len(C_))
         for pdf in batches:
@@ -579,9 +585,12 @@ def _make_pq_encode(b_C, b_books):
     broadcast codebooks, vectorized per-subspace argmin, no shuffle."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from spark_tsne_spark.runtime import tune_worker as tune_malloc
+        from spark_tsne_spark.runtime import tune_malloc, unpin_blas_threads
 
         tune_malloc()
+        # narrow query-batch kernel: restore the full BLAS pool (a
+        # prior wide pass may have pinned this worker to 1 thread)
+        unpin_blas_threads()
         C_, B_ = b_C.value, b_books.value
         m_, _, ds = B_.shape
         for pdf in batches:

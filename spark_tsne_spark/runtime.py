@@ -54,7 +54,39 @@ def tune_malloc() -> None:
         pass
 
 
-_blas_pinned = False
+_blas_setter = None
+_blas_current: int | None = None
+
+
+def _resolve_blas_setter():
+    """Locate the loaded OpenBLAS's set_num_threads symbol (once)."""
+    global _blas_setter
+    if _blas_setter is not None:
+        return _blas_setter
+    import os
+
+    _blas_setter = False  # poison on failure
+    try:
+        for line in open("/proc/self/maps"):
+            path = line.rsplit(None, 1)[-1]
+            if not path.startswith("/"):
+                continue
+            if "openblas" not in os.path.basename(path).lower():
+                continue
+            lib = ctypes.CDLL(path)
+            for sym in (
+                "openblas_set_num_threads64_",
+                "openblas_set_num_threads",
+                "goto_set_num_threads64_",
+                "goto_set_num_threads",
+            ):
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    _blas_setter = fn
+                    return _blas_setter
+    except Exception:
+        pass
+    return _blas_setter
 
 
 def pin_blas_threads(n: int = 1) -> None:
@@ -71,40 +103,44 @@ def pin_blas_threads(n: int = 1) -> None:
     small-input t-SNE path WANTS the 32-way GEMM), which is why this
     is NOT folded into :func:`tune_malloc`.
     """
-    global _blas_pinned
-    if _blas_pinned:
-        return
-    _blas_pinned = True
-    try:
-        import os
+    global _blas_current
+    import os
 
-        for line in open("/proc/self/maps"):
-            path = line.rsplit(None, 1)[-1]
-            if not path.startswith("/"):
-                continue
-            if "openblas" not in os.path.basename(path).lower():
-                continue
-            lib = ctypes.CDLL(path)
-            for sym in (
-                "openblas_set_num_threads64_",
-                "openblas_set_num_threads",
-                "goto_set_num_threads64_",
-                "goto_set_num_threads",
-            ):
-                fn = getattr(lib, sym, None)
-                if fn is not None:
-                    fn(int(n))
-                    return
-    except Exception:
-        pass
+    if os.environ.get("SPARK_GRAFT_BLAS_PIN", "1") == "0":
+        return
+    if _blas_current == n:
+        return
+    fn = _resolve_blas_setter()
+    if fn:
+        try:
+            fn(int(n))
+            _blas_current = n
+        except Exception:
+            pass
+
+
+def unpin_blas_threads() -> None:
+    """Restore the full OpenBLAS pool (nproc) for NARROW kernels.
+
+    The pin is process-sticky: a worker that ran a wide pass stays at
+    1 BLAS thread, which starves the few-task query-batch GEMMs
+    (IVF/PQ/top-k with ~100-query batches) that legitimately want the
+    idle cores. Each kernel declares its shape: wide passes call
+    ``tune_worker()``, narrow ones call this after ``tune_malloc()``
+    (A/B at sf0.1: ann_ivf_pq 4.1 s pinned vs 2.9 s unpinned, while
+    the 32-task kNN block pass needs the pin — see
+    :func:`pin_blas_threads`).
+    """
+    import os
+
+    pin_blas_threads(os.cpu_count() or 1)
 
 
 def tune_worker() -> None:
-    """Per-Python-worker setup: malloc thresholds + serial BLAS.
-
-    Call at the top of every Arrow-batched kernel (replaces the bare
-    ``tune_malloc()`` there). Idempotent and cheap after the first
-    call.
+    """Per-Python-worker setup for WIDE passes (one task per core):
+    malloc thresholds + serial BLAS. Call at the top of Arrow-batched
+    kernels that fan out cluster-wide; narrow query-batch kernels use
+    ``tune_malloc()`` + :func:`unpin_blas_threads` instead.
     """
     tune_malloc()
     pin_blas_threads(1)
