@@ -15727,17 +15727,20 @@ _LEADTIME_SQL = """
 @register("nation_lead_time_p90", _LEADTIME_SQL)
 def nation_lead_time_p90(spark, sf_dir):
     """Exact p90 order-to-ship lead time per supplier NATION - the
-    SLA metric a procurement scorecard runs, computed with the shared
-    grouped histogram narrowing (operators/quantiles.py): every
-    nation's bracket narrows inside ONE aggregation per round, so the
-    whole population costs ~2-3 aggregation-only scans - while the
-    oracle's row_number window sorts the full joined fact. Lead time
-    is exact integer days from equi joins (supplier/nation dims
-    broadcast); p90 is a real data value (lower-quantile rank
-    ceil(0.9 n)). Grouping is nation-level (25 groups) because the
-    narrowing's routing when-chain is O(groups) codegen - per-
-    supplier granularity belongs to the row_number form the oracle
-    shows, or to a two-level narrowing."""
+    SLA metric a procurement scorecard runs. Lead time is a BOUNDED
+    integer domain (days between order and ship, a few hundred
+    distinct values), so the right plan is a histogram, not a sort
+    and not an iterative bracket: ONE aggregation to (nation, days)
+    counts, a |days|-bounded cumulative window per nation, and the
+    quantile is the first value whose running count reaches
+    ceil(0.9 n). One scan of the joined fact, shuffle bounded by
+    |nations| x |days| rows, exact by construction - while the
+    oracle's row_number window sorts the full joined fact. (For
+    UNBOUNDED value domains this plan degenerates; that case is the
+    grouped-histogram narrowing shown by orders_exact_quantiles /
+    operators/quantiles.py. Until r9 this entry used the narrowing
+    too - 2-3 cached scans of the join; the bounded-domain histogram
+    is ~2x faster and needs no cache.)"""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     sup = _t(spark, sf_dir, "supplier")
@@ -15755,16 +15758,26 @@ def nation_lead_time_p90(spark, sf_dir):
             .alias("days"),
         )
     )
-    from spark_tsne_spark.operators.quantiles import exact_group_quantile
-
-    # the narrowing re-scans its input once per round (2-3x): cache
-    # the JOINED fact for the loop, release before returning (the
-    # result is a driver-materialized 25-row frame)
-    lt = lt.cache()
-    try:
-        return exact_group_quantile(lt, "nation", "days", 0.9)
-    finally:
-        lt.unpersist()
+    hist = lt.groupBy("nation", "days").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("nation")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("nation")
+    cum = hist.select(
+        "nation",
+        "days",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    rank = F.expr("CAST((900 * n + 999) DIV 1000 AS BIGINT)")
+    return (
+        cum.where(F.col("cum") >= rank)
+        .groupBy("nation")
+        .agg(F.min("days").cast("long").alias("q_value"))
+        .orderBy("nation")
+    )
 
 
 _HEAPS_SQL = r"""
