@@ -123,6 +123,12 @@ def knn_exact_block(
         tbl = sel.toArrow()
         ids = tbl.column("id").to_numpy().astype(np.int64, copy=False)
         fcol = tbl.column("f").combine_chunks()
+        # flatten() silently DROPS null list entries; if the drop count
+        # happens to keep the total divisible by len(ids) the reshape
+        # would succeed with ids/vectors misaligned — refuse nulls
+        # (outer or element-level) loudly into the toPandas fallback.
+        if fcol.null_count != 0 or fcol.values.null_count != 0:
+            raise ValueError("null feature rows/elements: use slow path")
         X = np.asarray(fcol.flatten()).reshape(len(ids), -1).astype(
             np.float64, copy=False
         )

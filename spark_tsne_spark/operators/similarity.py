@@ -99,14 +99,18 @@ def cosine_topk_block(
     sc = emb.sparkSession.sparkContext
     b_qids = sc.broadcast(q_ids)
     b_Q = sc.broadcast(Qn)
+    # Spread the scan: fixture parquet often lands as one partition.
+    par = sc.defaultParallelism
 
     def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_tsne_spark.runtime import tune_malloc, unpin_blas_threads
 
         tune_malloc()
-        # narrow query-batch kernel: restore the full BLAS pool (a
-        # prior wide pass may have pinned this worker to 1 thread)
-        unpin_blas_threads()
+        # This pass fans out over `par` concurrent tasks, so each
+        # worker only widens its BLAS pool to its fair share of the
+        # cores (an unconditional unpin here re-created the 32×32
+        # thread oversubscription the wide-pass pin exists to fix).
+        unpin_blas_threads(par)
         Qn_ = b_Q.value
         qids_ = b_qids.value
         for pdf in batches:
@@ -129,8 +133,6 @@ def cosine_topk_block(
                 {"i": out_i, "j": out_j, "cosine": out_c, "rank": 0}
             )
 
-    # Spread the scan: fixture parquet often lands as one partition.
-    par = emb.sparkSession.sparkContext.defaultParallelism
     partial = (
         emb.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -264,18 +266,20 @@ _FANOUT_SCHEMA = T.StructType(
 )
 
 
-def _make_cell_fanout(b_C, n_top: int):
+def _make_cell_fanout(b_C, n_top: int, concurrent: int = 1):
     """mapInPandas kernel: emit each row once per its n_top nearest
     cells — vectorized (np.repeat / ravel), no row loop. Shared by the
-    one-shot :func:`ivf_topk` and the persistent :class:`IvfIndex`."""
+    one-shot :func:`ivf_topk` and the persistent :class:`IvfIndex`.
+    ``concurrent`` is the plan-side partition count of the stage this
+    kernel runs in: the BLAS pool widens only to the worker's fair
+    share of the cores (1-partition query batch → full pool; a
+    many-partition corpus scan → 1 thread each)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_tsne_spark.runtime import tune_malloc, unpin_blas_threads
 
         tune_malloc()
-        # narrow query-batch kernel: restore the full BLAS pool (a
-        # prior wide pass may have pinned this worker to 1 thread)
-        unpin_blas_threads()
+        unpin_blas_threads(concurrent)
         C_ = b_C.value
         m = min(n_top, len(C_))
         for pdf in batches:
@@ -372,7 +376,10 @@ class IvfIndex:
         parts = max(1, min(par, n_corpus // 4096 + 1))
         (
             base.repartition(parts)
-            .mapInPandas(_make_cell_fanout(b_C, max(1, replicas)), _FANOUT_SCHEMA)
+            .mapInPandas(
+                _make_cell_fanout(b_C, max(1, replicas), concurrent=parts),
+                _FANOUT_SCHEMA,
+            )
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{path}/cells")
@@ -424,7 +431,8 @@ class IvfIndex:
         (
             base.repartition(parts)
             .mapInPandas(
-                _make_cell_fanout(b_C, max(1, self.replicas)), _FANOUT_SCHEMA
+                _make_cell_fanout(b_C, max(1, self.replicas), concurrent=parts),
+                _FANOUT_SCHEMA,
             )
             .write.mode("append")
             .partitionBy("cell")
@@ -445,10 +453,16 @@ class IvfIndex:
         spark = queries.sparkSession
         ship_package(spark)
         b_C = spark.sparkContext.broadcast(self.C)
-        query_cells = queries.select(
+        q_sel = queries.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
-        ).mapInPandas(_make_cell_fanout(b_C, max(1, n_probe)), _FANOUT_SCHEMA)
+        )
+        query_cells = q_sel.mapInPandas(
+            _make_cell_fanout(
+                b_C, max(1, n_probe), concurrent=q_sel.rdd.getNumPartitions()
+            ),
+            _FANOUT_SCHEMA,
+        )
         query_cells = query_cells.cache()
         # Bounded driver collect (≤ n_cells ints): the probed cell set
         # becomes an IN-filter the scan turns into partition pruning —
@@ -500,11 +514,20 @@ def ivf_topk(
     # stage's fixed overhead dominated the query. maxPartitionBytes
     # already bounds scan partitions; Arrow batching handles the rest.)
     corpus_cells = base.mapInPandas(
-        _make_cell_fanout(b_C, max(1, replicas)), _FANOUT_SCHEMA
+        _make_cell_fanout(
+            b_C, max(1, replicas), concurrent=base.rdd.getNumPartitions()
+        ),
+        _FANOUT_SCHEMA,
     )
-    query_cells = queries.select(
+    q_sel = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).mapInPandas(_make_cell_fanout(b_C, max(1, n_probe)), _FANOUT_SCHEMA)
+    )
+    query_cells = q_sel.mapInPandas(
+        _make_cell_fanout(
+            b_C, max(1, n_probe), concurrent=q_sel.rdd.getNumPartitions()
+        ),
+        _FANOUT_SCHEMA,
+    )
     # Multi-assignment can surface the same (i, j) via several shared
     # cells; _rank_cell_join dedups before ranking (same shuffle key
     # as the ranking window, so AQE plans them back-to-back).
@@ -580,17 +603,17 @@ _CAND_SCHEMA = T.StructType(
 )
 
 
-def _make_pq_encode(b_C, b_books):
+def _make_pq_encode(b_C, b_books, concurrent: int = 1):
     """mapInPandas kernel: (id, v) → (id, cell, m uint8-range codes) —
-    broadcast codebooks, vectorized per-subspace argmin, no shuffle."""
+    broadcast codebooks, vectorized per-subspace argmin, no shuffle.
+    ``concurrent`` = plan-side partition count (BLAS fair share — see
+    :func:`_make_cell_fanout`)."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_tsne_spark.runtime import tune_malloc, unpin_blas_threads
 
         tune_malloc()
-        # narrow query-batch kernel: restore the full BLAS pool (a
-        # prior wide pass may have pinned this worker to 1 thread)
-        unpin_blas_threads()
+        unpin_blas_threads(concurrent)
         C_, B_ = b_C.value, b_books.value
         m_, _, ds = B_.shape
         for pdf in batches:
@@ -758,7 +781,9 @@ class IvfPqIndex:
         parts = max(1, min(par, n_corpus // 4096 + 1))
         (
             base.repartition(parts)
-            .mapInPandas(_make_pq_encode(b_C, b_books), _CODE_SCHEMA)
+            .mapInPandas(
+                _make_pq_encode(b_C, b_books, concurrent=parts), _CODE_SCHEMA
+            )
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{path}/codes")
@@ -892,7 +917,10 @@ def ivf_pq_topk(
     # full-corpus shuffle for a map-only kernel is wrong at scale and
     # pure stage overhead at bench scale).
     corpus_codes = base.mapInPandas(
-        _make_pq_encode(b_C, b_books), _CODE_SCHEMA
+        _make_pq_encode(
+            b_C, b_books, concurrent=base.rdd.getNumPartitions()
+        ),
+        _CODE_SCHEMA,
     )
     # Query side: n_probe cell fan-out with the normalized query
     # vector riding along (d doubles — 32× smaller than a

@@ -119,8 +119,9 @@ def pin_blas_threads(n: int = 1) -> None:
             pass
 
 
-def unpin_blas_threads() -> None:
-    """Restore the full OpenBLAS pool (nproc) for NARROW kernels.
+def unpin_blas_threads(concurrent_tasks: int = 1) -> None:
+    """Widen this worker's OpenBLAS pool for NARROW kernels — bounded
+    by how many sibling tasks run the same kernel concurrently.
 
     The pin is process-sticky: a worker that ran a wide pass stays at
     1 BLAS thread, which starves the few-task query-batch GEMMs
@@ -130,10 +131,20 @@ def unpin_blas_threads() -> None:
     (A/B at sf0.1: ann_ivf_pq 4.1 s pinned vs 2.9 s unpinned, while
     the 32-task kNN block pass needs the pin — see
     :func:`pin_blas_threads`).
+
+    ``concurrent_tasks`` is the plan-side partition count of the
+    stage the kernel runs in. An unconditional restore-to-nproc here
+    would recreate the 32×32 oversubscription the pin exists to fix
+    the moment a "narrow" kernel is fed a many-partition input, so
+    the pool is sized to the worker's fair share of the cores:
+    ``max(1, nproc // min(concurrent_tasks, nproc))`` — 1-partition
+    query batch → full pool, 32-partition scan → 1 thread each.
     """
     import os
 
-    pin_blas_threads(os.cpu_count() or 1)
+    cpus = os.cpu_count() or 1
+    share = max(1, cpus // max(1, min(int(concurrent_tasks), cpus)))
+    pin_blas_threads(share)
 
 
 def tune_worker() -> None:
