@@ -99,6 +99,15 @@ def bench_queries():
     def b_knn_block(spark, sf_dir):
         return knn_exact_block(emb(spark, sf_dir), k=45, id_col="vec_id", features="embedding")
 
+    def b_knn_lsh_banded(spark, sf_dir):
+        # full sf0.1 table, bench-grade k (the catalog variant subsets
+        # to 200 rows / k=10 for the golden pin)
+        from spark_tsne_spark.operators.knn import knn_lsh_banded
+
+        return knn_lsh_banded(
+            emb(spark, sf_dir), k=45, id_col="vec_id", features="embedding"
+        )
+
     def b_ann_topk(spark, sf_dir):
         e = emb(spark, sf_dir)
         qs = e.where(F.col("vec_id") < 100)
@@ -443,6 +452,7 @@ def bench_queries():
         "seq_packing": b_seq_packing,
         "token_budget_mix": b_token_budget,
         "knn_exact_block": b_knn_block,
+        "knn_lsh_banded": b_knn_lsh_banded,
         "ann_topk_cosine": b_ann_topk,
         "ann_ivf_topk": b_ivf_topk,
         "ann_ivf_pq_topk": b_ivf_pq,
@@ -653,14 +663,19 @@ def main():
     # otherwise lands inside the flagship's first timed run — measured
     # ~30 s of one-time cost on this VM's lazily-restored memory.
     n_flagship = load_table(spark, "embeddings", sf_dir).count() * FLAGSHIP_COPIES
-    ch = max(1, min(256, (256 * 2**20) // (8 * n_flagship)))
 
     def _warm_knn_ws(batches):
+        from spark_tsne_spark.operators.knn import knn_workspace_spec
         from spark_tsne_spark.runtime import cached_shared_empty
 
+        # knn_workspace_spec is the SAME sizing the kernel itself uses
+        # (fp32 candidate buffer above KNN_FP32_MIN_N, fp64 below):
+        # cached_shared_empty keys on exact (name, shape, dtype), so
+        # warming any other spec would be a silent no-op.
+        name, shape, dt = knn_workspace_spec(n_flagship)
         for b in batches:
-            d = cached_shared_empty("knn_d", (ch, n_flagship))
-            d[:] = 0.0
+            d = cached_shared_empty(name, shape, dt)
+            d[:] = 0
             yield b.iloc[:1]
 
     spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(

@@ -158,17 +158,21 @@ def _resolve_knn_method(method: str, n: int, d: int) -> str:
     'block' broadcasts the full n×d double matrix to every executor
     (and first collects it on the driver) — exact and fast while it
     fits, a driver OOM when it doesn't. 'auto' chooses 'block' under
-    :data:`KNN_BROADCAST_BUDGET_BYTES` and 'lsh' above; an explicit
+    :data:`KNN_BROADCAST_BUDGET_BYTES` and 'lsh_banded' above (the
+    band-amplified bucket join with a hot-bucket cap — see
+    ``operators/knn.knn_lsh_banded`` for why MLlib's single-projection
+    ``approxSimilarityJoin`` is not usable at that size); an explicit
     'block' above budget is honored but warned about.
     """
     est = n * d * 8
     if method == "auto":
         if est > KNN_BROADCAST_BUDGET_BYTES:
             logger.info(
-                "knn auto: n*d*8 = %.1f GB exceeds broadcast budget; using 'lsh'",
+                "knn auto: n*d*8 = %.1f GB exceeds broadcast budget; "
+                "using 'lsh_banded'",
                 est / 2**30,
             )
-            return "lsh"
+            return "lsh_banded"
         return "block"
     if method == "block" and est > KNN_BROADCAST_BUDGET_BYTES:
         logger.warning(

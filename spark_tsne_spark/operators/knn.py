@@ -13,13 +13,18 @@ and keeps the μ smallest per row with a bounded priority queue
   O(n²) flops but vectorized, no pair-explosion shuffle — the fast
   exact path.
 - ``knn_lsh``: ``BucketedRandomProjectionLSH.approxSimilarityJoin``
-  + window top-k — the 100 TB scale path (approximate; flagged in
-  results via the ``exact=False`` contract).
+  + window top-k — approximate, fine to mid-scale; its single-scalar
+  buckets explode on clustered corpora (see below).
+- ``knn_lsh_banded`` / ``knn_lsh_banded_lists``: band-amplified
+  random-projection LSH with occupancy-tuned width and PER-BUCKET
+  local top-k — the 100 TB path (measured at 1M rows;
+  SCALE.md round-10 section).
 """
 
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterator
 
 import numpy as np
@@ -27,6 +32,49 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from spark_tsne_spark.functions.vector import sq_dist_from_norms, l2_norm
+
+# fp32-GEMM candidate generation engages above this broadcast size
+# (the block pass is memory-bandwidth-bound: 32 concurrent workers
+# saturate this host's bus, so halving the bytes of the (CH × n)
+# distance stream is wall-clock — measured on the 51.2k flagship
+# affinity stage). Below the threshold the pass stays pure fp64:
+# every golden / oracle-checked entry (sf0.01 catalog, sf0.1 bench
+# tables, the X2P golden) runs under it, so their value hashes are
+# untouched. SPARK_GRAFT_KNN_FP32=0 forces fp64 everywhere, =1
+# forces fp32 (used by the equivalence tests).
+KNN_FP32_MIN_N = 16384
+# Extra fp32 candidates per row before the exact fp64 rescore. The
+# final top-k is exact unless a true neighbor's fp32 distance ranks
+# beyond k+PAD — fp32 rounding on O(1e2) squared distances is ~1e-4
+# absolute, orders of magnitude below typical neighbor gaps, so 32
+# slots of slack make a miss astronomically unlikely (and the
+# equivalence test pins fp32≡fp64 neighbor sets on real data).
+KNN_FP32_PAD = 32
+
+
+def _use_fp32(n_all: int) -> bool:
+    v = os.environ.get("SPARK_GRAFT_KNN_FP32", "")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return n_all >= KNN_FP32_MIN_N
+
+
+def knn_workspace_spec(n_all: int) -> tuple[str, tuple[int, int], type]:
+    """(name, shape, dtype) of the block pass's big process-cached
+    distance workspace for an ``n_all``-row broadcast. Shared with
+    bench.py's warm-up pre-fault: ``cached_shared_empty`` keys on
+    exact (name, shape, dtype), so the warm-up must size the mapping
+    with THIS function or the one-time zero-fill lands back inside
+    the first timed run. Chunk rows are budgeted at 256 MB per
+    buffer and capped at 256 (see the kernel comment)."""
+    if _use_fp32(n_all):
+        ch = max(1, min(256, (256 * 2**20) // (4 * n_all)))
+        return "knn_d32", (ch, n_all), np.float32
+    ch = max(1, min(256, (256 * 2**20) // (8 * n_all)))
+    return "knn_d", (ch, n_all), np.float64
+
 
 KNN_SCHEMA = T.StructType(
     [
@@ -146,6 +194,14 @@ def knn_exact_block(
     kk = k
     cal = calibrate
     log_u = math.log(cal[0]) if cal is not None else 0.0
+    # Workspace spec + the fp32 decision happen HERE on the driver and
+    # ride the closure into the workers: _use_fp32 reads an env switch,
+    # and worker processes inherit the JVM's environment from session
+    # start — a test or bench toggling the variable after that would
+    # silently not reach them. Driver-side evaluation also guarantees
+    # every task of the pass takes the same branch.
+    ws_name, (CH, _), ws_dt = knn_workspace_spec(len(ids))
+    fp32 = ws_dt == np.float32
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_tsne_spark.runtime import cached_shared_empty, tune_worker
@@ -168,7 +224,6 @@ def knn_exact_block(
         # n=50k going from 83- to 256-row chunks — while the budget
         # keeps the workspace bounded as the broadcast matrix grows
         # (n=10M → 4-row chunks, same 256 MB).
-        CH = max(1, min(256, (256 * 2**20) // (8 * n_all)))
         # ONE workspace, process-cached: tasks after a worker's first
         # reuse the already-faulted mapping instead of zero-filling
         # fresh mmap per task, and the GEMM→distance transform runs
@@ -176,7 +231,15 @@ def knn_exact_block(
         # the memory traffic of the pass for nothing — 32 concurrent
         # workers saturate this host's bandwidth, so every avoided
         # 100 MB stream is wall-clock)
-        d_buf = cached_shared_empty("knn_d", (CH, n_all))
+        d_buf = cached_shared_empty(ws_name, (CH, n_all), ws_dt)
+        if fp32:
+            # Candidate generation in fp32 (halves the bytes of the
+            # bandwidth-bound GEMM + distance stream), then an EXACT
+            # fp64 rescore of k+PAD candidates per row — the emitted
+            # neighbors and distances are fp64, same formula and
+            # op order as the pure-fp64 branch.
+            X32 = X_all.astype(np.float32)
+            sq32 = (X32 * X32).sum(axis=1, dtype=np.float32)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -193,22 +256,54 @@ def knn_exact_block(
                 hi = min(lo + CH, len(my))
                 m = hi - lo
                 d = d_buf[:m]
-                np.dot(Xb[lo:hi], X_all.T, out=d)
-                np.multiply(d, -2.0, out=d)
-                d += sq_all[None, :]
-                d += xb_sq[lo:hi, None]
-                np.maximum(d, 0.0, out=d)
+                if fp32:
+                    np.dot(Xb[lo:hi].astype(np.float32), X32.T, out=d)
+                    np.multiply(d, np.float32(-2.0), out=d)
+                    d += sq32[None, :]
+                    d += xb_sq[lo:hi, None].astype(np.float32)
+                else:
+                    np.dot(Xb[lo:hi], X_all.T, out=d)
+                    np.multiply(d, -2.0, out=d)
+                    d += sq_all[None, :]
+                    d += xb_sq[lo:hi, None]
+                    np.maximum(d, 0.0, out=d)
                 d[np.arange(m), self_pos[lo:hi]] = np.inf  # exclude self
-                # row-loop of 1-D argpartition, NOT the axis=1 form:
-                # same introselect per row (bit-identical selection),
-                # ~4x faster (measured 150ms -> 39ms per 83x50k chunk
-                # — the 2-D path's strided index bookkeeping dominates)
-                idx = np.empty((m, kkk), dtype=np.intp)
-                for r in range(m):
-                    idx[r] = np.argpartition(d[r], kkk - 1)[:kkk]
-                part = np.take_along_axis(d, idx, axis=1)
-                order = np.argsort(part, axis=1, kind="stable")
-                sel = np.take_along_axis(idx, order, axis=1)
+                if fp32:
+                    # top-(k+PAD) fp32 candidates per row, then exact
+                    # fp64 rescore of just those: the tall (m × n)
+                    # stream stays fp32, the final distances are the
+                    # fp64 values the pure path computes (same
+                    # -2ab + ‖a‖² + ‖b‖² op order, clamped at 0).
+                    cand = min(kkk + KNN_FP32_PAD, n_all - 1)
+                    cidx = np.empty((m, cand), dtype=np.intp)
+                    for r in range(m):
+                        cidx[r] = np.argpartition(d[r], cand - 1)[:cand]
+                    Xc = X_all[cidx.reshape(-1)].reshape(m, cand, -1)
+                    dc = np.einsum("md,mcd->mc", Xb[lo:hi], Xc)
+                    dc *= -2.0
+                    dc += sq_all[cidx]
+                    dc += xb_sq[lo:hi, None]
+                    np.maximum(dc, 0.0, out=dc)
+                    idx = np.empty((m, kkk), dtype=np.intp)
+                    for r in range(m):
+                        idx[r] = np.argpartition(dc[r], kkk - 1)[:kkk]
+                    part = np.take_along_axis(dc, idx, axis=1)
+                    order = np.argsort(part, axis=1, kind="stable")
+                    sel = np.take_along_axis(
+                        cidx, np.take_along_axis(idx, order, axis=1), axis=1
+                    )
+                else:
+                    # row-loop of 1-D argpartition, NOT the axis=1
+                    # form: same introselect per row (bit-identical
+                    # selection), ~4x faster (measured 150ms -> 39ms
+                    # per 83x50k chunk — the 2-D path's strided index
+                    # bookkeeping dominates)
+                    idx = np.empty((m, kkk), dtype=np.intp)
+                    for r in range(m):
+                        idx[r] = np.argpartition(d[r], kkk - 1)[:kkk]
+                    part = np.take_along_axis(d, idx, axis=1)
+                    order = np.argsort(part, axis=1, kind="stable")
+                    sel = np.take_along_axis(idx, order, axis=1)
                 # emit ndarray rows, not .tolist(): Arrow consumes
                 # numpy cells directly — the 4.5M-element Python list
                 # materialization was pure overhead
@@ -342,4 +437,253 @@ def knn_lsh(
         joined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("i", "j", "dist", "rank")
+    )
+
+
+def knn_lsh_banded_lists(
+    df: DataFrame,
+    k: int,
+    id_col: str = "id",
+    features: str = "features",
+    num_tables: int = 8,
+    band_size: int = 4,
+    bucket_width: float | None = None,
+    width_quantile: float = 0.15,
+    max_bucket: int = 4096,
+    occupancy_target: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN via banded random-projection LSH with
+    PER-BUCKET local top-k — the million-row-and-up path.
+
+    Why not :func:`knn_lsh` (MLlib ``approxSimilarityJoin``) at this
+    scale: MLlib buckets on ONE scalar projection per hash table, so
+    a clustered corpus lands whole clusters in single buckets and the
+    join enumerates O(Σ bucket²) candidate ROWS with no cap — at 1M
+    rows that is 10⁹+ JVM pair rows per table (measured: 197 s and
+    0.13 recall at 200k for a pair-join formulation of this very
+    operator before this design). Two ideas fix both the cost and the
+    recall:
+
+    1. **Band amplification with occupancy-tuned width.** AND over
+       ``band_size`` projections per table (selective buckets), OR
+       over ``num_tables`` tables (recall back up) — the MinHash
+       banding scheme (`operators/dedup.py`) transplanted to p-stable
+       projections. A sampled-distance width is cluster-blind (random
+       pairs are inter-cluster; the near scale can sit 100× below
+       their quantile), so the width AUTO-TUNES against the data: the
+       raw projections are computed once and cached, then the width
+       halves (JVM-only re-bucket + count per probe) until at most
+       ``occupancy_target`` of (row, table) assignments sit in
+       over-``max_bucket`` buckets. Scale-free, no distance prior.
+    2. **Per-bucket local top-k instead of a pair join.** Within each
+       (table, bucket) group a numpy kernel computes the member×member
+       distance block (vectorized GEMM, ≤ max_bucket² doubles =
+       134 MB at the 4096 default — bounded worker transient; the
+       cap needs headroom above the data's natural neighborhood
+       size, or the occupancy auto-tune narrows the width until
+       neighborhoods FRAGMENT and recall collapses — measured 0.72 →
+       0.21 at 1M rows with a 1024 cap on 500-member clusters) and
+       emits only each member's k nearest IN THAT BUCKET. If j is
+       among i's true global top-k and lands in i's bucket, fewer
+       than k bucket members can be closer, so j survives — the
+       bucket-local cut loses NO recall vs enumerating all in-bucket
+       pairs, while shuffle volume drops from Σ bucket² pair rows to
+       ≤ n·L·k thin rows plus one n·L carry of the vectors (linear in
+       n — the 100 TB shape).
+
+    Buckets larger than ``max_bucket`` are dropped (that band carries
+    no information there; members stay reachable through the other
+    tables — and the width auto-tune keeps such buckets ≤
+    ``occupancy_target`` of assignments, so coverage stays ~total).
+    Deterministic for a fixed seed. Returns NEIGHBOR LISTS
+    ``(i, js, ds)`` sorted by (squared distance, neighbor id) — the
+    shape the affinity calibration consumes directly (the flat-row
+    wrapper :func:`knn_lsh_banded` explodes it for contract parity
+    with the exact paths).
+    """
+    from spark_tsne_spark.shipping import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    L, B, sd = int(num_tables), int(band_size), int(seed)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_tsne_spark.runtime import tune_worker
+
+        tune_worker()
+        R = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["f"].tolist(), dtype=np.float64)
+            if R is None:
+                # seeded per-worker: identical directions everywhere
+                R = np.random.default_rng(sd).normal(size=(X.shape[1], L * B))
+            P = X @ R
+            yield pd.DataFrame(
+                {"id": pdf["id"], "f": pdf["f"], "p": list(P)}
+            )
+
+    sel = df.select(
+        F.col(id_col).alias("id"),
+        F.col(features).cast("array<double>").alias("f"),
+    )
+    proj = sel.mapInPandas(
+        project, "id long, f array<double>, p array<double>"
+    ).persist()
+    n = proj.count()
+
+    def bucket_cols(w: float):
+        # per-table bucket id: xxhash64 over the table's B floored
+        # band cells + the table index — pure JVM expressions, so the
+        # width probes below never re-run the Python projection pass
+        return [
+            F.xxhash64(
+                F.lit(t),
+                *[
+                    F.floor(F.col("p").getItem(t * B + b) / F.lit(float(w)))
+                    for b in range(B)
+                ],
+            ).alias(f"b{t}")
+            for t in range(L)
+        ]
+
+    if bucket_width is None:
+        w = derive_bucket_length(
+            df, id_col, features, quantile=width_quantile, seed=sd
+        ) * 2.0
+        # occupancy-driven auto-tune: halve until oversized buckets
+        # hold at most occupancy_target of assignments (bounded probes;
+        # each probe is one JVM count over the cached projections)
+        for _ in range(12):
+            bk = proj.select(
+                F.explode(F.array(*bucket_cols(w))).alias("b")
+            )
+            over = (
+                bk.groupBy("b")
+                .agg(F.count("*").alias("c"))
+                .where(F.col("c") > max_bucket)
+                .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s"))
+                .first()["s"]
+            )
+            if over <= occupancy_target * n * L:
+                break
+            w /= 2.0
+    else:
+        w = float(bucket_width) * 2.0
+
+    exploded = proj.select(
+        "id",
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), c.alias("b")
+                    )
+                    for t, c in enumerate(bucket_cols(w))
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "f", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+    kk = int(k)
+    mb = int(max_bucket)
+
+    def bucket_topk(key, pdf):
+        # ARRAY-PACKED emission (one row per member per bucket, k-long
+        # arrays) — the flat alternative is n·L·k shuffle ROWS, which
+        # at 1M rows × 8 tables × k=90 is 7×10⁸ rows of per-row
+        # shuffle overhead; packed it is n·L rows carrying the same
+        # bytes.
+        from spark_tsne_spark.runtime import tune_worker
+
+        tune_worker()
+        m = len(pdf)
+        if m < 2 or m > mb:  # hot-bucket gate / singleton
+            # typed empties: a bare [] defaults to float64 columns,
+            # which Arrow refuses to cast to array<long>
+            return pd.DataFrame(
+                {
+                    "i": pd.Series([], dtype="int64"),
+                    "js": pd.Series([], dtype=object),
+                    "ds": pd.Series([], dtype=object),
+                }
+            )
+        # sort by id: group arrival order is shuffle-dependent, and
+        # argpartition under exact distance ties would otherwise pick
+        # arrival-dependent neighbor SETS — sorted input makes the
+        # whole operator deterministic for a fixed seed
+        pdf = pdf.sort_values("id")
+        X = np.array(pdf["f"].tolist(), dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        sq = (X * X).sum(axis=1)
+        D = X @ X.T
+        D *= -2.0
+        D += sq[None, :]
+        D += sq[:, None]
+        np.maximum(D, 0.0, out=D)
+        np.fill_diagonal(D, np.inf)
+        kl = min(kk, m - 1)
+        idx = np.argpartition(D, kl - 1, axis=1)[:, :kl]
+        dv = np.take_along_axis(D, idx, axis=1)
+        return pd.DataFrame(
+            {"i": ids, "js": list(ids[idx]), "ds": list(dv)}
+        )
+
+    local = exploded.groupBy("t", "b").applyInPandas(
+        bucket_topk, "i long, js array<long>, ds array<double>"
+    )
+
+    def merge_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-row numpy merge of ≤ L candidate arrays: dedupe ids
+        # (same (i, j) surfaces from several tables with the same
+        # dist), exact top-k, ties by neighbor id ascending — same
+        # ordering contract as the exact paths
+        for pdf in batches:
+            out_i, out_js, out_ds = [], [], []
+            for i, jss, dss in zip(pdf["i"], pdf["jss"], pdf["dss"]):
+                js = np.concatenate([np.asarray(a, dtype=np.int64) for a in jss])
+                ds = np.concatenate([np.asarray(a) for a in dss])
+                order = np.lexsort((js, ds))
+                js, ds = js[order], ds[order]
+                uj, first = np.unique(js, return_index=True)
+                # keep each id's best (first in (dist, j) order)
+                js, ds = js[np.sort(first)], ds[np.sort(first)]
+                order = np.lexsort((js, ds))[: kk]
+                out_i.append(i)
+                out_js.append(js[order])
+                out_ds.append(ds[order])
+            yield pd.DataFrame({"i": out_i, "js": out_js, "ds": out_ds})
+
+    merged = (
+        local.groupBy("i")
+        .agg(
+            F.collect_list("js").alias("jss"),
+            F.collect_list("ds").alias("dss"),
+        )
+        .mapInPandas(merge_lists, "i long, js array<long>, ds array<double>")
+    )
+    return merged
+
+
+def knn_lsh_banded(
+    df: DataFrame,
+    k: int,
+    id_col: str = "id",
+    features: str = "features",
+    **kwargs,
+) -> DataFrame:
+    """Flat-row contract over :func:`knn_lsh_banded_lists` —
+    ``(i, j, dist, rank)`` like the other kNN operators. The heavy
+    lifting (and the scale argument) lives in the list-form function;
+    this explode is JVM-side."""
+    nn = knn_lsh_banded_lists(df, k, id_col, features, **kwargs)
+    z = F.posexplode(F.arrays_zip("js", "ds"))
+    return nn.select("i", z.alias("p", "z")).select(
+        "i",
+        F.col("z.js").alias("j"),
+        F.col("z.ds").alias("dist"),
+        (F.col("p") + 1).cast("int").alias("rank"),
     )

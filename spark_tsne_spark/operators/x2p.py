@@ -276,6 +276,12 @@ def calibrated_neighbors(
         return knn_exact_block(
             df, mu, id_col, features, calibrate=(perplexity, tol)
         )
+    elif method == "lsh_banded":
+        from spark_tsne_spark.operators.knn import knn_lsh_banded_lists
+
+        # list-form output: skips a full n·k flat-row regroup shuffle
+        # (the banded kernel already merges per-row neighbor lists)
+        nn = knn_lsh_banded_lists(df, mu, id_col, features)
     elif method == "lsh":
         flat = knn_lsh(df, mu, id_col, features)
         # ONE collect_list of structs: two parallel collect_lists have

@@ -18,6 +18,7 @@ SQL_QUERIES = [(n, q) for n, q in sorted(catalog().items()) if q.sql is not None
 GOLDEN_SF_DIR = {
     "x2p_affinities": "/root/testdata/sf0.01",
     "knn_lsh_approx": "/root/testdata/sf0.01",
+    "knn_lsh_banded_approx": "/root/testdata/sf0.01",
     "ann_ivf_topk": "/root/testdata/sf0.01",
     "ann_ivf_index_query": "/root/testdata/sf0.01",
     "p3_pca_project": "/root/testdata/sf0.01",

@@ -117,15 +117,17 @@ def test_bh_tsne_lsh_knn_path(spark, embeddings):
 
 
 def test_knn_method_auto_resolution():
-    """'auto' must pick 'block' under the broadcast budget and 'lsh'
-    above it (n·d·8 bytes); explicit choices pass through."""
+    """'auto' must pick 'block' under the broadcast budget and the
+    banded-LSH path above it (n·d·8 bytes); explicit choices pass
+    through."""
     from spark_tsne_spark.api import KNN_BROADCAST_BUDGET_BYTES, _resolve_knn_method
 
     under = KNN_BROADCAST_BUDGET_BYTES // (64 * 8) - 1
     over = KNN_BROADCAST_BUDGET_BYTES // (64 * 8) + 1
     assert _resolve_knn_method("auto", under, 64) == "block"
-    assert _resolve_knn_method("auto", over, 64) == "lsh"
+    assert _resolve_knn_method("auto", over, 64) == "lsh_banded"
     assert _resolve_knn_method("lsh", under, 64) == "lsh"
+    assert _resolve_knn_method("lsh_banded", under, 64) == "lsh_banded"
     assert _resolve_knn_method("block", over, 64) == "block"  # honored, warned
 
 
