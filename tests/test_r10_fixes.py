@@ -191,3 +191,39 @@ def test_lsh_banded_hot_bucket_gate(spark):
     intra2 = open_.where((F.col("i") >= 1000) & (F.col("j") >= 1000)).count()
     assert intra2 > 0
     df.unpersist()
+
+
+def test_lsh_banded_partition_layout_invariance(spark):
+    """Banded LSH output must be identical regardless of the input's
+    partition layout: projections are seed-derived per worker, bucket
+    kernels sort by id (shuffle arrival order can't reorder ties),
+    and the merge is (dist, j)-tiebroken. This is what licenses the
+    golden-parquet oracle across driver configurations."""
+    df = _unit_df(spark, n=500, d=12, seed=5)
+    a = {
+        (r["i"], r["j"], r["rank"]): round(float(r["dist"]), 10)
+        for r in knn_lsh_banded(df.repartition(1), 8).collect()
+    }
+    b = {
+        (r["i"], r["j"], r["rank"]): round(float(r["dist"]), 10)
+        for r in knn_lsh_banded(df.repartition(7), 8).collect()
+    }
+    assert a == b
+
+
+def test_bh_tsne_lsh_banded_e2e_kl_decreases(spark, embeddings):
+    """End-to-end bh_tsne on the banded-LSH affinity path: full
+    coverage (one embedding row per input row) and a decreasing KL —
+    the approximate kNN still feeds a functioning optimizer."""
+    from spark_tsne_spark.api import bh_tsne
+
+    res = bh_tsne(
+        embeddings, max_iterations=25, perplexity=10.0, seed=3,
+        id_col="vec_id", features="embedding",
+        knn_method="lsh_banded", local_threshold=0,
+    )
+    assert res.Y.shape == (embeddings.count(), 2)
+    # BH KL is computed on the reference's 10-iteration cadence, so 25
+    # iterations yields (at least) two points — it must decrease
+    losses = [l for _, l in res.losses if l is not None]
+    assert len(losses) >= 2 and losses[-1] < losses[0]
