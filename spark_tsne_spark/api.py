@@ -178,7 +178,7 @@ def _resolve_knn_method(method: str, n: int, d: int) -> str:
         logger.warning(
             "knn_method='block' broadcasts ~%.1f GB (n=%d, d=%d) — above the "
             "%.1f GB budget; expect driver/executor memory pressure. "
-            "Use knn_method='auto' or 'lsh'.",
+            "Use knn_method='auto' or 'lsh_banded'.",
             est / 2**30, n, d, KNN_BROADCAST_BUDGET_BYTES / 2**30,
         )
     return method
