@@ -155,6 +155,20 @@ def knn_exact_block(
 
     Scale note: broadcast is n×d doubles — fine to ~10M×64; beyond
     that use ``knn_lsh``.
+
+    Exactness caveat: at ``n ≥ KNN_FP32_MIN_N`` (default 16384)
+    candidate generation runs in fp32 with an exact fp64 rescore of
+    the best ``k + KNN_FP32_PAD`` candidates per row. The result is
+    exact unless MORE than ``KNN_FP32_PAD`` (32) false candidates
+    rank inside the fp32 top-(k+PAD) ahead of a true neighbor — i.e.
+    on tie-dense data where >k+32 points sit within fp32 rounding
+    (~1e-4 absolute on O(1e2) squared distances) of the k-th
+    distance, a strictly closer neighbor CAN fall past the cut, so
+    above the threshold the contract is near-certain rather than
+    guaranteed. Callers needing strict exactness on heavily
+    duplicated data set ``SPARK_GRAFT_KNN_FP32=0`` (pure fp64 at any
+    n). Equivalence on real data is pinned by
+    ``tests/test_r10_fixes.py``.
     """
     from spark_tsne_spark.shipping import ship_package
 
@@ -451,7 +465,10 @@ def knn_lsh_banded_lists(
     width_quantile: float = 0.15,
     max_bucket: int = 4096,
     occupancy_target: float = 1 / 3,
+    n_probe: int = 1,
     seed: int = 42,
+    check_coverage: bool = False,
+    resources: list | None = None,
 ) -> DataFrame:
     """Approximate kNN via banded random-projection LSH with
     PER-BUCKET local top-k — the million-row-and-up path.
@@ -500,21 +517,62 @@ def knn_lsh_banded_lists(
        ≤ n·L·k thin rows plus one n·L carry of the vectors (linear in
        n — the 100 TB shape).
 
-    Buckets larger than ``max_bucket`` are dropped (that band carries
-    no information there; members stay reachable through the other
-    tables — and the width auto-tune keeps such buckets ≤
-    ``occupancy_target`` of assignments, so coverage stays ~total).
+    Buckets larger than ``max_bucket`` are SHARD-SALTED, not dropped:
+    a one-pass JVM count over the cached projections finds over-cap
+    (table, bucket) groups (few by construction — the width auto-tune
+    bounds over-cap assignments to ``occupancy_target``, so at most
+    ``n·L·target / max_bucket`` buckets, a broadcast-sized list), and
+    their members are split into ``ceil(c / max_bucket)`` deterministic
+    hash shards. Each shard runs the same bounded local top-k, so (a)
+    no pandas group ever materializes more than ~``max_bucket`` rows
+    of vectors in one worker (the pre-r11 gate let a degenerate
+    bucket ship n·L/3 rows to one task before dropping them — an OOM
+    risk exactly on clustered corpora), (b) members of mega-clusters
+    (e.g. duplicate-heavy corpora, where every width puts all copies
+    in one bucket on every table) still get neighbors — from a random
+    ~max_bucket-member subset of their cluster — instead of silently
+    vanishing from the output, the row-loss mode SCALE.md documents
+    for the MLlib path. A residual ``2·max_bucket`` in-kernel gate
+    remains as a pure safety backstop (hash-deviation overshoot past
+    2× expected shard size is astronomically unlikely).
+
+    **Multi-probe** (``n_probe`` > 1): each table also assigns every
+    row to the bucket(s) across its nearest band boundaries — the
+    coordinate(s) whose fractional position is closest to a floor
+    edge, shifted ±1 toward it (Lv et al.'s multi-probe LSH, the
+    step-wise probing sequence restricted to single-coordinate
+    perturbations). Quantization's loss mode is exactly boundary
+    splits, so probing recovers recall like extra tables do, but
+    without new projections and targeted where the split happened;
+    shuffle volume scales with ``n_probe`` (assignments = n·L·n_probe
+    rows). ``n_probe=1`` (default) is the round-10 behavior bit-for-
+    bit. Measured at 1M rows in SCALE.md (round 11).
+
+    ``check_coverage=True`` adds one thin eager job (ids × tables,
+    no vectors) counting rows whose every assignment is a singleton
+    bucket — such rows produce no output — and warns with the exact
+    count. The distributed t-SNE path gets the same surfacing for
+    free (``api._prepare`` compares adjacency ids against n).
+
+    ``resources``: optional list; the operator appends its persisted
+    projection DataFrame so callers can unpersist it once the output
+    is materialized (otherwise it stays cached until LRU eviction —
+    fine for one-shot queries, wasteful inside long sessions).
+
     Deterministic for a fixed seed. Returns NEIGHBOR LISTS
     ``(i, js, ds)`` sorted by (squared distance, neighbor id) — the
     shape the affinity calibration consumes directly (the flat-row
     wrapper :func:`knn_lsh_banded` explodes it for contract parity
     with the exact paths).
     """
+    import warnings
+
     from spark_tsne_spark.shipping import ship_package
 
     spark = df.sparkSession
     ship_package(spark)
     L, B, sd = int(num_tables), int(band_size), int(seed)
+    NP = max(1, min(int(n_probe), B + 1))
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_tsne_spark.runtime import tune_worker
@@ -540,24 +598,66 @@ def knn_lsh_banded_lists(
     proj = sel.mapInPandas(
         project, "id long, f array<double>, p array<double>"
     ).persist()
-    n = proj.count()
+    if resources is not None:
+        resources.append(proj)
 
-    def bucket_cols(w: float):
-        # per-table bucket id: xxhash64 over the table's B floored
-        # band cells + the table index — pure JVM expressions, so the
-        # width probes below never re-run the Python projection pass
-        return [
-            F.xxhash64(
-                F.lit(t),
-                *[
-                    F.floor(F.col("p").getItem(t * B + b) / F.lit(float(w)))
+    def assignment_cols(w: float) -> list:
+        # (table, bucket-hash) expression per assignment. Base bucket:
+        # xxhash64 over the table's B floored band cells + the table
+        # index. Probe buckets (n_probe > 1): the r-th probe flips the
+        # single band coordinate with the r-th smallest distance to a
+        # floor boundary, ±1 toward that boundary. All pure JVM
+        # expressions, so the width probes below never re-run the
+        # Python projection pass.
+        out = []
+        for t in range(L):
+            cells = [
+                F.floor(F.col("p").getItem(t * B + b) / F.lit(float(w)))
+                for b in range(B)
+            ]
+            out.append((t, F.xxhash64(F.lit(t), *cells)))
+            if NP > 1:
+                fr = [
+                    F.col("p").getItem(t * B + b) / F.lit(float(w)) - cells[b]
                     for b in range(B)
-                ],
-            ).alias(f"b{t}")
-            for t in range(L)
-        ]
+                ]
+                cand = F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.least(fr[b], F.lit(1.0) - fr[b]).alias("d"),
+                                F.lit(b).alias("c"),
+                                F.when(fr[b] < 0.5, F.lit(-1))
+                                .otherwise(F.lit(1))
+                                .cast("long")
+                                .alias("s"),
+                            )
+                            for b in range(B)
+                        ]
+                    )
+                )
+                for r in range(NP - 1):
+                    pc = [
+                        cells[b]
+                        + F.when(
+                            cand.getItem(r)["c"] == b, cand.getItem(r)["s"]
+                        ).otherwise(F.lit(0))
+                        for b in range(B)
+                    ]
+                    out.append((t, F.xxhash64(F.lit(t), *pc)))
+        return out
 
+    def tb_array(w: float):
+        return F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), c.alias("b"))
+                for t, c in assignment_cols(w)
+            ]
+        )
+
+    n = None
     if bucket_width is None:
+        n = proj.count()
         w = derive_bucket_length(
             df, id_col, features, quantile=width_quantile, seed=sd
         ) * 2.0
@@ -566,38 +666,80 @@ def knn_lsh_banded_lists(
         # each probe is one JVM count over the cached projections)
         for _ in range(12):
             bk = proj.select(
-                F.explode(F.array(*bucket_cols(w))).alias("b")
-            )
+                F.explode(tb_array(w)).alias("tb")
+            ).select("tb.t", "tb.b")
             over = (
-                bk.groupBy("b")
+                bk.groupBy("t", "b")
                 .agg(F.count("*").alias("c"))
                 .where(F.col("c") > max_bucket)
                 .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s"))
                 .first()["s"]
             )
-            if over <= occupancy_target * n * L:
+            if over <= occupancy_target * n * L * NP:
                 break
             w /= 2.0
     else:
-        w = float(bucket_width) * 2.0
-
-    exploded = proj.select(
-        "id",
-        "f",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), c.alias("b")
-                    )
-                    for t, c in enumerate(bucket_cols(w))
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "f", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        # used as-is (quantile-width semantics like knn_lsh's
+        # bucket_length); the ×2 headroom applies only to the
+        # DERIVED quantile above
+        w = float(bucket_width)
 
     kk = int(k)
     mb = int(max_bucket)
+
+    # Hot-bucket shard map: over-cap (t, b) groups and their shard
+    # counts, computed JVM-side from the cached projections (thin
+    # pass, no vectors) and broadcast — by the occupancy bound there
+    # are at most n·L·NP·target / max_bucket such buckets (~650 at 1M
+    # rows, defaults), so the broadcast is tiny.
+    thin = proj.select(F.explode(tb_array(w)).alias("tb")).select(
+        "tb.t", "tb.b"
+    )
+    over_caps = (
+        thin.groupBy("t", "b")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > mb)
+        .select("t", "b", F.ceil(F.col("c") / F.lit(mb)).alias("nsh"))
+    )
+
+    exploded = (
+        proj.select("id", "f", F.explode(tb_array(w)).alias("tb"))
+        .select("id", "f", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        .join(F.broadcast(over_caps), ["t", "b"], "left")
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.xxhash64("id", "t", "b", F.lit(1313)),
+                F.coalesce(F.col("nsh"), F.lit(1)),
+            ),
+        )
+    )
+
+    if check_coverage:
+        if n is None:
+            n = proj.count()
+        valid = (
+            thin.groupBy("t", "b")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= 2)
+            .select("t", "b")
+        )
+        covered = (
+            proj.select("id", F.explode(tb_array(w)).alias("tb"))
+            .select("id", "tb.t", "tb.b")
+            .join(valid, ["t", "b"], "left_semi")
+            .select("id")
+            .distinct()
+            .count()
+        )
+        if covered < n:
+            warnings.warn(
+                f"knn_lsh_banded: {n - covered} of {n} rows share no "
+                "bucket with any other row (singleton in every table) "
+                "and will produce no neighbors; raise num_tables / "
+                "n_probe or widen bucket_width to cover them",
+                stacklevel=2,
+            )
 
     def bucket_topk(key, pdf):
         # ARRAY-PACKED emission (one row per member per bucket, k-long
@@ -609,7 +751,10 @@ def knn_lsh_banded_lists(
 
         tune_worker()
         m = len(pdf)
-        if m < 2 or m > mb:  # hot-bucket gate / singleton
+        # singleton shards carry no pairs; the 2·mb gate is a memory
+        # backstop only — shard sizing bounds E[m] ≤ mb, and a 2×
+        # hash-deviation overshoot at mb=4096 has vanishing probability
+        if m < 2 or m > 2 * mb:
             # typed empties: a bare [] defaults to float64 columns,
             # which Arrow refuses to cast to array<long>
             return pd.DataFrame(
@@ -640,30 +785,62 @@ def knn_lsh_banded_lists(
             {"i": ids, "js": list(ids[idx]), "ds": list(dv)}
         )
 
-    local = exploded.groupBy("t", "b").applyInPandas(
+    local = exploded.groupBy("t", "b", "shard").applyInPandas(
         bucket_topk, "i long, js array<long>, ds array<double>"
     )
 
     def merge_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-row numpy merge of ≤ L candidate arrays: dedupe ids
-        # (same (i, j) surfaces from several tables with the same
-        # dist), exact top-k, ties by neighbor id ascending — same
-        # ordering contract as the exact paths
+        # flat-array merge of each row's ≤ L·NP candidate lists:
+        # dedupe ids (the same (i, j) surfaces from several tables —
+        # per-bucket GEMM summation order can differ, so keep the
+        # smallest dist), exact top-k, ties by neighbor id ascending —
+        # same ordering contract as the exact paths. Vectorized over
+        # the WHOLE Arrow batch (two lexsorts + segment bookkeeping)
+        # instead of a per-row Python loop: at 1M rows × 32 tasks the
+        # loop was ~30k Python iterations × ~5 numpy calls per task in
+        # the hot stage (VERDICT r10 #3). Output is byte-identical
+        # (pinned by the partition-invariance test).
         for pdf in batches:
-            out_i, out_js, out_ds = [], [], []
-            for i, jss, dss in zip(pdf["i"], pdf["jss"], pdf["dss"]):
-                js = np.concatenate([np.asarray(a, dtype=np.int64) for a in jss])
-                ds = np.concatenate([np.asarray(a) for a in dss])
-                order = np.lexsort((js, ds))
-                js, ds = js[order], ds[order]
-                uj, first = np.unique(js, return_index=True)
-                # keep each id's best (first in (dist, j) order)
-                js, ds = js[np.sort(first)], ds[np.sort(first)]
-                order = np.lexsort((js, ds))[: kk]
-                out_i.append(i)
-                out_js.append(js[order])
-                out_ds.append(ds[order])
-            yield pd.DataFrame({"i": out_i, "js": out_js, "ds": out_ds})
+            nr = len(pdf)
+            if nr == 0:
+                continue
+            lens = np.fromiter(
+                (
+                    sum(len(a) for a in jss)
+                    for jss in pdf["jss"]
+                ),
+                dtype=np.int64,
+                count=nr,
+            )
+            row = np.repeat(np.arange(nr), lens)
+            js = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for jss in pdf["jss"] for a in jss]
+            )
+            ds = np.concatenate(
+                [np.asarray(a, dtype=np.float64) for dss in pdf["dss"] for a in dss]
+            )
+            # pass 1: (row, j, d) order → first hit per (row, j) is
+            # that neighbor's best distance
+            o = np.lexsort((ds, js, row))
+            row, js, ds = row[o], js[o], ds[o]
+            first = np.ones(len(row), dtype=bool)
+            first[1:] = (row[1:] != row[:-1]) | (js[1:] != js[:-1])
+            row, js, ds = row[first], js[first], ds[first]
+            # pass 2: (row, d, j) order → per-row rank, keep rank < k
+            o = np.lexsort((js, ds, row))
+            row, js, ds = row[o], js[o], ds[o]
+            start = np.searchsorted(row, np.arange(nr))
+            rank = np.arange(len(row)) - start[row]
+            keep = rank < kk
+            row, js, ds = row[keep], js[keep], ds[keep]
+            bounds = np.searchsorted(row, np.arange(1, nr))
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"],
+                    "js": np.split(js, bounds),
+                    "ds": np.split(ds, bounds),
+                }
+            )
 
     merged = (
         local.groupBy("i")

@@ -171,10 +171,13 @@ def test_lsh_banded_contract_and_recall(spark):
     df.unpersist()
 
 
-def test_lsh_banded_hot_bucket_gate(spark):
+def test_lsh_banded_hot_bucket_shards(spark):
     """A planted block of IDENTICAL vectors (same hash in every table)
-    larger than max_bucket is dropped by the gate — no intra-block
-    pairs; with a cap above the block size the pairs come back."""
+    larger than max_bucket is shard-salted, NOT dropped: every block
+    member still gets neighbors (all other copies are at distance 0,
+    so any shard peer is a correct top-k hit) — the round-10 gate
+    silently erased such rows from the output (ADVICE r10). The
+    uncapped run must agree."""
     rng = np.random.default_rng(9)
     base = [
         (int(i), [float(v) for v in rng.normal(size=8)]) for i in range(60)
@@ -184,13 +187,84 @@ def test_lsh_banded_hot_bucket_gate(spark):
         base + dup, "id long, features array<double>"
     ).cache()
     df.count()
-    gated = knn_lsh_banded(df, 5, max_bucket=20, bucket_width=0.5)
-    intra = gated.where((F.col("i") >= 1000) & (F.col("j") >= 1000)).count()
-    assert intra == 0, "oversized identical-vector bucket must be dropped"
+    sharded = knn_lsh_banded(df, 5, max_bucket=20, bucket_width=0.5)
+    rows = sharded.where(F.col("i") >= 1000).collect()
+    covered = {r["i"] for r in rows}
+    assert covered == {1000 + i for i in range(40)}, (
+        "every member of an over-cap duplicate cluster must keep output"
+    )
+    # every emitted intra-block neighbor is another exact duplicate
+    for r in rows:
+        if r["j"] >= 1000:
+            assert r["dist"] == 0.0
+    intra = sum(1 for r in rows if r["j"] >= 1000)
+    assert intra > 0
     open_ = knn_lsh_banded(df, 5, max_bucket=200, bucket_width=0.5)
     intra2 = open_.where((F.col("i") >= 1000) & (F.col("j") >= 1000)).count()
     assert intra2 > 0
     df.unpersist()
+
+
+def test_lsh_banded_multiprobe_recall_no_worse(spark):
+    """n_probe=2 adds boundary-adjacent bucket assignments: recall vs
+    the exact kernel must be >= the single-probe run's on the same
+    data (probing only ADDS candidate pairs), and every emitted
+    distance stays exact."""
+    df = _unit_df(spark, n=500, d=12, seed=21).cache()
+    df.count()
+    k = 10
+    exact_pairs = {
+        (r["i"], int(j))
+        for r in knn_exact_block(df, k).collect()
+        for j in r["js"]
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["i"], r["j"])
+            for r in knn_lsh_banded(df, k, n_probe=n_probe).collect()
+        }
+        return len(got & exact_pairs) / len(exact_pairs)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, f"multi-probe recall {r2} < single-probe {r1}"
+    df.unpersist()
+
+
+def test_lsh_banded_coverage_warns_on_singletons(spark):
+    """check_coverage=True warns when rows are singletons in every
+    table (no bucket peers anywhere → no output rows)."""
+    import warnings as _w
+
+    from spark_tsne_spark.operators.knn import knn_lsh_banded_lists
+
+    # two far-apart points at a tiny bucket width: each is alone in
+    # its bucket in every table
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1e6, 1e6])], "id long, features array<double>"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        knn_lsh_banded_lists(
+            df, 3, bucket_width=1e-3, check_coverage=True
+        )
+        msgs = [str(x.message) for x in rec]
+    assert any("no neighbors" in m for m in msgs), msgs
+
+
+def test_lsh_banded_resources_unpersist(spark):
+    """The resources hook hands back the persisted projection
+    DataFrame so callers can release executor storage."""
+    from spark_tsne_spark.operators.knn import knn_lsh_banded_lists
+
+    df = _unit_df(spark, n=100, d=8, seed=5)
+    res: list = []
+    out = knn_lsh_banded_lists(df, 5, resources=res)
+    out.count()
+    assert len(res) == 1
+    assert res[0].storageLevel.useMemory
+    res[0].unpersist()
+    assert not res[0].storageLevel.useMemory
 
 
 def test_lsh_banded_partition_layout_invariance(spark):
