@@ -172,15 +172,18 @@ def bench_queries():
         (broadcast (Y, tree) → mapInPandas force pass → driver
         update) run as Spark jobs — the flagship's 100 TB shape, not
         the driver-local shortcut. Fills ``_STAGES`` with the stage
-        breakdown (input build / fused affinity job / per-iteration
-        stats) so the headline number is attributable."""
-        import time as _t
-
+        breakdown (fused affinity job / per-iteration stats) so the
+        headline number is attributable."""
         from spark_tsne_spark.api import bh_tsne
 
         e = emb(spark, sf_dir)
-        t_build0 = _t.time()
         copies = spark.range(FLAGSHIP_COPIES).select(F.col("id").alias("copy"))
+        # LAZY cache — no eager count here: bh_tsne's own input count
+        # is the first action, so the build materializes inside the
+        # affinity job's input scan (one pass) instead of paying a
+        # separate build+count job plus a re-scan (r10 split: ~1.0-1.3s
+        # build + 0.2-0.3s count before the affinity job even started).
+        # The profile's input_count_sec now carries build+materialize.
         big = (
             e.crossJoin(copies)
             .select(
@@ -201,8 +204,6 @@ def bench_queries():
             .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
             .cache()
         )
-        big.count()
-        _STAGES["input_build_sec"] = round(_t.time() - t_build0, 3)
         res = bh_tsne(
             big, max_iterations=10, perplexity=30.0, seed=42,
             id_col="vec_id", features="embedding", profile=_STAGES,
@@ -573,6 +574,22 @@ def bench_queries():
     }
 
 
+def _release_worker_workspaces(spark, cpus: int) -> None:
+    """One task per Python worker: drop + madvise(DONTNEED) every
+    process-cached numpy workspace (see runtime.drop_cached_workspaces)."""
+
+    def _release(batches):
+        import pandas as _p
+
+        from spark_tsne_spark.runtime import drop_cached_workspaces
+
+        n = drop_cached_workspaces()
+        for b in batches:
+            yield _p.DataFrame({"n": [n + len(b) * 0]})
+
+    spark.range(cpus).repartition(cpus).mapInPandas(_release, "n long").count()
+
+
 def headline(total: float, sf: float, n_queries: int) -> dict:
     """The ONE machine-parsed JSON object bench.py prints as its last
     stdout line. Fixed-size by construction — never add a per-query
@@ -762,6 +779,44 @@ def main():
         if best_stage is not None:
             stages[name] = best_stage
         print(f"# {name}: min={timings[name]}s runs={runs} rows={n}", flush=True)
+        if name == "tsne_bh_distributed":
+            # Release the flagship's per-worker state (untimed): the
+            # process-cached ~100 MB kNN workspaces stay resident in
+            # all 32 Python workers otherwise, and BENCH r10 showed
+            # the later numpy-heavy ANN family paying a 2× memory-
+            # pressure tax for it (9.9 s in-suite vs 4.63 s isolated
+            # for ann_ivf_pq_topk). madvise(DONTNEED) hands the pages
+            # back; nothing downstream reuses the flagship's shapes.
+            _release_worker_workspaces(spark, int(cpus))
+
+    # In-suite-vs-isolated A/B (untimed suite-wise, recorded in the
+    # artifact): re-run the r10 weak-evidence entries at the END of
+    # the suite after a GC + cache clear. With the post-flagship
+    # workspace release above, the end-of-suite number should sit
+    # within ~1.3× of the in-suite min — this is the regression gate
+    # for the measurement tax itself.
+    iso: dict[str, list[float]] = {}
+    if not only:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        spark.catalog.clearCache()
+        for name in ("ann_ivf_pq_topk", "ann_ivf_topk"):
+            fn = qmap[name]
+            runs = []
+            for _ in range(3):
+                _STAGES.clear()
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                runs.append(round(time.time() - t0, 3))
+                spark.catalog.clearCache()
+            iso[name] = runs
+            print(
+                f"# isolated_ab {name}: min={min(runs)}s runs={runs} "
+                f"(in-suite min={timings.get(name)})",
+                flush=True,
+            )
 
     total = round(sum(timings.values()), 3)
     # Evidence detail (per-query mins, per-run timings, stage
@@ -779,6 +834,7 @@ def main():
         "repeat": repeat,
         "stages": stages,
         "stage_runs": stage_runs,
+        "isolated_ab": iso,
         "sf": sf,
     }
     print("# detail: " + json.dumps(detail), flush=True)

@@ -42,8 +42,10 @@ from spark_tsne_spark.gradient import (
     exact_block,
     exact_gradient_pass,
 )
-from spark_tsne_spark.operators.affinities import P_CLAMP, compute_p
-from spark_tsne_spark.operators.x2p import x2p
+from spark_tsne_spark.operators.affinities import (
+    P_CLAMP,
+    adjacency_from_calibrated,
+)
 from spark_tsne_spark.params import TSNEParam
 from spark_tsne_spark.sptree import FlatTree, SPTree
 from spark_tsne_spark.update import update
@@ -239,11 +241,38 @@ def _prepare(
         # near-uniform blocks. Blocks still ≥256 rows.
         parts = max(1, min(par, -(-n // 256)))
     t0 = _time.time()
-    p_ji = x2p(df, tol=1e-5, perplexity=perplexity, id_col=id_col, features=features, method=method)
-    # compute_p partitions by i into `parts` directly — no extra
-    # repartition pass over the materialized adjacency lists.
-    adjacency = compute_p(p_ji, n, parts).cache()
+    from spark_tsne_spark.operators.x2p import calibrated_neighbors
+
+    resources: list = []
+    cal = calibrated_neighbors(
+        df, tol=1e-5, perplexity=perplexity, id_col=id_col,
+        features=features, method=method, resources=resources,
+    )
+    # Fused symmetrize straight from the calibrated lists: ONE
+    # hash-partition of n·(k+1) rows (forward orientation stays
+    # array-packed; only the reverse edges route per-neighbor) and one
+    # aggregation — vs explode-both + groupBy(i,j) + regroup. Same
+    # values bit-for-bit (tests/test_r11_fixes.py); compute_p stays
+    # the public/oracle-checked form.
+    adjacency = adjacency_from_calibrated(
+        cal.select("i", "js", "ps"), n, parts
+    ).cache()
     ids = np.sort(adjacency.select("i").toPandas()["i"].to_numpy(dtype=np.int64))
+    # kNN-path intermediates (the banded-LSH projection cache) are
+    # consumed now that the adjacency is materialized — release them
+    # instead of pinning executor storage for the whole loop (ADVICE
+    # r10).
+    for r in resources:
+        r.unpersist()
+    if len(ids) < n:
+        # approximate kNN can drop rows whose every bucket assignment
+        # is a singleton — surface it (free: n and ids exist anyway)
+        # instead of silently shrinking the affinity matrix.
+        logger.warning(
+            "%d of %d input rows produced no neighbors (%s kNN coverage "
+            "gap) and are absent from the embedding",
+            n - len(ids), n, method,
+        )
     if profile is not None:
         # One fused job in production (kNN → β calibration → symmetrize
         # → cache), so it is timed as one stage — splitting it would

@@ -89,3 +89,85 @@ def compute_p(
     shuffle end to end — see :func:`symmetrize`).
     """
     return to_adjacency(symmetrize(p_ji, n, num_partitions))
+
+
+def adjacency_from_calibrated(
+    cal: DataFrame, n: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Fused symmetrize straight from CALIBRATED NEIGHBOR LISTS —
+    ``(i, js, ps)`` conditional → ``(i, js, ps)`` symmetric adjacency,
+    numerically identical to ``compute_p(explode(cal), n)`` (pinned by
+    tests/test_r11_fixes.py) but cheaper by construction:
+
+    - shuffle rows drop from 2·n·k flat COO rows to n·(k+1): each
+      input row emits its FORWARD orientation as ONE array-packed row
+      plus k thin reverse rows (the reverse direction inherently needs
+      per-neighbor routing; the forward direction never did — the old
+      path exploded both). Halves the dominant shuffle's row count
+      and its per-row overhead.
+    - the ``groupBy(i, j).sum`` pass disappears: after the single
+      hash-partition on the target id, one aggregation collects the
+      reverse entries and the merge ``(p_{j|i} + p_{i|j}) / 2n`` with
+      the 1e-12 clamp runs as JVM ``map_zip_with`` over the row's own
+      forward map — no second aggregation, no per-pair rows ever
+      materialized again.
+
+    Both orientations come from ONE pass over ``cal`` (a union of two
+    selects would re-execute the upstream kNN + calibration per
+    branch — same trap :func:`symmetrize` documents). Addition of the
+    two orientations is a 2-term IEEE sum, so values match
+    ``F.sum``'s arrival-order result bit-for-bit.
+    """
+    fwd = F.array(
+        F.struct(
+            F.col("i").alias("key"),
+            F.lit(None).cast("long").alias("j"),
+            F.lit(None).cast("double").alias("p"),
+            F.col("js").alias("fjs"),
+            F.col("ps").alias("fps"),
+        )
+    )
+    rev = F.transform(
+        F.arrays_zip("js", "ps"),
+        lambda e: F.struct(
+            e["js"].alias("key"),
+            F.col("i").alias("j"),
+            e["ps"].alias("p"),
+            F.lit(None).cast("array<long>").alias("fjs"),
+            F.lit(None).cast("array<double>").alias("fps"),
+        ),
+    )
+    rows = cal.select(F.explode(F.concat(fwd, rev)).alias("e")).select("e.*")
+    if num_partitions:
+        rows = rows.repartition(num_partitions, "key")
+    else:
+        rows = rows.repartition("key")
+    agg = rows.groupBy("key").agg(
+        # exactly one forward row exists per key (keys are input ids)
+        F.first("fjs", ignorenulls=True).alias("fjs"),
+        F.first("fps", ignorenulls=True).alias("fps"),
+        # when() without otherwise → null for the forward row, which
+        # collect_list skips (a bare struct(j, p) would collect a
+        # (null, null) entry)
+        F.collect_list(
+            F.when(F.col("j").isNotNull(), F.struct("j", "p"))
+        ).alias("rev"),
+    )
+    merged = F.map_zip_with(
+        F.map_from_arrays(
+            F.coalesce(F.col("fjs"), F.array().cast("array<long>")),
+            F.coalesce(F.col("fps"), F.array().cast("array<double>")),
+        ),
+        F.map_from_entries(F.col("rev")),
+        lambda _, v1, v2: F.greatest(
+            F.lit(P_CLAMP),
+            (F.coalesce(v1, F.lit(0.0)) + F.coalesce(v2, F.lit(0.0)))
+            / F.lit(2.0 * n),
+        ),
+    )
+    entries = F.array_sort(F.map_entries(merged))
+    return agg.select(
+        F.col("key").alias("i"),
+        entries.getField("key").alias("js"),
+        entries.getField("value").alias("ps"),
+    )

@@ -52,6 +52,12 @@ KNN_FP32_MIN_N = 16384
 KNN_FP32_PAD = 32
 
 
+# n_probe the affinity pipeline's lsh_banded path uses (the catalog /
+# operator default stays 1 = round-10 behavior). Set from the 1M
+# measurement in SCALE.md round 11.
+LSH_AFFINITY_N_PROBE = 1
+
+
 def _use_fp32(n_all: int) -> bool:
     v = os.environ.get("SPARK_GRAFT_KNN_FP32", "")
     if v == "0":

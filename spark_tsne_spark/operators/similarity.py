@@ -266,7 +266,7 @@ _FANOUT_SCHEMA = T.StructType(
 )
 
 
-def _make_cell_fanout(b_C, n_top: int, concurrent: int = 1):
+def _make_cell_fanout(b_C, n_top: int, concurrent: int = 1, floor: int = 1):
     """mapInPandas kernel: emit each row once per its n_top nearest
     cells — vectorized (np.repeat / ravel), no row loop. Shared by the
     one-shot :func:`ivf_topk` and the persistent :class:`IvfIndex`.
@@ -279,7 +279,7 @@ def _make_cell_fanout(b_C, n_top: int, concurrent: int = 1):
         from spark_tsne_spark.runtime import tune_malloc, unpin_blas_threads
 
         tune_malloc()
-        unpin_blas_threads(concurrent)
+        unpin_blas_threads(concurrent, floor)
         C_ = b_C.value
         m = min(n_top, len(C_))
         for pdf in batches:
@@ -459,7 +459,8 @@ class IvfIndex:
         )
         query_cells = q_sel.mapInPandas(
             _make_cell_fanout(
-                b_C, max(1, n_probe), concurrent=q_sel.rdd.getNumPartitions()
+                b_C, max(1, n_probe),
+                concurrent=q_sel.rdd.getNumPartitions(), floor=4,
             ),
             _FANOUT_SCHEMA,
         )
@@ -524,7 +525,8 @@ def ivf_topk(
     )
     query_cells = q_sel.mapInPandas(
         _make_cell_fanout(
-            b_C, max(1, n_probe), concurrent=q_sel.rdd.getNumPartitions()
+            b_C, max(1, n_probe),
+            concurrent=q_sel.rdd.getNumPartitions(), floor=4,
         ),
         _FANOUT_SCHEMA,
     )
@@ -603,7 +605,7 @@ _CAND_SCHEMA = T.StructType(
 )
 
 
-def _make_pq_encode(b_C, b_books, concurrent: int = 1):
+def _make_pq_encode(b_C, b_books, concurrent: int = 1, floor: int = 1):
     """mapInPandas kernel: (id, v) → (id, cell, m uint8-range codes) —
     broadcast codebooks, vectorized per-subspace argmin, no shuffle.
     ``concurrent`` = plan-side partition count (BLAS fair share — see
@@ -613,7 +615,7 @@ def _make_pq_encode(b_C, b_books, concurrent: int = 1):
         from spark_tsne_spark.runtime import tune_malloc, unpin_blas_threads
 
         tune_malloc()
-        unpin_blas_threads(concurrent)
+        unpin_blas_threads(concurrent, floor)
         C_, B_ = b_C.value, b_books.value
         m_, _, ds = B_.shape
         for pdf in batches:

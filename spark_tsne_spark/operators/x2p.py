@@ -265,8 +265,15 @@ def calibrated_neighbors(
     id_col: str = "id",
     features: str = "features",
     method: str = "block",
+    resources: list | None = None,
 ) -> DataFrame:
-    """Neighbor-list form of :func:`x2p`: ``(i, js, ps, beta)``."""
+    """Neighbor-list form of :func:`x2p`: ``(i, js, ps, beta)``.
+
+    ``resources``: optional list that receives any DataFrames the
+    chosen kNN path persisted (the banded-LSH projections) so the
+    caller can unpersist them once the calibrated output is
+    materialized.
+    """
     mu = int(3 * perplexity)
     if method == "block":
         # Fused kNN + β bisection: one Python-worker pass, no Arrow
@@ -277,11 +284,17 @@ def calibrated_neighbors(
             df, mu, id_col, features, calibrate=(perplexity, tol)
         )
     elif method == "lsh_banded":
-        from spark_tsne_spark.operators.knn import knn_lsh_banded_lists
+        from spark_tsne_spark.operators.knn import (
+            LSH_AFFINITY_N_PROBE,
+            knn_lsh_banded_lists,
+        )
 
         # list-form output: skips a full n·k flat-row regroup shuffle
         # (the banded kernel already merges per-row neighbor lists)
-        nn = knn_lsh_banded_lists(df, mu, id_col, features)
+        nn = knn_lsh_banded_lists(
+            df, mu, id_col, features,
+            n_probe=LSH_AFFINITY_N_PROBE, resources=resources,
+        )
     elif method == "lsh":
         flat = knn_lsh(df, mu, id_col, features)
         # ONE collect_list of structs: two parallel collect_lists have

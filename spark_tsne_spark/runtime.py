@@ -119,7 +119,7 @@ def pin_blas_threads(n: int = 1) -> None:
             pass
 
 
-def unpin_blas_threads(concurrent_tasks: int = 1) -> None:
+def unpin_blas_threads(concurrent_tasks: int = 1, floor: int = 1) -> None:
     """Widen this worker's OpenBLAS pool for NARROW kernels — bounded
     by how many sibling tasks run the same kernel concurrently.
 
@@ -139,11 +139,21 @@ def unpin_blas_threads(concurrent_tasks: int = 1) -> None:
     the pool is sized to the worker's fair share of the cores:
     ``max(1, nproc // min(concurrent_tasks, nproc))`` — 1-partition
     query batch → full pool, 32-partition scan → 1 thread each.
+
+    ``floor``: plan-side partition count OVERSTATES concurrency for
+    query-side stages whose input partitions are mostly empty (a
+    filtered query batch inherits the table's 32 parquet splits but
+    only a few hold rows, and probed-cell pruned scans run far fewer
+    simultaneous tasks than the plan shows) — fair-share would then
+    run 1-thread BLAS with idle cores. Such kernels pass a small
+    floor (4): worst case is bounded mild oversubscription
+    (concurrent·floor threads), not 32×32.
     """
     import os
 
     cpus = os.cpu_count() or 1
     share = max(1, cpus // max(1, min(int(concurrent_tasks), cpus)))
+    share = min(cpus, max(share, int(floor)))
     pin_blas_threads(share)
 
 
@@ -180,6 +190,41 @@ def cached_shared_empty(name: str, shape, dtype=np.float64) -> np.ndarray:
     while len(_WS_CACHE) > _WS_CACHE_MAX:
         _WS_CACHE.pop(next(iter(_WS_CACHE)))
     return arr
+
+
+def drop_cached_workspaces(prefix: str | None = None) -> int:
+    """Release process-cached workspaces (optionally only those whose
+    name starts with ``prefix``); returns how many were dropped.
+
+    The cache is by-design sticky across tasks — but a suite that runs
+    one kernel family with a huge working set (the t-SNE flagship's
+    ~100 MB-per-worker kNN workspace) and then a different numpy-heavy
+    family inherits 32 workers × that residency for the rest of the
+    session (BENCH r10: ann_ivf_pq_topk measured 9.9 s in-suite vs
+    4.63 s isolated — pure memory-pressure tax, not kernel time).
+    Dropping the mapping AND ``madvise(MADV_DONTNEED)``-ing its pages
+    returns them to the OS immediately; the next user of the same
+    (name, shape) just re-faults a fresh shared mapping at the fast
+    shared-anon rate. Call cluster-wide via a one-task-per-worker
+    ``mapInPandas`` pass (see bench.py's post-flagship release).
+    """
+    dropped = 0
+    for key in list(_WS_CACHE):
+        if prefix is not None and not key[0].startswith(prefix):
+            continue
+        arr = _WS_CACHE.pop(key)
+        base = arr
+        try:
+            while getattr(base, "base", None) is not None and not isinstance(
+                base, mmap.mmap
+            ):
+                base = base.base
+            if isinstance(base, mmap.mmap):
+                base.madvise(mmap.MADV_DONTNEED)
+        except (ValueError, OSError, AttributeError):
+            pass
+        dropped += 1
+    return dropped
 
 
 def shared_empty(shape, dtype=np.float64) -> np.ndarray:
