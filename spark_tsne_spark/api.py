@@ -42,10 +42,7 @@ from spark_tsne_spark.gradient import (
     exact_block,
     exact_gradient_pass,
 )
-from spark_tsne_spark.operators.affinities import (
-    P_CLAMP,
-    adjacency_from_calibrated,
-)
+from spark_tsne_spark.operators.affinities import P_CLAMP, compute_p
 from spark_tsne_spark.params import TSNEParam
 from spark_tsne_spark.sptree import FlatTree, SPTree
 from spark_tsne_spark.update import update
@@ -248,15 +245,20 @@ def _prepare(
         df, tol=1e-5, perplexity=perplexity, id_col=id_col,
         features=features, method=method, resources=resources,
     )
-    # Fused symmetrize straight from the calibrated lists: ONE
-    # hash-partition of n·(k+1) rows (forward orientation stays
-    # array-packed; only the reverse edges route per-neighbor) and one
-    # aggregation — vs explode-both + groupBy(i,j) + regroup. Same
-    # values bit-for-bit (tests/test_r11_fixes.py); compute_p stays
-    # the public/oracle-checked form.
-    adjacency = adjacency_from_calibrated(
-        cal.select("i", "js", "ps"), n, parts
-    ).cache()
+    # Symmetrize via the explode-both → single-hash-partition →
+    # tungsten-sum → regroup chain. MEASURED CHOICE (round 11): the
+    # array-packed alternative (affinities.adjacency_from_calibrated —
+    # half the shuffle rows, one aggregation) loses at flagship shape,
+    # 1.2 s vs 2.0 s steady-state interleaved A/B from cached
+    # calibrated lists (scripts/ab_symmetrize.py; SCALE.md r11): the
+    # thin-row path stays in whole-stage-codegen HashAggregate while
+    # the packed path pays ObjectHashAggregate + per-row map building.
+    # The chain is one exchange end-to-end (HashPartitioning(i)
+    # satisfies both aggregations — verified in the executed plan).
+    p_ji = cal.select(
+        "i", F.explode(F.arrays_zip("js", "ps")).alias("e")
+    ).select("i", F.col("e.js").alias("j"), F.col("e.ps").alias("p"))
+    adjacency = compute_p(p_ji, n, parts).cache()
     ids = np.sort(adjacency.select("i").toPandas()["i"].to_numpy(dtype=np.int64))
     # kNN-path intermediates (the banded-LSH projection cache) are
     # consumed now that the adjacency is materialized — release them

@@ -97,7 +97,22 @@ def adjacency_from_calibrated(
     """Fused symmetrize straight from CALIBRATED NEIGHBOR LISTS —
     ``(i, js, ps)`` conditional → ``(i, js, ps)`` symmetric adjacency,
     numerically identical to ``compute_p(explode(cal), n)`` (pinned by
-    tests/test_r11_fixes.py) but cheaper by construction:
+    tests/test_r11_fixes.py).
+
+    MEASURED REJECTION (round 11) — kept as a correct, pinned
+    alternative but NOT used by the affinity pipeline: at flagship
+    shape (50k rows, k=90) the interleaved ABBA A/B from cached
+    calibrated lists (scripts/ab_symmetrize.py) measures this path at
+    ~2.0 s steady-state vs ~1.2 s for explode-both + ``compute_p``.
+    Halving the shuffle rows does not pay for leaving whole-stage
+    codegen: the thin-row chain runs a tungsten ``HashAggregate(sum)``
+    while this one pays ``ObjectHashAggregate`` (first-over-arrays +
+    collect_list-of-structs) plus per-row map construction. Revisit
+    only if the shuffle becomes network-bound (real cluster) rather
+    than CPU-bound (local[32]) — the byte argument below is still
+    true there.
+
+    The construction it was built on:
 
     - shuffle rows drop from 2·n·k flat COO rows to n·(k+1): each
       input row emits its FORWARD orientation as ONE array-packed row
