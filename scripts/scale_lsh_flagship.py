@@ -9,8 +9,8 @@ with a broadcast-query partial-top-k pass — the queries broadcast at
 
     python scripts/scale_lsh_flagship.py [copies] [iters]  # default 500 3
 
-Env knobs: SPARK_GRAFT_LSH_TABLES / _BAND / _WIDTHQ / _MAXBUCKET
-forward to knn_lsh_banded for parameter sweeps.
+Env knobs: SPARK_GRAFT_LSH_TABLES / _BAND / _WIDTHQ / _MAXBUCKET /
+_NPROBE forward to knn_lsh_banded for parameter sweeps.
 """
 
 import json
@@ -162,6 +162,8 @@ def main():
         lsh_kwargs["width_quantile"] = float(os.environ["SPARK_GRAFT_LSH_WIDTHQ"])
     if os.environ.get("SPARK_GRAFT_LSH_MAXBUCKET"):
         lsh_kwargs["max_bucket"] = int(os.environ["SPARK_GRAFT_LSH_MAXBUCKET"])
+    if os.environ.get("SPARK_GRAFT_LSH_NPROBE"):
+        lsh_kwargs["n_probe"] = int(os.environ["SPARK_GRAFT_LSH_NPROBE"])
     out["lsh_kwargs"] = lsh_kwargs
 
     # Stage 1 measured alone: the banded-LSH kNN itself.

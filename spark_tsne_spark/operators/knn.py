@@ -52,10 +52,14 @@ KNN_FP32_MIN_N = 16384
 KNN_FP32_PAD = 32
 
 
-# n_probe the affinity pipeline's lsh_banded path uses (the catalog /
-# operator default stays 1 = round-10 behavior). Set from the 1M
-# measurement in SCALE.md round 11.
-LSH_AFFINITY_N_PROBE = 1
+# Dials the affinity pipeline's lsh_banded path uses (the catalog /
+# operator defaults stay 8 tables / n_probe 1 = round-10 behavior,
+# which the golden pins). Chosen from the measured 1M grid (SCALE.md
+# round 11): 6 tables × 2 symmetric probes scores recall 0.963 at
+# ~1.08× the 8-table single-probe cost — the 16-table escalation's
+# recall (0.961 @ ~3×) at a third of its price.
+LSH_AFFINITY_TABLES = 6
+LSH_AFFINITY_N_PROBE = 2
 
 
 def _use_fp32(n_all: int) -> bool:
@@ -472,6 +476,7 @@ def knn_lsh_banded_lists(
     max_bucket: int = 4096,
     occupancy_target: float = 1 / 3,
     n_probe: int = 1,
+    probe_index: bool = True,
     seed: int = 42,
     check_coverage: bool = False,
     resources: list | None = None,
@@ -542,15 +547,27 @@ def knn_lsh_banded_lists(
     remains as a pure safety backstop (hash-deviation overshoot past
     2× expected shard size is astronomically unlikely).
 
-    **Multi-probe** (``n_probe`` > 1): each table also assigns every
-    row to the bucket(s) across its nearest band boundaries — the
-    coordinate(s) whose fractional position is closest to a floor
+    **Multi-probe** (``n_probe`` > 1): each table also sends every
+    row to QUERY the bucket(s) across its nearest band boundaries —
+    the coordinate(s) whose fractional position is closest to a floor
     edge, shifted ±1 toward it (Lv et al.'s multi-probe LSH, the
     step-wise probing sequence restricted to single-coordinate
     perturbations). Quantization's loss mode is exactly boundary
     splits, so probing recovers recall like extra tables do, but
-    without new projections and targeted where the split happened;
-    shuffle volume scales with ``n_probe`` (assignments = n·L·n_probe
+    without new projections and targeted where the split happened.
+    ``probe_index`` picks the probing symmetry, and BOTH variants
+    were measured at 1M rows (SCALE.md r11, L=8, n_probe=2):
+    symmetric (True, default — probes are indexed AND querying)
+    recall 0.986 @ 3.0× the single-probe cost; asymmetric (False —
+    probes query the target bucket's base members without becoming
+    candidates, the classic Lv et al. shape) 0.922 @ 2.8×. The
+    textbook GEMM argument for asymmetry barely shows because this
+    operator is SHUFFLE-bound, not GEMM-bound, at these dials — and
+    symmetry's extra probe↔probe collisions (pairs split on a
+    boundary in BOTH rows' assignments) carry real recall — so
+    symmetric is the default and the efficient frontier combines it
+    with FEWER tables (see the num_tables×n_probe grid in SCALE.md).
+    Shuffle volume scales with ``n_probe`` (assignments = n·L·n_probe
     rows). ``n_probe=1`` (default) is the round-10 behavior bit-for-
     bit. Measured at 1M rows in SCALE.md (round 11).
 
@@ -608,20 +625,28 @@ def knn_lsh_banded_lists(
         resources.append(proj)
 
     def assignment_cols(w: float) -> list:
-        # (table, bucket-hash) expression per assignment. Base bucket:
-        # xxhash64 over the table's B floored band cells + the table
-        # index. Probe buckets (n_probe > 1): the r-th probe flips the
-        # single band coordinate with the r-th smallest distance to a
-        # floor boundary, ±1 toward that boundary. All pure JVM
-        # expressions, so the width probes below never re-run the
-        # Python projection pass.
+        # (table, bucket-hash, role) expression per assignment. Base
+        # bucket (role 0: indexed AND querying): xxhash64 over the
+        # table's B floored band cells + the table index. Probe
+        # buckets (n_probe > 1, role 1: querying only — ASYMMETRIC
+        # multi-probe, Lv et al.): the r-th probe flips the single
+        # band coordinate with the r-th smallest distance to a floor
+        # boundary, ±1 toward that boundary. Visitors search a
+        # bucket's members without being candidates there, so the
+        # per-bucket GEMM grows linearly with n_probe instead of
+        # quadratically (measured at 1M: symmetric probing cost 3.0×
+        # the single-probe run; asymmetric delivers the same
+        # boundary-recovery pairs for ~2×). All pure JVM expressions,
+        # so the width probes below never re-run the Python
+        # projection pass.
+        probe_role = 0 if probe_index else 1
         out = []
         for t in range(L):
             cells = [
                 F.floor(F.col("p").getItem(t * B + b) / F.lit(float(w)))
                 for b in range(B)
             ]
-            out.append((t, F.xxhash64(F.lit(t), *cells)))
+            out.append((t, F.xxhash64(F.lit(t), *cells), 0))
             if NP > 1:
                 fr = [
                     F.col("p").getItem(t * B + b) / F.lit(float(w)) - cells[b]
@@ -650,14 +675,16 @@ def knn_lsh_banded_lists(
                         ).otherwise(F.lit(0))
                         for b in range(B)
                     ]
-                    out.append((t, F.xxhash64(F.lit(t), *pc)))
+                    out.append((t, F.xxhash64(F.lit(t), *pc), probe_role))
         return out
 
     def tb_array(w: float):
         return F.array(
             *[
-                F.struct(F.lit(t).alias("t"), c.alias("b"))
-                for t, c in assignment_cols(w)
+                F.struct(
+                    F.lit(t).alias("t"), c.alias("b"), F.lit(q).alias("q")
+                )
+                for t, c, q in assignment_cols(w)
             ]
         )
 
@@ -710,7 +737,13 @@ def knn_lsh_banded_lists(
 
     exploded = (
         proj.select("id", "f", F.explode(tb_array(w)).alias("tb"))
-        .select("id", "f", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        .select(
+            "id",
+            "f",
+            F.col("tb.t").alias("t"),
+            F.col("tb.b").alias("b"),
+            F.col("tb.q").alias("q"),
+        )
         .join(F.broadcast(over_caps), ["t", "b"], "left")
         .withColumn(
             "shard",
@@ -748,11 +781,19 @@ def knn_lsh_banded_lists(
             )
 
     def bucket_topk(key, pdf):
-        # ARRAY-PACKED emission (one row per member per bucket, k-long
+        # ARRAY-PACKED emission (one row per query per bucket, k-long
         # arrays) — the flat alternative is n·L·k shuffle ROWS, which
         # at 1M rows × 8 tables × k=90 is 7×10⁸ rows of per-row
         # shuffle overhead; packed it is n·L rows carrying the same
         # bytes.
+        #
+        # Asymmetric roles: BASE members (q=0) are both candidates and
+        # queries; probe VISITORS (q=1) query the bucket's members but
+        # are not candidates in it — the GEMM is (queries × members),
+        # so multi-probe grows the per-bucket work linearly, not
+        # quadratically. With n_probe=1 every row is a member and this
+        # reduces exactly to the round-10 all-pairs kernel (same GEMM,
+        # same selection — pinned by the unchanged golden).
         from spark_tsne_spark.runtime import tune_worker
 
         tune_worker()
@@ -760,35 +801,60 @@ def knn_lsh_banded_lists(
         # singleton shards carry no pairs; the 2·mb gate is a memory
         # backstop only — shard sizing bounds E[m] ≤ mb, and a 2×
         # hash-deviation overshoot at mb=4096 has vanishing probability
+        empty = pd.DataFrame(
+            {
+                # typed empties: a bare [] defaults to float64 columns,
+                # which Arrow refuses to cast to array<long>
+                "i": pd.Series([], dtype="int64"),
+                "js": pd.Series([], dtype=object),
+                "ds": pd.Series([], dtype=object),
+            }
+        )
         if m < 2 or m > 2 * mb:
-            # typed empties: a bare [] defaults to float64 columns,
-            # which Arrow refuses to cast to array<long>
-            return pd.DataFrame(
-                {
-                    "i": pd.Series([], dtype="int64"),
-                    "js": pd.Series([], dtype=object),
-                    "ds": pd.Series([], dtype=object),
-                }
-            )
+            return empty
         # sort by id: group arrival order is shuffle-dependent, and
         # argpartition under exact distance ties would otherwise pick
         # arrival-dependent neighbor SETS — sorted input makes the
         # whole operator deterministic for a fixed seed
         pdf = pdf.sort_values("id")
-        X = np.array(pdf["f"].tolist(), dtype=np.float64)
         ids = pdf["id"].to_numpy()
+        roles = pdf["q"].to_numpy()
+        mem = roles == 0
+        mm = int(mem.sum())
+        if mm < 1:
+            return empty
+        X = np.array(pdf["f"].tolist(), dtype=np.float64)
+        Xm = X[mem]
+        idm = ids[mem]
         sq = (X * X).sum(axis=1)
-        D = X @ X.T
+        sqm = sq[mem]
+        D = X @ Xm.T
         D *= -2.0
-        D += sq[None, :]
+        D += sqm[None, :]
         D += sq[:, None]
         np.maximum(D, 0.0, out=D)
-        np.fill_diagonal(D, np.inf)
-        kl = min(kk, m - 1)
+        # self-exclusion: ids are unique within a (t, b) group (one
+        # assignment per id per bucket), so the id-equality mask is
+        # exactly the member rows' own columns
+        D[ids[:, None] == idm[None, :]] = np.inf
+        kl = min(kk, mm)
+        if kl < 1:
+            return empty
         idx = np.argpartition(D, kl - 1, axis=1)[:, :kl]
         dv = np.take_along_axis(D, idx, axis=1)
+        jv = idm[idx]
+        valid = np.isfinite(dv)  # member rows carry one inf self-slot
+        if valid.all():
+            return pd.DataFrame({"i": ids, "js": list(jv), "ds": list(dv)})
+        counts = valid.sum(axis=1)
+        keep_rows = counts > 0
+        splits = np.cumsum(counts[keep_rows])[:-1]
         return pd.DataFrame(
-            {"i": ids, "js": list(ids[idx]), "ds": list(dv)}
+            {
+                "i": ids[keep_rows],
+                "js": np.split(jv[valid], splits),
+                "ds": np.split(dv[valid], splits),
+            }
         )
 
     local = exploded.groupBy("t", "b", "shard").applyInPandas(

@@ -286,14 +286,19 @@ def calibrated_neighbors(
     elif method == "lsh_banded":
         from spark_tsne_spark.operators.knn import (
             LSH_AFFINITY_N_PROBE,
+            LSH_AFFINITY_TABLES,
             knn_lsh_banded_lists,
         )
 
         # list-form output: skips a full n·k flat-row regroup shuffle
-        # (the banded kernel already merges per-row neighbor lists)
+        # (the banded kernel already merges per-row neighbor lists).
+        # Dials are the measured 1M cost/recall knee (SCALE.md r11),
+        # not the operator defaults the golden pins.
         nn = knn_lsh_banded_lists(
             df, mu, id_col, features,
-            n_probe=LSH_AFFINITY_N_PROBE, resources=resources,
+            num_tables=LSH_AFFINITY_TABLES,
+            n_probe=LSH_AFFINITY_N_PROBE,
+            resources=resources,
         )
     elif method == "lsh":
         flat = knn_lsh(df, mu, id_col, features)
