@@ -32,18 +32,33 @@ def mixture(n: int, seed: int = 7) -> np.ndarray:
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    out = {}
+    leaf_size = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    out = {"leaf_size": leaf_size}
     for n in (1_000_000, 3_162_000, 10_000_000):
         Y = mixture(n)
         ts = []
         nodes = None
+        nbytes = None
         for _ in range(reps):
             t0 = time.time()
-            tree = FlatTree.build(Y)
+            tree = FlatTree.build(Y, leaf_size=leaf_size)
             ts.append(round(time.time() - t0, 3))
             nodes = tree.n_nodes
-        out[str(n)] = {"build_sec": ts, "min": min(ts), "n_nodes": nodes}
-        print(f"n={n}: min={min(ts)}s runs={ts} nodes={nodes}", flush=True)
+            nbytes = (
+                tree.center.nbytes + tree.count.nbytes
+                + tree.radius_sq.nbytes + tree.leaf.nbytes
+                + tree.children.nbytes + tree.leaf_start.nbytes
+                + tree.leaf_pts.nbytes
+            )
+        out[str(n)] = {
+            "build_sec": ts, "min": min(ts), "n_nodes": nodes,
+            "mb": round(nbytes / 2**20, 1),
+        }
+        print(
+            f"n={n}: min={min(ts)}s runs={ts} nodes={nodes} "
+            f"size={out[str(n)]['mb']}MB",
+            flush=True,
+        )
     import math
 
     e = math.log(out["10000000"]["min"] / out["1000000"]["min"]) / math.log(10)

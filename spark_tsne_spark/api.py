@@ -60,6 +60,17 @@ Callback = Callable[[int, np.ndarray, "float | None"], None]
 # is lower because its kernel materializes an n×n numerator.
 LOCAL_THRESHOLD_BH = 16384
 LOCAL_THRESHOLD_EXACT = 4096
+# Above this n, the per-iteration driver tree is built with coarse
+# leaves (≤ TREE_LEAF_SIZE points per leaf; θ-rejected leaves expand
+# EXACTLY in the walk — accuracy ≥ the fine tree's, sptree.FlatTree).
+# Measured at 10M 2-D points (SCALE.md r11): build 52.7 s fine →
+# 44.3 s coarse (the level-synchronous passes, not node count,
+# dominate build time) and — the real win — the per-iteration
+# broadcast shrinks ~4.4× (17.2M nodes / ~870 MB → 0.88M nodes +
+# packed leaf points / 200 MB). Below the threshold the
+# reference-exact structure is kept bit-for-bit.
+TREE_COARSE_MIN_N = 2_000_000
+TREE_LEAF_SIZE = 32
 # 'auto' kNN picks 'block' while the broadcast n×d double matrix fits
 # this budget, 'lsh' beyond it (~4M rows at d=64).
 KNN_BROADCAST_BUDGET_BYTES = 2 << 30
@@ -362,7 +373,10 @@ def _loop(
                 pass_df = exact_gradient_pass(adjacency, bc_state, bc_ids, exaggeration)
             else:
                 tb0 = _time.time()
-                tree = FlatTree.from_matrix(Y)
+                tree = FlatTree.build(
+                    Y,
+                    leaf_size=TREE_LEAF_SIZE if n >= TREE_COARSE_MIN_N else 1,
+                )
                 if attribute:
                     profile["iter1_tree_build_sec"] = round(_time.time() - tb0, 3)
                 bb0 = _time.time()

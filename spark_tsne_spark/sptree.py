@@ -146,17 +146,43 @@ class FlatTree:
     (~70 B/node), unpickles in O(1) allocations, and the walk reads
     node attributes with array indexing. Semantics are identical —
     :func:`non_edge_forces` accepts either form.
+
+    COARSE LEAVES (``leaf_size`` > 1 in :meth:`build`): subdivision
+    stops once a cell holds ≤ leaf_size points, and the cell stores
+    its member points (``leaf_start`` into the packed ``leaf_pts``
+    rows). The walk treats a coarse leaf like any cell when the θ
+    criterion accepts it; when it does NOT, the leaf's points are
+    accumulated EXACTLY (each its own Student-t term, self excluded
+    by the same dist>0 rule) — i.e. strictly MORE accurate than the
+    fine tree, which would θ-approximate sub-cells there. Purpose:
+    the driver rebuilds this tree every iteration, and at 10⁷ points
+    the fine build is the serial bottleneck (52.7 s measured,
+    SCALE.md r11) with a ~850 MB broadcast; leaf_size=32 cuts nodes
+    ~16× and the build to seconds. ``leaf_size=1`` (default) is the
+    reference-exact round-10 structure bit-for-bit.
     """
 
-    __slots__ = ("center", "count", "radius_sq", "leaf", "children", "n_nodes")
+    __slots__ = (
+        "center", "count", "radius_sq", "leaf", "children", "n_nodes",
+        "leaf_start", "leaf_pts",
+    )
 
-    def __init__(self, center, count, radius_sq, leaf, children):
+    def __init__(
+        self, center, count, radius_sq, leaf, children,
+        leaf_start=None, leaf_pts=None,
+    ):
         self.center = center
         self.count = count
         self.radius_sq = radius_sq
         self.leaf = leaf
         self.children = children
         self.n_nodes = len(count)
+        if leaf_start is None:
+            leaf_start = np.full(self.n_nodes, -1, dtype=np.int64)
+        if leaf_pts is None:
+            leaf_pts = np.empty((0, center.shape[1] if center.ndim == 2 else 0))
+        self.leaf_start = leaf_start
+        self.leaf_pts = leaf_pts
 
     @classmethod
     def from_sptree(cls, root: SPTree) -> "FlatTree":
@@ -193,7 +219,9 @@ class FlatTree:
         return cls.build(Y)
 
     @classmethod
-    def build(cls, Y: np.ndarray, max_depth: int = 64) -> "FlatTree":
+    def build(
+        cls, Y: np.ndarray, max_depth: int = 64, leaf_size: int = 1
+    ) -> "FlatTree":
         """Bulk level-synchronous (BFS) build — no per-point insertion,
         no per-node Python loop.
 
@@ -211,6 +239,13 @@ class FlatTree:
         ``max_depth`` guards the degenerate case of distinct points
         closer than float resolution of the repeatedly-halved cell
         (the insert path would recurse forever there too).
+
+        ``leaf_size`` > 1 stops subdividing cells at ≤ leaf_size
+        points and stores their member rows for the walk's exact
+        expansion (see the class docstring); cells cut off by
+        ``max_depth`` store their points too in that mode. The
+        default (1) reproduces the reference-exact structure
+        bit-for-bit.
         """
         Y = np.asarray(Y, dtype=np.float64)
         n, dim = Y.shape
@@ -218,6 +253,10 @@ class FlatTree:
         mins = Y.min(axis=0)
         maxs = Y.max(axis=0)
         root_width = maxs - mins
+        coarse = int(leaf_size) > 1
+        ls_slots: list[np.ndarray] = []   # slot ids of coarse leaves
+        ls_counts: list[np.ndarray] = []  # their point counts
+        ls_rows: list[np.ndarray] = []    # their packed point rows
 
         # Per-LEVEL array accumulators (concatenated once at the end) —
         # per-node Python list appends made the build O(nodes) in
@@ -234,7 +273,14 @@ class FlatTree:
         kidrow_fix: list[tuple[np.ndarray, np.ndarray]] = []
         total_slots = 1
 
-        root_is_leaf = bool((Y == Y[0]).all()) or max_depth <= 0
+        all_same = bool((Y == Y[0]).all())
+        root_is_leaf = (
+            all_same or max_depth <= 0 or (coarse and n <= int(leaf_size))
+        )
+        if root_is_leaf and coarse and not all_same:
+            ls_slots.append(np.array([0], dtype=np.int64))
+            ls_counts.append(np.array([n], dtype=np.int64))
+            ls_rows.append(Y)
         if root_is_leaf:
             lv_pts = np.array([], dtype=np.int64)
             g_slot = np.array([], dtype=np.int64)
@@ -289,6 +335,18 @@ class FlatTree:
 
             # next level: children holding >1 distinct point, depth permitting
             expand = ~identical if depth + 1 < max_depth else np.zeros(K, dtype=bool)
+            if coarse:
+                expand = expand & (sizes > int(leaf_size))
+                # coarse leaves: not expanded, not single-point — store
+                # their member rows for the walk's exact expansion.
+                # Ys is sorted by group, so rows per leaf stay
+                # contiguous and ordered by slot id.
+                cmask = ~identical & ~expand
+                if cmask.any():
+                    pos_all = np.repeat(np.arange(K), sizes)
+                    ls_slots.append(kid_slot[cmask])
+                    ls_counts.append(sizes[cmask])
+                    ls_rows.append(Ys[cmask[pos_all]])
             if not expand.any():
                 break
             pos_group = np.repeat(np.arange(K), sizes)
@@ -306,12 +364,24 @@ class FlatTree:
         for slots, rows in kidrow_fix:  # O(depth) vectorized patches
             children_arr[slots] = rows
             leaves_arr[slots] = False
+        leaf_start_arr = None
+        leaf_pts_arr = None
+        if coarse:
+            leaf_start_arr = np.full(total_slots, -1, dtype=np.int64)
+            if ls_slots:
+                counts_cat = np.concatenate(ls_counts)
+                leaf_start_arr[np.concatenate(ls_slots)] = (
+                    np.cumsum(counts_cat) - counts_cat
+                )
+                leaf_pts_arr = np.concatenate(ls_rows, axis=0)
         return cls(
             np.concatenate(center_lv, axis=0),
             np.concatenate(count_lv),
             np.concatenate(radius_lv),
             leaves_arr,
             children_arr,
+            leaf_start_arr,
+            leaf_pts_arr,
         )
 
 
@@ -338,6 +408,9 @@ def _non_edge_forces_flat(
         tree.leaf,
         tree.children,
     )
+    lstart = getattr(tree, "leaf_start", None)
+    LP = getattr(tree, "leaf_pts", None)
+    has_coarse = lstart is not None and LP is not None and len(LP) > 0
     nodes = np.zeros(k, dtype=np.int64)  # frontier pair i: node nodes[i] ...
     pts = np.arange(k)                   # ... walked for point pts[i]
     while nodes.size:
@@ -347,7 +420,14 @@ def _non_edge_forces_flat(
         isleaf = leaf[nodes]
         with np.errstate(divide="ignore", invalid="ignore"):
             acc = rad[nodes] / dist_sq < theta
-        take = (isleaf | acc) & nz
+        coarse = (
+            isleaf & (lstart[nodes] >= 0) if has_coarse
+            else np.zeros(len(nodes), dtype=bool)
+        )
+        # exact leaves always accepted; coarse leaves only on the θ
+        # test — a rejected (or center-coincident) coarse leaf expands
+        # to its member points below, each an EXACT Student-t term
+        take = ((isleaf & ~coarse) | acc) & nz
         if take.any():
             tp, tn, td2 = pts[take], nodes[take], dist_sq[take]
             qZ = 1.0 / (1.0 + td2)
@@ -357,6 +437,24 @@ def _non_edge_forces_flat(
             dd = diff[take]
             for c in range(d):
                 negF[:, c] += np.bincount(tp, weights=w * dd[:, c], minlength=k)
+        expand = coarse & ~take
+        if expand.any():
+            en, ep = nodes[expand], pts[expand]
+            cl = cnt[en]  # coarse leaf stores exactly its cnt rows
+            total = int(cl.sum())
+            rep_p = np.repeat(ep, cl)
+            within = np.arange(total) - np.repeat(np.cumsum(cl) - cl, cl)
+            flat = np.repeat(lstart[en], cl) + within
+            ediff = Yb[rep_p] - LP[flat]
+            ed2 = (ediff * ediff).sum(axis=1)
+            enz = ed2 > 0.0  # per-point self/duplicate exclusion
+            qZ = np.where(enz, 1.0 / (1.0 + ed2), 0.0)
+            sumQ += np.bincount(rep_p, weights=qZ, minlength=k)
+            w = qZ * qZ
+            for c in range(d):
+                negF[:, c] += np.bincount(
+                    rep_p, weights=w * ediff[:, c], minlength=k
+                )
         desc = ~take & ~isleaf  # not accepted, not a leaf → descend
         if not desc.any():
             break

@@ -71,6 +71,85 @@ def test_adjacency_fused_single_orientation_rows(spark):
     assert got[2] == ([1], [(0.6 + 0.2) / 6.0])
 
 
+def _brute_non_edge(Y):
+    """Exact negF/sumQ: every pair's Student-t term, self excluded."""
+    n, d = Y.shape
+    diff = Y[:, None, :] - Y[None, :, :]
+    d2 = (diff * diff).sum(axis=2)
+    q = 1.0 / (1.0 + d2)
+    np.fill_diagonal(q, 0.0)
+    q[d2 == 0] = 0.0  # duplicates excluded, reference leaf rule
+    sumQ = q.sum(axis=1)
+    negF = ((q * q)[:, :, None] * diff).sum(axis=1)
+    return negF, sumQ
+
+
+def test_coarse_tree_theta0_is_exact():
+    """leaf_size>1 with θ=0 must reproduce the brute-force non-edge
+    forces exactly: nothing passes the accept test, so every coarse
+    leaf expands to per-point Student-t terms."""
+    from spark_tsne_spark.sptree import FlatTree, non_edge_forces
+
+    rng = np.random.default_rng(17)
+    Y = rng.normal(size=(400, 2)) * 5.0
+    Y[50:60] = Y[10]  # planted duplicates: excluded like the fine leaf
+    ref_f, ref_q = _brute_non_edge(Y)
+    tree = FlatTree.build(Y, leaf_size=16)
+    got_f, got_q = non_edge_forces(tree, Y, theta=0.0)
+    np.testing.assert_allclose(got_q, ref_q, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got_f, ref_f, rtol=1e-9, atol=1e-12)
+
+
+def test_coarse_tree_no_less_accurate_than_fine():
+    """At working θ the coarse tree's error vs exact must not exceed
+    the fine tree's (rejected coarse leaves are computed exactly where
+    the fine tree still θ-approximates sub-cells)."""
+    from spark_tsne_spark.sptree import FlatTree, non_edge_forces
+
+    rng = np.random.default_rng(23)
+    Y = rng.normal(size=(600, 2)) * 3.0
+    ref_f, ref_q = _brute_non_edge(Y)
+    fine_f, fine_q = non_edge_forces(FlatTree.build(Y), Y, theta=0.5)
+    co_f, co_q = non_edge_forces(
+        FlatTree.build(Y, leaf_size=32), Y, theta=0.5
+    )
+    err_fine = np.abs(fine_q - ref_q).sum() + np.abs(fine_f - ref_f).sum()
+    err_co = np.abs(co_q - ref_q).sum() + np.abs(co_f - ref_f).sum()
+    assert err_co <= err_fine * 1.0000001, (err_co, err_fine)
+
+
+def test_coarse_build_leaf1_bitcompat():
+    """leaf_size=1 must produce the identical structure the default
+    build does (the reference-exact path the goldens pin)."""
+    from spark_tsne_spark.sptree import FlatTree
+
+    rng = np.random.default_rng(5)
+    Y = rng.normal(size=(500, 2))
+    a = FlatTree.build(Y)
+    b = FlatTree.build(Y, leaf_size=1)
+    assert (a.center == b.center).all()
+    assert (a.count == b.count).all()
+    assert (a.children == b.children).all()
+    assert (a.leaf == b.leaf).all()
+    assert (b.leaf_start == -1).all() and len(b.leaf_pts) == 0
+
+
+def test_coarse_tree_broadcast_roundtrip():
+    """The coarse tree pickles/unpickles intact (it rides a Spark
+    broadcast every iteration)."""
+    import pickle
+
+    from spark_tsne_spark.sptree import FlatTree, non_edge_forces
+
+    rng = np.random.default_rng(31)
+    Y = rng.normal(size=(300, 2))
+    tree = FlatTree.build(Y, leaf_size=8)
+    tree2 = pickle.loads(pickle.dumps(tree))
+    f1, q1 = non_edge_forces(tree, Y, theta=0.4)
+    f2, q2 = non_edge_forces(tree2, Y, theta=0.4)
+    assert (f1 == f2).all() and (q1 == q2).all()
+
+
 def test_unpin_blas_floor():
     """The floor lifts fair-share for query-side kernels whose
     plan-side partition count overstates real concurrency, and is
