@@ -459,8 +459,7 @@ class IvfIndex:
         )
         query_cells = q_sel.mapInPandas(
             _make_cell_fanout(
-                b_C, max(1, n_probe),
-                concurrent=q_sel.rdd.getNumPartitions(), floor=4,
+                b_C, max(1, n_probe), concurrent=q_sel.rdd.getNumPartitions()
             ),
             _FANOUT_SCHEMA,
         )
@@ -525,8 +524,7 @@ def ivf_topk(
     )
     query_cells = q_sel.mapInPandas(
         _make_cell_fanout(
-            b_C, max(1, n_probe),
-            concurrent=q_sel.rdd.getNumPartitions(), floor=4,
+            b_C, max(1, n_probe), concurrent=q_sel.rdd.getNumPartitions()
         ),
         _FANOUT_SCHEMA,
     )

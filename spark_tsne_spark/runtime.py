@@ -143,11 +143,15 @@ def unpin_blas_threads(concurrent_tasks: int = 1, floor: int = 1) -> None:
     ``floor``: plan-side partition count OVERSTATES concurrency for
     query-side stages whose input partitions are mostly empty (a
     filtered query batch inherits the table's 32 parquet splits but
-    only a few hold rows, and probed-cell pruned scans run far fewer
-    simultaneous tasks than the plan shows) — fair-share would then
-    run 1-thread BLAS with idle cores. Such kernels pass a small
-    floor (4): worst case is bounded mild oversubscription
-    (concurrent·floor threads), not 32×32.
+    only a few hold rows) — fair-share then runs 1-thread BLAS with
+    idle cores. A floor bounds that from below at mild
+    oversubscription worst case. MEASURED at sf0.1 (ABBA interleaved,
+    ``scripts/ab_blas_floor.py``, SCALE.md r11): floor=4 is a wash on
+    ivf_topk (2.41 vs 2.45 s min) and consistently ~11% SLOWER on the
+    index query path (0.91 vs 1.01 s — the ~100-row query GEMMs are
+    too small to amortize thread-pool churn), so no production kernel
+    currently passes a floor; the knob stays for genuinely starved
+    shapes found later.
     """
     import os
 
