@@ -108,6 +108,16 @@ def bench_queries():
             emb(spark, sf_dir), k=45, id_col="vec_id", features="embedding"
         )
 
+    def b_knn_lsh_banded_mp(spark, sf_dir):
+        # the affinity path's shipped 1M dials (6 tables x 2 symmetric
+        # probes; SCALE.md r11) at full sf0.1 width
+        from spark_tsne_spark.operators.knn import knn_lsh_banded
+
+        return knn_lsh_banded(
+            emb(spark, sf_dir), k=45, id_col="vec_id", features="embedding",
+            num_tables=6, n_probe=2,
+        )
+
     def b_ann_topk(spark, sf_dir):
         e = emb(spark, sf_dir)
         qs = e.where(F.col("vec_id") < 100)
@@ -454,6 +464,7 @@ def bench_queries():
         "token_budget_mix": b_token_budget,
         "knn_exact_block": b_knn_block,
         "knn_lsh_banded": b_knn_lsh_banded,
+        "knn_lsh_banded_mp": b_knn_lsh_banded_mp,
         "ann_topk_cosine": b_ann_topk,
         "ann_ivf_topk": b_ivf_topk,
         "ann_ivf_pq_topk": b_ivf_pq,

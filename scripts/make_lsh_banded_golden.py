@@ -9,7 +9,8 @@ pin turns the driver's rows-only check into a full value check;
 approximation QUALITY (recall vs exact kNN) is pinned separately in
 tests/test_r10_fixes.py.
 
-    python scripts/make_lsh_banded_golden.py
+    python scripts/make_lsh_banded_golden.py              # 8x1 entry
+    python scripts/make_lsh_banded_golden.py --multiprobe # 6x2 entry
 """
 
 from __future__ import annotations
@@ -19,9 +20,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+MP = "--multiprobe" in sys.argv
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "golden", "knn_lsh_banded_sf001.parquet",
+    "tests", "golden",
+    "knn_lsh_banded_mp_sf001.parquet" if MP else "knn_lsh_banded_sf001.parquet",
 )
 
 
@@ -29,7 +32,10 @@ def main() -> None:
     import duckdb
     from pyspark.sql import SparkSession
 
-    from spark_tsne_spark.plans.queries import knn_lsh_banded_approx
+    from spark_tsne_spark.plans.queries import (
+        knn_lsh_banded_approx,
+        knn_lsh_banded_multiprobe,
+    )
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -39,8 +45,9 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    fn = knn_lsh_banded_multiprobe if MP else knn_lsh_banded_approx
     pdf = (
-        knn_lsh_banded_approx(spark, "/root/testdata/sf0.01")
+        fn(spark, "/root/testdata/sf0.01")
         .toPandas()
         .sort_values(["i", "rank"])
         .reset_index(drop=True)

@@ -55,6 +55,7 @@ BENCH_VARIANT_OF: dict[str, str] = {
     # ANN / kNN: bench sizes k and the query batch for sf0.1.
     "knn_exact_block": "x6_knn_topk",
     "knn_lsh_banded": "knn_lsh_banded_approx",
+    "knn_lsh_banded_mp": "knn_lsh_banded_multiprobe",
     "ann_topk_cosine": "ann_topk_cosine",
     "ann_ivf_topk": "ann_ivf_topk",
     "ann_ivf_pq_topk": "ann_ivf_pq_topk",

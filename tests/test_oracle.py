@@ -19,6 +19,7 @@ GOLDEN_SF_DIR = {
     "x2p_affinities": "/root/testdata/sf0.01",
     "knn_lsh_approx": "/root/testdata/sf0.01",
     "knn_lsh_banded_approx": "/root/testdata/sf0.01",
+    "knn_lsh_banded_multiprobe": "/root/testdata/sf0.01",
     "ann_ivf_topk": "/root/testdata/sf0.01",
     "ann_ivf_index_query": "/root/testdata/sf0.01",
     "p3_pca_project": "/root/testdata/sf0.01",
