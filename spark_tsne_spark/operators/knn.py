@@ -55,9 +55,12 @@ KNN_FP32_PAD = 32
 # Dials the affinity pipeline's lsh_banded path uses (the catalog /
 # operator defaults stay 8 tables / n_probe 1 = round-10 behavior,
 # which the golden pins). Chosen from the measured 1M grid (SCALE.md
-# round 11): 6 tables × 2 symmetric probes scores recall 0.963 at
-# ~1.08× the 8-table single-probe cost — the 16-table escalation's
-# recall (0.961 @ ~3×) at a third of its price.
+# round 11): 6 tables × 2 symmetric probes scores recall 0.963 —
+# the QUALITY default (kNN recall bounds everything downstream of P;
+# the 8×1 default's 0.791 is weak for a production embedding) at
+# ~2.5–3.5× the 8×1 kNN stage, the same cost class as the r10
+# 16-table escalation but with +0.002 recall and 2.7× less
+# projection state. Cost-first callers pass num_tables=8, n_probe=1.
 LSH_AFFINITY_TABLES = 6
 LSH_AFFINITY_N_PROBE = 2
 
@@ -862,57 +865,37 @@ def knn_lsh_banded_lists(
     )
 
     def merge_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # flat-array merge of each row's ≤ L·NP candidate lists:
-        # dedupe ids (the same (i, j) surfaces from several tables —
-        # per-bucket GEMM summation order can differ, so keep the
-        # smallest dist), exact top-k, ties by neighbor id ascending —
-        # same ordering contract as the exact paths. Vectorized over
-        # the WHOLE Arrow batch (two lexsorts + segment bookkeeping)
-        # instead of a per-row Python loop: at 1M rows × 32 tasks the
-        # loop was ~30k Python iterations × ~5 numpy calls per task in
-        # the hot stage (VERDICT r10 #3). Output is byte-identical
-        # (pinned by the partition-invariance test).
+        # per-row numpy merge of ≤ L·NP candidate arrays: dedupe ids
+        # (the same (i, j) surfaces from several tables — per-bucket
+        # GEMM summation order can differ, so keep the smallest dist),
+        # exact top-k, ties by neighbor id ascending — same ordering
+        # contract as the exact paths.
+        #
+        # MEASURED SHAPE CHOICE (round 11): a whole-batch "vectorized"
+        # rewrite (flatten all rows, two global 3-key lexsorts,
+        # segment splits) was built, pinned byte-identical, and
+        # REJECTED: at the real task shape (31,250 rows × 8 lists ×
+        # k=90 = 22.5M flat candidates per task) the two global
+        # lexsorts alone cost ~37 s vs ~7.4 s TOTAL for this loop —
+        # 31k tiny lexsorts over ~720 cache-resident elements beat
+        # full-width multi-key sorts (SCALE.md r11). The loop is
+        # linear, bounded, and the stage stays ~25% of the 1M kNN
+        # wall.
         for pdf in batches:
-            nr = len(pdf)
-            if nr == 0:
-                continue
-            lens = np.fromiter(
-                (
-                    sum(len(a) for a in jss)
-                    for jss in pdf["jss"]
-                ),
-                dtype=np.int64,
-                count=nr,
-            )
-            row = np.repeat(np.arange(nr), lens)
-            js = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for jss in pdf["jss"] for a in jss]
-            )
-            ds = np.concatenate(
-                [np.asarray(a, dtype=np.float64) for dss in pdf["dss"] for a in dss]
-            )
-            # pass 1: (row, j, d) order → first hit per (row, j) is
-            # that neighbor's best distance
-            o = np.lexsort((ds, js, row))
-            row, js, ds = row[o], js[o], ds[o]
-            first = np.ones(len(row), dtype=bool)
-            first[1:] = (row[1:] != row[:-1]) | (js[1:] != js[:-1])
-            row, js, ds = row[first], js[first], ds[first]
-            # pass 2: (row, d, j) order → per-row rank, keep rank < k
-            o = np.lexsort((js, ds, row))
-            row, js, ds = row[o], js[o], ds[o]
-            start = np.searchsorted(row, np.arange(nr))
-            rank = np.arange(len(row)) - start[row]
-            keep = rank < kk
-            row, js, ds = row[keep], js[keep], ds[keep]
-            bounds = np.searchsorted(row, np.arange(1, nr))
-            yield pd.DataFrame(
-                {
-                    "i": pdf["i"],
-                    "js": np.split(js, bounds),
-                    "ds": np.split(ds, bounds),
-                }
-            )
+            out_i, out_js, out_ds = [], [], []
+            for i, jss, dss in zip(pdf["i"], pdf["jss"], pdf["dss"]):
+                js = np.concatenate([np.asarray(a, dtype=np.int64) for a in jss])
+                ds = np.concatenate([np.asarray(a) for a in dss])
+                order = np.lexsort((js, ds))
+                js, ds = js[order], ds[order]
+                uj, first = np.unique(js, return_index=True)
+                # keep each id's best (first in (dist, j) order)
+                js, ds = js[np.sort(first)], ds[np.sort(first)]
+                order = np.lexsort((js, ds))[: kk]
+                out_i.append(i)
+                out_js.append(js[order])
+                out_ds.append(ds[order])
+            yield pd.DataFrame({"i": out_i, "js": out_js, "ds": out_ds})
 
     merged = (
         local.groupBy("i")
