@@ -831,6 +831,18 @@ def knn_lsh_banded_lists(
         idm = ids[mem]
         sq = (X * X).sum(axis=1)
         sqm = sq[mem]
+        kl = min(kk, mm)
+        if kl < 1:
+            return empty
+        # fp64 GEMM, deliberately: an fp32-candidate + exact-fp64-
+        # rescore variant (the block kernel's proven pattern) was
+        # built, pinned selection-equivalent, and measured NEUTRAL at
+        # 1M/6×2 (478 s vs 460 s fp64 in matched windows, identical
+        # 0.9627 recall) — this stage is Arrow→pandas conversion-
+        # bound, not GEMM-bound, so halving GEMM bytes doesn't move
+        # the wall (SCALE.md r11). Reverted for simplicity; the real
+        # next lever is applyInArrow (skip the pandas materialization
+        # entirely).
         D = X @ Xm.T
         D *= -2.0
         D += sqm[None, :]
@@ -840,9 +852,6 @@ def knn_lsh_banded_lists(
         # assignment per id per bucket), so the id-equality mask is
         # exactly the member rows' own columns
         D[ids[:, None] == idm[None, :]] = np.inf
-        kl = min(kk, mm)
-        if kl < 1:
-            return empty
         idx = np.argpartition(D, kl - 1, axis=1)[:, :kl]
         dv = np.take_along_axis(D, idx, axis=1)
         jv = idm[idx]
