@@ -783,7 +783,7 @@ def knn_lsh_banded_lists(
                 stacklevel=2,
             )
 
-    def bucket_topk(key, pdf):
+    def bucket_topk(tbl):
         # ARRAY-PACKED emission (one row per query per bucket, k-long
         # arrays) — the flat alternative is n·L·k shuffle ROWS, which
         # at 1M rows × 8 tables × k=90 is 7×10⁸ rows of per-row
@@ -797,36 +797,50 @@ def knn_lsh_banded_lists(
         # quadratically. With n_probe=1 every row is a member and this
         # reduces exactly to the round-10 all-pairs kernel (same GEMM,
         # same selection — pinned by the unchanged golden).
+        #
+        # applyInARROW, not applyInPandas: this kernel was measured
+        # materialization-bound, not GEMM-bound (the fp32-GEMM variant
+        # moved nothing; SCALE.md r11) — the Arrow list column
+        # flattens into the (m × d) numpy matrix with one buffer view
+        # + one reshape instead of a pandas Series of per-row
+        # ndarrays, and the emission builds ListArrays straight from
+        # the flat result buffers.
+        import pyarrow as pa
+
         from spark_tsne_spark.runtime import tune_worker
 
         tune_worker()
-        m = len(pdf)
+        m = tbl.num_rows
+        empty = pa.table(
+            {
+                "i": pa.array([], type=pa.int64()),
+                "js": pa.array([], type=pa.list_(pa.int64())),
+                "ds": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
         # singleton shards carry no pairs; the 2·mb gate is a memory
         # backstop only — shard sizing bounds E[m] ≤ mb, and a 2×
         # hash-deviation overshoot at mb=4096 has vanishing probability
-        empty = pd.DataFrame(
-            {
-                # typed empties: a bare [] defaults to float64 columns,
-                # which Arrow refuses to cast to array<long>
-                "i": pd.Series([], dtype="int64"),
-                "js": pd.Series([], dtype=object),
-                "ds": pd.Series([], dtype=object),
-            }
-        )
         if m < 2 or m > 2 * mb:
             return empty
+        ids = tbl.column("id").to_numpy()
+        roles = tbl.column("q").to_numpy()
+        fcol = tbl.column("f")
+        if isinstance(fcol, pa.ChunkedArray):
+            fcol = fcol.combine_chunks()
+        # flatten() honors list offsets/slices; feature arrays are
+        # non-null fixed-d by construction (cast upstream)
+        X = np.asarray(fcol.flatten()).reshape(m, -1)
         # sort by id: group arrival order is shuffle-dependent, and
         # argpartition under exact distance ties would otherwise pick
         # arrival-dependent neighbor SETS — sorted input makes the
         # whole operator deterministic for a fixed seed
-        pdf = pdf.sort_values("id")
-        ids = pdf["id"].to_numpy()
-        roles = pdf["q"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, roles, X = ids[order], roles[order], X[order]
         mem = roles == 0
         mm = int(mem.sum())
         if mm < 1:
             return empty
-        X = np.array(pdf["f"].tolist(), dtype=np.float64)
         Xm = X[mem]
         idm = ids[mem]
         sq = (X * X).sum(axis=1)
@@ -834,15 +848,6 @@ def knn_lsh_banded_lists(
         kl = min(kk, mm)
         if kl < 1:
             return empty
-        # fp64 GEMM, deliberately: an fp32-candidate + exact-fp64-
-        # rescore variant (the block kernel's proven pattern) was
-        # built, pinned selection-equivalent, and measured NEUTRAL at
-        # 1M/6×2 (478 s vs 460 s fp64 in matched windows, identical
-        # 0.9627 recall) — this stage is Arrow→pandas conversion-
-        # bound, not GEMM-bound, so halving GEMM bytes doesn't move
-        # the wall (SCALE.md r11). Reverted for simplicity; the real
-        # next lever is applyInArrow (skip the pandas materialization
-        # entirely).
         D = X @ Xm.T
         D *= -2.0
         D += sqm[None, :]
@@ -857,19 +862,30 @@ def knn_lsh_banded_lists(
         jv = idm[idx]
         valid = np.isfinite(dv)  # member rows carry one inf self-slot
         if valid.all():
-            return pd.DataFrame({"i": ids, "js": list(jv), "ds": list(dv)})
+            offs = pa.array(
+                np.arange(0, (m + 1) * kl, kl, dtype=np.int32), type=pa.int32()
+            )
+            return pa.table(
+                {
+                    "i": pa.array(ids, type=pa.int64()),
+                    "js": pa.ListArray.from_arrays(offs, pa.array(jv.reshape(-1))),
+                    "ds": pa.ListArray.from_arrays(offs, pa.array(dv.reshape(-1))),
+                }
+            )
         counts = valid.sum(axis=1)
         keep_rows = counts > 0
-        splits = np.cumsum(counts[keep_rows])[:-1]
-        return pd.DataFrame(
+        offs = np.zeros(int(keep_rows.sum()) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(counts[keep_rows])
+        offs_a = pa.array(offs.astype(np.int32), type=pa.int32())
+        return pa.table(
             {
-                "i": ids[keep_rows],
-                "js": np.split(jv[valid], splits),
-                "ds": np.split(dv[valid], splits),
+                "i": pa.array(ids[keep_rows], type=pa.int64()),
+                "js": pa.ListArray.from_arrays(offs_a, pa.array(jv[valid])),
+                "ds": pa.ListArray.from_arrays(offs_a, pa.array(dv[valid])),
             }
         )
 
-    local = exploded.groupBy("t", "b", "shard").applyInPandas(
+    local = exploded.groupBy("t", "b", "shard").applyInArrow(
         bucket_topk, "i long, js array<long>, ds array<double>"
     )
 
