@@ -150,6 +150,26 @@ def test_coarse_tree_broadcast_roundtrip():
     assert (f1 == f2).all() and (q1 == q2).all()
 
 
+def test_drop_cached_workspaces():
+    """The release hook empties the process cache (optionally by
+    prefix) and a subsequent request re-creates a usable mapping."""
+    from spark_tsne_spark import runtime
+
+    a = runtime.cached_shared_empty("r11_test_ws", (64, 64))
+    a[:] = 7.0
+    b = runtime.cached_shared_empty("r11_other_ws", (8, 8))
+    b[:] = 1.0
+    n = runtime.drop_cached_workspaces(prefix="r11_test_")
+    assert n == 1
+    assert ("r11_other_ws", (8, 8), "<f8") in runtime._WS_CACHE
+    # dropped name re-creates a fresh, writable mapping
+    c = runtime.cached_shared_empty("r11_test_ws", (64, 64))
+    c[:] = 3.0
+    assert float(c[0, 0]) == 3.0
+    assert runtime.drop_cached_workspaces() >= 1
+    assert not runtime._WS_CACHE
+
+
 def test_unpin_blas_floor():
     """The floor lifts fair-share for query-side kernels whose
     plan-side partition count overstates real concurrency, and is
