@@ -115,7 +115,13 @@ def test_coarse_tree_no_less_accurate_than_fine():
     )
     err_fine = np.abs(fine_q - ref_q).sum() + np.abs(fine_f - ref_f).sum()
     err_co = np.abs(co_q - ref_q).sum() + np.abs(co_f - ref_f).sum()
-    assert err_co <= err_fine * 1.0000001, (err_co, err_fine)
+    # Small multiplicative slack (ADVICE r11): the guarantee is
+    # per-contribution (a rejected coarse leaf is EXACT where the fine
+    # tree θ-approximates), but the totals compare SUMS of signed
+    # errors — the fine tree's extra leaf-level error can partially
+    # CANCEL the shared θ-accepted cells' error, making its total
+    # smaller on unlucky seeds even though it is pointwise worse.
+    assert err_co <= err_fine * 1.05 + 1e-9, (err_co, err_fine)
 
 
 def test_coarse_build_leaf1_bitcompat():
