@@ -218,12 +218,372 @@ class FlatTree:
     def from_matrix(cls, Y: np.ndarray) -> "FlatTree":
         return cls.build(Y)
 
+    # Rows at which `build(method="auto")` switches from the
+    # level-sort builder to the Morton builder. The two emit
+    # BIT-IDENTICAL structure (counts, children, leaves, radii,
+    # leaf_start, leaf_pts — pinned in tests/test_r12_fixes.py); only
+    # the center-of-mass floats differ at ~1-2 ulp, because per-node
+    # sums accumulate in a different order (reduceat's unrolled
+    # pairwise blocks vs bincount's strict sequential adds). Ulp noise
+    # is far below the θ-approximation error, but value-pinned golden
+    # trajectories (tsne_embedding at sf0.01) are chaotic over
+    # iterations, so small builds — where the level-sort builder takes
+    # milliseconds anyway — keep the round-11 bit pattern, and Morton
+    # engages where the build is the measured driver bottleneck
+    # (crossover measured in SCALE.md r12).
+    MORTON_MIN_ROWS = 200_000
+
     @classmethod
     def build(
+        cls,
+        Y: np.ndarray,
+        max_depth: int = 64,
+        leaf_size: int = 1,
+        method: str = "auto",
+    ) -> "FlatTree":
+        """Morton-order bulk build — ONE sort per ~31 tree levels
+        instead of two per level.
+
+        The round-11 level-synchronous builder (kept verbatim as
+        :meth:`_build_level_sort`; it remains the equivalence oracle
+        in tests) paid per level: an ``argsort`` of the active keys, a
+        second full sort inside ``np.unique``, and a random-access
+        gather ``Y[spts]`` — at 10⁷ points that is the measured
+        driver-side bottleneck of the BH iteration (44.3 s/build
+        coarse, SCALE.md r11; the passes are level-bound, not
+        node-bound). This builder removes all three: per SUPER-STEP it
+        computes up to ~``62/d`` levels of cell digits for every
+        active row (identical float arithmetic to the per-level rule:
+        ``clip(ceil((v−corner)/childWidth)−1, 0, 1)`` with the same
+        NaN→1 fold, corners accumulated by the same multiply-add),
+        packs them into one integer Morton key, sorts ONCE, and then
+        derives every level's nodes by bit-slicing the sorted keys —
+        run boundaries are adjacent-prefix comparisons, O(active) per
+        level with no sort.
+
+        Output STRUCTURE is BIT-IDENTICAL to the level-sort builder
+        (pinned in ``tests/test_r12_fixes.py`` across duplicates,
+        mega-clusters, zero-width dims, depth cutoffs and
+        multi-super-step inputs): node numbering (both emit levels in
+        BFS order and, within a level, in ascending (parent, cell)
+        order — which IS ascending Morton-prefix order), counts,
+        children, leaf flags, radii, leaf membership. Two float-level
+        differences are accepted by design (and why ``"auto"``
+        dispatches on size — see ``MORTON_MIN_ROWS``): centers differ
+        at ~1-2 ulp (per-node sums accumulate over Morton-ordered
+        rows instead of original-index-ordered ones — a first draft
+        that replayed the original summation order via a second
+        per-point view measured SLOWER than the level-sort builder it
+        was meant to replace, 0.63-0.86×, and was still not bit-equal
+        because ``reduceat``'s unrolled pairwise blocks round
+        differently from any sequential order), and coarse-leaf rows
+        pack in Morton order rather than original-index order (same
+        multiset per leaf; only walk-expansion ADDITION order, i.e.
+        more ulps). The distinct-point test (old: ``gmin == gmax``
+        reduceat) is an adjacent-equality chain over the sorted rows
+        — equivalent with zero float ops.
+
+        The level loop never copies the row arrays: retired rows get
+        a ``-1`` key sentinel (codes use ≤62 low bits, so -1 is
+        unreachable), dead runs are skipped by a per-run validity
+        mask, and the arrays compact ONCE when the alive fraction
+        drops below half — so a level costs a handful of O(m)
+        passes and the whole build is one sort plus ~2× the data in
+        streaming traffic.
+
+        Degenerate inputs needing more than ``62//d`` levels (points
+        closer than the key resolution) roll into the next super-step:
+        still-splitting groups carry their corners forward and get a
+        fresh key; ``max_depth`` bounds the total as before.
+
+        ``leaf_size`` semantics are unchanged from round 11 (see the
+        class docstring); the default 1 reproduces the reference-exact
+        structure bit-for-bit.
+
+        ``method``: ``"auto"`` (default) picks Morton at or above
+        ``MORTON_MIN_ROWS`` and the level-sort builder below (see the
+        constant's comment for the ulp/bit-compat rationale);
+        ``"morton"`` / ``"level"`` force a builder.
+        """
+        Y = np.asarray(Y, dtype=np.float64)
+        n, dim = Y.shape
+        if method == "auto":
+            method = "morton" if n >= cls.MORTON_MIN_ROWS else "level"
+        if method == "level" or dim > 20:  # 2^dim fan-out; Morton
+            # key packing gains nothing at very high dim
+            return cls._build_level_sort(Y, max_depth, leaf_size)
+        n_child = 2**dim
+        mins = Y.min(axis=0)
+        maxs = Y.max(axis=0)
+        root_width = maxs - mins
+        coarse = int(leaf_size) > 1
+        ls_slots: list[np.ndarray] = []
+        ls_counts: list[np.ndarray] = []
+        ls_rows: list[np.ndarray] = []
+
+        center_lv: list[np.ndarray] = [(Y.sum(axis=0) / n)[None, :]]
+        count_lv: list[np.ndarray] = [np.array([n], dtype=np.int64)]
+        radius_lv: list[np.ndarray] = [
+            np.array([(root_width * root_width).sum()], dtype=np.float64)
+        ]
+        # children wiring as flat (parent slot, cell, kid slot)
+        # triples, scattered once at the end
+        par_fix: list[np.ndarray] = []
+        cell_fix: list[np.ndarray] = []
+        kid_fix: list[np.ndarray] = []
+        total_slots = 1
+
+        all_same = bool((Y == Y[0]).all())
+        root_is_leaf = (
+            all_same or max_depth <= 0 or (coarse and n <= int(leaf_size))
+        )
+        if root_is_leaf and coarse and not all_same:
+            ls_slots.append(np.array([0], dtype=np.int64))
+            ls_counts.append(np.array([n], dtype=np.int64))
+            ls_rows.append(Y)
+
+        # Residual state between super-steps: active rows, their
+        # corners at the current depth, and their parent slot ids.
+        if root_is_leaf:
+            R_idx = np.array([], dtype=np.int64)
+        else:
+            R_idx = np.arange(n)
+        R_corner = np.broadcast_to(mins, (len(R_idx), dim)).copy()
+        R_gid = np.zeros(len(R_idx), dtype=np.int64)
+        wl = root_width.copy()  # width of the R_gid nodes' cells
+        glevel = 0  # levels completed (old builder's `depth`)
+        max_lv = max(1, 62 // dim)  # key bit budget per super-step
+        leaf_eff = int(leaf_size) if coarse else 1
+
+        while R_idx.size:
+            m = len(R_idx)
+            Yr = Y[R_idx]
+            # ---- phase 1: Morton keys for up to D0 levels ----------
+            # The per-level digit rule clip(ceil(r)−1, 0, 1) with
+            # NaN→1 is EXACTLY ~(r <= 1): r ≤ 1 (incl. −inf) → 0;
+            # r > 1 (incl. +inf) → 1; NaN fails r ≤ 1 → 1. One
+            # comparison replaces the ceil/clip/nan_to_num chain —
+            # phase 1 was 18 of 24 s at 10M with the literal chain.
+            D0 = int(np.ceil(np.log2(max(2.0, m / leaf_eff)) / dim)) + 2
+            D0 = max(1, min(D0, max_lv, max_depth - glevel))
+            codes = np.zeros(m, dtype=np.int64)
+            corner = R_corner
+            cw_seq = []  # child width vector per level (exact halving)
+            w_cur = wl
+            ratio = np.empty((m, dim), dtype=np.float64)
+            db = np.empty((m, dim), dtype=bool)
+            fb = np.empty((m, dim), dtype=np.float64)
+            ib = np.empty(m, dtype=np.int64)
+            for _ in range(D0):
+                cw = w_cur / 2.0
+                cw_seq.append(cw)
+                np.subtract(Yr, corner, out=ratio)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    np.divide(ratio, cw, out=ratio)
+                np.less_equal(ratio, 1.0, out=db)
+                np.logical_not(db, out=db)
+                np.left_shift(codes, dim, out=codes)
+                for k in range(dim):
+                    np.copyto(ib, db[:, k], casting="unsafe")
+                    if dim - 1 - k:
+                        np.left_shift(ib, dim - 1 - k, out=ib)
+                    np.bitwise_or(codes, ib, out=codes)
+                # corner += digit * child_width (same multiply-add the
+                # level-sort builder applies per node)
+                np.copyto(fb, db, casting="unsafe")
+                np.multiply(fb, cw, out=fb)
+                np.add(corner, fb, out=corner)
+                w_cur = cw
+
+            # ---- phase 2: one sort, then bit-sliced levels ---------
+            # Tie order among EQUAL codes is immaterial (equal codes
+            # ⇒ same node for all D0 levels; the identical test and
+            # run membership are order-independent), so the default
+            # introsort beats kind="stable" on the big first step.
+            if R_gid.any():
+                order = np.lexsort((codes, R_gid))
+            else:  # first super-step: single group
+                order = np.argsort(codes)
+            scode = codes[order]
+            sidx = R_idx[order]
+            Ys = Yr[order]
+            scorner = corner[order]
+            sgid = R_gid[order]
+
+            # Per-super-step precomputations that make each level a
+            # single int8 comparison + one reduceat:
+            # dl[i] = first level at which rows i-1 and i fall into
+            # different runs (from the highest set bit of the code
+            # XOR; super-step entry-group boundaries get 0). flag_lv
+            # is then just (dl <= lv) — no per-level 64-bit shifts.
+            dl = np.zeros(m, dtype=np.int16)
+            if m > 1:
+                x = scode[1:] ^ scode[:-1]
+                hb = np.zeros(m - 1, dtype=np.int16)
+                v = x.copy()
+                for sh in (32, 16, 8, 4, 2, 1):
+                    big = v >= (np.int64(1) << sh)
+                    hb[big] += sh
+                    v[big] >>= sh
+                lvl = (np.int16(D0) - 1) - hb // np.int16(dim)
+                lvl[x == 0] = np.int16(D0)  # never diverges in-step
+                dl[1:] = lvl
+                dl[1:][sgid[1:] != sgid[:-1]] = 0
+            # breakpoints of the adjacent-equality chain: a run
+            # [s, e) is all-identical iff no break lies in (s, e)
+            eqR = np.ones(m, dtype=bool)
+            eqR[0] = False
+            if m > 1:
+                eqR[1:] = (Ys[1:] == Ys[:-1]).all(axis=1)
+            fe = np.flatnonzero(~eqR)
+            fe = np.append(fe, m)
+
+            # parent runs of the first level = entry groups
+            starts_prev = np.flatnonzero(dl == 0)
+            slot_prev = sgid[starts_prev]
+
+            for lv in range(D0):
+                shift = (D0 - 1 - lv) * dim
+                flag = dl <= lv
+                starts = np.flatnonzero(flag)
+                mm = len(scode)
+                sizes = np.diff(np.append(starts, mm))
+                run_code = scode[starts]
+                valid = run_code >= 0  # dead runs carry the sentinel
+
+                sv = sizes[valid]
+                Kv = int(valid.sum())
+                kid_slot = total_slots + np.arange(Kv)
+                prun = np.searchsorted(starts_prev, starts[valid], "right") - 1
+                par_fix.append(slot_prev[prun])
+                cell_fix.append(
+                    (run_code[valid] >> shift) & (n_child - 1)
+                )
+                kid_fix.append(kid_slot)
+
+                sums = np.add.reduceat(Ys, starts, axis=0)
+                center_lv.append(sums[valid] / sv[:, None])
+                count_lv.append(sv.astype(np.int64, copy=False))
+                cw = cw_seq[lv]
+                radius_lv.append(
+                    np.full(Kv, (cw * cw).sum(), dtype=np.float64)
+                )
+                total_slots += Kv
+
+                # identical ⇔ no equality break inside the run
+                nb = fe[np.searchsorted(fe, starts, "right")]
+                identical = nb >= starts + sizes
+
+                if glevel + 1 < max_depth:
+                    expand = valid & ~identical
+                else:
+                    expand = np.zeros(len(sizes), dtype=bool)
+                if coarse:
+                    expand &= sizes > int(leaf_size)
+                    cmask = valid & ~identical & ~expand
+                    if cmask.any():
+                        # pack member rows (Morton order within leaf)
+                        cs = starts[cmask]
+                        cz = sizes[cmask]
+                        tot = int(cz.sum())
+                        within = np.arange(tot) - np.repeat(
+                            np.cumsum(cz) - cz, cz
+                        )
+                        # slot ids: position among VALID runs
+                        vpos = np.cumsum(valid) - 1
+                        ls_slots.append(
+                            total_slots - Kv + vpos[cmask]
+                        )
+                        ls_counts.append(cz)
+                        ls_rows.append(Ys[np.repeat(cs, cz) + within])
+                glevel += 1
+                n_alive = int(sizes[expand].sum())
+                last = n_alive == 0 or lv == D0 - 1
+                # retire non-expanding VALID runs: segment-bounded
+                # sentinel writes (dead runs already carry -1)
+                ret = valid & ~expand
+                if ret.any():
+                    rs = starts[ret]
+                    rz = sizes[ret]
+                    tot = int(rz.sum())
+                    within = np.arange(tot) - np.repeat(
+                        np.cumsum(rz) - rz, rz
+                    )
+                    scode[np.repeat(rs, rz) + within] = -1
+                if last:
+                    # capture residual rows via expanded-run segments
+                    es = starts[expand]
+                    ez = sizes[expand]
+                    tot = int(ez.sum())
+                    within = np.arange(tot) - np.repeat(
+                        np.cumsum(ez) - ez, ez
+                    )
+                    rows = np.repeat(es, ez) + within
+                    R_idx = sidx[rows]
+                    R_corner = scorner[rows]
+                    vslot = np.full(len(sizes), -1, dtype=np.int64)
+                    vslot[valid] = kid_slot
+                    R_gid = np.repeat(vslot[expand], ez)
+                    wl = cw
+                    break
+                starts_prev = starts[expand]
+                slot_prev = kid_slot[expand[valid]]
+                if n_alive < mm // 2:
+                    # compact once the alive fraction halves; removals
+                    # are whole runs, so surviving within-run
+                    # adjacency (dl, eq breaks) stays valid, and every
+                    # row after a removed block is a run start
+                    am = scode >= 0
+                    scode = scode[am]
+                    sidx = sidx[am]
+                    Ys = Ys[am]
+                    scorner = scorner[am]
+                    dl = dl[am]
+                    dl[flag[am]] = 0  # run starts stay boundaries
+                    eqR = eqR[am]
+                    fe = np.append(np.flatnonzero(~eqR), len(scode))
+                    starts_prev = np.flatnonzero(dl == 0)
+                    # slot_prev aligns: compacted runs are exactly the
+                    # expanded runs, in order
+            if glevel >= max_depth:
+                break
+
+        leaves_arr = np.ones(total_slots, dtype=bool)
+        children_arr = np.full((total_slots, n_child), -1, dtype=np.int32)
+        if par_fix:
+            pars = np.concatenate(par_fix)
+            children_arr[pars, np.concatenate(cell_fix)] = np.concatenate(
+                kid_fix
+            )
+            leaves_arr[pars] = False
+        leaf_start_arr = None
+        leaf_pts_arr = None
+        if coarse:
+            leaf_start_arr = np.full(total_slots, -1, dtype=np.int64)
+            if ls_slots:
+                counts_cat = np.concatenate(ls_counts)
+                leaf_start_arr[np.concatenate(ls_slots)] = (
+                    np.cumsum(counts_cat) - counts_cat
+                )
+                leaf_pts_arr = np.concatenate(ls_rows, axis=0)
+        return cls(
+            np.concatenate(center_lv, axis=0),
+            np.concatenate(count_lv),
+            np.concatenate(radius_lv),
+            leaves_arr,
+            children_arr,
+            leaf_start_arr,
+            leaf_pts_arr,
+        )
+
+    @classmethod
+    def _build_level_sort(
         cls, Y: np.ndarray, max_depth: int = 64, leaf_size: int = 1
     ) -> "FlatTree":
-        """Bulk level-synchronous (BFS) build — no per-point insertion,
-        no per-node Python loop.
+        """Round-11 level-synchronous (BFS) builder — kept verbatim as
+        the equivalence oracle for :meth:`build` (the Morton builder
+        is pinned bit-identical to this in tests) and as the fallback
+        for very high dimensions.
 
         The tree's *shape* is insertion-order independent: a cell is a
         leaf iff it holds ≤1 distinct point, and every node's
