@@ -601,6 +601,51 @@ def _release_worker_workspaces(spark, cpus: int) -> None:
     spark.range(cpus).repartition(cpus).mapInPandas(_release, "n long").count()
 
 
+def _host_control(spark, cpus: int) -> dict:
+    """Fixed-workload host-weather control (VERDICT r11 #7): two
+    deterministic jobs whose cost is independent of the suite's code —
+    a JVM-side shuffle (groupBy + window over 4M synthetic rows) and a
+    Python-worker numpy GEMM (one 768^3 fp64 matmul per worker). Their
+    wall times are recorded at suite START and END so round-over-round
+    bench comparisons can be host-normalized without a same-code
+    rerun (adjacent-run spreads up to 2.8x were measured on this host
+    class — SCALE.md r11). Each job is timed min-of-2."""
+    from pyspark.sql import Window as _W
+
+    def _jvm_job() -> float:
+        t0 = time.time()
+        df = spark.range(4_000_000).select(
+            (F.col("id") % 9973).alias("k"),
+            (F.col("id") * 2654435761 % 1_000_003).alias("v"),
+        )
+        df.withColumn(
+            "r", F.row_number().over(_W.partitionBy("k").orderBy("v"))
+        ).where(F.col("r") <= 3).groupBy().agg(F.sum("v")).collect()
+        return round(time.time() - t0, 3)
+
+    def _gemm(batches):
+        import numpy as _np
+        import pandas as _p
+
+        rng = _np.random.default_rng(7)
+        a = rng.standard_normal((768, 768))
+        s = float((a @ a).sum())
+        for b in batches:
+            yield _p.DataFrame({"s": [s + len(b) * 0.0]})
+
+    def _py_job() -> float:
+        t0 = time.time()
+        spark.range(cpus).repartition(cpus).mapInPandas(
+            _gemm, "s double"
+        ).count()
+        return round(time.time() - t0, 3)
+
+    return {
+        "jvm_shuffle_sec": min(_jvm_job(), _jvm_job()),
+        "py_gemm_sec": min(_py_job(), _py_job()),
+    }
+
+
 def headline(total: float, sf: float, n_queries: int) -> dict:
     """The ONE machine-parsed JSON object bench.py prints as its last
     stdout line. Fixed-size by construction — never add a per-query
@@ -710,6 +755,11 @@ def main():
         _warm_knn_ws, "id long"
     ).count()
     spark.catalog.clearCache()
+
+    # Host-weather control at suite start (untimed w.r.t. queries);
+    # the matching end-of-suite sample is taken after isolated_ab.
+    host_control = {"start": _host_control(spark, int(cpus))}
+    print(f"# host_control start: {host_control['start']}", flush=True)
 
     # Repeat-and-min: on this host class single-shot timings swing
     # 3-5x with VM page-restore, so each query runs `repeat` times and
@@ -829,6 +879,9 @@ def main():
                 flush=True,
             )
 
+    host_control["end"] = _host_control(spark, int(cpus))
+    print(f"# host_control end: {host_control['end']}", flush=True)
+
     total = round(sum(timings.values()), 3)
     # Evidence detail (per-query mins, per-run timings, stage
     # breakdowns) goes to earlier `#`-prefixed lines AND a side file;
@@ -846,6 +899,7 @@ def main():
         "stages": stages,
         "stage_runs": stage_runs,
         "isolated_ab": iso,
+        "host_control": host_control,
         "sf": sf,
     }
     print("# detail: " + json.dumps(detail), flush=True)
