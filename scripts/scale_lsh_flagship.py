@@ -10,7 +10,8 @@ with a broadcast-query partial-top-k pass — the queries broadcast at
     python scripts/scale_lsh_flagship.py [copies] [iters]  # default 500 3
 
 Env knobs: SPARK_GRAFT_LSH_TABLES / _BAND / _WIDTHQ / _MAXBUCKET /
-_NPROBE forward to knn_lsh_banded for parameter sweeps.
+_NPROBE / _PROBETAU / _PROBEIDX (0 = asymmetric) forward to
+knn_lsh_banded for parameter sweeps.
 """
 
 import json
@@ -164,6 +165,12 @@ def main():
         lsh_kwargs["max_bucket"] = int(os.environ["SPARK_GRAFT_LSH_MAXBUCKET"])
     if os.environ.get("SPARK_GRAFT_LSH_NPROBE"):
         lsh_kwargs["n_probe"] = int(os.environ["SPARK_GRAFT_LSH_NPROBE"])
+    if os.environ.get("SPARK_GRAFT_LSH_PROBETAU"):
+        lsh_kwargs["probe_tau"] = float(os.environ["SPARK_GRAFT_LSH_PROBETAU"])
+    if os.environ.get("SPARK_GRAFT_LSH_PROBEIDX"):
+        lsh_kwargs["probe_index"] = (
+            os.environ["SPARK_GRAFT_LSH_PROBEIDX"] != "0"
+        )
     out["lsh_kwargs"] = lsh_kwargs
 
     # Stage 1 measured alone: the banded-LSH kNN itself.

@@ -485,6 +485,7 @@ def knn_lsh_banded_lists(
     occupancy_target: float = 1 / 3,
     n_probe: int = 1,
     probe_index: bool = True,
+    probe_tau: float | None = None,
     seed: int = 42,
     check_coverage: bool = False,
     resources: list | None = None,
@@ -585,6 +586,19 @@ def knn_lsh_banded_lists(
     count. The distributed t-SNE path gets the same surfacing for
     free (``api._prepare`` compares adjacency ids against n).
 
+    ``probe_tau`` (multi-probe only): emit a probe row ONLY when the
+    flipped coordinate is within ``probe_tau`` width-fractions of its
+    floor boundary (``d < tau``, ``d`` ∈ [0, 0.5]). Rows deep inside
+    their cells — whose boundary-crossing neighbors the probe would
+    rarely recover — skip the probe entirely, cutting probe-bucket
+    population (and the occupancy compounding that makes n_probe=2
+    cost ~3× rather than ~2×) while keeping the aimed recovery pairs,
+    which by construction straddle a boundary and therefore have
+    small ``d`` on at least one side. ``None`` (default) or ≥ 0.5
+    keeps every probe (round-11 behavior, bit-identical). Pure JVM
+    ``when()``/``filter()`` on the assignment array. Measured at 1M
+    (SCALE.md round 12 grid).
+
     ``bucket_width``: explicit widths are used AS-IS since round 11
     (quantile-width semantics, matching :func:`knn_lsh`'s
     ``bucket_length``). Before round 11 an explicit width was
@@ -612,6 +626,11 @@ def knn_lsh_banded_lists(
     ship_package(spark)
     L, B, sd = int(num_tables), int(band_size), int(seed)
     NP = max(1, min(int(n_probe), B + 1))
+    # d = least(frac, 1-frac) never exceeds 0.5, so tau >= 0.5 is the
+    # ungated round-11 behavior and needs no filter in the plan.
+    tau = None
+    if probe_tau is not None and NP > 1 and float(probe_tau) < 0.5:
+        tau = float(probe_tau)
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from spark_tsne_spark.runtime import tune_worker
@@ -655,6 +674,11 @@ def knn_lsh_banded_lists(
         # boundary-recovery pairs for ~2×). All pure JVM expressions,
         # so the width probes below never re-run the Python
         # projection pass.
+        # Each entry is (table, bucket-hash, role, gate): gate is None
+        # (always emit) or a boolean Column — probe rows under
+        # probe_tau emit only when the flipped coordinate's boundary
+        # distance is below tau (see the docstring; the aimed
+        # boundary-recovery pairs have small d by construction).
         probe_role = 0 if probe_index else 1
         out = []
         for t in range(L):
@@ -662,7 +686,7 @@ def knn_lsh_banded_lists(
                 F.floor(F.col("p").getItem(t * B + b) / F.lit(float(w)))
                 for b in range(B)
             ]
-            out.append((t, F.xxhash64(F.lit(t), *cells), 0))
+            out.append((t, F.xxhash64(F.lit(t), *cells), 0, None))
             if NP > 1:
                 fr = [
                     F.col("p").getItem(t * B + b) / F.lit(float(w)) - cells[b]
@@ -691,18 +715,34 @@ def knn_lsh_banded_lists(
                         ).otherwise(F.lit(0))
                         for b in range(B)
                     ]
-                    out.append((t, F.xxhash64(F.lit(t), *pc), probe_role))
+                    gate = (
+                        cand.getItem(r)["d"] < F.lit(tau)
+                        if tau is not None
+                        else None
+                    )
+                    out.append((t, F.xxhash64(F.lit(t), *pc), probe_role, gate))
         return out
 
     def tb_array(w: float):
-        return F.array(
+        cols = assignment_cols(w)
+        elems = [
+            F.struct(F.lit(t).alias("t"), c.alias("b"), F.lit(q).alias("q"))
+            for t, c, q, _ in cols
+        ]
+        gates = [g for *_, g in cols]
+        if all(g is None for g in gates):
+            return F.array(*elems)
+        # Gated probes: null out below-the-gate elements, then drop
+        # the nulls — explode never sees them, so every downstream
+        # consumer (width probes, over-cap scan, coverage, the main
+        # thin assignment table) prices the REDUCED probe population.
+        arr = F.array(
             *[
-                F.struct(
-                    F.lit(t).alias("t"), c.alias("b"), F.lit(q).alias("q")
-                )
-                for t, c, q in assignment_cols(w)
+                e if g is None else F.when(g, e)
+                for e, g in zip(elems, gates)
             ]
         )
+        return F.filter(arr, lambda s: s.isNotNull())
 
     n = None
     if bucket_width is None:
@@ -717,7 +757,7 @@ def knn_lsh_banded_lists(
         # plan changes mid-session (same caveat as any cached scan).
         try:
             memo_key = (
-                df.semanticHash(), id_col, features, L, B, NP,
+                df.semanticHash(), id_col, features, L, B, NP, tau,
                 float(width_quantile), int(max_bucket),
                 float(occupancy_target), sd,
             )

@@ -230,3 +230,45 @@ def test_banded_width_memo(spark):
     pa = a.sort_values(["i", "rank"]).reset_index(drop=True)
     pb = b.sort_values(["i", "rank"]).reset_index(drop=True)
     assert pa.equals(pb)
+
+
+def test_probe_tau_gate(spark):
+    """probe_tau (VERDICT r11 #5): tau >= 0.5 is bit-identical to the
+    ungated multi-probe; a tight tau keeps the recall between
+    single-probe and full multi-probe (with the width held fixed so
+    candidate sets are comparable)."""
+    from spark_tsne_spark.operators.knn import (
+        derive_bucket_length,
+        knn_exact_block,
+        knn_lsh_banded_lists,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((600, 8))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(X)],
+        "id long, features array<double>",
+    ).cache()
+    df.count()
+    w = derive_bucket_length(df, quantile=0.15, seed=42) * 2.0
+
+    def pairs(**kw):
+        nn = knn_lsh_banded_lists(
+            df, 5, num_tables=4, bucket_width=w, seed=42, **kw
+        )
+        return {(r.i, j) for r in nn.collect() for j in r.js}
+
+    p_full = pairs(n_probe=2)
+    p_over = pairs(n_probe=2, probe_tau=0.7)  # >= 0.5: no gate
+    assert p_over == p_full
+    p_one = pairs(n_probe=1)
+    p_tau = pairs(n_probe=2, probe_tau=0.2)
+    gt = {(r.i, j) for r in knn_exact_block(df, 5).collect() for j in r.js}
+
+    def recall(s):
+        return len(gt & s) / len(gt)
+
+    # the gate trades a sliver of the probe's recall for its cost;
+    # it must keep a strict improvement over single-probe here
+    assert recall(p_one) < recall(p_tau) <= recall(p_full) + 1e-12
+    df.unpersist()
