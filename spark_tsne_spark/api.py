@@ -257,15 +257,18 @@ def _prepare(
         features=features, method=method, resources=resources,
     )
     # Symmetrize via the explode-both → single-hash-partition →
-    # tungsten-sum → regroup chain. MEASURED CHOICE (round 11): the
-    # array-packed alternative (affinities.adjacency_from_calibrated —
-    # half the shuffle rows, one aggregation) loses at flagship shape,
-    # 1.2 s vs 2.0 s steady-state interleaved A/B from cached
-    # calibrated lists (scripts/ab_symmetrize.py; SCALE.md r11): the
-    # thin-row path stays in whole-stage-codegen HashAggregate while
-    # the packed path pays ObjectHashAggregate + per-row map building.
-    # The chain is one exchange end-to-end (HashPartitioning(i)
-    # satisfies both aggregations — verified in the executed plan).
+    # tungsten-sum → regroup chain. MEASURED CHOICE (rounds 11 AND
+    # 12): the array-packed alternative
+    # (affinities.adjacency_from_calibrated — half the shuffle rows,
+    # one aggregation) loses at BOTH measured shapes — 1.2 s vs 2.0 s
+    # at 50k flagship shape (scripts/ab_symmetrize.py, r11) and
+    # 42.8 s vs 91.7 s at 1M rows / 180M thin rows
+    # (scripts/ab_affinity_1m.py, r12, the row-bound regime the r11
+    # note said to revisit): whole-stage-codegen HashAggregate over
+    # thin rows beats ObjectHashAggregate + per-row map building even
+    # when the packed path's shuffle is half the rows. The chain is
+    # one exchange end-to-end (HashPartitioning(i) satisfies both
+    # aggregations — verified in the executed plan).
     p_ji = cal.select(
         "i", F.explode(F.arrays_zip("js", "ps")).alias("e")
     ).select("i", F.col("e.js").alias("j"), F.col("e.ps").alias("p"))

@@ -99,18 +99,22 @@ def adjacency_from_calibrated(
     numerically identical to ``compute_p(explode(cal), n)`` (pinned by
     tests/test_r11_fixes.py).
 
-    MEASURED REJECTION (round 11) — kept as a correct, pinned
+    MEASURED REJECTION (rounds 11 and 12) — kept as a correct, pinned
     alternative but NOT used by the affinity pipeline: at flagship
     shape (50k rows, k=90) the interleaved ABBA A/B from cached
     calibrated lists (scripts/ab_symmetrize.py) measures this path at
-    ~2.0 s steady-state vs ~1.2 s for explode-both + ``compute_p``.
-    Halving the shuffle rows does not pay for leaving whole-stage
-    codegen: the thin-row chain runs a tungsten ``HashAggregate(sum)``
-    while this one pays ``ObjectHashAggregate`` (first-over-arrays +
-    collect_list-of-structs) plus per-row map construction. Revisit
-    only if the shuffle becomes network-bound (real cluster) rather
-    than CPU-bound (local[32]) — the byte argument below is still
-    true there.
+    ~2.0 s steady-state vs ~1.2 s for explode-both + ``compute_p``,
+    and at 1M rows / 180M thin rows — the row-bound regime round 11
+    deferred to — the same ABBA (scripts/ab_affinity_1m.py) measures
+    **91.7 s vs 42.8 s**, a >2× loss with the halved-shuffle-rows
+    byte advantage fully in play. Halving the shuffle rows does not
+    pay for leaving whole-stage codegen at ANY measured local shape:
+    the thin-row chain runs a tungsten ``HashAggregate(sum)`` while
+    this one pays ``ObjectHashAggregate`` (first-over-arrays +
+    collect_list-of-structs) plus per-row map construction whose CPU
+    cost scales with the very rows it saves. The remaining
+    hypothetical is a network-bound REAL cluster where shuffle bytes,
+    not CPU, gate — the byte argument below is still true there.
 
     The construction it was built on:
 
