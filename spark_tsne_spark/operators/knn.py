@@ -659,9 +659,10 @@ def knn_lsh_banded_lists(
     if resources is not None:
         resources.append(proj)
 
-    def assignment_cols(w: float) -> list:
-        # (table, bucket-hash, role) expression per assignment. Base
-        # bucket (role 0: indexed AND querying): xxhash64 over the
+    def with_assignments(w: float, cols: list) -> DataFrame:
+        # DataFrame of ``cols`` + one (t, b, q) row per assignment:
+        # every (table, bucket-hash, role) assignment for width ``w``.
+        # Base bucket (role 0: indexed AND querying): xxhash64 over the
         # table's B floored band cells + the table index. Probe
         # buckets (n_probe > 1, role 1: querying only — ASYMMETRIC
         # multi-probe, Lv et al.): the r-th probe flips the single
@@ -674,75 +675,109 @@ def knn_lsh_banded_lists(
         # boundary-recovery pairs for ~2×). All pure JVM expressions,
         # so the width probes below never re-run the Python
         # projection pass.
-        # Each entry is (table, bucket-hash, role, gate): gate is None
-        # (always emit) or a boolean Column — probe rows under
-        # probe_tau emit only when the flipped coordinate's boundary
-        # distance is below tau (see the docstring; the aimed
-        # boundary-recovery pairs have small d by construction).
+        #
+        # TABLE-EXPLODED, not per-table-inlined (optimization round
+        # 12): the table index is exploded FIRST (n·L rows — exactly
+        # the volume every consumer explodes to anyway) and one
+        # table's cells/probe-candidates are computed per row with
+        # ``element_at(p, t·B+b+1)``, so the expression tree is
+        # constant in L instead of repeating the full array_sort
+        # subtree ~2B+1 times for each of L tables. The inlined form
+        # spent more wall-clock CONSTRUCTING (~5-6 s of py4j calls)
+        # and planning the 6×2 tree than running the kernel
+        # (measured: mp bench entry 7.5 s vs sp 2.1 s at sf0.1 for
+        # 1.5× the assignment volume; a withColumns staging variant
+        # was built first and REJECTED — the optimizer churned 5-7 s
+        # per query on the staged tree). Values are bit-identical:
+        # same floors, same struct sort order, same xxhash64 inputs
+        # (t was an int literal, is now the exploded int column) —
+        # pinned by the unchanged banded-LSH goldens.
         probe_role = 0 if probe_index else 1
-        out = []
-        for t in range(L):
-            cells = [
-                F.floor(F.col("p").getItem(t * B + b) / F.lit(float(w)))
+        wl = F.lit(float(w))
+        tcol = F.col("_t")
+        cells = [
+            F.floor(F.element_at("p", tcol * B + b + 1) / wl)
+            for b in range(B)
+        ]
+        elems = [
+            F.struct(
+                tcol.alias("t"),
+                F.xxhash64(tcol, *cells).alias("b"),
+                F.lit(0).alias("q"),
+            )
+        ]
+        gates: list = [None]
+        if NP > 1:
+            fr = [
+                F.element_at("p", tcol * B + b + 1) / wl - cells[b]
                 for b in range(B)
             ]
-            out.append((t, F.xxhash64(F.lit(t), *cells), 0, None))
-            if NP > 1:
-                fr = [
-                    F.col("p").getItem(t * B + b) / F.lit(float(w)) - cells[b]
-                    for b in range(B)
-                ]
-                cand = F.array_sort(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.least(fr[b], F.lit(1.0) - fr[b]).alias("d"),
-                                F.lit(b).alias("c"),
-                                F.when(fr[b] < 0.5, F.lit(-1))
-                                .otherwise(F.lit(1))
-                                .cast("long")
-                                .alias("s"),
-                            )
-                            for b in range(B)
-                        ]
-                    )
-                )
-                for r in range(NP - 1):
-                    pc = [
-                        cells[b]
-                        + F.when(
-                            cand.getItem(r)["c"] == b, cand.getItem(r)["s"]
-                        ).otherwise(F.lit(0))
+            cand = F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            F.least(fr[b], F.lit(1.0) - fr[b]).alias("d"),
+                            F.lit(b).alias("c"),
+                            F.when(fr[b] < 0.5, F.lit(-1))
+                            .otherwise(F.lit(1))
+                            .cast("long")
+                            .alias("s"),
+                        )
                         for b in range(B)
                     ]
-                    gate = (
-                        cand.getItem(r)["d"] < F.lit(tau)
-                        if tau is not None
-                        else None
+                )
+            )
+            for r in range(NP - 1):
+                pc = [
+                    cells[b]
+                    + F.when(
+                        cand.getItem(r)["c"] == b, cand.getItem(r)["s"]
+                    ).otherwise(F.lit(0))
+                    for b in range(B)
+                ]
+                elems.append(
+                    F.struct(
+                        tcol.alias("t"),
+                        F.xxhash64(tcol, *pc).alias("b"),
+                        F.lit(probe_role).alias("q"),
                     )
-                    out.append((t, F.xxhash64(F.lit(t), *pc), probe_role, gate))
-        return out
-
-    def tb_array(w: float):
-        cols = assignment_cols(w)
-        elems = [
-            F.struct(F.lit(t).alias("t"), c.alias("b"), F.lit(q).alias("q"))
-            for t, c, q, _ in cols
-        ]
-        gates = [g for *_, g in cols]
+                )
+                gates.append(
+                    cand.getItem(r)["d"] < F.lit(tau)
+                    if tau is not None
+                    else None
+                )
         if all(g is None for g in gates):
-            return F.array(*elems)
-        # Gated probes: null out below-the-gate elements, then drop
-        # the nulls — explode never sees them, so every downstream
-        # consumer (width probes, over-cap scan, coverage, the main
-        # thin assignment table) prices the REDUCED probe population.
-        arr = F.array(
-            *[
-                e if g is None else F.when(g, e)
-                for e, g in zip(elems, gates)
-            ]
+            arr = F.array(*elems)
+        else:
+            # Gated probes: null out below-the-gate elements, then
+            # drop the nulls — explode never sees them, so every
+            # downstream consumer (width probes, over-cap scan,
+            # coverage, the main thin assignment table) prices the
+            # REDUCED probe population.
+            arr = F.filter(
+                F.array(
+                    *[
+                        e if g is None else F.when(g, e)
+                        for e, g in zip(elems, gates)
+                    ]
+                ),
+                lambda s: s.isNotNull(),
+            )
+        return (
+            proj.select(
+                *cols,
+                "p",
+                F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("_t"),
+            )
+            .select(*cols, F.explode(arr).alias("a"))
+            .select(
+                *cols,
+                F.col("a.t").alias("t"),
+                F.col("a.b").alias("b"),
+                F.col("a.q").alias("q"),
+            )
         )
-        return F.filter(arr, lambda s: s.isNotNull())
 
     n = None
     if bucket_width is None:
@@ -775,9 +810,7 @@ def knn_lsh_banded_lists(
             # probes; each probe is one JVM count over the cached
             # projections)
             for _ in range(12):
-                bk = proj.select(
-                    F.explode(tb_array(w)).alias("tb")
-                ).select("tb.t", "tb.b")
+                bk = with_assignments(w, []).select("t", "b")
                 over = (
                     bk.groupBy("t", "b")
                     .agg(F.count("*").alias("c"))
@@ -806,9 +839,7 @@ def knn_lsh_banded_lists(
     # pass, no vectors) and broadcast — by the occupancy bound there
     # are at most n·L·NP·target / max_bucket such buckets (~650 at 1M
     # rows, defaults), so the broadcast is tiny.
-    thin = proj.select(F.explode(tb_array(w)).alias("tb")).select(
-        "tb.t", "tb.b", "tb.q"
-    )
+    thin = with_assignments(w, []).select("t", "b", "q")
     over_caps = (
         thin.groupBy("t", "b")
         .agg(F.count("*").alias("c"))
@@ -817,14 +848,7 @@ def knn_lsh_banded_lists(
     )
 
     exploded = (
-        proj.select("id", "f", F.explode(tb_array(w)).alias("tb"))
-        .select(
-            "id",
-            "f",
-            F.col("tb.t").alias("t"),
-            F.col("tb.b").alias("b"),
-            F.col("tb.q").alias("q"),
-        )
+        with_assignments(w, ["id", "f"])
         .join(F.broadcast(over_caps), ["t", "b"], "left")
         .withColumn(
             "shard",
@@ -849,8 +873,7 @@ def knn_lsh_banded_lists(
             .agg(F.count("*").alias("mc"))
         )
         covered = (
-            proj.select("id", F.explode(tb_array(w)).alias("tb"))
-            .select("id", "tb.t", "tb.b", "tb.q")
+            with_assignments(w, ["id"])
             .join(mcounts, ["t", "b"], "left")  # bucket-count table is
             # O(n·L·NP) rows at scale — shuffle join, not broadcast
             .where(
