@@ -949,6 +949,17 @@ def fuzzy_prefix_pairs(
     base = docs.select(
         F.col(id_col).alias("id"), pf.alias("pf")
     ).where(F.length("pf") >= 2)
+    # The variant explode multiplies each doc ~prefix_len²/2-fold, so
+    # its parallelism is the SCAN's partitioning — a few gzip/parquet
+    # splits at bench scale (measured: the whole 1.5M-variant build ran
+    # on 3 of 32 cores, 0.64 s where 32-way is ~0.2 s). Spread the thin
+    # (id, pf) rows across the cluster BEFORE fanning out; skipped when
+    # the scan is already parallel enough (a big input at scale), so no
+    # shuffle is added where it wouldn't pay. (guide §2.5 input skew /
+    # §2.6 idle capacity)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
 
     # Variants are built with PLAIN explode + substring/concat
     # projections, not higher-order array functions: Spark evaluates
@@ -1005,30 +1016,76 @@ def fuzzy_prefix_pairs(
     exploded = parts[0]
     for p in parts[1:]:
         exploded = exploded.unionByName(p)
-    exploded = exploded.dropDuplicates(["id", "v"])
-    if max_bucket is not None:
-        # bucket size via a window on v, not a groupBy+join-back: the
-        # window's shuffle IS the self-join's required distribution,
-        # so the exchange is computed once and reused by both join
-        # sides (the join-back form recomputed the whole explode)
-        from pyspark.sql import Window
+    # ONE exchange for the whole tail (round 12; guide §2.4): the old
+    # chain shuffled twice — dropDuplicates(id, v) hash-partitions by
+    # (id, v), which does NOT satisfy the v-clustering the bucket
+    # window and the self-join need, so a second full exchange by v
+    # followed (measured +1.36 s of the 3.7 s sf0.1 run for the dedup
+    # exchange alone). An explicit repartition("v") up front instead:
+    # HashPartitioning(v) satisfies ClusteredDistribution(v, id), so
+    # the per-doc variant dedup (row_number over (v, id) — duplicate
+    # rows are bit-identical, any survivor is THE row), the bucket-cap
+    # window (count over v; its [v] sort is a satisfied prefix of the
+    # (v, id) sort), and both self-join sides (ReusedExchange) all run
+    # off the SAME shuffle. Same rows survive, same bucket counts,
+    # same pairs — pinned by the unchanged catalog oracles.
+    from pyspark.sql import Window
 
+    exploded = (
+        exploded.repartition("v")
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("v", "id").orderBy("id")),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if max_bucket is not None:
+        # Capped path: the variant self-join RECOMPUTED the whole
+        # explode+dedup chain for its second side (the optimizer
+        # broadcast-converts the self-join at runtime, and a broadcast
+        # build side is a fresh subtree, not a ReusedExchange —
+        # measured ~1 s of the 3.3 s sf0.1 chain). With the cap
+        # filter in place every bucket is ≤ max_bucket rows, so
+        # in-bucket pair emission is memory-bounded: group the capped
+        # rows by v (SortAggregate over the SAME v-partitioning/sort —
+        # no new exchange) and Generate the i<j pairs from the bucket
+        # list. One copy of the chain, same pairs. The uncapped path
+        # (catalog entries) keeps the streaming join: an uncapped
+        # mega-bucket's collect_list is unbounded state, and bounded
+        # memory there matters more than the duplicated subtree.
         exploded = exploded.withColumn(
             "_bw", F.count("*").over(Window.partitionBy("v"))
         ).where(F.col("_bw") <= max_bucket).drop("_bw")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    cands = (
-        a.join(b, on="v")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("i"),
-            F.col("b.id").alias("j"),
-            F.col("a.pf").alias("pi"),
-            F.col("b.pf").alias("pj"),
+        bucket = exploded.groupBy("v").agg(
+            F.collect_list(F.struct("id", "pf")).alias("m")
         )
-        .dropDuplicates(["i", "j"])
-    )
+        cands = (
+            bucket.select(F.explode("m").alias("a"), "m")
+            .select("a", F.explode("m").alias("b"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("i"),
+                F.col("b.id").alias("j"),
+                F.col("a.pf").alias("pi"),
+                F.col("b.pf").alias("pj"),
+            )
+            .dropDuplicates(["i", "j"])
+        )
+    else:
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        cands = (
+            a.join(b, on="v")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("i"),
+                F.col("b.id").alias("j"),
+                F.col("a.pf").alias("pi"),
+                F.col("b.pf").alias("pj"),
+            )
+            .dropDuplicates(["i", "j"])
+        )
     return (
         cands.withColumn("dist", F.levenshtein("pi", "pj").cast("long"))
         .where(F.col("dist") <= max_edit)
