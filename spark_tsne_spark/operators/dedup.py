@@ -950,16 +950,15 @@ def fuzzy_prefix_pairs(
         F.col(id_col).alias("id"), pf.alias("pf")
     ).where(F.length("pf") >= 2)
     # The variant explode multiplies each doc ~prefix_len²/2-fold, so
-    # its parallelism is the SCAN's partitioning — a few gzip/parquet
+    # its parallelism is the SCAN's partitioning — a few parquet
     # splits at bench scale (measured: the whole 1.5M-variant build ran
     # on 3 of 32 cores, 0.64 s where 32-way is ~0.2 s). Spread the thin
-    # (id, pf) rows across the cluster BEFORE fanning out; skipped when
-    # the scan is already parallel enough (a big input at scale), so no
-    # shuffle is added where it wouldn't pay. (guide §2.5 input skew /
-    # §2.6 idle capacity)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    # (id, pf) rows across the cluster BEFORE fanning out; no-op when
+    # the scan is already parallel (a big input at scale). (guide §2.5
+    # input skew / §2.6 idle capacity)
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    base = widen_small_input(base)
 
     # Variants are built with PLAIN explode + substring/concat
     # projections, not higher-order array functions: Spark evaluates

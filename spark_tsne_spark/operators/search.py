@@ -473,6 +473,13 @@ def allpairs_cosine_pairs(
     """
     from pyspark.sql import Window
 
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    # The tokenize+TF chain is recomputed by every reference (index
+    # self-join sides + both verification joins); widening the scan
+    # spreads each recomputation's explode beyond the file's 1-3
+    # splits (round 12 — no-op at scale).
+    docs = widen_small_input(docs)
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -636,6 +643,15 @@ def lang_id_join(
         char_shingles,
     )
 
+    from spark_tsne_spark.partitioning import widen_small_input
+
+    # Both heavy per-row passes below — the 9-regex script census and
+    # the ~n_chars-row trigram explode — inherit the SCAN's partition
+    # count, which for a small single-file input is 1-3 tasks (round
+    # 12: the whole 5M-gram explode ran on 3 of 32 cores at sf0.1).
+    # Widen once; both branches fork from the widened child. No-op at
+    # scale.
+    docs = widen_small_input(docs)
     spark = docs.sparkSession
     langs = sorted(LANG_TRIGRAM_PROFILES)
     nl = len(langs)

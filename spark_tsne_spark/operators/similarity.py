@@ -304,6 +304,43 @@ def _make_cell_fanout(b_C, n_top: int, concurrent: int = 1, floor: int = 1):
     return run
 
 
+def _local_query_cells(q_sel: DataFrame, C: np.ndarray, n_top: int) -> DataFrame:
+    """Driver-side twin of :func:`_make_cell_fanout` for the QUERY side.
+
+    Query batches are broadcast-bounded by contract — every consumer
+    ships them to all executors as the broadcast side of the cell
+    join — so computing their cell fan-out driver-side is free of any
+    distributed-memory concern and removes a whole Python-worker
+    stage + its broadcast-build job per query batch (measured
+    0.3–0.5 s of fixed overhead per ANN bench entry at sf0.1, where
+    the query batch is 100 rows). The numpy expressions and tie
+    behavior are IDENTICAL to the distributed kernel (same
+    normalize, same argmax/argpartition), and the collected doubles
+    round-trip exactly, so every output row is bit-equal — pinned by
+    the unchanged ANN goldens. The corpus side stays distributed.
+    """
+    spark = q_sel.sparkSession
+    pdf = q_sel.toPandas()
+    m = min(n_top, len(C))
+    if len(pdf) == 0 or m == 0:
+        return spark.createDataFrame([], _FANOUT_SCHEMA)
+    X = np.array(pdf["v"].tolist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sim = Xn @ C.T
+    if m == 1:
+        order = np.argmax(sim, axis=1)[:, None]
+    else:
+        order = np.argpartition(-sim, m - 1, axis=1)[:, :m]
+    out = pd.DataFrame(
+        {
+            "id": np.repeat(pdf["id"].to_numpy(), m),
+            "v": pdf["v"].to_numpy().repeat(m),
+            "cell": order.ravel().astype(np.int32),
+        }
+    )
+    return spark.createDataFrame(out, _FANOUT_SCHEMA)
+
+
 def _rank_cell_join(
     corpus_cells: DataFrame, query_cells: DataFrame, k: int, dedup: bool
 ) -> DataFrame:
@@ -452,21 +489,15 @@ class IvfIndex:
 
         spark = queries.sparkSession
         ship_package(spark)
-        b_C = spark.sparkContext.broadcast(self.C)
         q_sel = queries.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        query_cells = q_sel.mapInPandas(
-            _make_cell_fanout(
-                b_C, max(1, n_probe), concurrent=q_sel.rdd.getNumPartitions()
-            ),
-            _FANOUT_SCHEMA,
-        )
-        query_cells = query_cells.cache()
-        # Bounded driver collect (≤ n_cells ints): the probed cell set
-        # becomes an IN-filter the scan turns into partition pruning —
-        # unprobed cell directories are never opened.
+        query_cells = _local_query_cells(q_sel, self.C, max(1, n_probe))
+        # The probed cell set becomes an IN-filter the scan turns into
+        # partition pruning — unprobed cell directories are never
+        # opened. query_cells is a driver-local relation now, so the
+        # distinct is a LocalTableScan, not a cached Python stage.
         probed = [
             r["cell"] for r in query_cells.select("cell").distinct().collect()
         ]
@@ -522,12 +553,7 @@ def ivf_topk(
     q_sel = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    query_cells = q_sel.mapInPandas(
-        _make_cell_fanout(
-            b_C, max(1, n_probe), concurrent=q_sel.rdd.getNumPartitions()
-        ),
-        _FANOUT_SCHEMA,
-    )
+    query_cells = _local_query_cells(q_sel, C, max(1, n_probe))
     # Multi-assignment can surface the same (i, j) via several shared
     # cells; _rank_cell_join dedups before ranking (same shuffle key
     # as the ranking window, so AQE plans them back-to-back).
@@ -638,31 +664,34 @@ def _make_pq_encode(b_C, b_books, concurrent: int = 1, floor: int = 1):
     return encode
 
 
-def _make_pq_qfanout(b_C, n_probe: int):
-    """mapInPandas kernel: each query emits its n_probe nearest cells
-    with the normalized query vector riding along (d doubles — the
-    32×-smaller join payload; ADC tables rebuild per batch)."""
-
-    def q_fanout(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C_ = b_C.value
-        probe = min(n_probe, len(C_))
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
-            nr = np.linalg.norm(X, axis=1, keepdims=True)
-            Xn = np.divide(X, nr, out=np.zeros_like(X), where=nr > 0)
-            sim = Xn @ C_.T
-            cells = np.argpartition(-sim, probe - 1, axis=1)[:, :probe]
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(pdf["id"].to_numpy(), probe),
-                    "cell": cells.ravel().astype(np.int32),
-                    "qv": np.repeat(Xn, probe, axis=0).tolist(),
-                }
-            )
-
-    return q_fanout
+def _local_pq_query_cells(
+    q_sel: DataFrame, C: np.ndarray, n_probe: int
+) -> DataFrame:
+    """Each query emits its ``n_probe`` nearest cells with the
+    NORMALIZED query vector riding along (d doubles — the 32×-smaller
+    join payload; ADC tables rebuild per batch in the scoring
+    kernel). Driver-side: same rationale and bit-equality argument as
+    :func:`_local_query_cells` (queries are broadcast-bounded by
+    contract; identical numpy expressions, incl. this path's
+    zero-norm guard)."""
+    spark = q_sel.sparkSession
+    pdf = q_sel.toPandas()
+    probe = min(n_probe, len(C))
+    if len(pdf) == 0 or probe == 0:
+        return spark.createDataFrame([], _QFAN_SCHEMA)
+    X = np.array(pdf["v"].tolist(), dtype=np.float64)
+    nr = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = np.divide(X, nr, out=np.zeros_like(X), where=nr > 0)
+    sim = Xn @ C.T
+    cells = np.argpartition(-sim, probe - 1, axis=1)[:, :probe]
+    out = pd.DataFrame(
+        {
+            "qid": np.repeat(pdf["id"].to_numpy(), probe),
+            "cell": cells.ravel().astype(np.int32),
+            "qv": np.repeat(Xn, probe, axis=0).tolist(),
+        }
+    )
+    return spark.createDataFrame(out, _QFAN_SCHEMA)
 
 
 def _make_adc_score(b_books):
@@ -830,13 +859,15 @@ class IvfPqIndex:
 
         spark = queries.sparkSession
         ship_package(spark)
-        sc = spark.sparkContext
-        b_C, b_books = sc.broadcast(self.C), sc.broadcast(self.books)
-        query_cells = queries.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        ).mapInPandas(_make_pq_qfanout(b_C, max(1, n_probe)), _QFAN_SCHEMA)
-        query_cells = query_cells.cache()
+        b_books = spark.sparkContext.broadcast(self.books)
+        query_cells = _local_pq_query_cells(
+            queries.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ),
+            self.C,
+            max(1, n_probe),
+        )
         probed = [
             r["cell"] for r in query_cells.select("cell").distinct().collect()
         ]
@@ -925,10 +956,16 @@ def ivf_pq_topk(
     # Query side: n_probe cell fan-out with the normalized query
     # vector riding along (d doubles — 32× smaller than a
     # materialized m·n_codes ADC table; tables rebuild per batch in
-    # the scoring kernel, amortized across candidates).
-    query_cells = queries.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).mapInPandas(_make_pq_qfanout(b_C, max(1, n_probe)), _QFAN_SCHEMA)
+    # the scoring kernel, amortized across candidates). Driver-local
+    # (see _local_query_cells).
+    query_cells = _local_pq_query_cells(
+        queries.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        C,
+        max(1, n_probe),
+    )
     qv = queries.select(
         F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("vi")
     )
