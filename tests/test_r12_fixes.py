@@ -272,3 +272,64 @@ def test_probe_tau_gate(spark):
     # it must keep a strict improvement over single-probe here
     assert recall(p_one) < recall(p_tau) <= recall(p_full) + 1e-12
     df.unpersist()
+
+
+def test_bh_gradient_pass_arrow_matches_pandas(spark):
+    """The round-12 Arrow-native BH pass (mapInArrow, zero-copy list
+    flatten) emits BIT-IDENTICAL rows to the r11 mapInPandas +
+    bh_block path on a varying-length adjacency — same ids, same
+    force vectors, same KL partials, to the last bit."""
+    from spark_tsne_spark.gradient import (
+        GRAD_SCHEMA,
+        bh_block,
+        bh_gradient_pass,
+    )
+    from spark_tsne_spark.sptree import FlatTree
+
+    rng = np.random.default_rng(7)
+    n = 400
+    Y = rng.standard_normal((n, 2)) * 1e-2
+    ids = np.arange(n, dtype=np.int64)
+    rows = []
+    for i in range(n):
+        k = int(rng.integers(3, 13))  # varying lengths exercise the
+        js = rng.choice(n, size=k, replace=False)  # offsets math
+        ps = rng.random(k) / (k * n)
+        rows.append((int(i), [int(j) for j in js], [float(p) for p in ps]))
+    adj = spark.createDataFrame(
+        rows, "i long, js array<long>, ps array<double>"
+    ).repartition(4, "i")
+    tree = FlatTree.build(Y)
+    sc = spark.sparkContext
+    bc_state = sc.broadcast((Y, tree))
+    bc_ids = sc.broadcast(ids)
+    theta, ex = 0.5, 12.0
+
+    def run_old(batches):
+        Yv, treev = bc_state.value
+        idsv = bc_ids.value
+        for pdf in batches:
+            if len(pdf):
+                yield bh_block(pdf, Yv, treev, idsv, theta, ex)
+
+    old = (
+        adj.mapInPandas(run_old, GRAD_SCHEMA)
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    new = (
+        bh_gradient_pass(adj, bc_state, bc_ids, theta, ex)
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert (old["i"].to_numpy() == new["i"].to_numpy()).all()
+    for col in ("znum", "ploss", "psum"):
+        assert (old[col].to_numpy() == new[col].to_numpy()).all(), col
+    for col in ("posF", "negF"):
+        a = np.vstack(old[col].to_numpy())
+        b = np.vstack(new[col].to_numpy())
+        assert (a == b).all(), col
+    bc_state.destroy()
+    bc_ids.destroy()
