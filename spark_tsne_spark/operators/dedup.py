@@ -949,16 +949,22 @@ def fuzzy_prefix_pairs(
     base = docs.select(
         F.col(id_col).alias("id"), pf.alias("pf")
     ).where(F.length("pf") >= 2)
-    # The variant explode multiplies each doc ~prefix_len²/2-fold, so
-    # its parallelism is the SCAN's partitioning — a few parquet
-    # splits at bench scale (measured: the whole 1.5M-variant build ran
-    # on 3 of 32 cores, 0.64 s where 32-way is ~0.2 s). Spread the thin
-    # (id, pf) rows across the cluster BEFORE fanning out; no-op when
-    # the scan is already parallel (a big input at scale). (guide §2.5
-    # input skew / §2.6 idle capacity)
-    from spark_tsne_spark.partitioning import widen_small_input
+    # At max_edit=2 the variant explode multiplies each doc
+    # ~prefix_len²/2-fold, so its parallelism is the SCAN's
+    # partitioning — a few parquet splits at bench scale (measured:
+    # the whole 1.5M-variant build ran on 3 of 32 cores, 0.64 s where
+    # 32-way is ~0.2 s). Spread the thin (id, pf) rows across the
+    # cluster BEFORE fanning out; no-op when the scan is already
+    # parallel (a big input at scale). (guide §2.5/§2.6) At max_edit=1
+    # the fan-out is only ~prefix_len rows/doc and the widen's extra
+    # exchange+stage floors are a measured net LOSS at bench shape
+    # (variant matrix, r12: ed1 uncapped min 0.86 s un-widened vs
+    # 1.22 s widened; the one-exchange tail below is a wash there,
+    # 0.94 s) — so widen only on the heavy fan-out.
+    if max_edit == 2:
+        from spark_tsne_spark.partitioning import widen_small_input
 
-    base = widen_small_input(base)
+        base = widen_small_input(base)
 
     # Variants are built with PLAIN explode + substring/concat
     # projections, not higher-order array functions: Spark evaluates
@@ -1015,33 +1021,55 @@ def fuzzy_prefix_pairs(
     exploded = parts[0]
     for p in parts[1:]:
         exploded = exploded.unionByName(p)
-    # ONE exchange for the whole tail (round 12; guide §2.4): the old
-    # chain shuffled twice — dropDuplicates(id, v) hash-partitions by
-    # (id, v), which does NOT satisfy the v-clustering the bucket
-    # window and the self-join need, so a second full exchange by v
-    # followed (measured +1.36 s of the 3.7 s sf0.1 run for the dedup
-    # exchange alone). An explicit repartition("v") up front instead:
-    # HashPartitioning(v) satisfies ClusteredDistribution(v, id), so
-    # the per-doc variant dedup (row_number over (v, id) — duplicate
-    # rows are bit-identical, any survivor is THE row), the bucket-cap
-    # window (count over v; its [v] sort is a satisfied prefix of the
-    # (v, id) sort), and both self-join sides (ReusedExchange) all run
-    # off the SAME shuffle. Same rows survive, same bucket counts,
-    # same pairs — pinned by the unchanged catalog oracles.
+    # Tail structure is gated on the fan-out, mirroring the widen
+    # (round 12; guide §1 measure-first, §2.4):
+    #
+    # max_edit=2 (~prefix_len²/2 variants/doc): ONE exchange for the
+    # whole tail. The old chain shuffled twice — dropDuplicates(id, v)
+    # hash-partitions by (id, v), which does NOT satisfy the
+    # v-clustering the bucket window and the self-join need, so a
+    # second full exchange by v followed (measured +1.36 s of the
+    # 3.7 s sf0.1 run for the dedup exchange alone). An explicit
+    # repartition("v") up front instead: HashPartitioning(v) satisfies
+    # ClusteredDistribution(v, id), so the per-doc variant dedup
+    # (row_number over (v, id) — duplicate rows are bit-identical, any
+    # survivor is THE row), the bucket-cap window (count over v; its
+    # [v] sort is a satisfied prefix of the (v, id) sort), and both
+    # self-join sides (ReusedExchange) all run off the SAME shuffle.
+    #
+    # max_edit=1 (~prefix_len variants/doc): the volume is too small
+    # for the explicit exchange + sorted window to repay their stage
+    # floors — measured ABBA at sf0.1 under bench methodology: legacy
+    # dropDuplicates tail min 0.96 s vs one-exchange tail min
+    # 1.08-1.28 s — so the light path keeps the hash-agg dedup and
+    # lets AQE broadcast the tiny self-join.
+    #
+    # Same rows survive, same bucket counts, same pairs either way —
+    # pinned by the unchanged catalog oracles.
     from pyspark.sql import Window
 
-    exploded = (
-        exploded.repartition("v")
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("v", "id").orderBy("id")),
+    heavy = max_edit == 2
+    if heavy:
+        exploded = (
+            exploded.repartition("v")
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("v", "id").orderBy("id")
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
         )
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    else:
+        exploded = exploded.dropDuplicates(["id", "v"])
     if max_bucket is not None:
-        # Capped path: the variant self-join RECOMPUTED the whole
-        # explode+dedup chain for its second side (the optimizer
+        exploded = exploded.withColumn(
+            "_bw", F.count("*").over(Window.partitionBy("v"))
+        ).where(F.col("_bw") <= max_bucket).drop("_bw")
+    if max_bucket is not None and heavy:
+        # Capped heavy path: the variant self-join RECOMPUTED the
+        # whole explode+dedup chain for its second side (the optimizer
         # broadcast-converts the self-join at runtime, and a broadcast
         # build side is a fresh subtree, not a ReusedExchange —
         # measured ~1 s of the 3.3 s sf0.1 chain). With the cap
@@ -1053,9 +1081,6 @@ def fuzzy_prefix_pairs(
         # (catalog entries) keeps the streaming join: an uncapped
         # mega-bucket's collect_list is unbounded state, and bounded
         # memory there matters more than the duplicated subtree.
-        exploded = exploded.withColumn(
-            "_bw", F.count("*").over(Window.partitionBy("v"))
-        ).where(F.col("_bw") <= max_bucket).drop("_bw")
         bucket = exploded.groupBy("v").agg(
             F.collect_list(F.struct("id", "pf")).alias("m")
         )

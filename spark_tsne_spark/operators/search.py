@@ -473,13 +473,12 @@ def allpairs_cosine_pairs(
     """
     from pyspark.sql import Window
 
-    from spark_tsne_spark.partitioning import widen_small_input
-
-    # The tokenize+TF chain is recomputed by every reference (index
-    # self-join sides + both verification joins); widening the scan
-    # spreads each recomputation's explode beyond the file's 1-3
-    # splits (round 12 — no-op at scale).
-    docs = widen_small_input(docs)
+    # Round 12 measured-rejection: widening the scan here LOSES
+    # ~0.6 s at bench shape (ABBA min 2.01 s no-widen vs 2.69 s
+    # widened, sf0.1) — the widen exchange is itself part of the
+    # subtree every plan reference recomputes, so it multiplies
+    # instead of amortizing, and the per-row tokenize work is too
+    # light to repay the extra stages. Left un-widened on purpose.
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"),
