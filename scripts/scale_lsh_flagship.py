@@ -135,7 +135,13 @@ def main():
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
         .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.driver.memory", "48g")
+        # 48g fits the 1M point; the 10M point (5000 copies) caches
+        # ~22 GB of kNN pairs + ~15 GB of grouped adjacency, so let
+        # the caller raise the heap instead of silently spilling
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -190,9 +196,14 @@ def main():
 
     # Recall vs exact ground truth on the 10k-query subsample
     # (base ids divisible by 100 → 20 bases × copies).
+    # Query subsample density dial: GT cost is O(n·q·d) GEMM, so at
+    # 10M rows the default 1-in-100 sample (100k queries) is ~1 h of
+    # pure BLAS; 1-in-1000 (10k queries) keeps the recall estimate
+    # affordable at the same statistical weight per query.
+    gt_mod = int(os.environ.get("SPARK_GRAFT_GT_MOD", "100"))
     t2 = time.time()
     gt = exact_ground_truth(
-        spark, big, lambda c: F.pmod(c, F.lit(100)) == 0
+        spark, big, lambda c: F.pmod(c, F.lit(gt_mod)) == 0
     ).cache()
     gt_n = gt.count()
     out["gt_pairs"] = gt_n

@@ -24,6 +24,7 @@ Numerical semantics preserved from the reference:
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterator
 
 import numpy as np
@@ -293,11 +294,16 @@ def calibrated_neighbors(
         # list-form output: skips a full n·k flat-row regroup shuffle
         # (the banded kernel already merges per-row neighbor lists).
         # Dials are the measured 1M cost/recall knee (SCALE.md r11),
-        # not the operator defaults the golden pins.
+        # not the operator defaults the golden pins. probe_tau (the
+        # r12 boundary-gated probe dial, SCALE.md r12 grid: tau=0.2
+        # keeps recall 0.95 at ~2/3 the probe population) is exposed
+        # as an env dial for scale runs; unset = ungated r11 behavior.
+        tau_env = os.environ.get("SPARK_GRAFT_LSH_AFFINITY_PROBETAU")
         nn = knn_lsh_banded_lists(
             df, mu, id_col, features,
             num_tables=LSH_AFFINITY_TABLES,
             n_probe=LSH_AFFINITY_N_PROBE,
+            probe_tau=float(tau_env) if tau_env else None,
             resources=resources,
         )
     elif method == "lsh":

@@ -333,3 +333,36 @@ def test_bh_gradient_pass_arrow_matches_pandas(spark):
         assert (a == b).all(), col
     bc_state.destroy()
     bc_ids.destroy()
+
+
+def test_affinity_probe_tau_env_dial(monkeypatch):
+    """SPARK_GRAFT_LSH_AFFINITY_PROBETAU forwards to the banded kNN
+    call of the affinity path; unset keeps the ungated r11 default."""
+    import spark_tsne_spark.operators.x2p as x2p_mod
+
+    captured = {}
+
+    def fake_lists(df, mu, id_col, features, **kw):
+        captured.update(kw)
+        raise RuntimeError("stop-after-capture")
+
+    monkeypatch.setattr(
+        "spark_tsne_spark.operators.knn.knn_lsh_banded_lists", fake_lists
+    )
+    for env_val, expect in ((None, None), ("0.2", 0.2)):
+        captured.clear()
+        if env_val is None:
+            monkeypatch.delenv(
+                "SPARK_GRAFT_LSH_AFFINITY_PROBETAU", raising=False
+            )
+        else:
+            monkeypatch.setenv(
+                "SPARK_GRAFT_LSH_AFFINITY_PROBETAU", env_val
+            )
+        with pytest.raises(RuntimeError, match="stop-after-capture"):
+            x2p_mod.calibrated_neighbors(
+                object(), perplexity=30.0, method="lsh_banded"
+            )
+        assert captured["probe_tau"] == expect
+        assert captured["num_tables"] == 6
+        assert captured["n_probe"] == 2
