@@ -134,7 +134,15 @@ def main():
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
-        .config("spark.sql.shuffle.partitions", "64")
+        # Scale-adaptive dial (guide §2): 64 fits the 1M point; at 10M
+        # a 64-way reduce sorts ~550 MB/task and the UnsafeExternalSorter
+        # spill DOUBLES the on-disk shuffle footprint (measured: the
+        # first 10M attempt died on disk in the bucket-pass reduce).
+        # 256 at 10M keeps per-task sorts ~140 MB = no spill.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64"),
+        )
         # 48g fits the 1M point; the 10M point (5000 copies) caches
         # ~22 GB of kNN pairs + ~15 GB of grouped adjacency, so let
         # the caller raise the heap instead of silently spilling
@@ -208,7 +216,12 @@ def main():
     gt_n = gt.count()
     out["gt_pairs"] = gt_n
     out["gt_sec"] = round(time.time() - t2, 3)
-    hit = gt.join(lsh.select("i", "j"), ["i", "j"]).count()
+    # Broadcast the GT side (10k queries × K pairs ≈ 14 MB): just over
+    # the auto-broadcast threshold, so without the hint the planner
+    # sort-merges and re-shuffles ALL n·K kNN pairs (~20 GB at 10M)
+    # for a count the broadcast join gets from the cached pairs in
+    # place (guide §3.1).
+    hit = lsh.select("i", "j").join(F.broadcast(gt), ["i", "j"]).count()
     out["recall_at_k"] = round(hit / gt_n, 4)
     print(
         f"ground truth {gt_n} pairs in {out['gt_sec']}s; "
@@ -217,6 +230,10 @@ def main():
     )
     lsh.unpersist()
     gt.unpersist()
+    # Shuffle files of the standalone kNN stage are only deleted when
+    # the driver GC collects their ShuffleDependency references; at
+    # 10M that is ~35 GB of disk the e2e's second kNN pass needs back.
+    spark.sparkContext._jvm.System.gc()
 
     if os.environ.get("SPARK_GRAFT_LSH_SKIP_E2E") == "1":
         print("E2E " + json.dumps(out), flush=True)
