@@ -209,10 +209,24 @@ def main():
     # pure BLAS; 1-in-1000 (10k queries) keeps the recall estimate
     # affordable at the same statistical weight per query.
     gt_mod = int(os.environ.get("SPARK_GRAFT_GT_MOD", "100"))
+    # Query-sample SPREAD dial: ids are vec_id + copy*1e6, so for any
+    # mod dividing 1e6 the plain id%mod==0 predicate degenerates to
+    # vec_id%mod==0 — at mod=1000 that is copies of just TWO of the
+    # 2000 base embeddings, and the recall estimate collapses to the
+    # LSH's behavior inside two jitter clouds (measured at 3.16M:
+    # 0.50 under 2-base sampling). GT_HASH=1 samples by xxhash64(id)
+    # instead, spreading the same query budget uniformly over bases
+    # AND copies. Default stays the id-mod predicate so the recorded
+    # 1M rows stay reproducible.
+    gt_hash = os.environ.get("SPARK_GRAFT_GT_HASH") == "1"
+    q_pred = (
+        (lambda c: F.pmod(F.xxhash64(c), F.lit(gt_mod)) == 0)
+        if gt_hash
+        else (lambda c: F.pmod(c, F.lit(gt_mod)) == 0)
+    )
+    out["gt_hash_sampling"] = gt_hash
     t2 = time.time()
-    gt = exact_ground_truth(
-        spark, big, lambda c: F.pmod(c, F.lit(gt_mod)) == 0
-    ).cache()
+    gt = exact_ground_truth(spark, big, q_pred).cache()
     gt_n = gt.count()
     out["gt_pairs"] = gt_n
     out["gt_sec"] = round(time.time() - t2, 3)
