@@ -213,6 +213,14 @@ def bh_gradient_pass(
     report loss every iteration without the reference's separate loss
     job (``BHTSNE.scala:70-77``); clamp caveat as in the module doc.
     """
+    run = _make_bh_arrow_run(bc_state, bc_ids, theta, exaggeration)
+    return adjacency.mapInArrow(run, GRAD_SCHEMA)
+
+
+def _make_bh_arrow_run(bc_state, bc_ids, theta: float, exaggeration: float):
+    """Kernel factory for :func:`bh_gradient_pass` — separate so tests
+    can drive the Arrow batch path directly (``bc_*`` only need a
+    ``.value`` attribute)."""
 
     def run(batches):
         import pyarrow as pa
@@ -228,15 +236,21 @@ def bh_gradient_pass(
             if k == 0:
                 continue
             names = rb.schema.names
-            ids = rb.column(names.index("i")).to_numpy()
             js = rb.column(names.index("js"))
             ps = rb.column(names.index("ps"))
+            if js.null_count or rb.column(names.index("i")).null_count:
+                raise ValueError("null entries in adjacency js lists")
+            ids = rb.column(names.index("i")).to_numpy()
             # Zero-copy flatten of the neighbor lists: values buffer +
             # lengths, replacing the per-row concatenate loop of
             # ``_flatten_edges`` (the dominant Python cost at 10⁶ rows).
             # flatten() honors slice offsets but silently drops NULL
             # list entries — adjacency lists are null-free by
-            # construction; the length check makes that assumption loud.
+            # construction; check null_count FIRST (a null list entry
+            # would otherwise surface as an opaque numpy cast error
+            # from value_lengths()/to_numpy() before the length check
+            # below could fire), then the length check guards against
+            # any other silent drop.
             lens = np.asarray(js.value_lengths(), dtype=np.int64)
             js_all = np.asarray(js.flatten(), dtype=np.int64)
             if len(js_all) != int(lens.sum()):
@@ -265,7 +279,7 @@ def bh_gradient_pass(
                 names=["i", "posF", "negF", "znum", "ploss", "psum"],
             )
 
-    return adjacency.mapInArrow(run, GRAD_SCHEMA)
+    return run
 
 
 def bh_block(

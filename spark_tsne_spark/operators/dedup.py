@@ -945,6 +945,9 @@ def fuzzy_prefix_pairs(
     """
     if max_edit not in (1, 2):
         raise ValueError(f"max_edit must be 1 or 2, got {max_edit}")
+    # INVARIANT: pf is a pure function of the doc row (one pf per id),
+    # so any two rows sharing (v, id) downstream are bit-identical —
+    # the heavy path's row_number survivor pick relies on this.
     pf = F.lower(F.substring(F.trim(F.col(text_col)), 1, prefix_len))
     base = docs.select(
         F.col(id_col).alias("id"), pf.alias("pf")

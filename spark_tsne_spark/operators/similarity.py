@@ -304,6 +304,19 @@ def _make_cell_fanout(b_C, n_top: int, concurrent: int = 1, floor: int = 1):
     return run
 
 
+def _local_query_max_rows() -> int:
+    """Ceiling on how many query rows the driver-side fan-out will
+    collect. Query batches are broadcast-bounded by contract (they
+    ship whole to every executor as the broadcast join side), so a
+    batch above this bound was *already* out of contract — but
+    nothing used to enforce it, and a violating caller would OOM the
+    driver at plan-build time instead of running the (slower, safe)
+    distributed kernel. Overridable for testing / unusual drivers."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_ANN_LOCAL_QMAX", "65536"))
+
+
 def _local_query_cells(q_sel: DataFrame, C: np.ndarray, n_top: int) -> DataFrame:
     """Driver-side twin of :func:`_make_cell_fanout` for the QUERY side.
 
@@ -318,9 +331,23 @@ def _local_query_cells(q_sel: DataFrame, C: np.ndarray, n_top: int) -> DataFrame
     normalize, same argmax/argpartition), and the collected doubles
     round-trip exactly, so every output row is bit-equal — pinned by
     the unchanged ANN goldens. The corpus side stays distributed.
+
+    Guard (round 13): the collect is bounded by
+    :func:`_local_query_max_rows`; a larger query table falls back to
+    the distributed kernel instead of collecting unbounded rows onto
+    the driver.
     """
     spark = q_sel.sparkSession
-    pdf = q_sel.toPandas()
+    max_rows = _local_query_max_rows()
+    pdf = q_sel.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        b_C = spark.sparkContext.broadcast(C)
+        return q_sel.mapInPandas(
+            _make_cell_fanout(
+                b_C, n_top, concurrent=q_sel.rdd.getNumPartitions()
+            ),
+            _FANOUT_SCHEMA,
+        )
     m = min(n_top, len(C))
     if len(pdf) == 0 or m == 0:
         return spark.createDataFrame([], _FANOUT_SCHEMA)
@@ -664,18 +691,53 @@ def _make_pq_encode(b_C, b_books, concurrent: int = 1, floor: int = 1):
     return encode
 
 
+def _make_pq_qfanout(b_C, n_probe: int):
+    """mapInPandas kernel: each query emits its n_probe nearest cells
+    with the normalized query vector riding along (d doubles — the
+    32×-smaller join payload; ADC tables rebuild per batch). Kept as
+    the distributed fallback for query tables above the
+    :func:`_local_query_max_rows` driver-collect bound."""
+
+    def q_fanout(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_ = b_C.value
+        probe = min(n_probe, len(C_))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nr = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = np.divide(X, nr, out=np.zeros_like(X), where=nr > 0)
+            sim = Xn @ C_.T
+            cells = np.argpartition(-sim, probe - 1, axis=1)[:, :probe]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["id"].to_numpy(), probe),
+                    "cell": cells.ravel().astype(np.int32),
+                    "qv": np.repeat(Xn, probe, axis=0).tolist(),
+                }
+            )
+
+    return q_fanout
+
+
 def _local_pq_query_cells(
     q_sel: DataFrame, C: np.ndarray, n_probe: int
 ) -> DataFrame:
     """Each query emits its ``n_probe`` nearest cells with the
     NORMALIZED query vector riding along (d doubles — the 32×-smaller
     join payload; ADC tables rebuild per batch in the scoring
-    kernel). Driver-side: same rationale and bit-equality argument as
-    :func:`_local_query_cells` (queries are broadcast-bounded by
-    contract; identical numpy expressions, incl. this path's
-    zero-norm guard)."""
+    kernel). Driver-side: same rationale, bit-equality argument and
+    bounded-collect guard as :func:`_local_query_cells` (queries are
+    broadcast-bounded by contract; identical numpy expressions, incl.
+    this path's zero-norm guard)."""
     spark = q_sel.sparkSession
-    pdf = q_sel.toPandas()
+    max_rows = _local_query_max_rows()
+    pdf = q_sel.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        b_C = spark.sparkContext.broadcast(C)
+        return q_sel.mapInPandas(
+            _make_pq_qfanout(b_C, max(1, n_probe)), _QFAN_SCHEMA
+        )
     probe = min(n_probe, len(C))
     if len(pdf) == 0 or probe == 0:
         return spark.createDataFrame([], _QFAN_SCHEMA)

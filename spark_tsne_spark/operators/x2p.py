@@ -259,6 +259,33 @@ def x2p(
     )
 
 
+def _probe_tau_from_env() -> float | None:
+    """Parse ``SPARK_GRAFT_LSH_AFFINITY_PROBETAU``.
+
+    Only unset/empty restores the ungated (round-11) behavior.
+    Anything else must be a positive float: tau=0 would gate out
+    EVERY probe row (``d < 0`` is never true), silently degrading
+    multiprobe to single-probe, and a malformed value used to raise
+    an uncontextualized ValueError (ADVICE r12).
+    """
+    tau_env = os.environ.get("SPARK_GRAFT_LSH_AFFINITY_PROBETAU")
+    if tau_env in (None, ""):
+        return None
+    try:
+        tau = float(tau_env)
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_LSH_AFFINITY_PROBETAU must be a positive "
+            f"float, got {tau_env!r}"
+        ) from None
+    if tau <= 0:
+        raise ValueError(
+            "SPARK_GRAFT_LSH_AFFINITY_PROBETAU must be a positive "
+            f"float, got {tau_env!r}"
+        )
+    return tau
+
+
 def calibrated_neighbors(
     df: DataFrame,
     tol: float = 1e-5,
@@ -298,12 +325,11 @@ def calibrated_neighbors(
         # r12 boundary-gated probe dial, SCALE.md r12 grid: tau=0.2
         # keeps recall 0.95 at ~2/3 the probe population) is exposed
         # as an env dial for scale runs; unset = ungated r11 behavior.
-        tau_env = os.environ.get("SPARK_GRAFT_LSH_AFFINITY_PROBETAU")
         nn = knn_lsh_banded_lists(
             df, mu, id_col, features,
             num_tables=LSH_AFFINITY_TABLES,
             n_probe=LSH_AFFINITY_N_PROBE,
-            probe_tau=float(tau_env) if tau_env else None,
+            probe_tau=_probe_tau_from_env(),
             resources=resources,
         )
     elif method == "lsh":
