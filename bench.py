@@ -903,11 +903,24 @@ def main():
         "sf": sf,
     }
     print("# detail: " + json.dumps(detail), flush=True)
+    # Per-query signal for the perf channel (VERDICT r12 #6): a
+    # dedicated compact stdout line BEFORE the headline (so a stdout
+    # reader gets per-entry mins without bench_detail.json), plus the
+    # side file flushed before the headline prints. The LAST line
+    # stays the fixed-size headline — the driver's ~2000-byte tail
+    # capture json-parses only the final line, and a per-query dict
+    # there overflowed it twice (see tests/test_bench_contract.py).
+    print(
+        "# perquery: " + json.dumps(timings, separators=(",", ":")),
+        flush=True,
+    )
     if not only:
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "bench_detail.json"), "w") as f:
                 json.dump(detail, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
         except OSError:
             pass
     line = json.dumps(headline(total, sf, len(timings)))

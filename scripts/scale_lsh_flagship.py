@@ -10,8 +10,10 @@ with a broadcast-query partial-top-k pass — the queries broadcast at
     python scripts/scale_lsh_flagship.py [copies] [iters]  # default 500 3
 
 Env knobs: SPARK_GRAFT_LSH_TABLES / _BAND / _WIDTHQ / _MAXBUCKET /
-_NPROBE / _PROBETAU / _PROBEIDX (0 = asymmetric) forward to
-knn_lsh_banded for parameter sweeps.
+_NPROBE / _PROBETAU / _PROBEIDX (0 = asymmetric) / _FLOORC (the
+round-13 recall-floor scale; 0 disables) / _GROUPS (staged table
+groups, the 10M peak-disk dial) forward to knn_lsh_banded for
+parameter sweeps.
 """
 
 import json
@@ -185,6 +187,12 @@ def main():
         lsh_kwargs["probe_index"] = (
             os.environ["SPARK_GRAFT_LSH_PROBEIDX"] != "0"
         )
+    if os.environ.get("SPARK_GRAFT_LSH_FLOORC"):
+        lsh_kwargs["width_floor_scale"] = float(
+            os.environ["SPARK_GRAFT_LSH_FLOORC"]
+        )
+    if os.environ.get("SPARK_GRAFT_LSH_GROUPS"):
+        lsh_kwargs["table_groups"] = int(os.environ["SPARK_GRAFT_LSH_GROUPS"])
     out["lsh_kwargs"] = lsh_kwargs
 
     # Stage 1 measured alone: the banded-LSH kNN itself.

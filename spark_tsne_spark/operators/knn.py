@@ -370,6 +370,106 @@ def knn_exact_block(
 # memo note inside knn_lsh_banded_lists
 _BANDED_WIDTH_MEMO: dict = {}
 
+# Occupancy probes sample the projections above this row count (one
+# deterministic hash-sample, persisted for the tune's lifetime), with
+# a single FULL-table verification count at the accepted width — the
+# tune's cost at 3.16M was ~15 min of full-table counts (VERDICT r12
+# #7) for decisions a 262k-row sample makes identically (bucket
+# counts scale by the sampling fraction; the over-cap threshold is
+# ~340 sampled rows at 3.16M — far above counting noise). The
+# threshold sits ABOVE 1M so the r11/r12 1M grid widths are
+# reproduced bit-for-bit by full counts.
+OCC_SAMPLE_MIN_N = 2_000_000
+OCC_SAMPLE_ROWS = 262_144
+
+
+def _kth_neighbor_floor(
+    proj: DataFrame,
+    k: int,
+    sample_q: int = 256,
+    quantile: float = 0.5,
+    seed: int = 42,
+) -> float:
+    """Euclidean distance to the k-th nearest neighbor, as a quantile
+    over a spread query sample — EXACT against the full corpus (one
+    broadcast-query partial-top-k pass over the persisted projection
+    table, the same kernel shape as the scale harness's ground-truth
+    pass). This is the width tune's recall-class scale (VERDICT r12
+    #1): a bounded ``ORDER BY id`` sample sees only inter-cloud
+    distances on duplicate-dense data (expected sampled cloud
+    co-members ≪ 1), so only an exact-vs-full pass can see the
+    in-cloud neighbor scale that bucket widths must not undercut.
+
+    Cost: O(n · sample_q · d) flops distributed over the cached
+    projections plus a (tasks × sample_q × k)-doubles driver merge —
+    both bounded; computed lazily, only when the occupancy tune is
+    about to take its first halving (never at golden/bench scales,
+    where no bucket can exceed ``max_bucket``).
+    """
+    rows = (
+        proj.select("id", "f")
+        .orderBy(F.xxhash64("id", F.lit(int(seed))), "id")
+        .limit(int(sample_q))
+        .collect()
+    )
+    if len(rows) < 2:
+        return 0.0
+    qids = np.asarray([r["id"] for r in rows], dtype=np.int64)
+    Q = np.asarray([r["f"] for r in rows], dtype=np.float64)
+    qsq = (Q * Q).sum(axis=1)
+    sc = proj.sparkSession.sparkContext
+    b_q = sc.broadcast((qids, Q, qsq))
+    kq = int(k)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, Qm, qs = b_q.value
+        best: list[np.ndarray] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["f"].tolist(), dtype=np.float64)
+            xids = pdf["id"].to_numpy()
+            # (rows × queries) squared distances; exclude self by id
+            D = X @ Qm.T
+            D *= -2.0
+            D += qs[None, :]
+            D += (X * X).sum(axis=1)[:, None]
+            D[xids[:, None] == ids_q[None, :]] = np.inf
+            m = min(kq, D.shape[0])
+            best.append(np.partition(D, m - 1, axis=0)[:m])
+        if not best:
+            return
+        allb = np.concatenate(best, axis=0)
+        m = min(kq, allb.shape[0])
+        top = np.partition(allb, m - 1, axis=0)[:m]
+        yield pd.DataFrame(
+            {
+                "q": np.arange(top.shape[1], dtype=np.int64),
+                "ds": list(top.T),
+            }
+        )
+
+    parts = (
+        proj.select("id", "f")
+        .mapInPandas(partial, "q long, ds array<double>")
+        .collect()
+    )
+    per_q: dict[int, list] = {}
+    for r in parts:
+        per_q.setdefault(int(r["q"]), []).append(
+            np.asarray(r["ds"], dtype=np.float64)
+        )
+    kth = []
+    for qi, chunks in per_q.items():
+        d = np.concatenate(chunks)
+        m = min(kq, d.size)
+        kth.append(np.partition(d, m - 1)[m - 1])
+    b_q.destroy()
+    if not kth:
+        return 0.0
+    # squared -> euclidean (the width/derive scale)
+    return float(np.sqrt(max(0.0, np.quantile(np.asarray(kth), quantile))))
+
 
 def derive_bucket_length(
     df: DataFrame,
@@ -489,6 +589,11 @@ def knn_lsh_banded_lists(
     seed: int = 42,
     check_coverage: bool = False,
     resources: list | None = None,
+    width_floor_scale: float = 2.0,
+    width_floor_quantile: float = 0.5,
+    width_floor_sample: int = 256,
+    dense_shard_scale: float = 2.0,
+    table_groups: int = 1,
 ) -> DataFrame:
     """Approximate kNN via banded random-projection LSH with
     PER-BUCKET local top-k — the million-row-and-up path.
@@ -612,6 +717,30 @@ def knn_lsh_banded_lists(
     is materialized (otherwise it stays cached until LRU eviction —
     fine for one-shot queries, wasteful inside long sessions).
 
+    **Recall floor on the width tune** (round 13, VERDICT r12 #1):
+    the occupancy rule alone is a FLOPS budget, and on duplicate-dense
+    corpora it walks the width below the data's own neighbor scale —
+    measured at 3.16M rows (1580-member jitter clouds): recall@90
+    0.9627 at 1M → 0.50 at 3.16M because the extra density bought one
+    extra halving (SCALE.md r12). The tune now refuses any halving
+    that would take the width below ``width_floor_scale ×`` the
+    ``width_floor_quantile`` of the sampled EXACT k-th-neighbor
+    distance (:func:`_kth_neighbor_floor` — exact against the full
+    corpus; a bounded row sample cannot see in-cloud distances). When
+    the floor BINDS, the remaining over-cap buckets are known to be
+    natural neighborhoods, so the shard-sizing cap scales by
+    ``dense_shard_scale`` (their random slicing is then the dominant
+    recall loss; the per-group GEMM transient grows with the cap
+    squared — 134 MB → 537 MB at defaults). Both knobs are inert
+    whenever the floor is not consulted or does not bind: the floor
+    is computed lazily at the first would-be halving (impossible at
+    golden/bench scales where n < max_bucket), and the 1M grid stops
+    by occupancy before the floor binds, so all pinned goldens and
+    the r11/r12 1M widths are bit-identical. ``width_floor_scale=0``
+    disables the floor (pre-round-13 behavior). Occupancy probes
+    above ``OCC_SAMPLE_MIN_N`` rows run on a deterministic hash
+    sample with one full-table verification count (VERDICT r12 #7).
+
     Deterministic for a fixed seed. Returns NEIGHBOR LISTS
     ``(i, js, ds)`` sorted by (squared distance, neighbor id) — the
     shape the affinity calibration consumes directly (the flat-row
@@ -659,7 +788,7 @@ def knn_lsh_banded_lists(
     if resources is not None:
         resources.append(proj)
 
-    def with_assignments(w: float, cols: list) -> DataFrame:
+    def with_assignments(w: float, cols: list, src: DataFrame | None = None) -> DataFrame:
         # DataFrame of ``cols`` + one (t, b, q) row per assignment:
         # every (table, bucket-hash, role) assignment for width ``w``.
         # Base bucket (role 0: indexed AND querying): xxhash64 over the
@@ -693,6 +822,7 @@ def knn_lsh_banded_lists(
         # (t was an int literal, is now the exploded int column) —
         # pinned by the unchanged banded-LSH goldens.
         probe_role = 0 if probe_index else 1
+        src = proj if src is None else src
         wl = F.lit(float(w))
         tcol = F.col("_t")
         cells = [
@@ -765,7 +895,7 @@ def knn_lsh_banded_lists(
                 lambda s: s.isNotNull(),
             )
         return (
-            proj.select(
+            src.select(
                 *cols,
                 "p",
                 F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("_t"),
@@ -794,45 +924,123 @@ def knn_lsh_banded_lists(
             memo_key = (
                 df.semanticHash(), id_col, features, L, B, NP, tau,
                 float(width_quantile), int(max_bucket),
-                float(occupancy_target), sd,
+                float(occupancy_target), sd, int(k),
+                float(width_floor_scale or 0.0),
+                float(dense_shard_scale),
             )
         except Exception:  # pragma: no cover - semanticHash missing
             memo_key = None
         if memo_key is not None and memo_key in _BANDED_WIDTH_MEMO:
-            w, n = _BANDED_WIDTH_MEMO[memo_key]
+            w, n, floor_bound = _BANDED_WIDTH_MEMO[memo_key]
         else:
             n = proj.count()
             w = derive_bucket_length(
                 df, id_col, features, quantile=width_quantile, seed=sd
             ) * 2.0
-            # occupancy-driven auto-tune: halve until oversized buckets
-            # hold at most occupancy_target of assignments (bounded
-            # probes; each probe is one JVM count over the cached
-            # projections)
-            for _ in range(12):
-                bk = with_assignments(w, []).select("t", "b")
-                over = (
+            # Occupancy-driven auto-tune with a RECALL-CLASS FLOOR
+            # (VERDICT r12 #1): halve until oversized buckets hold at
+            # most occupancy_target of assignments, but never past
+            # ``width_floor_scale ×`` the (sampled, exact-vs-full)
+            # k-th-neighbor distance quantile. The pure-flops rule
+            # collapsed on duplicate-dense corpora: at 3.16M rows
+            # (1580-member jitter clouds) it halved one grid step
+            # below the in-cloud neighbor scale and recall@90 fell
+            # 0.96 → 0.50 (SCALE.md r12; reproduced structurally in
+            # scripts/sim_lsh_width.py — the tune's stop width and
+            # both measured recalls match the simulator within noise).
+            # The floor is lazy: computed only when the first halving
+            # is about to happen, so golden/bench-scale inputs (where
+            # no bucket can exceed max_bucket) never pay it and keep
+            # bit-identical widths.
+            #
+            # Probes above OCC_SAMPLE_MIN_N run on a deterministic
+            # hash-sample of rows (VERDICT r12 #7 — the 3.16M tune
+            # spent ~15 min on full-table counts) with the over-cap
+            # threshold scaled by the realized sampling fraction, then
+            # ONE full-table verification count at the accepted width;
+            # if the sample under-halved, full-count halving resumes
+            # (floor still enforced).
+            floor_w: float | None = None
+            floor_bound = False
+            src = None
+            s_n = n
+            cap_s = int(max_bucket)
+            if n >= OCC_SAMPLE_MIN_N:
+                M = 1 << 20
+                keep = max(1, (M * OCC_SAMPLE_ROWS) // n)
+                src = proj.where(
+                    F.pmod(F.xxhash64("id", F.lit(4099)), F.lit(M)) < keep
+                ).persist()
+                s_n = src.count()
+                cap_s = max(1, int(max_bucket * (s_n / n)))
+
+            def _over_at(width: float, full: bool) -> int:
+                source = proj if (full or src is None) else src
+                cap = int(max_bucket) if (full or src is None) else cap_s
+                bk = with_assignments(width, [], src=source).select("t", "b")
+                return (
                     bk.groupBy("t", "b")
                     .agg(F.count("*").alias("c"))
-                    .where(F.col("c") > max_bucket)
+                    .where(F.col("c") > cap)
                     .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s"))
                     .first()["s"]
                 )
-                if over <= occupancy_target * n * L * NP:
+
+            def _floor() -> float:
+                return float(width_floor_scale) * _kth_neighbor_floor(
+                    proj, int(k), sample_q=width_floor_sample,
+                    quantile=width_floor_quantile, seed=sd,
+                )
+
+            for _ in range(12):
+                over = _over_at(w, full=False)
+                if over <= occupancy_target * s_n * L * NP:
+                    break
+                if width_floor_scale and floor_w is None:
+                    floor_w = _floor()
+                if floor_w is not None and w / 2.0 < floor_w:
+                    floor_bound = True
                     break
                 w /= 2.0
+            if src is not None:
+                # full-table verification of the sampled decision
+                for _ in range(4):
+                    over = _over_at(w, full=True)
+                    if over <= occupancy_target * n * L * NP:
+                        break
+                    if width_floor_scale and floor_w is None:
+                        floor_w = _floor()
+                    if floor_w is not None and w / 2.0 < floor_w:
+                        floor_bound = True
+                        break
+                    w /= 2.0
+                src.unpersist()
             if memo_key is not None:
                 if len(_BANDED_WIDTH_MEMO) >= 64:
                     _BANDED_WIDTH_MEMO.clear()
-                _BANDED_WIDTH_MEMO[memo_key] = (w, n)
+                _BANDED_WIDTH_MEMO[memo_key] = (w, n, floor_bound)
     else:
         # used as-is (quantile-width semantics like knn_lsh's
         # bucket_length); the ×2 headroom applies only to the
         # DERIVED quantile above
         w = float(bucket_width)
+        floor_bound = False
 
     kk = int(k)
+    # Shard sizing cap: when the recall floor BOUND the tune (the
+    # duplicate-dense regime — over-cap buckets are NATURAL
+    # NEIGHBORHOODS, not hash accidents), random shard-slicing of
+    # those clouds is the remaining recall loss (P(neighbor in my
+    # shard) = 1/nsh per table), so the shard cap scales by
+    # ``dense_shard_scale``: measured in the structural simulator at
+    # 3.16M, recall@90 0.891 (cap 4096) → 0.956 (cap 8192) at the
+    # floor-stop width. The per-group GEMM transient grows with the
+    # cap's square (134 MB → 537 MB at the default k/d) — bounded and
+    # only paid in the regime that needs it; max_bucket itself (and
+    # every non-floor-bound caller, including all goldens and the 1M
+    # grid) is unchanged.
     mb = int(max_bucket)
+    shard_cap = int(max_bucket * dense_shard_scale) if floor_bound else mb
 
     # Hot-bucket shard map: over-cap (t, b) groups and their shard
     # counts, computed JVM-side from the cached projections (thin
@@ -843,8 +1051,8 @@ def knn_lsh_banded_lists(
     over_caps = (
         thin.groupBy("t", "b")
         .agg(F.count("*").alias("c"))
-        .where(F.col("c") > mb)
-        .select("t", "b", F.ceil(F.col("c") / F.lit(mb)).alias("nsh"))
+        .where(F.col("c") > shard_cap)
+        .select("t", "b", F.ceil(F.col("c") / F.lit(shard_cap)).alias("nsh"))
     )
 
     exploded = (
@@ -928,10 +1136,11 @@ def knn_lsh_banded_lists(
                 "ds": pa.array([], type=pa.list_(pa.float64())),
             }
         )
-        # singleton shards carry no pairs; the 2·mb gate is a memory
-        # backstop only — shard sizing bounds E[m] ≤ mb, and a 2×
-        # hash-deviation overshoot at mb=4096 has vanishing probability
-        if m < 2 or m > 2 * mb:
+        # singleton shards carry no pairs; the 2·shard_cap gate is a
+        # memory backstop only — shard sizing bounds E[m] ≤ shard_cap,
+        # and a 2× hash-deviation overshoot at cap 4096 has vanishing
+        # probability
+        if m < 2 or m > 2 * shard_cap:
             return empty
         ids = tbl.column("id").to_numpy()
         roles = tbl.column("q").to_numpy()
@@ -1003,10 +1212,6 @@ def knn_lsh_banded_lists(
             }
         )
 
-    local = exploded.groupBy("t", "b", "shard").applyInArrow(
-        bucket_topk, "i long, js array<long>, ds array<double>"
-    )
-
     def merge_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-row numpy merge of ≤ L·NP candidate arrays: dedupe ids
         # (the same (i, j) surfaces from several tables — per-bucket
@@ -1040,15 +1245,68 @@ def knn_lsh_banded_lists(
                 out_ds.append(ds[order])
             yield pd.DataFrame({"i": out_i, "js": out_js, "ds": out_ds})
 
-    merged = (
-        local.groupBy("i")
-        .agg(
-            F.collect_list("js").alias("jss"),
-            F.collect_list("ds").alias("dss"),
+    def _merge(local_df: DataFrame) -> DataFrame:
+        return (
+            local_df.groupBy("i")
+            .agg(
+                F.collect_list("js").alias("jss"),
+                F.collect_list("ds").alias("dss"),
+            )
+            .mapInPandas(merge_lists, "i long, js array<long>, ds array<double>")
         )
-        .mapInPandas(merge_lists, "i long, js array<long>, ds array<double>")
-    )
-    return merged
+
+    groups = max(1, min(int(table_groups), L))
+    if groups == 1:
+        local = exploded.groupBy("t", "b", "shard").applyInArrow(
+            bucket_topk, "i long, js array<long>, ds array<double>"
+        )
+        return _merge(local)
+
+    # STAGED table groups (round 13, VERDICT r12 #5): the candidate
+    # pass's peak shuffle footprint is n·L·NP·(vector carry + k-array
+    # emission) — ~238 GB at 10M rows with the 6×2 dials, which is a
+    # single-box disk bound (SCALE.md r12, both 10M attempts). With
+    # ``table_groups=G`` the L tables run as G SEQUENTIAL sub-passes:
+    # each group's assignments are filtered map-side BEFORE the bucket
+    # shuffle (only its tables' rows are shuffled), its per-row top-k
+    # merge is materialized EAGERLY via localCheckpoint (n rows of
+    # k-arrays — the bounded intermediate), and a driver GC nudge lets
+    # the ContextCleaner delete the group's shuffle files before the
+    # next group runs — peak scratch drops to ~1/G of the one-shot
+    # pass plus the checkpointed group results. The result is
+    # IDENTICAL to the one-shot pass: per-group top-k followed by a
+    # top-k merge of group results equals the global top-k (any
+    # candidate cut inside its group had ≥k strictly-closer candidates
+    # there, which also beat it in the union; the dedupe-keep-min rule
+    # composes the same way). Default 1 = the one-shot plan, byte for
+    # byte. The trade: localCheckpoint ties the run to executor
+    # liveness (no lineage recovery) — the right trade for a
+    # disk-bounded standalone box; leave it off on clusters with
+    # ample shuffle capacity.
+    bounds = []
+    base = L // groups
+    extra = L % groups
+    lo = 0
+    for g in range(groups):
+        hi = lo + base + (1 if g < extra else 0) - 1
+        bounds.append((lo, hi))
+        lo = hi + 1
+    spark_ = df.sparkSession
+    merged_parts = []
+    for (lo, hi) in bounds:
+        part = exploded.where(F.col("t").between(lo, hi))
+        local_g = part.groupBy("t", "b", "shard").applyInArrow(
+            bucket_topk, "i long, js array<long>, ds array<double>"
+        )
+        merged_parts.append(_merge(local_g).localCheckpoint(eager=True))
+        try:  # let the ContextCleaner reclaim this group's shuffles
+            spark_.sparkContext._jvm.System.gc()
+        except Exception:  # pragma: no cover - py4j hiccup
+            pass
+    allg = merged_parts[0]
+    for m in merged_parts[1:]:
+        allg = allg.unionAll(m)
+    return _merge(allg)
 
 
 def knn_lsh_banded(

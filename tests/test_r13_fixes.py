@@ -172,3 +172,156 @@ def test_local_pq_query_cells_large_falls_back_distributed(spark, monkeypatch):
         for r in ref.collect()
     )
     assert got == want
+
+
+# -------------------------------------------- width-tune recall floor
+
+
+def _dup_dense_df(spark, n_bases=2, copies=1000, d=48, seed=5):
+    """Duplicate-dense synthetic input at the failure's essential
+    geometry: big jitter clouds (cloud ≫ max_bucket in the tests
+    below) in HIGH dimension, where distance concentration makes the
+    k-th neighbor as far as the typical in-cloud pair — so a width
+    below the in-cloud scale fragments every neighborhood (the 3.16M
+    collapse, SCALE.md r12), while low-d fixtures hide it (nearest
+    neighbors there are much closer than typical pairs and survive
+    fragmentation)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    bases = rng.normal(size=(n_bases, d)) * 50.0
+    X = np.repeat(bases, copies, axis=0)
+    X += rng.uniform(0, 0.1, size=X.shape)
+    base_ix = np.repeat(np.arange(n_bases), copies)
+    copy_ix = np.tile(np.arange(copies), n_bases)
+    ids = copy_ix * n_bases + base_ix
+    pdf = pd.DataFrame({"id": ids, "f": list(X)})
+    return spark.createDataFrame(pdf), ids, X
+
+
+def _true_topk(ids, X, kk):
+    """Exact top-k id sets per row (numpy, test-scale)."""
+    order = np.argsort(ids)
+    Xs, ids_s = X[order], np.asarray(ids)[order]
+    sq = (Xs * Xs).sum(axis=1)
+    true = {}
+    for qi in range(len(Xs)):
+        dd = sq - 2.0 * (Xs @ Xs[qi]) + sq[qi]
+        dd[qi] = np.inf
+        idx = np.argpartition(dd, kk - 1)[:kk]
+        true[int(ids_s[qi])] = set(int(j) for j in ids_s[idx])
+    return true
+
+
+def test_width_floor_blocks_neighborhood_splitting_halvings(spark):
+    """Persistent over-cap pressure (occupancy_target=0 + clouds far
+    above max_bucket) makes the flops-only tune halve straight past
+    the in-cloud neighbor scale and true-top-k recall collapses
+    (0.07 here — the 3.16M 0.50 mechanism, harder at test dials).
+    The default floor refuses the halving that would cross 2× the
+    exact k-th-neighbor distance: recall 0.83 at the shipped 6×2
+    dials. The floor only ever BLOCKS halvings, so inputs that never
+    halve (all goldens/bench shapes) are untouched."""
+    from spark_tsne_spark.operators import knn as K
+
+    df, ids, X = _dup_dense_df(spark)
+    kk = 10
+    true = _true_topk(ids, X, kk)
+
+    def recall(rows):
+        by_i = {r["i"]: set(r["js"][:kk]) for r in rows}
+        return sum(len(true[i] & js) for i, js in by_i.items()) / (
+            len(ids) * kk
+        )
+
+    K._BANDED_WIDTH_MEMO.clear()
+    nofloor = K.knn_lsh_banded_lists(
+        df, kk, id_col="id", features="f", max_bucket=64,
+        occupancy_target=0.0, num_tables=6, n_probe=2,
+        width_floor_scale=0.0,
+    ).collect()
+    k0 = set(K._BANDED_WIDTH_MEMO)
+    floored = K.knn_lsh_banded_lists(
+        df, kk, id_col="id", features="f", max_bucket=64,
+        occupancy_target=0.0, num_tables=6, n_probe=2,
+    ).collect()
+    (w0, _, fb0) = next(iter(K._BANDED_WIDTH_MEMO[x] for x in k0))
+    (w1, _, fb1) = next(
+        K._BANDED_WIDTH_MEMO[x] for x in K._BANDED_WIDTH_MEMO if x not in k0
+    )
+    assert not fb0 and fb1, (fb0, fb1)
+    assert w1 > w0, (w0, w1)
+    r0, r1 = recall(nofloor), recall(floored)
+    assert r1 >= 0.75, (r0, r1)
+    assert r0 <= 0.3, (r0, r1)
+
+
+def test_sampled_occupancy_probes_match_full_counts(spark, monkeypatch):
+    """Above OCC_SAMPLE_MIN_N the tune's occupancy probes run on a
+    deterministic hash sample with a full-table verification count;
+    on the duplicate-dense fixture the sampled tune must choose the
+    same width and produce identical neighbor lists."""
+    from spark_tsne_spark.operators import knn as K
+
+    df, ids, _X = _dup_dense_df(spark)
+
+    K._BANDED_WIDTH_MEMO.clear()
+    full = K.knn_lsh_banded_lists(
+        df, 10, id_col="id", features="f", max_bucket=64,
+        occupancy_target=0.0,
+    ).collect()
+    w_full = sorted(w for (w, _, _) in K._BANDED_WIDTH_MEMO.values())
+
+    monkeypatch.setattr(K, "OCC_SAMPLE_MIN_N", 1000)
+    monkeypatch.setattr(K, "OCC_SAMPLE_ROWS", 512)
+    K._BANDED_WIDTH_MEMO.clear()
+    sampled = K.knn_lsh_banded_lists(
+        df, 10, id_col="id", features="f", max_bucket=64,
+        occupancy_target=0.0,
+    ).collect()
+    w_sampled = sorted(w for (w, _, _) in K._BANDED_WIDTH_MEMO.values())
+    assert w_full == w_sampled
+    key = lambda r: (r["i"], tuple(r["js"]), tuple(np.round(r["ds"], 9)))
+    assert sorted(map(key, full)) == sorted(map(key, sampled))
+    K._BANDED_WIDTH_MEMO.clear()
+
+
+def test_kth_neighbor_floor_sees_in_cloud_scale(spark):
+    """The floor pass is exact-vs-full, so on duplicate-dense data it
+    returns the in-cloud neighbor distance (~0.3 here), far below the
+    inter-cloud scale; a bounded ROW sample of so few duplicates would
+    see ~the inter-cloud distance instead (the defect the floor
+    fixes). Uses many small clouds so the ORDER-BY-id row sample is
+    duplicate-free like the real corpus."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.operators.knn import _kth_neighbor_floor
+
+    df, ids, _X = _dup_dense_df(spark)
+    proj = df.select("id", F.col("f").cast("array<double>").alias("f"))
+    floor = _kth_neighbor_floor(proj, 10, sample_q=64)
+    assert 0.05 < floor < 1.0, floor
+
+
+# ------------------------------------------- staged table groups (10M)
+
+
+def test_table_groups_match_one_shot(spark):
+    """table_groups=G runs the L tables as G sequential bounded
+    sub-passes (the 10M peak-disk lever); the merged result must be
+    identical to the one-shot pass — per-group top-k then merge-of-
+    groups equals global top-k, including shard-salted buckets and
+    probe visitors."""
+    from spark_tsne_spark.operators import knn as K
+
+    df, ids, _X = _dup_dense_df(spark, n_bases=8, copies=64, d=16)
+
+    kw = dict(
+        id_col="id", features="f", max_bucket=64, num_tables=6,
+        n_probe=2, bucket_width=1.0,
+    )
+    one = K.knn_lsh_banded_lists(df, 7, **kw).collect()
+    key = lambda r: (r["i"], tuple(r["js"]), tuple(np.round(r["ds"], 9)))
+    for g in (2, 3):
+        staged = K.knn_lsh_banded_lists(df, 7, table_groups=g, **kw).collect()
+        assert sorted(map(key, staged)) == sorted(map(key, one)), g
