@@ -992,12 +992,22 @@ def knn_lsh_banded_lists(
                     quantile=width_floor_quantile, seed=sd,
                 )
 
+            dbg = os.environ.get("SPARK_GRAFT_LSH_DEBUG") == "1"
             for _ in range(12):
                 over = _over_at(w, full=False)
+                if dbg:
+                    print(
+                        f"# lsh_tune w={w:.6g} over={over} "
+                        f"target={occupancy_target * s_n * L * NP:.0f} "
+                        f"floor={floor_w}",
+                        flush=True,
+                    )
                 if over <= occupancy_target * s_n * L * NP:
                     break
                 if width_floor_scale and floor_w is None:
                     floor_w = _floor()
+                    if dbg:
+                        print(f"# lsh_tune floor_w={floor_w:.6g}", flush=True)
                 if floor_w is not None and w / 2.0 < floor_w:
                     floor_bound = True
                     break
@@ -1006,6 +1016,12 @@ def knn_lsh_banded_lists(
                 # full-table verification of the sampled decision
                 for _ in range(4):
                     over = _over_at(w, full=True)
+                    if dbg:
+                        print(
+                            f"# lsh_tune verify w={w:.6g} over={over} "
+                            f"target={occupancy_target * n * L * NP:.0f}",
+                            flush=True,
+                        )
                     if over <= occupancy_target * n * L * NP:
                         break
                     if width_floor_scale and floor_w is None:
