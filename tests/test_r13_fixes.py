@@ -325,3 +325,44 @@ def test_table_groups_match_one_shot(spark):
     for g in (2, 3):
         staged = K.knn_lsh_banded_lists(df, 7, table_groups=g, **kw).collect()
         assert sorted(map(key, staged)) == sorted(map(key, one)), g
+
+
+# ---------------------------------------- per-iteration AQE scoping
+
+
+def test_distributed_loop_runs_with_aqe_off_and_restores(spark, embeddings):
+    """The distributed iteration loop disables AQE (its per-iteration
+    job is a fixed shuffle-less plan; AdaptiveSparkPlan wrapping is
+    pure re-planning overhead) and restores the conf afterwards,
+    including mid-loop as observed by callbacks."""
+    from spark_tsne_spark.api import bh_tsne
+
+    seen = []
+
+    def cb(it, Y, loss):
+        seen.append(spark.conf.get("spark.sql.adaptive.enabled"))
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    res = bh_tsne(
+        embeddings.limit(64), max_iterations=2, perplexity=5.0, seed=3,
+        id_col="vec_id", features="embedding", local_threshold=0,
+        callback=cb,
+    )
+    assert len(res.ids) == 64
+    assert seen == ["false", "false"]
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_local_loop_keeps_aqe_untouched(spark, embeddings):
+    from spark_tsne_spark.api import bh_tsne
+
+    seen = []
+
+    def cb(it, Y, loss):
+        seen.append(spark.conf.get("spark.sql.adaptive.enabled"))
+
+    bh_tsne(
+        embeddings.limit(64), max_iterations=2, perplexity=5.0, seed=3,
+        id_col="vec_id", features="embedding", callback=cb,
+    )
+    assert seen == ["true", "true"]
