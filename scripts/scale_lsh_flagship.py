@@ -152,6 +152,14 @@ def main():
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         )
+        # Shuffle codec dial (guide §2.3): the 10M candidate pass is
+        # int64/double-heavy shuffle bytes on a disk-bounded box —
+        # zstd trades CPU for a markedly better ratio there; default
+        # stays lz4 so recorded smaller-scale runs are comparable.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -199,7 +207,15 @@ def main():
     t1 = time.time()
     lsh = knn_lsh_banded(
         big, K, id_col="vec_id", features="embedding", **lsh_kwargs
-    ).cache()
+    )
+    if not lsh_kwargs.get("table_groups"):
+        # One-shot pass: cache the flat pairs for the recall join.
+        # With staged table_groups the merged LISTS are already
+        # localCheckpoint-materialized inside the operator, so the
+        # flat explode recomputes cheaply from that leaf — caching a
+        # second 900M-row flat copy at 10M (~25 GB spill) is exactly
+        # the disk this mode exists to avoid.
+        lsh = lsh.cache()
     lsh_rows = lsh.count()
     out["lsh_knn_sec"] = round(time.time() - t1, 3)
     out["lsh_knn_rows"] = lsh_rows

@@ -788,7 +788,12 @@ def knn_lsh_banded_lists(
     if resources is not None:
         resources.append(proj)
 
-    def with_assignments(w: float, cols: list, src: DataFrame | None = None) -> DataFrame:
+    def with_assignments(
+        w: float,
+        cols: list,
+        src: DataFrame | None = None,
+        tables: tuple[int, int] | None = None,
+    ) -> DataFrame:
         # DataFrame of ``cols`` + one (t, b, q) row per assignment:
         # every (table, bucket-hash, role) assignment for width ``w``.
         # Base bucket (role 0: indexed AND querying): xxhash64 over the
@@ -894,11 +899,12 @@ def knn_lsh_banded_lists(
                 ),
                 lambda s: s.isNotNull(),
             )
+        t_lo, t_hi = tables if tables is not None else (0, L - 1)
         return (
             src.select(
                 *cols,
                 "p",
-                F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("_t"),
+                F.explode(F.sequence(F.lit(t_lo), F.lit(t_hi))).alias("_t"),
             )
             .select(*cols, F.explode(arr).alias("a"))
             .select(
@@ -1071,17 +1077,20 @@ def knn_lsh_banded_lists(
         .select("t", "b", F.ceil(F.col("c") / F.lit(shard_cap)).alias("nsh"))
     )
 
-    exploded = (
-        with_assignments(w, ["id", "f"])
-        .join(F.broadcast(over_caps), ["t", "b"], "left")
-        .withColumn(
-            "shard",
-            F.pmod(
-                F.xxhash64("id", "t", "b", F.lit(1313)),
-                F.coalesce(F.col("nsh"), F.lit(1)),
-            ),
+    def _exploded(tables: tuple[int, int] | None = None) -> DataFrame:
+        return (
+            with_assignments(w, ["id", "f"], tables=tables)
+            .join(F.broadcast(over_caps), ["t", "b"], "left")
+            .withColumn(
+                "shard",
+                F.pmod(
+                    F.xxhash64("id", "t", "b", F.lit(1313)),
+                    F.coalesce(F.col("nsh"), F.lit(1)),
+                ),
+            )
         )
-    )
+
+    exploded = _exploded()
 
     if check_coverage:
         if n is None:
@@ -1308,21 +1317,36 @@ def knn_lsh_banded_lists(
         bounds.append((lo, hi))
         lo = hi + 1
     spark_ = df.sparkSession
-    merged_parts = []
+    # HIERARCHICAL FOLD, not collect-then-union: holding all G group
+    # results to the end would keep G × (n·k-array) checkpoints alive
+    # (~86 GB at 10M/k=90/G=6) — merging each group into ONE running
+    # result keeps at most two bounded intermediates resident, and the
+    # top-k merge is associative so the fold equals the one-shot merge
+    # (same argument as above, applied pairwise).
+    running = None
     for (lo, hi) in bounds:
-        part = exploded.where(F.col("t").between(lo, hi))
+        # the table range is pushed INTO the explode (not filtered
+        # after it): each group's map stage computes only its own
+        # tables' cell/probe expressions — a post-explode filter would
+        # redo all L tables' assignment work per group (measured at
+        # 10M: the first group's map stage sat ≥12 min at 6× redundant
+        # expression work before this change)
+        part = _exploded(tables=(lo, hi))
         local_g = part.groupBy("t", "b", "shard").applyInArrow(
             bucket_topk, "i long, js array<long>, ds array<double>"
         )
-        merged_parts.append(_merge(local_g).localCheckpoint(eager=True))
+        # the running result rows share local_g's (i, js, ds) shape,
+        # so they fold into the group's merge as one more candidate
+        # list per row — one merge shuffle per group
+        src_g = local_g if running is None else local_g.unionAll(running)
+        prev = running
+        running = _merge(src_g).localCheckpoint(eager=True)
+        del prev  # drop the previous fold state before the GC nudge
         try:  # let the ContextCleaner reclaim this group's shuffles
             spark_.sparkContext._jvm.System.gc()
         except Exception:  # pragma: no cover - py4j hiccup
             pass
-    allg = merged_parts[0]
-    for m in merged_parts[1:]:
-        allg = allg.unionAll(m)
-    return _merge(allg)
+    return running
 
 
 def knn_lsh_banded(

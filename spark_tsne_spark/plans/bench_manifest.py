@@ -235,6 +235,15 @@ def render() -> str:
         "tests/test_bench_manifest.py asserts the three buckets partition",
         "the catalog and that this file matches regeneration.",
         "",
+        "Per-query timings: `bench.py`'s LAST stdout line is the",
+        "fixed-size headline (total only — a per-query dict overflowed",
+        "the driver's ~2000-byte tail capture twice; see",
+        "tests/test_bench_contract.py). The per-query breakdown is the",
+        "`# perquery: {...}` stdout line printed immediately before the",
+        "headline, and `bench_detail.json` (flushed+fsynced before the",
+        "headline prints) — per-entry mins, all runs, stage breakdowns,",
+        "isolated A/Bs and the fixed-workload host controls.",
+        "",
         f"- catalog entries: {len(_REGISTRY)}",
         f"- benched via identity (bench callable IS the catalog fn): "
         f"{len(set(identity.values()))}",
