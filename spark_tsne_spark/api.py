@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from spark_tsne_spark.gradient import (
     assemble,
+    assemble_arrow,
     bh_block,
     bh_gradient_pass,
     exact_block,
@@ -443,10 +444,20 @@ def _loop_impl(
                     adjacency, bc_state, bc_ids, theta, exaggeration
                 )
             fp0 = _time.time()
-            res = pass_df.toPandas()
+            import os as _os
+
+            arrow_collect = (
+                _os.environ.get("SPARK_GRAFT_TSNE_ARROW_COLLECT", "1") != "0"
+            )
+            res = pass_df.toArrow() if arrow_collect else pass_df.toPandas()
             if attribute:
                 profile["iter1_force_pass_sec"] = round(_time.time() - fp0, 3)
-        dY, Z, loss = assemble(res, ids, n, no_dims, mode)
+        if local:
+            dY, Z, loss = assemble(res, ids, n, no_dims, mode)
+        elif arrow_collect:
+            dY, Z, loss = assemble_arrow(res, ids, n, no_dims, mode)
+        else:
+            dY, Z, loss = assemble(res, ids, n, no_dims, mode)
         update(Y, dY, iY, gains, iteration, param)
         if not local:
             bc_state.destroy()

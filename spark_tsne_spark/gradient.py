@@ -335,3 +335,50 @@ def assemble(
         dY = posF - negF / Z
     loss = ploss + math.log(Z) * psum
     return dY, Z, loss
+
+
+def assemble_arrow(
+    tbl,
+    ids_sorted: np.ndarray,
+    n: int,
+    d: int,
+    mode: str,
+) -> tuple[np.ndarray, float, float]:
+    """:func:`assemble` over a ``DataFrame.toArrow()`` result.
+
+    The pandas collect spends ~58 ms/iteration at the 50k flagship
+    shape building object cells for the two force-list columns and
+    tearing them back apart with ``.tolist()``; the Arrow table's
+    ListArray values buffer reshapes into the (rows, d) force block
+    zero-copy instead (guide §4.2: lists are one values buffer plus
+    offsets — re-slice, don't copy rows). Bit-identity: the force
+    values are the same doubles either way (offsets are uniform d, so
+    ``flatten().reshape(-1, d)`` is exactly the row-major block), and
+    the three scalar reductions go through the same
+    ``pd.Series(...).sum()`` pairwise path the pandas collect used —
+    pinned by ``test_assemble_arrow_matches_pandas``.
+    """
+    bi = np.searchsorted(
+        ids_sorted, tbl.column("i").combine_chunks().to_numpy()
+    )
+    posF = np.zeros((n, d))
+    negF = np.zeros((n, d))
+    pf = tbl.column("posF").combine_chunks()
+    nf = tbl.column("negF").combine_chunks()
+    # reshape(len(bi), d) (not -1): errors loudly if a null list entry
+    # were ever silently dropped by flatten() instead of scrambling rows.
+    posF[bi] = np.asarray(pf.flatten(), dtype=np.float64).reshape(len(bi), d)
+    negF[bi] = np.asarray(nf.flatten(), dtype=np.float64).reshape(len(bi), d)
+    Z = float(pd.Series(tbl.column("znum").combine_chunks().to_numpy()).sum())
+    ploss = float(
+        pd.Series(tbl.column("ploss").combine_chunks().to_numpy()).sum()
+    )
+    psum = float(
+        pd.Series(tbl.column("psum").combine_chunks().to_numpy()).sum()
+    )
+    if mode == "exact":
+        dY = 4.0 * (posF - negF / Z)
+    else:
+        dY = posF - negF / Z
+    loss = ploss + math.log(Z) * psum
+    return dY, Z, loss

@@ -507,6 +507,17 @@ def allpairs_cosine_pairs(
     u = w.join(norms, "doc_id").select(
         "doc_id", "term", (F.col("w") / F.col("norm")).alias("u")
     )
+    # The normalized vectors are referenced FIVE times downstream
+    # (index build, both sides of the candidate self-join, and the
+    # two verification sides), and each reference re-expands the
+    # whole tokenize→tf→df→norm subtree: 232 HashAggregate /
+    # 70 BroadcastExchange nodes in the un-truncated plan at bench
+    # shape. localCheckpoint materializes u ONCE (guide §3.3:
+    # materialize to truncate very wide plans) — at scale this is
+    # one corpus-derived (doc, term, u) table computed once
+    # instead of five tokenize+aggregate passes over the corpus.
+    # eager=False: blocks build inside the first consuming stage.
+    u = u.localCheckpoint(eager=False)
     # Tail-norm window: per doc, descending weight; rsum includes the
     # current row, so `indexed` ⇔ tail-from-here norm ≥ t/2.
     tail = (

@@ -383,7 +383,17 @@ def _rank_cell_join(
         cosine_sim(F.col("q.v"), F.col("c.v")).alias("cosine"),
     )
     if dedup:
-        pairs = pairs.dropDuplicates(["i", "j"])
+        # ONE exchange for dedup + ranking (guide §2.4): hash by i
+        # satisfies both the dedup aggregate's ClusteredDistribution
+        # (i is a prefix of (i, j) — equal pairs co-locate) and the
+        # window's, so the (i, j)-keyed exchange between them
+        # disappears (plan: 2 Exchange → 1). Trade: the one shuffle
+        # carries raw candidates (no map-side partial dedup), at most
+        # replicas× the deduped volume moved once instead of that
+        # volume moved plus a second exchange pass. Duplicate (i, j)
+        # rows are bit-identical (same v arrays → same cosine), so the
+        # surviving row is value-unique either way.
+        pairs = pairs.repartition("i").dropDuplicates(["i", "j"])
     w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))

@@ -366,3 +366,84 @@ def test_local_loop_keeps_aqe_untouched(spark, embeddings):
         id_col="vec_id", features="embedding", callback=cb,
     )
     assert seen == ["true", "true"]
+
+
+# ------------------------------------------- arrow-collect assembly
+
+
+def test_assemble_arrow_matches_pandas():
+    """assemble_arrow over a chunked Arrow table must reproduce
+    assemble over the equivalent pandas frame BIT-exactly (forces,
+    Z, loss) — the collect-path switch may not move the embedding
+    by one ulp."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from spark_tsne_spark.gradient import assemble, assemble_arrow
+
+    rng = np.random.default_rng(7)
+    n, d = 257, 3
+    ids_sorted = np.arange(n, dtype=np.int64)
+    # two chunks with a ragged split, rows shuffled like a collect
+    perm = rng.permutation(n)
+    posF = rng.normal(size=(n, d))
+    negF = rng.normal(size=(n, d))
+    znum = rng.normal(size=n) ** 2 + 0.5
+    ploss = rng.normal(size=n)
+    psum = rng.normal(size=n) ** 2
+
+    def batch(sl):
+        k = len(perm[sl])
+        offs = np.arange(0, (k + 1) * d, d, dtype=np.int32)
+        return pa.record_batch(
+            [
+                pa.array(perm[sl].astype(np.int64)),
+                pa.ListArray.from_arrays(
+                    offs, pa.array(posF[perm[sl]].reshape(-1))
+                ),
+                pa.ListArray.from_arrays(
+                    offs, pa.array(negF[perm[sl]].reshape(-1))
+                ),
+                pa.array(znum[perm[sl]]),
+                pa.array(ploss[perm[sl]]),
+                pa.array(psum[perm[sl]]),
+            ],
+            names=["i", "posF", "negF", "znum", "ploss", "psum"],
+        )
+
+    tbl = pa.Table.from_batches([batch(slice(0, 100)), batch(slice(100, n))])
+    pdf = tbl.to_pandas()
+    pdf["posF"] = pdf["posF"].apply(list)
+    pdf["negF"] = pdf["negF"].apply(list)
+    for mode in ("bh", "exact"):
+        dY_p, Z_p, loss_p = assemble(pdf, ids_sorted, n, d, mode)
+        dY_a, Z_a, loss_a = assemble_arrow(tbl, ids_sorted, n, d, mode)
+        assert Z_a == Z_p
+        assert loss_a == loss_p
+        assert np.array_equal(dY_a, dY_p)
+
+
+def test_distributed_loop_arrow_collect_bitexact(spark, embeddings):
+    """End-to-end: the distributed loop's toArrow collect path yields
+    the bit-identical embedding to the toPandas path."""
+    import os
+
+    from spark_tsne_spark.api import bh_tsne
+
+    df = embeddings.limit(96).cache()
+    df.count()
+    kw = dict(
+        max_iterations=3, perplexity=5.0, seed=11,
+        id_col="vec_id", features="embedding", local_threshold=0,
+    )
+    try:
+        os.environ["SPARK_GRAFT_TSNE_ARROW_COLLECT"] = "0"
+        r_pd = bh_tsne(df, **kw)
+        os.environ["SPARK_GRAFT_TSNE_ARROW_COLLECT"] = "1"
+        r_ar = bh_tsne(df, **kw)
+    finally:
+        os.environ.pop("SPARK_GRAFT_TSNE_ARROW_COLLECT", None)
+        df.unpersist()
+    assert np.array_equal(r_pd.ids, r_ar.ids)
+    assert np.array_equal(r_pd.Y, r_ar.Y)
+    assert r_pd.losses == r_ar.losses
