@@ -115,7 +115,7 @@ def _local_adjacency(pdf_points: pd.DataFrame, perplexity: float, tol: float):
     (``affinities.symmetrize``). Returns ``(adjacency (i, js, ps),
     ids_sorted)`` with neighbors sorted by j as ``to_adjacency`` does.
     """
-    from spark_tsne_spark.operators.x2p import _calibrate_row
+    from spark_tsne_spark.operators.x2p import _calibrate_rows
 
     ids = pdf_points["i"].to_numpy(dtype=np.int64)
     order = np.argsort(ids, kind="stable")
@@ -139,10 +139,15 @@ def _local_adjacency(pdf_points: pd.DataFrame, perplexity: float, tol: float):
         idx = np.empty((hi - lo, mu), dtype=np.intp)
         for r in range(hi - lo):
             idx[r] = np.argpartition(d[r], mu - 1)[:mu]
-        for r in range(hi - lo):
-            beta, p = _calibrate_row(d[r, idx[r]], log_u, tol)
-            jpos_all[lo + r] = idx[r]
-            ps_all[lo + r] = p
+        # batched β bisection — bit-identical to the per-row scalar
+        # loop (pinned in tests/test_r9_fixes.py) and what the
+        # distributed kernel already uses; the scalar loop spent
+        # ~0.5 s/2000 rows in numpy call dispatch (profiled r13 pt 2)
+        _, ps = _calibrate_rows(
+            np.take_along_axis(d, idx, axis=1), log_u, tol
+        )
+        jpos_all[lo:hi] = idx
+        ps_all[lo:hi] = ps
     # Y1 symmetrization on positions: p_ij = max((p_ji+p_ij)/2n, clamp)
     ipos = np.repeat(np.arange(n, dtype=np.int64), mu)
     jpos = jpos_all.ravel()

@@ -447,3 +447,57 @@ def test_distributed_loop_arrow_collect_bitexact(spark, embeddings):
     assert np.array_equal(r_pd.ids, r_ar.ids)
     assert np.array_equal(r_pd.Y, r_ar.Y)
     assert r_pd.losses == r_ar.losses
+
+
+def test_local_adjacency_batched_calibration_bitexact():
+    """_local_adjacency's batched β calibration must reproduce the
+    per-row scalar loop bit-exactly (adjacency ids, neighbor lists,
+    and every p value)."""
+    import math
+
+    import pandas as pd
+
+    from spark_tsne_spark.api import _local_adjacency
+    from spark_tsne_spark.operators.x2p import _calibrate_row
+
+    rng = np.random.default_rng(5)
+    n, dim, perp, tol = 300, 16, 12.0, 1e-5
+    pdf = pd.DataFrame(
+        {
+            "i": rng.permutation(n).astype(np.int64),
+            "f": list(rng.normal(size=(n, dim))),
+        }
+    )
+    adj, ids = _local_adjacency(pdf, perp, tol)
+    # scalar reference, same chunking-independent math
+    order = np.argsort(pdf["i"].to_numpy(np.int64), kind="stable")
+    X = np.array(pdf["f"].tolist(), dtype=np.float64)[order]
+    ids_ref = pdf["i"].to_numpy(np.int64)[order]
+    mu = min(int(3 * perp), n - 1)
+    log_u = math.log(perp)
+    sq = (X * X).sum(axis=1)
+    d = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
+    np.maximum(d, 0.0, out=d)
+    d[np.arange(n), np.arange(n)] = np.inf
+    from spark_tsne_spark.operators.affinities import P_CLAMP
+
+    jpos_all = np.empty((n, mu), dtype=np.int64)
+    ps_all = np.empty((n, mu), dtype=np.float64)
+    for r in range(n):
+        idx = np.argpartition(d[r], mu - 1)[:mu]
+        _, p = _calibrate_row(d[r, idx], log_u, tol)
+        jpos_all[r] = idx
+        ps_all[r] = p
+    ipos = np.repeat(np.arange(n, dtype=np.int64), mu)
+    jpos = jpos_all.ravel()
+    key = np.concatenate([ipos * n + jpos, jpos * n + ipos])
+    val = np.concatenate([ps_all.ravel(), ps_all.ravel()])
+    uk, inv = np.unique(key, return_inverse=True)
+    pj = np.maximum(np.bincount(inv, weights=val) / (2.0 * n), P_CLAMP)
+    si = (uk // n).astype(np.int64)
+    sj = (uk % n).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(np.bincount(si, minlength=n))])
+    assert np.array_equal(adj["i"].to_numpy(np.int64), ids_ref)
+    for r in range(n):
+        assert adj["js"][r] == ids_ref[sj[offs[r]: offs[r + 1]]].tolist()
+        assert adj["ps"][r] == pj[offs[r]: offs[r + 1]].tolist()
