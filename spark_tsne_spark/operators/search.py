@@ -66,6 +66,13 @@ def bm25_topk(
         # |matches| instead of |tokens|.
         F.filter("toks", lambda t: F.array_contains(terms_lit, t)).alias("hits"),
     )
+    # toks feeds the corpus stats AND the postings build; without
+    # truncation each reference re-runs the tokenize+filter pass
+    # (guide §3.3). The (doc_id, dl, hits) projection is the
+    # inverted-index read a production system materializes once.
+    # Measured (with the _ql_topk twin): rrf_hybrid_search
+    # 2.200 -> 1.748 s mean (6-pair interleaved A/B, sf0.1).
+    toks = toks.localCheckpoint(eager=False)
     # Global stats: one row, broadcast onto the postings.
     stats = toks.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
