@@ -51,16 +51,32 @@ def _sq_dist(v: Column, c: Column) -> Column:
 
 def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
     """k centroids as one literal array<struct<cid, c>> — constant-
-    folded into the task binary, no broadcast variable, no join."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
-            )
-            for cid, vec in cents
-        ]
+    folded into the task binary, no broadcast variable, no join.
+
+    Built as ONE ``F.expr`` SQL string instead of k·(d+2) nested
+    ``F.lit``/``F.struct``/``F.array`` calls: each Column call is a
+    py4j round-trip, and at k=8, d=64 the per-call tree cost 0.33 s
+    of DRIVER time per assignment pass (vs 0.22 s executing it —
+    measured r13 pt 2). ``repr(float)`` is the shortest round-trip
+    decimal, and Spark's double-literal parser recovers the exact
+    same IEEE bits, so the expression tree — and every result — is
+    identical to the per-lit construction (pinned by
+    ``test_centroid_literal_sql_matches_lit_tree``).
+    """
+
+    def _d(x: float) -> str:
+        x = float(x)
+        if x != x or x in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite centroid component: {x}")
+        return repr(x) + "D"
+
+    parts = ", ".join(
+        "named_struct('cid', {}, 'c', array({}))".format(
+            int(cid), ", ".join(_d(x) for x in vec)
+        )
+        for cid, vec in cents
     )
+    return F.expr(f"array({parts})")
 
 
 def _assign(

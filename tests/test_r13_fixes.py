@@ -501,3 +501,39 @@ def test_local_adjacency_batched_calibration_bitexact():
     for r in range(n):
         assert adj["js"][r] == ids_ref[sj[offs[r]: offs[r + 1]]].tolist()
         assert adj["ps"][r] == pj[offs[r]: offs[r + 1]].tolist()
+
+
+def test_centroid_literal_sql_matches_lit_tree(spark):
+    """The SQL-string centroid literal must evaluate to exactly the
+    per-F.lit construction: same schema, bit-identical doubles
+    (repr round-trips through Spark's double-literal parser)."""
+    from pyspark.sql import functions as F
+
+    from spark_tsne_spark.operators.clustering import _centroid_literal
+
+    rng = np.random.default_rng(13)
+    cents = [
+        (i, [float(x) for x in rng.normal(size=7) * 10.0 ** rng.integers(-8, 8)])
+        for i in range(5)
+    ]
+    # include exact decimals and negatives like post-round centroids
+    cents.append((5, [0.123456789, -42.0, 1e-12, -1.5e8, 0.0, 3.0, -0.25]))
+    ref = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    df = spark.range(1).select(
+        _centroid_literal(cents).alias("a"), ref.alias("b")
+    )
+    assert df.schema["a"].dataType == df.schema["b"].dataType
+    row = df.head()
+    for sa, sb in zip(row["a"], row["b"]):
+        assert sa["cid"] == sb["cid"]
+        va = np.array(sa["c"])
+        vb = np.array(sb["c"])
+        assert np.array_equal(va, vb)
